@@ -1,0 +1,226 @@
+"""Deduplication operators for training-data pipelines (build plan M4).
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard near-dup — all expressed with
+JVM-side built-ins (no Python UDFs in the hot path):
+
+- MinHash signatures come from ``F.transform`` over seed literals ×
+  ``F.xxhash64`` over shingles — whole-stage codegen, no pyspark.ml vector
+  conversion cost.
+- LSH banding turns the O(n²) pair space into an equi-join on
+  (band_id, band_hash): at 100 TB the candidate generation is ONE shuffle
+  keyed by band buckets; only bucket-mates are paired.
+- Exact-Jaccard verification runs on candidates only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = "\\s+"
+
+
+def tokens_col(text_col: str = "text"):
+    """Whitespace tokenization of lowercased text (engine-wide convention)."""
+    return F.split(F.lower(F.trim(F.col(text_col))), TOKEN_PATTERN)
+
+
+def shingles_col(text_col: str = "text", n: int = 3):
+    """Distinct word n-gram shingles as strings."""
+    toks = tokens_col(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingles, num_hashes: int = 64):
+    """MinHash signature: for seed s, min over shingles of xxhash64(shingle, s).
+
+    xxhash64 with a per-seed salt gives ``num_hashes`` independent hash
+    families entirely inside codegen. Returns array<bigint> of length
+    ``num_hashes``.
+    """
+    seeds = F.array(*[F.lit(s) for s in range(num_hashes)])
+    return F.transform(
+        seeds,
+        lambda s: F.array_min(F.transform(shingles, lambda sh: F.xxhash64(sh, s))),
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash LSH.
+
+    rows/bands: each doc explodes into ``bands`` rows keyed by
+    (band_id, hash(band slice)); a self-equi-join on that key yields only
+    bucket-mates. Shuffle volume is bands×docs signature slices — linear,
+    never quadratic.
+    """
+    rows_per_band = num_hashes // bands
+    sig = docs.select(
+        F.col(id_col),
+        minhash_signature(shingles_col(text_col, shingle_n), num_hashes).alias("_sig"),
+    )
+    band_ids = F.array(*[F.lit(b) for b in range(bands)])
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.transform(
+                band_ids,
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bhash"),
+                ),
+            )
+        ).alias("_b"),
+    ).select(id_col, F.col("_b.band").alias("band"), F.col("_b.bhash").alias("bhash"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bhash") == F.col("b.bhash"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    candidates: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs (or the full cross space if
+    ``candidates`` is None — testing only; production always passes the LSH
+    candidate set). Output: (id_a, id_b, jaccard ≥ threshold)."""
+    sh = docs.select(
+        F.col(id_col), shingles_col(text_col, shingle_n).alias("_sh")
+    )
+    if candidates is None:
+        a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha"))
+        b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb"))
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        pairs = (
+            candidates.join(
+                sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha")),
+                "id_a",
+            ).join(
+                sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb")),
+                "id_b",
+            )
+        )
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    union = F.size(F.array_union("_sha", "_shb"))
+    jac = (inter / union).alias("jaccard")
+    return (
+        pairs.select("id_a", "id_b", jac)
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_table(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """(id, simhash) table: 64-bit SimHash of the token multiset.
+
+    Plan shape: explode tokens → xxhash64 once per token → 64 per-bit ±1
+    vote sums in ONE hash aggregate keyed by doc id → pack sign bits.
+    Everything JVM-side; the single shuffle moves 64 longs per document."""
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("_t")
+    ).withColumn("_h", F.xxhash64("_t"))
+    votes = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_v{i}")
+            for i in range(bits)
+        ]
+    )
+    packed = None
+    for i in range(bits):
+        bit = F.when(
+            F.col(f"_v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        packed = bit if packed is None else packed.bitwiseOR(bit)
+    return votes.select(F.col(id_col), packed.alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Scale path: block on 4 × 16-bit chunks of the simhash — any pair within
+    Hamming 3 of a 64-bit hash must agree exactly on ≥1 of the 4 chunks
+    (pigeonhole), so candidate generation is 4 equi-joins, never a cross
+    join. Verification counts differing bits via bit_count.
+    """
+    sh = simhash_table(docs, id_col, text_col)
+    chunks = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright("simhash", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("ckey"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("_c"),
+    ).select(id_col, "simhash", "_c.chunk", "_c.ckey")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.chunk") == F.col("b.chunk"),
+                F.col("a.ckey") == F.col("b.ckey"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("_ha"),
+            F.col("b.simhash").alias("_hb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).alias("hamming")
+    return cand.select("id_a", "id_b", ham).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,151 @@
+"""Multimodal column operators (build plan M4).
+
+Images/audio/video travel as opaque ``binary`` columns with a typed metadata
+struct beside them. The Spark-side plumbing — schema, batch shape,
+``mapInPandas`` signatures, partition sizing — is real and tested; the actual
+media decode is stubbed (the decode libraries are not in this container) per
+the build contract: ``decode_media`` raises NotImplementedError unless the
+deterministic fake decoder is requested.
+
+Vector-typed columns (``array<float>`` embeddings) are first-class here too:
+norms, per-label centroids — JVM-side via transform/aggregate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("media_type", StringType()),
+        StructField("meta_source", StringType()),
+        StructField("meta_bytes", LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("checksum", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+    ]
+)
+
+
+def to_media_table(docs: DataFrame, media_type: str = "image") -> DataFrame:
+    """Adapt the documents table into the engine's media-column layout:
+    payload = UTF-8 bytes of the text standing in for real media bytes."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(media_type).alias("media_type"),
+        F.col("source").alias("meta_source"),
+        F.octet_length("text").cast("long").alias("meta_bytes"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for an image decode: derive a (width, height)
+    from the payload length. Replace with PIL/ffmpeg in a real deployment."""
+    n = len(payload)
+    return (n % 640) + 1, (n % 480) + 1
+
+
+def decode_media(payload: bytes, media_type: str, fake: bool = False):
+    """Decode one media payload. STUB: real decoding needs PIL/librosa/ffmpeg
+    which are not installed here; the Spark plumbing around this call is real."""
+    if not fake:
+        raise NotImplementedError(
+            "media decode requires imaging/audio libraries not present in "
+            "this environment; pass fake=True for the deterministic stub"
+        )
+    return _fake_decode(payload)
+
+
+def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """Arrow-batched feature extraction over media payloads via mapInPandas.
+
+    Batches stream through Python as Arrow record batches (no per-row
+    serialization); output is a narrow typed feature table. On a cluster the
+    input should be repartitioned so each task holds O(100 MB) of payloads —
+    callers control that; this function is partition-preserving.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            dims = [
+                decode_media(p, t, fake=fake_decode)
+                for p, t in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "checksum": [hashlib.md5(p).hexdigest() for p in pdf["payload"]],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """'Frame sampling' plumbing demo: explode each payload into fixed-stride
+    samples (stand-in for video frame extraction). JVM-side byte slicing."""
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.octet_length("payload"), F.lit(1)), F.lit(every_n_bytes)
+    )
+    return media.select(
+        "media_id",
+        F.posexplode(
+            F.transform(idx, lambda i: F.substring(F.col("payload").cast("string"), i, 8))
+        ).alias("frame_no", "frame"),
+    )
+
+
+def vector_norms(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """L2 norm per vector, JVM-side, computed in double."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return emb.select("vec_id", "label", norm.alias("l2_norm"))
+
+
+def label_centroids(emb: DataFrame, dim: int, vec_col: str = "embedding") -> DataFrame:
+    """Per-label centroid vectors: posexplode → per-(label, dim) mean →
+    re-assemble ordered arrays. Two shuffles, both on small keys; at scale
+    the per-dimension partial aggregation keeps traffic at labels×dim rows."""
+    exploded = emb.select(
+        "label", F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias("dim", "x")
+    )
+    per_dim = exploded.groupBy("label", "dim").agg(F.avg("x").alias("mean_x"))
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "mean_x"))
+            ).alias("_s")
+        )
+        .select(
+            "label", F.transform("_s", lambda s: s["mean_x"]).alias("centroid")
+        )
+    )

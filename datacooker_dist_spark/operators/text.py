@@ -1,0 +1,91 @@
+"""Text-analysis operators for training-data pipelines (build plan M4).
+
+Language-ID (stopword-hit heuristic), quality scoring, token counting, and
+document fingerprinting — all with JVM-side built-ins so they stay inside
+whole-stage codegen on a 100 TB corpus. Each has an exact SQL twin for the
+DuckDB oracle (the heuristics are deliberately expressible in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens_col
+
+# Tiny marker-word lists per language: enough signal for the synthetic
+# word-soup corpus and trivially portable to the SQL oracle.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "a", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "une", "dans"),
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
+    return F.size(
+        F.filter(toks, lambda t: t.isin(*markers))
+    )
+
+
+def lang_scores(text_col: str = "text") -> dict[str, Column]:
+    toks = tokens_col(text_col)
+    return {lang: _marker_hits(toks, m) for lang, m in LANG_MARKERS.items()}
+
+
+def lang_id(text_col: str = "text") -> Column:
+    """Predicted language = argmax of marker hits, ties broken by language
+    code order, 'und' (undetermined) when no marker hits at all."""
+    scores = lang_scores(text_col)
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    # Build reverse so earlier languages win ties via the later when() layers.
+    for lang in sorted(scores, reverse=True):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    return F.when(best > 0, pred).otherwise(F.lit("und"))
+
+
+def token_count(text_col: str = "text") -> Column:
+    """Whitespace token count."""
+    return F.size(tokens_col(text_col))
+
+
+def word_token_count(text_col: str = "text") -> Column:
+    """BPE-ish sub-token estimate: count of word-piece regexp matches (runs
+    of letters, runs of digits, single punctuation) — a portable stand-in
+    for a tokenizer."""
+    return F.size(
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
+        )
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio features + a composite
+    keep/drop quality flag (the usual pre-training corpus filter shape)."""
+    toks = tokens_col(text_col)
+    n_chars = F.length(text_col)
+    n_toks = F.size(toks)
+    punct = n_chars - F.length(F.regexp_replace(text_col, r"[^\w\s]", ""))
+    stop_hits = _marker_hits(toks, STOPWORDS)
+    return (
+        df.withColumn("n_chars_calc", n_chars.cast("bigint"))
+        .withColumn("n_tokens", n_toks.cast("bigint"))
+        .withColumn("avg_token_len", (n_chars / n_toks))
+        .withColumn("punct_ratio", (punct / n_chars))
+        .withColumn("stopword_ratio", (stop_hits / n_toks))
+        .withColumn(
+            "quality_keep",
+            (n_toks >= 5) & (punct / n_chars < 0.3),
+        )
+    )
+
+
+def fingerprint(text_col: str = "text") -> Column:
+    """Document fingerprint: md5 of the lowercased, whitespace-collapsed
+    text. Engine-portable (DuckDB md5() computes the identical digest) and
+    exactly what exact-dedup blocks on."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "))

@@ -1,0 +1,142 @@
+"""Time-series operators: tumbling/sliding/session windows, as-of join
+(SURVEY.md §2.B / build plan M3). All batch DataFrame API; the streaming
+twins live in ``datacooker_dist_spark.streaming``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling(
+    df: DataFrame, ts: str, duration: str, keys: Sequence[str], aggs: Sequence[Column]
+) -> DataFrame:
+    """Tumbling time window aggregate. ``F.window`` assigns each row to one
+    bucket; the aggregate then behaves like a hash agg keyed by
+    (window, *keys) with map-side partials, so the shuffle carries one row
+    per bucket per input partition regardless of raw volume."""
+    return (
+        df.groupBy(F.window(ts, duration).alias("w"), *keys)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("w.start"))
+        .withColumn("window_end", F.col("w.end"))
+        .drop("w")
+    )
+
+
+def sliding(
+    df: DataFrame,
+    ts: str,
+    duration: str,
+    slide: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """Sliding window aggregate. Each row lands in duration/slide buckets
+    (Spark expands them before the agg — input amplification factor is
+    duration/slide, bounded and known)."""
+    return (
+        df.groupBy(F.window(ts, duration, slide).alias("w"), *keys)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("w.start"))
+        .withColumn("window_end", F.col("w.end"))
+        .drop("w")
+    )
+
+
+def session(
+    df: DataFrame, ts: str, gap: str, keys: Sequence[str], aggs: Sequence[Column]
+) -> DataFrame:
+    """Session window aggregate (gap-based). ``F.session_window`` merges
+    overlapping per-row [ts, ts+gap) intervals per key — Spark implements the
+    merge after a shuffle on the keys, equivalent to the classic
+    gaps-and-islands rewrite but without a per-key sort window in user code."""
+    return (
+        df.groupBy(F.session_window(ts, gap).alias("w"), *keys)
+        .agg(*aggs)
+        .withColumn("session_start", F.col("w.start"))
+        .withColumn("session_end", F.col("w.end"))
+        .drop("w")
+    )
+
+
+def sessionize(df: DataFrame, ts: str, gap_seconds: int, keys: Sequence[str]) -> DataFrame:
+    """Explicit gaps-and-islands sessionization: attach ``session_id`` (the
+    session's first event timestamp) to every row. One shuffle on keys, one
+    per-key sort — the classic lag→flag→cumsum pipeline, kept for when the
+    per-row session id is needed (``session`` only yields aggregates)."""
+    w = Window.partitionBy(*keys).orderBy(F.col(ts))
+    gap_flag = (
+        F.when(
+            F.col(ts).cast("long") - F.lag(F.col(ts)).over(w).cast("long")
+            > gap_seconds,
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+    )
+    df = df.withColumn("_new_session", gap_flag)
+    df = df.withColumn("_session_seq", F.sum("_new_session").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ))
+    w2 = Window.partitionBy(*keys, "_session_seq")
+    return df.withColumn("session_id", F.min(F.col(ts)).over(w2)).drop(
+        "_new_session", "_session_seq"
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """As-of join: for each left row, the single right row with the greatest
+    ``right_ts`` ≤ ``left_ts`` within the same key (DuckDB ``ASOF JOIN``
+    semantics).
+
+    Implementation: union-tag + per-key ordered window carrying the last seen
+    right row forward — ONE shuffle on the key, one per-key sort, no range
+    self-join blowup. This is the merge-join formulation that scales: the
+    equi-key shuffle distributes, and skewed keys are handled by AQE.
+    A naive ``left×right + row_number`` is O(|matches|) intermediate; this is
+    O(|left|+|right|).
+    """
+    lkey = F.col(left_on)
+    rrow = F.struct(*[F.col(c) for c in right_cols])
+    r = right.select(
+        F.col(right_on).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        rrow.alias("_rv"),
+        F.lit(0).alias("_side"),
+    )
+    l = left.select(
+        lkey.alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lv"),
+        F.lit(1).alias("_side"),
+    )
+    both = r.unionByName(l.withColumn("_rv", F.lit(None).cast(r.schema["_rv"].dataType)),
+                         allowMissingColumns=True)
+    # Right rows sort before left rows at equal timestamps (_side 0 < 1), so a
+    # right row AT the left timestamp is visible — matching ASOF's ≤.
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = both.withColumn("_m", F.last("_rv", ignorenulls=True).over(w))
+    out = carried.filter(F.col("_side") == 1)
+    if how == "inner":
+        out = out.filter(F.col("_m").isNotNull())
+    cols = [F.col("_lv")[c].alias(c) for c in left.columns] + [
+        F.col("_m")[c].alias(c) for c in right_cols
+    ]
+    return out.select(*cols)

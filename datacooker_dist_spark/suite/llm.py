@@ -1,0 +1,416 @@
+"""LLM training-data pipeline suite entries (build plan M4) + UDF surface.
+
+Dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity search,
+text analysis, multimodal column plumbing, and the three UDF shapes
+(pandas scalar, grouped applyInPandas, mapInPandas). DuckDB oracles replicate
+the heuristics exactly where expressible; LSH/approximate ops are rows-only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import text as T
+from . import query, table
+
+# DuckDB twins of the engine's tokenization / shingling conventions
+# (operators.dedup.tokens_col / shingles_col).
+SQL_TOKENS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+SQL_SHINGLES = f"""
+    list_distinct(list_transform(
+        range(1, greatest(len({SQL_TOKENS}) - 2, 1) + 1),
+        i -> array_to_string(({SQL_TOKENS})[i:i+2], ' ')))
+"""
+
+
+# ----------------------------------------------------------------- dedup
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT fp, MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM (SELECT doc_id,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+          FROM documents)
+    GROUP BY fp
+    """,
+)
+def dedup_exact(spark, sf):
+    """Exact dedup: block on the md5 fingerprint of normalized text, keep the
+    lowest doc_id. One hash-partitioned shuffle on the 16-byte fingerprint —
+    the canonical 100 TB exact-dedup plan (never on the raw text)."""
+    docs = table(spark, sf, "documents")
+    return (
+        docs.select("doc_id", T.fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.s, b.s))
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s))
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark, sf):
+    """Near-dup pairs with exact 3-gram Jaccard ≥ 0.8, candidates pruned by
+    banded MinHash LSH (16 bands × 4 hashes ⇒ P[detect | j=0.8] ≈ 0.9998,
+    →1 rapidly above). The oracle brute-forces all pairs — at engine scale
+    only the LSH-bucket equi-join runs, never the quadratic pair space."""
+    docs = table(spark, sf, "documents")
+    cand = D.minhash_lsh_candidates(docs, num_hashes=64, bands=16)
+    return D.ngram_jaccard_pairs(docs, cand, threshold=0.8)
+
+
+@query("dedup_minhash_lsh")  # rows-only: banded-LSH candidate set
+def dedup_minhash_lsh(spark, sf):
+    """Raw LSH candidate pairs (pre-verification). Deterministic given the
+    fixed xxhash64 seed family, but not SQL-expressible → rows-only."""
+    return D.minhash_lsh_candidates(table(spark, sf, "documents"))
+
+
+@query("dedup_simhash")  # rows-only: hash-specific
+def dedup_simhash(spark, sf):
+    """SimHash near-dup pairs (Hamming ≤ 3) with pigeonhole chunk blocking
+    (4×16-bit chunks → 4 equi-joins, no cross join)."""
+    return D.simhash_near_pairs(table(spark, sf, "documents"))
+
+
+# ------------------------------------------------------------- similarity
+
+
+SIM_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+s AS (SELECT query_id, neighbor_id,
+             round(list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+      FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+r AS (SELECT query_id, neighbor_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+      FROM s)
+SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 5
+"""
+
+
+@query("similarity_topk", oracle=SIM_ORACLE)
+def similarity_topk(spark, sf):
+    """Exact brute-force cosine top-5 for 10 query vectors: the broadcast
+    query side means the corpus is scanned once with zero shuffle before the
+    tiny per-query rank. Scores rounded to 6 digits for engine-stable
+    ordering."""
+    emb = table(spark, sf, "embeddings")
+    out = S.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.select("query_id", "neighbor_id", "cosine", F.col("rnk").cast("long").alias("rnk"))
+
+
+@query("similarity_topk_lsh")  # rows-only: approximate (recall < 1)
+def similarity_topk_lsh(spark, sf):
+    """Scale path: random-hyperplane LSH buckets prune the corpus before
+    scoring (equi-join on (table, signature) instead of a cross join)."""
+    emb = table(spark, sf, "embeddings")
+    out = S.cosine_topk_lsh(
+        emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, planes=6, tables=8
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
+@query(
+    "vector_norms",
+    oracle="""
+    SELECT vec_id, label,
+           round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))), 6)
+           AS l2_norm
+    FROM embeddings
+    """,
+)
+def vector_norms(spark, sf):
+    """Vector-typed column math entirely JVM-side (multimodal surface)."""
+    out = M.vector_norms(table(spark, sf, "embeddings"))
+    return out.select("vec_id", "label", F.round("l2_norm", 6).alias("l2_norm"))
+
+
+@query("label_centroids")  # rows-only: cross-row float mean isn't bit-stable
+def label_centroids(spark, sf):
+    """Per-label centroid embeddings (posexplode → per-dim mean → ordered
+    re-assembly). Means over floats are partition-order-dependent at the last
+    bit, so this is a rows-only check."""
+    return M.label_centroids(table(spark, sf, "embeddings"), dim=64)
+
+
+# ------------------------------------------------------------------- text
+
+
+_MARKER_SQL = {
+    lang: "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    for lang, words in T.LANG_MARKERS.items()
+}
+
+_LANG_SCORE_SQL = {
+    lang: f"len(list_filter({SQL_TOKENS}, t -> list_contains({_MARKER_SQL[lang]}, t)))"
+    for lang in T.LANG_MARKERS
+}
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             {_LANG_SCORE_SQL['en']} AS s_en,
+             {_LANG_SCORE_SQL['de']} AS s_de,
+             {_LANG_SCORE_SQL['fr']} AS s_fr
+      FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN greatest(s_en, s_de, s_fr) = 0 THEN 'und'
+                WHEN s_de = greatest(s_en, s_de, s_fr) THEN 'de'
+                WHEN s_en = greatest(s_en, s_de, s_fr) THEN 'en'
+                ELSE 'fr' END AS pred_lang
+    FROM s
+    """,
+)
+def text_langid(spark, sf):
+    """Marker-word language ID (ties break in language-code order). The
+    synthetic corpus is English word-soup, so this checks the operator's
+    determinism, not real-world accuracy."""
+    docs = table(spark, sf, "documents")
+    return docs.select("doc_id", "lang", T.lang_id("text").alias("pred_lang"))
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(LENGTH(text) AS BIGINT) AS n_chars_calc,
+             CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens,
+             CAST(LENGTH(text)
+                  - LENGTH(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                  AS BIGINT) AS n_punct,
+             CAST({_LANG_SCORE_SQL['en']} AS BIGINT) AS stop_hits
+      FROM documents)
+    SELECT doc_id, n_chars_calc, n_tokens,
+           n_chars_calc / n_tokens AS avg_token_len,
+           n_punct / n_chars_calc AS punct_ratio,
+           stop_hits / n_tokens AS stopword_ratio,
+           (n_tokens >= 5 AND n_punct / n_chars_calc < 0.3) AS quality_keep
+    FROM t
+    """,
+)
+def text_quality(spark, sf):
+    """Corpus quality features + keep/drop flag (pre-training filter)."""
+    out = T.quality_features(table(spark, sf, "documents"))
+    return out.select(
+        "doc_id",
+        "n_chars_calc",
+        "n_tokens",
+        "avg_token_len",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality_keep",
+    )
+
+
+@query(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({SQL_TOKENS}) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+                AS BIGINT) AS n_word_pieces
+    FROM documents
+    """,
+)
+def text_token_count(spark, sf):
+    """Whitespace tokens + BPE-ish word-piece count via regexp matches."""
+    docs = table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").cast("long").alias("n_ws_tokens"),
+        T.word_token_count("text").cast("long").alias("n_word_pieces"),
+    )
+
+
+@query(
+    "text_term_freq",
+    oracle=f"""
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS tf,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM (SELECT doc_id, UNNEST({SQL_TOKENS}) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    """,
+)
+def text_term_freq(spark, sf):
+    """Corpus term/document frequency: tokenize → explode → two-level agg.
+    Partial aggregation bounds the shuffle at vocab × partitions."""
+    docs = table(spark, sf, "documents")
+    return (
+        docs.select("doc_id", F.explode(D.tokens_col("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf):
+    return table(spark, sf, "documents").select(
+        "doc_id", T.fingerprint("text").alias("fp")
+    )
+
+
+# -------------------------------------------------------------- multimodal
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id AS media_id, 'image' AS media_type, source AS meta_source,
+           CAST(strlen(text) AS BIGINT) AS meta_bytes, md5(text) AS checksum
+    FROM documents
+    """,
+)
+def multimodal_meta(spark, sf):
+    """Opaque-binary media table layout: payload bytes + typed metadata.
+    (Text bytes stand in for media payloads; schema/plumbing is the point.)"""
+    media = M.to_media_table(table(spark, sf, "documents"))
+    return media.select(
+        "media_id", "media_type", "meta_source", "meta_bytes",
+        F.md5("payload").alias("checksum"),
+    )
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id, 'image' AS media_type,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS checksum,
+           CAST(strlen(text) % 640 + 1 AS BIGINT) AS width,
+           CAST(strlen(text) % 480 + 1 AS BIGINT) AS height
+    FROM documents
+    """,
+)
+def multimodal_features(spark, sf):
+    """Arrow-batched mapInPandas feature extraction over binary payloads with
+    the deterministic stub decoder — the oracle replays the stub in SQL, so
+    this checks the real Python-batch plumbing end-to-end."""
+    media = M.to_media_table(table(spark, sf, "documents"))
+    return M.extract_features(media, fake_decode=True)
+
+
+# ------------------------------------------------------------- UDF surface
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT c_custkey, REVERSE(c_name) AS name_rev FROM customer
+    """,
+)
+def udf_pandas_scalar(spark, sf):
+    """Vectorized (Arrow) scalar pandas UDF — the sanctioned Python hot path
+    when no built-in exists. ~10-100× over row-at-a-time Python UDFs."""
+
+    @F.pandas_udf(StringType())
+    def rev(s: pd.Series) -> pd.Series:
+        return s.str[::-1]
+
+    return table(spark, sf, "customer").select(
+        "c_custkey", rev("c_name").alias("name_rev")
+    )
+
+
+@query(
+    "udf_grouped_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS qty_cents
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udf_grouped_agg(spark, sf):
+    """applyInPandas grouped-map (UDAF shape): whole group as one pandas
+    frame. Sums integer cents so the result is order-independent."""
+    schema = StructType(
+        [
+            StructField("l_returnflag", StringType()),
+            StructField("n_rows", LongType()),
+            StructField("qty_cents", LongType()),
+        ]
+    )
+
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "n_rows": [len(pdf)],
+                "qty_cents": [int((pdf["l_quantity"] * 100).round().astype("int64").sum())],
+            }
+        )
+
+    li = table(spark, sf, "lineitem").select("l_returnflag", "l_quantity")
+    return li.groupBy("l_returnflag").applyInPandas(summarize, schema)
+
+
+@query(
+    "udf_map_in_pandas",
+    oracle="""
+    SELECT event_id, value * 2 AS dvalue FROM events WHERE value > 50
+    """,
+)
+def udf_map_in_pandas(spark, sf):
+    """mapInPandas (UDTF shape): streaming Arrow batches through Python,
+    partition-preserving, constant memory."""
+    schema = "event_id bigint, dvalue double"
+
+    def xform(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keep = pdf[pdf["value"] > 50]
+            yield pd.DataFrame(
+                {"event_id": keep["event_id"], "dvalue": keep["value"] * 2}
+            )
+
+    e = table(spark, sf, "events").select("event_id", "value")
+    return e.mapInPandas(xform, schema)

@@ -1,0 +1,31 @@
+"""Streaming suite entries: batch-parity checks run through the real
+micro-batch engine (Structured Streaming) with availableNow."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..streaming.pipeline import file_stream, run_available_now, windowed_counts
+from . import EVENTS_RAW_SCHEMA, query
+
+
+@query(
+    "stream_tumbling",
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY DATE_TRUNC('hour', ts), event_type
+    """,
+)
+def stream_tumbling(spark, sf):
+    """Watermarked tumbling-window counts computed by the streaming engine
+    over the bounded events table, drained with availableNow into a memory
+    sink. The oracle is the batch answer — the parity the watermark contract
+    guarantees for bounded input."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = file_stream(spark, f"{sf}/events.parquet", EVENTS_RAW_SCHEMA)
+    # Watermarks require TIMESTAMP (with local tz); the session runs UTC so
+    # the collected window bounds equal the NTZ batch values.
+    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    result = windowed_counts(stream, "ts", "1 hour", ["event_type"], watermark="1 hour")
+    return run_available_now(result, spark)
