@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Benchmark harness: times every suite query at the bench scale factor and
+prints ONE JSON line:
+
+    {"metric": "suite_total", "value": <sec>, "unit": "sec",
+     "queries": {"agg_hash": <sec>, ...}, "sf": 0.1}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32),
+     BENCH_QUERIES      (comma list to subset, default all).
+
+Each query is timed as plan-build + execution to completion via a count-ish
+materialization (``df.write.format("noop")`` — full computation, no driver
+collect cost, the honest measure of executor-side work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from datacooker_dist_spark.session import build_session  # noqa: E402
+from datacooker_dist_spark.suite import QUERIES  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    subset = os.environ.get("BENCH_QUERIES")
+    names = subset.split(",") if subset else sorted(QUERIES)
+
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    spark = build_session(app_name="dds-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup on a trivial job so the first query isn't charged
+    # session startup.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -35,17 +35,33 @@ def shingles_col(text_col: str = "text", n: int = 3):
     return F.array_distinct(grams)
 
 
-def minhash_signature(shingles, num_hashes: int = 64):
-    """MinHash signature: for seed s, min over shingles of xxhash64(shingle, s).
+def minhash_signature_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(id, _m0.._m{n-1}) MinHash signature table.
 
-    xxhash64 with a per-seed salt gives ``num_hashes`` independent hash
-    families entirely inside codegen. Returns array<bigint> of length
-    ``num_hashes``.
-    """
-    seeds = F.array(*[F.lit(s) for s in range(num_hashes)])
-    return F.transform(
-        seeds,
-        lambda s: F.array_min(F.transform(shingles, lambda sh: F.xxhash64(sh, s))),
+    Plan shape: explode shingles → ``num_hashes`` seed-salted xxhash64 min
+    aggregations in ONE hash aggregate keyed by doc id. The agg is a
+    pipeline barrier, so each signature is computed exactly once (an
+    array-lambda formulation gets its projection collapsed into every
+    downstream band expression and recomputed bands× — measured 100×
+    slower). ``num_partitions`` spreads CPU-heavy hashing when the input
+    arrives in few partitions (e.g. one small parquet file)."""
+    sh = docs.select(
+        F.col(id_col), F.explode(shingles_col(text_col, shingle_n)).alias("_sh")
+    )
+    if num_partitions:
+        sh = sh.repartition(num_partitions, id_col)
+    return sh.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64("_sh", F.lit(s))).alias(f"_m{s}")
+            for s in range(num_hashes)
+        ]
     )
 
 
@@ -56,37 +72,32 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash LSH.
 
     rows/bands: each doc explodes into ``bands`` rows keyed by
-    (band_id, hash(band slice)); a self-equi-join on that key yields only
-    bucket-mates. Shuffle volume is bands×docs signature slices — linear,
+    (band_id, xxhash64(band's min-hashes)); a self-equi-join on that key
+    yields only bucket-mates. Shuffle volume is bands×docs rows — linear,
     never quadratic.
     """
     rows_per_band = num_hashes // bands
-    sig = docs.select(
-        F.col(id_col),
-        minhash_signature(shingles_col(text_col, shingle_n), num_hashes).alias("_sig"),
+    sig = minhash_signature_table(
+        docs, id_col, text_col, num_hashes, shingle_n, num_partitions
     )
-    band_ids = F.array(*[F.lit(b) for b in range(bands)])
     banded = sig.select(
         id_col,
         F.explode(
-            F.transform(
-                band_ids,
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("bhash"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"_m{b * rows_per_band + j}") for j in range(rows_per_band)]
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("_b"),
     ).select(id_col, F.col("_b.band").alias("band"), F.col("_b.bhash").alias("bhash"))
@@ -115,6 +126,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.8,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs (or the full cross space if
     ``candidates`` is None — testing only; production always passes the LSH
@@ -122,6 +134,8 @@ def ngram_jaccard_pairs(
     sh = docs.select(
         F.col(id_col), shingles_col(text_col, shingle_n).alias("_sh")
     )
+    if num_partitions:
+        sh = sh.repartition(num_partitions, id_col)
     if candidates is None:
         a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha"))
         b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb"))
@@ -146,7 +160,11 @@ def ngram_jaccard_pairs(
 
 
 def simhash_table(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """(id, simhash) table: 64-bit SimHash of the token multiset.
 
@@ -156,6 +174,8 @@ def simhash_table(
     tok = docs.select(
         F.col(id_col), F.explode(tokens_col(text_col)).alias("_t")
     ).withColumn("_h", F.xxhash64("_t"))
+    if num_partitions:
+        tok = tok.repartition(num_partitions, id_col)
     votes = tok.groupBy(id_col).agg(
         *[
             F.sum(
@@ -178,6 +198,7 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
@@ -186,7 +207,7 @@ def simhash_near_pairs(
     (pigeonhole), so candidate generation is 4 equi-joins, never a cross
     join. Verification counts differing bits via bit_count.
     """
-    sh = simhash_table(docs, id_col, text_col)
+    sh = simhash_table(docs, id_col, text_col, num_partitions=num_partitions)
     chunks = sh.select(
         id_col,
         "simhash",

@@ -79,22 +79,29 @@ def dedup_ngram_jaccard(spark, sf):
     →1 rapidly above). The oracle brute-forces all pairs — at engine scale
     only the LSH-bucket equi-join runs, never the quadratic pair space."""
     docs = table(spark, sf, "documents")
-    cand = D.minhash_lsh_candidates(docs, num_hashes=64, bands=16)
-    return D.ngram_jaccard_pairs(docs, cand, threshold=0.8)
+    par = spark.sparkContext.defaultParallelism
+    cand = D.minhash_lsh_candidates(docs, num_hashes=64, bands=16, num_partitions=par)
+    return D.ngram_jaccard_pairs(docs, cand, threshold=0.8, num_partitions=par)
 
 
 @query("dedup_minhash_lsh")  # rows-only: banded-LSH candidate set
 def dedup_minhash_lsh(spark, sf):
     """Raw LSH candidate pairs (pre-verification). Deterministic given the
     fixed xxhash64 seed family, but not SQL-expressible → rows-only."""
-    return D.minhash_lsh_candidates(table(spark, sf, "documents"))
+    return D.minhash_lsh_candidates(
+        table(spark, sf, "documents"),
+        num_partitions=spark.sparkContext.defaultParallelism,
+    )
 
 
 @query("dedup_simhash")  # rows-only: hash-specific
 def dedup_simhash(spark, sf):
     """SimHash near-dup pairs (Hamming ≤ 3) with pigeonhole chunk blocking
     (4×16-bit chunks → 4 equi-joins, no cross join)."""
-    return D.simhash_near_pairs(table(spark, sf, "documents"))
+    return D.simhash_near_pairs(
+        table(spark, sf, "documents"),
+        num_partitions=spark.sparkContext.defaultParallelism,
+    )
 
 
 # ------------------------------------------------------------- similarity
