@@ -19,3 +19,5 @@ Layout (see SURVEY.md §7):
 """
 
 __version__ = "0.1.0"
+
+from . import sources  # noqa: E402,F401  (imports register storage adapters)
