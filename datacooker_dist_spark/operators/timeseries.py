@@ -71,8 +71,8 @@ def sessionize(df: DataFrame, ts: str, gap_seconds: int, keys: Sequence[str]) ->
     w = Window.partitionBy(*keys).orderBy(F.col(ts))
     gap_flag = (
         F.when(
-            F.col(ts).cast("long") - F.lag(F.col(ts)).over(w).cast("long")
-            > gap_seconds,
+            F.col(ts) - F.lag(F.col(ts)).over(w)
+            >= F.expr(f"INTERVAL '{gap_seconds}' SECOND"),
             1,
         )
         .otherwise(0)

@@ -1,0 +1,130 @@
+"""Operator-semantics tests: tiny exact fixtures + property-style checks
+(SURVEY §5.2.3/5.2.4) that the DuckDB oracle can't express."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from conftest import SF_SMALL
+from datacooker_dist_spark.functions.scalars import dsum
+from datacooker_dist_spark.operators import dedup as D
+from datacooker_dist_spark.operators import relational as R
+from datacooker_dist_spark.operators import timeseries as TS
+
+
+def test_asof_join_exact(spark):
+    """Hand-built as-of: ≤ semantics, equal-timestamp match, no-match drop."""
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10, 0), "e1"),
+         (1, dt.datetime(2024, 1, 1, 12, 0), "e2"),
+         (2, dt.datetime(2024, 1, 1, 9, 0), "e3")],
+        "k long, t timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10, 0), 100),
+         (1, dt.datetime(2024, 1, 1, 11, 30), 200),
+         (2, dt.datetime(2024, 1, 1, 9, 30), 300)],
+        "k long, t timestamp, v int",
+    )
+    out = TS.asof_join(
+        left, right, "k", "k", "t", "t", right_cols=["v"], how="inner"
+    )
+    got = {(r.tag): r.v for r in out.collect()}
+    # e1 at 10:00 matches the 10:00 right row (<=); e2 matches 11:30;
+    # e3 at 9:00 precedes all right rows for k=2 → dropped (inner).
+    assert got == {"e1": 100, "e2": 200}
+    out_left = TS.asof_join(
+        left, right, "k", "k", "t", "t", right_cols=["v"], how="left"
+    )
+    assert out_left.count() == 3
+
+
+def test_dedup_idempotence(spark):
+    """dedup(dedup(x)) == dedup(x) with deterministic survivor."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    once = R.dedup_exact(docs, ["lang"], tiebreak=[F.col("doc_id")])
+    twice = R.dedup_exact(once, ["lang"], tiebreak=[F.col("doc_id")])
+    a = sorted(tuple(r) for r in once.collect())
+    b = sorted(tuple(r) for r in twice.collect())
+    assert a == b
+    langs = [r["lang"] for r in once.collect()]
+    assert len(langs) == len(set(langs))
+
+
+def test_aggregate_partition_invariance(spark):
+    """Decimal-exact aggregation is invariant to partition count (the
+    reason dsum exists — raw double sums are not)."""
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    results = []
+    for parts in [1, 7, 32]:
+        df = li.repartition(parts).groupBy("l_returnflag").agg(
+            dsum("l_extendedprice").alias("s")
+        )
+        results.append(sorted(tuple(r) for r in df.collect()))
+    assert results[0] == results[1] == results[2]
+
+
+def test_minhash_lsh_superset_of_high_jaccard(spark):
+    """LSH candidates must contain every pair the exact verifier accepts
+    (recall check at this corpus size)."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    cand = D.minhash_lsh_candidates(docs)
+    verified_from_cand = set(
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs(docs, cand, threshold=0.8).collect()
+    )
+    brute = set(
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs(docs, None, threshold=0.8).collect()
+    )
+    assert verified_from_cand == brute
+
+
+def test_sessionize_matches_session_window(spark):
+    """Row-level sessionize assigns the same session starts as
+    F.session_window aggregation."""
+    from datacooker_dist_spark.suite import read_events
+
+    ev = read_events(spark, SF_SMALL).select("user_id", "ts")
+    sess = TS.sessionize(ev, "ts", gap_seconds=1800, keys=["user_id"])
+    from_rows = sorted(
+        tuple(r)
+        for r in sess.groupBy("user_id", "session_id")
+        .count()
+        .select("user_id", F.col("session_id").alias("session_start"), "count")
+        .collect()
+    )
+    from_agg = sorted(
+        tuple(r)
+        for r in TS.session(
+            ev, "ts", "30 minutes", ["user_id"], [F.count(F.lit(1)).alias("count")]
+        )
+        .select("user_id", "session_start", "count")
+        .collect()
+    )
+    assert from_rows == from_agg
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "totally different words here")],
+        "doc_id long, text string",
+    )
+    pairs = D.simhash_near_pairs(docs, max_hamming=0).collect()
+    assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(1, 2, 0)]
+
+
+def test_topk_deterministic_under_shuffle(spark):
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    a = R.top_k_per_group(
+        orders.repartition(3), ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")], 2,
+    )
+    b = R.top_k_per_group(
+        orders.repartition(17), ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")], 2,
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -1,0 +1,83 @@
+"""Structured-streaming pipeline tests: batch parity and late-data policy
+(SURVEY §2.B late_data_policy; build plan M3)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from datacooker_dist_spark.streaming.pipeline import (
+    file_stream,
+    run_available_now,
+    windowed_counts,
+)
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, "k string, ts timestamp").coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """A row arriving in a later micro-batch, older than the watermark, is
+    dropped from an append-mode windowed aggregate — the late-data policy."""
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+
+    # Batch 1: two on-time events at 10:00-11:00 and a 13:00 event that
+    # advances the watermark (wm = 13:00 - 10min = 12:50 > window end 11:00).
+    _write_batch(spark, src, [("a", t0), ("a", t0.replace(minute=30)),
+                              ("a", dt.datetime(2024, 1, 1, 13, 0))])
+
+    def drain():
+        stream = file_stream(spark, src, "k string, ts timestamp")
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "k")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "k", "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    # Batch 2: a LATE event for the already-closed 10:00 window.
+    _write_batch(spark, src, [("a", t0.replace(minute=45))])
+    drain()
+
+    out = spark.read.parquet(sink).filter(F.col("ws") == t0)
+    counts = [r.n for r in out.collect()]
+    # The 10:00 window was finalized with 2 events; the late 10:45 row must
+    # NOT produce a second emission for that window.
+    assert counts == [2], f"late row leaked into closed window: {counts}"
+
+
+def test_stream_batch_parity(spark, tmp_path):
+    """availableNow drain of a windowed count equals the batch answer."""
+    src = str(tmp_path / "src")
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    rows = [("u", t0 + dt.timedelta(minutes=7 * i)) for i in range(40)]
+    _write_batch(spark, src, rows)
+    stream = file_stream(spark, src, "k string, ts timestamp")
+    res = run_available_now(
+        windowed_counts(stream, "ts", "1 hour", ["k"], watermark="1 hour"), spark
+    )
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "k")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "k", "n_events")
+    )
+    assert sorted(map(tuple, res.collect())) == sorted(map(tuple, batch.collect()))
