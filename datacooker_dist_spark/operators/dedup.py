@@ -57,9 +57,14 @@ def minhash_signature_table(
     )
     if num_partitions:
         sh = sh.repartition(num_partitions, id_col)
-    return sh.groupBy(id_col).agg(
+    # Hash the variable-length shingle string ONCE, then derive the
+    # num_hashes families by re-hashing the fixed 8-byte long with a seed
+    # column — string hashing is the expensive part; long hashing is cheap
+    # and stays ANSI-safe (no wraparound arithmetic).
+    hashed = sh.select(id_col, F.xxhash64("_sh").alias("_h"))
+    return hashed.groupBy(id_col).agg(
         *[
-            F.min(F.xxhash64("_sh", F.lit(s))).alias(f"_m{s}")
+            F.min(F.xxhash64("_h", F.lit(s))).alias(f"_m{s}")
             for s in range(num_hashes)
         ]
     )

@@ -79,38 +79,65 @@ def cosine_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
-def hyperplane_signature(vec_col, dim: int, planes: int = 16, seed: int = 42):
-    """Random-hyperplane (sign) LSH signature as a bit-packed long.
+def _hyperplanes(spark, dim: int, planes: int, tables: int, seed: int = 42):
+    """Tiny (tables×planes) DataFrame of unit hyperplane weight vectors.
 
-    Deterministic pseudo-random plane weights come from a hash of
-    (plane, dim_index) — identical on every executor with zero broadcast
-    state. sign(v·r_p) per plane → packed bits.
+    Deterministic splitmix-style weights; shipped as a broadcast table
+    instead of plan literals — a 3000-literal expression tree measured ~10×
+    slower to build and execute than this data-driven form.
     """
     import math
 
-    bits = []
-    for p in range(planes):
-        # Fixed per-(plane, i) weights in [-1, 1): derived from a splitmix-ish
-        # integer mix so the literal plan stays compact and deterministic.
-        weights = []
-        for i in range(dim):
-            h = (p * 1_000_003 + i * 97 + seed) & 0xFFFFFFFF
-            h = (h ^ (h >> 16)) * 0x45D9F3B & 0xFFFFFFFF
-            h = (h ^ (h >> 16)) * 0x45D9F3B & 0xFFFFFFFF
-            h = h ^ (h >> 16)
-            weights.append((h / 2**31) - 1.0)
-        norm = math.sqrt(sum(w * w for w in weights)) or 1.0
-        warr = F.array(*[F.lit(w / norm) for w in weights])
-        dot = _dot(vec_col, warr)
-        bits.append(
-            F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
-                F.lit(0).cast("long")
-            )
+    rows = []
+    for t in range(tables):
+        for p in range(planes):
+            weights = []
+            for i in range(dim):
+                h = ((seed + t) * 1_000_003 + p * 8191 + i * 97) & 0xFFFFFFFF
+                h = (h ^ (h >> 16)) * 0x45D9F3B & 0xFFFFFFFF
+                h = (h ^ (h >> 16)) * 0x45D9F3B & 0xFFFFFFFF
+                h = h ^ (h >> 16)
+                weights.append((h / 2**31) - 1.0)
+            norm = math.sqrt(sum(w * w for w in weights)) or 1.0
+            rows.append((t, p, [w / norm for w in weights]))
+    return spark.createDataFrame(rows, "htable int, plane int, w array<double>")
+
+
+def lsh_signatures(
+    df: DataFrame,
+    ident: str,
+    dim: int,
+    planes: int,
+    tables: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(id, vector, htable, sig) random-hyperplane signatures.
+
+    Plan shape: broadcast-join vectors × (tables·planes) planes → sign of
+    each projection → pack bits per (id, htable) in one hash aggregate.
+    Linear in corpus size; the aggregate is a barrier so projections are
+    computed exactly once.
+    """
+    v = as_double_array(vec_col)
+    base = df.select(F.col(id_col).alias(ident), v.alias(f"_{ident}_v"))
+    if num_partitions:
+        base = base.repartition(num_partitions, ident)
+    pl = _hyperplanes(df.sparkSession, dim, planes, tables)
+    dot = _dot(F.col(f"_{ident}_v"), F.col("w"))
+    bit = F.when(dot >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), plane)")).otherwise(
+        F.lit(0).cast("long")
+    )
+    return (
+        base.join(F.broadcast(pl))
+        .select(ident, f"_{ident}_v", "htable", bit.alias("_bit"))
+        .groupBy(ident, "htable")
+        .agg(
+            F.first(f"_{ident}_v").alias(f"_{ident}_v"),
+            F.sum("_bit").alias("sig"),
         )
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig.bitwiseOR(b)
-    return sig
+    )
 
 
 def cosine_topk_lsh(
@@ -123,38 +150,23 @@ def cosine_topk_lsh(
     planes: int = 12,
     tables: int = 4,
     round_digits: int | None = 6,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors sharing an LSH bucket
     with the query in ≥1 of ``tables`` hash tables.
 
     At 100 TB the corpus is hashed once (linear scan), bucketed by
-    (table, signature) — an equi-join replaces the cross join; recall is
+    (htable, signature) — an equi-join replaces the cross join; recall is
     tuned with planes/tables.
     """
     from pyspark.sql.window import Window
 
-    def sigs(df, ident):
-        v = as_double_array(vec_col)
-        return df.select(
-            F.col(id_col).alias(ident),
-            v.alias(f"_{ident}_v"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("table"),
-                            hyperplane_signature(v, dim, planes, seed=42 + t).alias("sig"),
-                        )
-                        for t in range(tables)
-                    ]
-                )
-            ).alias("_s"),
-        ).select(ident, f"_{ident}_v", "_s.table", "_s.sig")
-
-    qs = sigs(queries, "query_id")
-    cs = sigs(corpus, "neighbor_id")
+    qs = lsh_signatures(queries, "query_id", dim, planes, tables, id_col, vec_col)
+    cs = lsh_signatures(
+        corpus, "neighbor_id", dim, planes, tables, id_col, vec_col, num_partitions
+    )
     cand = (
-        cs.join(F.broadcast(qs), on=["table", "sig"])
+        cs.join(F.broadcast(qs), on=["htable", "sig"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", "_query_id_v", "_neighbor_id_v")
         .distinct()

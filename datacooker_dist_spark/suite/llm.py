@@ -142,7 +142,8 @@ def similarity_topk_lsh(spark, sf):
     scoring (equi-join on (table, signature) instead of a cross join)."""
     emb = table(spark, sf, "embeddings")
     out = S.cosine_topk_lsh(
-        emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, planes=6, tables=8
+        emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, planes=6, tables=8,
+        num_partitions=spark.sparkContext.defaultParallelism,
     )
     return out.select(
         "query_id", "neighbor_id", "cosine", F.col("rnk").cast("long").alias("rnk")
