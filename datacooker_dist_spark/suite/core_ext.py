@@ -1,0 +1,212 @@
+"""Second-wave relational suite entries: outer joins, range frames,
+moment-based statistics, pivot, grouping sets (SQL surface), array scalars,
+median. Same exactness conventions as ``core``."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.scalars import dsum, dsum_sql
+from . import query, table
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT n.n_nationkey AS nationkey, n.n_name, c.cnt
+    FROM nation n
+    FULL OUTER JOIN (
+      SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM customer WHERE c_acctbal > 9900 GROUP BY c_nationkey
+    ) c ON n.n_nationkey = c.c_nationkey
+    """,
+)
+def join_full_outer(spark, sf):
+    """FULL OUTER: nations × a sparse aggregate — unmatched sides survive
+    with nulls. Same shuffle shape as inner; null-handling is the point."""
+    n = table(spark, sf, "nation")
+    c = (
+        table(spark, sf, "customer")
+        .filter(F.col("c_acctbal") > 9900)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return n.join(c, n.n_nationkey == c.c_nationkey, "full_outer").select(
+        F.col("n_nationkey").alias("nationkey"), "n_name", "cnt"
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice
+             RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS near_spend
+    FROM orders
+    """,
+)
+def window_range_frame(spark, sf):
+    """RANGE frame (value-based window): all orders within 10000 below the
+    current price. Unlike ROWS frames, peers enter together — decimal
+    accumulation keeps it engine-exact even with peer groups."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, Window.currentRow)
+    )
+    return table(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.sum(F.col("o_totalprice").cast("decimal(25,2)"))
+        .over(w)
+        .cast("double")
+        .alias("near_spend"),
+    )
+
+
+STATS_ORACLE = f"""
+WITH m AS (
+  SELECT l_returnflag,
+         {dsum_sql('l_quantity')} AS s1,
+         {dsum_sql('l_quantity * l_quantity', 4)} AS s2,
+         {dsum_sql('l_extendedprice', 2)} AS t1,
+         {dsum_sql('l_quantity * l_extendedprice', 4)} AS st,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+       s1 / n AS mean_qty,
+       sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev_qty,
+       (st - s1 * t1 / n) / (n - 1) AS covar_qty_price
+FROM m
+"""
+
+
+@query("agg_stats", oracle=STATS_ORACLE)
+def agg_stats(spark, sf):
+    """Variance/covariance from exact decimal moments (sum, sum of squares,
+    cross-moment), finished with a fixed double expression — bit-identical
+    across engines and partitionings, unlike built-in stddev/covar whose
+    accumulation order varies. The moment form is also the scalable one:
+    a single map-side-combined aggregate, no second pass."""
+    li = table(spark, sf, "lineitem")
+    m = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity").alias("s1"),
+        dsum(F.col("l_quantity") * F.col("l_quantity"), scale=4).alias("s2"),
+        dsum("l_extendedprice").alias("t1"),
+        dsum(F.col("l_quantity") * F.col("l_extendedprice"), scale=4).alias("st"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    n = F.col("n")
+    return m.select(
+        "l_returnflag",
+        "n",
+        (F.col("s1") / n).alias("mean_qty"),
+        F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1)).alias(
+            "stddev_qty"
+        ),
+        ((F.col("st") - F.col("s1") * F.col("t1") / n) / (n - 1)).alias(
+            "covar_qty_price"
+        ),
+    )
+
+
+@query(
+    "pivot_wide",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(COUNT(*) FILTER (WHERE l_returnflag = 'A') AS BIGINT) AS A,
+           CAST(COUNT(*) FILTER (WHERE l_returnflag = 'N') AS BIGINT) AS N,
+           CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS R
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def pivot_wide(spark, sf):
+    """Pivot long → wide with an explicit value list (explicit values keep
+    the plan single-pass; auto-discovery would need a distinct scan first)."""
+    out = (
+        table(spark, sf, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .count()
+    )
+    return out.select(
+        "l_linestatus",
+        F.coalesce("A", F.lit(0)).alias("A"),
+        F.coalesce("N", F.lit(0)).alias("N"),
+        F.coalesce("R", F.lit(0)).alias("R"),
+    )
+
+
+@query(
+    "grouping_sets_sql",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, {dsum_sql('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def grouping_sets_sql(spark, sf):
+    """GROUPING SETS through the engine's full-SQL surface (spark.sql over a
+    registered temp view) — the DataFrame API covers rollup/cube; arbitrary
+    sets come via SQL, same Catalyst plan underneath (Expand operator)."""
+    table(spark, sf, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@query(
+    "scalar_array",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           list_contains([l_quantity, l_discount, l_tax], 0.0) AS has_zero,
+           list_max([l_quantity, l_discount, l_tax]) AS arr_max,
+           list_sort([l_quantity, l_discount, l_tax]) AS arr_sorted,
+           len([l_quantity, l_discount, l_tax]) AS arr_len
+    FROM lineitem
+    """,
+)
+def scalar_array(spark, sf):
+    """Array construction + containment/extremum/sort — per-row, exact."""
+    li = table(spark, sf, "lineitem")
+    arr = F.array("l_quantity", "l_discount", "l_tax")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.array_contains(arr, 0.0).alias("has_zero"),
+        F.array_max(arr).alias("arr_max"),
+        F.sort_array(arr).alias("arr_sorted"),
+        F.size(arr).cast("long").alias("arr_len"),
+    )
+
+
+@query(
+    "agg_median",
+    oracle="""
+    SELECT l_returnflag,
+           median(l_quantity) AS med_qty,
+           median(l_extendedprice) AS med_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_median(spark, sf):
+    """Exact median (interpolating, quantile_cont semantics in both
+    engines). Exact medians need a full sort per group — fine for bounded
+    group counts; unbounded cardinality should switch to approx_percentile."""
+    return (
+        table(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.median("l_quantity").alias("med_qty"),
+            F.median("l_extendedprice").alias("med_price"),
+        )
+    )
