@@ -166,6 +166,51 @@ def vector_norms(spark, sf):
     return out.select("vec_id", "label", F.round("l2_norm", 6).alias("l2_norm"))
 
 
+@query(
+    "dedup_embedding",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 500)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45
+    """,
+)
+def dedup_embedding(spark, sf):
+    """Embedding-cosine near-duplicate pairs — the exact-verification
+    baseline on a bounded id window (all-pairs cosine admits no exact
+    pruning; at corpus scale the LSH-bucketed candidates of
+    `similarity_topk_lsh` replace the quadratic pair space and this exact
+    check runs on candidates only)."""
+    e = (
+        table(spark, sf, "embeddings")
+        .filter(F.col("vec_id") < 500)
+        .select(F.col("vec_id"), S.as_double_array("embedding").alias("v"))
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("_va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("_vb"))
+    cos = F.round(S.cosine_expr(F.col("_va"), F.col("_vb")), 6)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.45)
+    )
+
+
+@query("multimodal_frames")  # rows-only: byte-slice plumbing demo
+def multimodal_frames(spark, sf):
+    """Fixed-stride payload sampling (video frame-extraction plumbing):
+    posexplode of byte-window slices per media row."""
+    media = M.to_media_table(table(spark, sf, "documents"))
+    return M.frame_sample(media.filter(F.col("media_id") < 50), every_n_bytes=64)
+
+
 @query("label_centroids")  # rows-only: cross-row float mean isn't bit-stable
 def label_centroids(spark, sf):
     """Per-label centroid embeddings (posexplode → per-dim mean → ordered
