@@ -35,6 +35,72 @@ def shingles_col(text_col: str = "text", n: int = 3):
     return F.array_distinct(grams)
 
 
+def shingle_rows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_partitions: int | None = None,
+    cache: bool = False,
+) -> DataFrame:
+    """(id, _sh) — one row per word n-gram occurrence.
+
+    Built with posexplode + window ``lead`` instead of array higher-order
+    functions: HOFs (transform/slice) run interpreted per element and
+    measured ~6× slower than this codegen pipeline. Semantics match
+    :func:`shingles_col`: docs with ≥n tokens yield only full n-grams;
+    shorter docs yield their single partial gram (concat_ws drops the null
+    leads). With ``cache=True`` persists MEMORY_AND_DISK so LSH candidate
+    generation and exact verification share one pass."""
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.col(id_col), F.posexplode(tokens_col(text_col)).alias("_pos", "_t")
+    )
+    if num_partitions:
+        tok = tok.repartition(num_partitions, id_col)
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    leads = [F.lead("_t", i).over(w) for i in range(1, shingle_n)]
+    size = F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    out = (
+        tok.select(
+            F.col(id_col),
+            F.concat_ws(" ", F.col("_t"), *leads).alias("_sh"),
+            F.col("_pos"),
+            size.alias("_sz"),
+        )
+        .filter(F.col("_pos") <= F.greatest(F.col("_sz") - shingle_n, F.lit(0)))
+        .select(id_col, "_sh")
+    )
+    if cache:
+        from pyspark import StorageLevel
+
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    return out
+
+
+def shingle_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_partitions: int | None = None,
+    cache: bool = False,
+    rows: DataFrame | None = None,
+) -> DataFrame:
+    """(id, _sh: array<string>) distinct-shingle table (collect_set over
+    :func:`shingle_rows`; set semantics match the oracle's list_distinct)."""
+    r = rows if rows is not None else shingle_rows(
+        docs, id_col, text_col, shingle_n, num_partitions
+    )
+    sh = r.groupBy(id_col).agg(F.collect_set("_sh").alias("_sh"))
+    if cache:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    return sh
+
+
 def minhash_signature_table(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -42,6 +108,7 @@ def minhash_signature_table(
     num_hashes: int = 64,
     shingle_n: int = 3,
     num_partitions: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, _m0.._m{n-1}) MinHash signature table.
 
@@ -52,11 +119,9 @@ def minhash_signature_table(
     downstream band expression and recomputed bands× — measured 100×
     slower). ``num_partitions`` spreads CPU-heavy hashing when the input
     arrives in few partitions (e.g. one small parquet file)."""
-    sh = docs.select(
-        F.col(id_col), F.explode(shingles_col(text_col, shingle_n)).alias("_sh")
+    sh = shingles if shingles is not None else shingle_rows(
+        docs, id_col, text_col, shingle_n, num_partitions
     )
-    if num_partitions:
-        sh = sh.repartition(num_partitions, id_col)
     # Hash the variable-length shingle string ONCE, then derive the
     # num_hashes families by re-hashing the fixed 8-byte long with a seed
     # column — string hashing is the expensive part; long hashing is cheap
@@ -78,6 +143,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_n: int = 3,
     num_partitions: int | None = None,
+    shingles: DataFrame | None = None,  # shingle_rows form: (id, _sh) rows
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash LSH.
 
@@ -88,7 +154,7 @@ def minhash_lsh_candidates(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signature_table(
-        docs, id_col, text_col, num_hashes, shingle_n, num_partitions
+        docs, id_col, text_col, num_hashes, shingle_n, num_partitions, shingles
     )
     banded = sig.select(
         id_col,
@@ -132,15 +198,14 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
     num_partitions: int | None = None,
+    shingles: DataFrame | None = None,  # shingle_rows form: (id, _sh) rows
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs (or the full cross space if
     ``candidates`` is None — testing only; production always passes the LSH
     candidate set). Output: (id_a, id_b, jaccard ≥ threshold)."""
-    sh = docs.select(
-        F.col(id_col), shingles_col(text_col, shingle_n).alias("_sh")
+    sh = shingle_table(
+        docs, id_col, text_col, shingle_n, num_partitions, rows=shingles
     )
-    if num_partitions:
-        sh = sh.repartition(num_partitions, id_col)
     if candidates is None:
         a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha"))
         b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb"))

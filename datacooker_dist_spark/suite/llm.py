@@ -80,8 +80,9 @@ def dedup_ngram_jaccard(spark, sf):
     only the LSH-bucket equi-join runs, never the quadratic pair space."""
     docs = table(spark, sf, "documents")
     par = spark.sparkContext.defaultParallelism
-    cand = D.minhash_lsh_candidates(docs, num_hashes=64, bands=16, num_partitions=par)
-    return D.ngram_jaccard_pairs(docs, cand, threshold=0.8, num_partitions=par)
+    sh = D.shingle_rows(docs, num_partitions=par, cache=True)
+    cand = D.minhash_lsh_candidates(docs, num_hashes=64, bands=16, shingles=sh)
+    return D.ngram_jaccard_pairs(docs, cand, threshold=0.8, shingles=sh)
 
 
 @query("dedup_minhash_lsh")  # rows-only: banded-LSH candidate set

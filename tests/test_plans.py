@@ -1,0 +1,70 @@
+"""Physical-plan guardrails: the suite's scale-critical plan properties must
+survive refactors — filters reach the parquet scan, dims broadcast, top-n
+avoids global sorts, the as-of operator stays a single window shuffle."""
+
+from __future__ import annotations
+
+import pytest
+
+from conftest import SF_SMALL
+from datacooker_dist_spark.suite import QUERIES
+
+
+def executed_plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_SMALL)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_SMALL)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = formatted(spark, "filter_predicate")
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_quantity,10.0)" in plan
+    assert "In(l_returnflag" in plan
+
+
+def test_projection_prunes_scan(spark):
+    plan = formatted(spark, "project_select")
+    assert (
+        "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,"
+        "l_quantity:double,l_shipdate:timestamp_ntz>" in plan
+    )
+
+
+@pytest.mark.parametrize("name", ["join_broadcast", "join_star", "multi_join_topn"])
+def test_dim_joins_broadcast(spark, name):
+    assert "BroadcastHashJoin" in executed_plan(spark, name)
+
+
+def test_sort_limit_is_take_ordered(spark):
+    assert "TakeOrderedAndProject" in executed_plan(spark, "sort_limit")
+    assert "TakeOrderedAndProject" in executed_plan(spark, "multi_join_topn")
+
+
+def test_semi_anti_join_types(spark):
+    assert "LeftSemi" in executed_plan(spark, "join_semi")
+    assert "LeftAnti" in executed_plan(spark, "join_anti")
+
+
+def test_agg_has_partial_phase(spark):
+    plan = executed_plan(spark, "agg_hash")
+    assert "partial_" in plan  # map-side combine before the shuffle
+
+
+def test_asof_single_window_shuffle(spark):
+    """The as-of operator contributes exactly one hash-partition exchange
+    feeding the ordered window (right-side pre-dedup agg adds its own)."""
+    plan = executed_plan(spark, "join_asof")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Window [last" in plan
+
+
+def test_lsh_join_is_equi_not_cross(spark):
+    plan = executed_plan(spark, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
