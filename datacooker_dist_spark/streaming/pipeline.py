@@ -37,7 +37,9 @@ def windowed_counts(
     )
 
 
-def run_available_now(result: DataFrame, spark: SparkSession) -> DataFrame:
+def run_available_now(
+    result: DataFrame, spark: SparkSession, output_mode: str = "complete"
+) -> DataFrame:
     """Drain a bounded stream through the real micro-batch engine into a
     memory sink and return the materialized result (test/driver harness
     path; production would writeStream to parquet/kafka with checkpointing)."""
@@ -45,7 +47,7 @@ def run_available_now(result: DataFrame, spark: SparkSession) -> DataFrame:
     q = (
         result.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -29,3 +29,25 @@ def stream_tumbling(spark, sf):
     stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     result = windowed_counts(stream, "ts", "1 hour", ["event_type"], watermark="1 hour")
     return run_available_now(result, spark)
+
+
+@query(
+    "stream_stateful_count",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_count(spark, sf):
+    """Custom stateful operator (applyInPandasWithState): running per-user
+    counts in the state store, Arrow-batched through Python. Draining the
+    bounded stream and keeping each key's last (= max, counts are monotone)
+    emission reproduces the batch GROUP BY — the oracle."""
+    from ..streaming.stateful import running_counts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = file_stream(spark, f"{sf}/events.parquet", EVENTS_RAW_SCHEMA)
+    emitted = run_available_now(
+        running_counts(stream, "user_id"), spark, output_mode="update"
+    )
+    return emitted.groupBy("user_id").agg(F.max("n_events").alias("n_events"))

@@ -64,6 +64,28 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert counts == [2], f"late row leaked into closed window: {counts}"
 
 
+def test_stateful_counts_carry_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-key state across micro-batches:
+    two files → two batches (maxFilesPerTrigger=1) → second emission must
+    include the first batch's counts."""
+    from datacooker_dist_spark.streaming.stateful import running_counts
+
+    src = str(tmp_path / "src")
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    _write_batch(spark, src, [("a", t0), ("a", t0), ("b", t0)])      # file 1
+    _write_batch(spark, src, [("a", t0), ("b", t0), ("b", t0)])      # file 2
+    stream = file_stream(spark, src, "k string, ts timestamp")
+    emitted = run_available_now(running_counts(stream, "k"), spark, "update")
+    final = {
+        r.k: r.n_events
+        for r in emitted.groupBy("k").agg(F.max("n_events").alias("n_events")).collect()
+    }
+    assert final == {"a": 3, "b": 3}
+    # and the per-batch emissions show the running (not per-batch) counts
+    a_emissions = sorted(r.n_events for r in emitted.filter(F.col("k") == "a").collect())
+    assert a_emissions[-1] == 3 and len(a_emissions) == 2
+
+
 def test_stream_batch_parity(spark, tmp_path):
     """availableNow drain of a windowed count equals the batch answer."""
     src = str(tmp_path / "src")
