@@ -62,6 +62,31 @@ def join_anti(df: DataFrame, other: DataFrame, on: Sequence[str]) -> DataFrame:
     return df.join(other, on=list(on), how="left_anti")
 
 
+def salted_join(
+    df: DataFrame,
+    other: DataFrame,
+    on: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the skewed (left) side's key into
+    ``salt_buckets`` sub-keys and replicate the right side across all salts,
+    so one hot key spreads over ``salt_buckets`` reducers instead of one.
+
+    AQE's skew-join split handles most cases at runtime; explicit salting
+    remains the tool when a single key exceeds what one task can hold even
+    after AQE splitting (e.g. a null-key flood or a power-law head), or when
+    AQE is unavailable (streaming joins). Cost: right side inflates
+    ``salt_buckets``×, so use it on joins whose right side is modest.
+    """
+    salt = F.floor(F.rand(seed=42) * salt_buckets).cast("int")
+    left = df.withColumn("_salt", salt)
+    right = other.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return left.join(right, on=[on, "_salt"], how=how).drop("_salt")
+
+
 # ---------------------------------------------------------------- aggregation
 
 def aggregate(

@@ -1,0 +1,104 @@
+"""Scale-pattern tests: bucketed co-located joins (no shuffle), salted skew
+joins (correctness under replication), broadcast thresholds — the plan
+shapes that decide whether an operator survives 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMALL
+from datacooker_dist_spark.operators.relational import salted_join
+
+
+def test_salted_join_matches_plain_join(spark):
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = spark.read.parquet(f"{SF_SMALL}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    plain = orders.join(
+        cust.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
+    )
+    salted = salted_join(
+        orders, cust.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey",
+        salt_buckets=8,
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """With broadcast and AQE skew-split pinned off, the plain join puts the
+    whole hot key on one reducer; salting spreads it. (The key must be
+    data-dependent — a literal key constant-folds into a cartesian filter
+    and never shuffles at all.)"""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "false",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        hot = spark.range(0, 100000).select(
+            F.when(F.col("id") % 100 < 99, 1).otherwise(F.col("id")).alias("k"),
+            F.col("id"),
+        )
+        dim = hot.select("k").distinct().withColumn("v", F.lit("x"))
+
+        def max_task_rows(df):
+            dist = df.withColumn("p", F.spark_partition_id()).groupBy("p").count()
+            return max(r["count"] for r in dist.collect())
+
+        plain_max = max_task_rows(hot.join(dim, "k"))
+        salted_max = max_task_rows(salted_join(hot, dim, "k", salt_buckets=8))
+        assert plain_max >= 99000  # whole hot key on one reducer
+        assert salted_max < plain_max * 0.75
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    return spark
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketed+sorted tables joined on the bucket key produce a
+    SortMergeJoin with NO Exchange — the co-located join that makes
+    repeated fact↔fact joins viable at 100 TB (shuffle paid once at write
+    time, amortized over every subsequent join)."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        for name, df, key in [
+            ("b_orders", orders, "o_orderkey"),
+            ("b_lineitem", li, "l_orderkey"),
+        ]:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (
+                df.write.format("parquet")
+                .bucketBy(8, key)
+                .sortBy(key)
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+        bo = spark.table("b_orders")
+        bl = spark.table("b_lineitem")
+        joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey).select(
+            "l_orderkey", "o_totalprice", "l_quantity"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan[:500]}"
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
