@@ -140,6 +140,96 @@ def lsh_signatures(
     )
 
 
+def ivf_cells(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF index build: (centroids, cell assignment).
+
+    Centroids are a deterministic stride sample of the corpus (stand-in for
+    a k-means fit — the assignment/probe machinery is identical); every
+    corpus vector joins its nearest centroid via a broadcast of the K
+    centroids + one per-vector argmax, i.e. a single linear pass.
+    Returns (centroids(cell, cv), assigned(id, cell, vector)).
+    """
+    from pyspark.sql import Window
+
+    v = as_double_array(vec_col)
+    ids = corpus.select(F.col(id_col).alias("_cid")).orderBy("_cid").limit(
+        n_cells * 1000
+    )
+    # stride-sample K ids deterministically
+    w = Window.orderBy("_cid")
+    sampled = (
+        ids.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy()))
+        .filter(((F.col("_rn") - 1) % F.greatest((F.col("_n") / n_cells).cast("int"), F.lit(1))) == 0)
+        .limit(n_cells)
+    )
+    centroids = (
+        sampled.join(corpus, sampled._cid == F.col(id_col))
+        .select(F.col("_cid").alias("cell"), v.alias("_cv"))
+    )
+    scored = corpus.select(F.col(id_col), v.alias("_v")).join(
+        F.broadcast(centroids)
+    )
+    cos = cosine_expr(F.col("_v"), F.col("_cv"))
+    w2 = Window.partitionBy(id_col).orderBy(F.desc("_c"), F.col("cell"))
+    assigned = (
+        scored.select(id_col, "_v", "cell", cos.alias("_c"))
+        .withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "cell", F.col("_v").alias("vector"))
+    )
+    return centroids, assigned
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """IVF approximate top-k: probe only the ``nprobe`` cells nearest each
+    query. The index build is one linear pass; each query scores
+    |corpus|·nprobe/n_cells candidates via an equi-join on cell id — the
+    classic inverted-file trade of recall for a bounded candidate list."""
+    from pyspark.sql import Window
+
+    centroids, assigned = ivf_cells(corpus, n_cells, id_col, vec_col)
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("_qv")
+    )
+    qc = qv.join(F.broadcast(centroids))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(cosine_expr(F.col("_qv"), F.col("_cv"))), F.col("cell")
+    )
+    probes = (
+        qc.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "_qv", "cell")
+    )
+    cand = probes.join(assigned, "cell").filter(
+        F.col("query_id") != F.col(id_col)
+    )
+    cos = cosine_expr(F.col("_qv"), F.col("vector"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    scored = cand.select(
+        "query_id", F.col(id_col).alias("neighbor_id"), cos.alias("cosine")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rnk", F.row_number().over(w2)).filter(F.col("rnk") <= k)
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

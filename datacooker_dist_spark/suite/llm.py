@@ -151,6 +151,20 @@ def similarity_topk_lsh(spark, sf):
     )
 
 
+@query("similarity_topk_ivf")  # rows-only: approximate (recall < 1)
+def similarity_topk_ivf(spark, sf):
+    """IVF scale path: stride-sampled centroids, broadcast assignment, probe
+    nprobe nearest cells per query (candidate list bounded at
+    |corpus|·nprobe/n_cells)."""
+    emb = table(spark, sf, "embeddings")
+    out = S.cosine_topk_ivf(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_cells=16, nprobe=4
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
 @query(
     "vector_norms",
     oracle="""
