@@ -202,13 +202,20 @@ class HadoopColumnarOutput(_HadoopOutputBase):
 
 @output_adapter("hadoopParquet")
 class HadoopParquetOutput(_HadoopOutputBase):
-    """Columnar → parquet (reference A8/A9)."""
+    """Columnar → parquet (reference A8/A9). ``partition_by`` writes
+    hive-style partition directories (beyond the reference's surface —
+    partition values prune at scan time, the organizing principle for
+    time/tenant-partitioned 100 TB lakes)."""
 
     def save(self, name: str, stream: DataStream) -> None:
         codec = str(self.params.get("codec", "snappy")).lower()
-        self._projected(stream).write.mode("overwrite").option(
+        w = self._projected(stream).write.mode("overwrite").option(
             "compression", "snappy" if codec == "none" else codec
-        ).parquet(self._target(name))
+        )
+        partition_by = self.params.get("partition_by")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self._target(name))
 
 
 @output_adapter("hadoopText")

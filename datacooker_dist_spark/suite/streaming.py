@@ -28,7 +28,10 @@ def stream_tumbling(spark, sf):
     # the collected window bounds equal the NTZ batch values.
     stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     result = windowed_counts(stream, "ts", "1 hour", ["event_type"], watermark="1 hour")
-    return run_available_now(result, spark)
+    out = run_available_now(result, spark)
+    # The watermark path forces TIMESTAMP (ltz); normalize to the suite's
+    # NTZ convention so the collected schema matches the naive oracle.
+    return out.withColumn("window_start", F.col("window_start").cast("timestamp_ntz"))
 
 
 @query(

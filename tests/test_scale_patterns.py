@@ -63,9 +63,28 @@ def test_salted_join_spreads_hot_key(spark):
                 spark.conf.set(k, v)
 
 
-@pytest.fixture(scope="module")
-def warehouse(spark, tmp_path_factory):
-    return spark
+def test_partitioned_write_prunes_scan(spark, tmp_path):
+    """partition_by on the parquet sink yields hive-style dirs; a filter on
+    the partition column shows up as PartitionFilters (directory pruning),
+    not a data filter — whole partitions are skipped unread."""
+    from datacooker_dist_spark.model import DataStream, StreamType
+    from datacooker_dist_spark.registry import resolve_output
+
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").withColumn(
+        "o_status", F.col("o_orderstatus")
+    )
+    p = str(tmp_path / "orders_part")
+    resolve_output("hadoopParquet")().configure(
+        {"partition_by": ["o_status"]}
+    ).initialize(spark, p).save("t", DataStream("t", orders, StreamType.COLUMNAR))
+    import os
+
+    assert any(d.startswith("o_status=") for d in os.listdir(p))
+    back = spark.read.parquet(p).filter(F.col("o_status") == "F")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = back._jdf.queryExecution().explainString(mode)
+    assert "PartitionFilters: [isnotnull(o_status" in plan
+    assert back.count() == orders.filter(F.col("o_orderstatus") == "F").count()
 
 
 def test_bucketed_join_avoids_shuffle(spark, tmp_path):
