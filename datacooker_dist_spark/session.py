@@ -39,6 +39,15 @@ def build_session(
     return b.getOrCreate()
 
 
+def default_parallelism(spark: SparkSession, fallback: int | None = None) -> int:
+    """Cluster default parallelism, safe under sessions with no JVM-backed
+    SparkContext (e.g. Spark Connect)."""
+    try:
+        return spark.sparkContext.defaultParallelism
+    except Exception:
+        return fallback or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Read the synthetic parquet tables of a scale-factor dir as a dict."""
     names = names or [

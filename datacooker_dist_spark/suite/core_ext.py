@@ -190,6 +190,65 @@ def scalar_array(spark, sf):
 
 
 @query(
+    "scalar_struct",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_nested,
+           event_type AS tag_type,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) * 2 AS k_doubled
+    FROM events
+    """,
+)
+def scalar_struct(spark, sf):
+    """Structured-record surface (reference commons BSON family → SURVEY
+    §1.5): parse JSON into a typed nested struct, access dotted fields,
+    rebuild structs. Output is flattened so the oracle compares values."""
+    e = table(spark, sf, "events")
+    parsed = e.withColumn(
+        "props_s", F.from_json("props", "struct<k: int>")
+    ).withColumn("tagged", F.struct(F.col("event_type").alias("t"), F.col("props_s.k").alias("k")))
+    return parsed.select(
+        "event_id",
+        F.col("props_s.k").alias("k_nested"),
+        F.col("tagged.t").alias("tag_type"),
+        (F.col("tagged.k") * 2).alias("k_doubled"),
+    )
+
+
+@query(
+    "scalar_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END AS size_band,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_norm,
+           GREATEST(o_totalprice, 50000.0) AS floored_price,
+           LEAST(CAST(YEAR(o_orderdate) AS BIGINT), 1997) AS capped_year,
+           IF(o_orderpriority LIKE '1%', TRUE, FALSE) AS urgent
+    FROM orders
+    """,
+)
+def scalar_conditional(spark, sf):
+    """Conditional scalar surface: CASE/when chains, coalesce/nullif,
+    greatest/least, IF — all fold into whole-stage codegen."""
+    o = table(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("size_band"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("open")).alias(
+            "status_norm"
+        ),
+        F.greatest("o_totalprice", F.lit(50000.0)).alias("floored_price"),
+        F.least(F.year("o_orderdate").cast("long"), F.lit(1997)).alias("capped_year"),
+        F.col("o_orderpriority").like("1%").alias("urgent"),
+    )
+
+
+@query(
     "agg_median",
     oracle="""
     SELECT l_returnflag,

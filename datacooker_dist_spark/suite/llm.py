@@ -24,6 +24,7 @@ from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..operators import text as T
+from ..session import default_parallelism
 from . import query, table
 
 # DuckDB twins of the engine's tokenization / shingling conventions
@@ -79,7 +80,7 @@ def dedup_ngram_jaccard(spark, sf):
     →1 rapidly above). The oracle brute-forces all pairs — at engine scale
     only the LSH-bucket equi-join runs, never the quadratic pair space."""
     docs = table(spark, sf, "documents")
-    par = spark.sparkContext.defaultParallelism
+    par = default_parallelism(spark)
     sh = D.shingle_rows(docs, num_partitions=par, cache=True)
     cand = D.minhash_lsh_candidates(docs, num_hashes=64, bands=16, shingles=sh)
     return D.ngram_jaccard_pairs(docs, cand, threshold=0.8, shingles=sh)
@@ -91,7 +92,7 @@ def dedup_minhash_lsh(spark, sf):
     fixed xxhash64 seed family, but not SQL-expressible → rows-only."""
     return D.minhash_lsh_candidates(
         table(spark, sf, "documents"),
-        num_partitions=spark.sparkContext.defaultParallelism,
+        num_partitions=default_parallelism(spark),
     )
 
 
@@ -101,7 +102,7 @@ def dedup_simhash(spark, sf):
     (4×16-bit chunks → 4 equi-joins, no cross join)."""
     return D.simhash_near_pairs(
         table(spark, sf, "documents"),
-        num_partitions=spark.sparkContext.defaultParallelism,
+        num_partitions=default_parallelism(spark),
     )
 
 
@@ -144,7 +145,7 @@ def similarity_topk_lsh(spark, sf):
     emb = table(spark, sf, "embeddings")
     out = S.cosine_topk_lsh(
         emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, planes=6, tables=8,
-        num_partitions=spark.sparkContext.defaultParallelism,
+        num_partitions=default_parallelism(spark),
     )
     return out.select(
         "query_id", "neighbor_id", "cosine", F.col("rnk").cast("long").alias("rnk")
