@@ -42,8 +42,9 @@ def shingle_rows(
     shingle_n: int = 3,
     num_partitions: int | None = None,
     cache: bool = False,
+    keep_pos: bool = False,
 ) -> DataFrame:
-    """(id, _sh) — one row per word n-gram occurrence.
+    """(id, _sh[, _pos]) — one row per word n-gram occurrence.
 
     Built with posexplode + window ``lead`` instead of array higher-order
     functions: HOFs (transform/slice) run interpreted per element and
@@ -70,7 +71,7 @@ def shingle_rows(
             size.alias("_sz"),
         )
         .filter(F.col("_pos") <= F.greatest(F.col("_sz") - shingle_n, F.lit(0)))
-        .select(id_col, "_sh")
+        .select(*([id_col, "_sh", "_pos"] if keep_pos else [id_col, "_sh"]))
     )
     if cache:
         from pyspark import StorageLevel

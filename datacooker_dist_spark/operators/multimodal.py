@@ -109,6 +109,43 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, width: int = 224, height: int = 224, fake_decode: bool = True
+) -> DataFrame:
+    """Resize pipeline plumbing via mapInPandas: decode (stub) → resize
+    (stub: deterministic payload truncation proportional to the pixel-count
+    ratio) → re-encode. The batch shape, Arrow transfer, and output schema
+    are the real contract; swap the stub body for PIL in deployment."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload = []
+            for p, mt in zip(pdf["payload"], pdf["media_type"]):
+                w0, h0 = decode_media(p, mt, fake=fake_decode)
+                ratio = min(1.0, (width * height) / (w0 * h0))
+                out_payload.append(p[: max(1, int(len(p) * ratio))])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out_payload,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' plumbing demo: explode each payload into fixed-stride
     samples (stand-in for video frame extraction). JVM-side byte slicing."""

@@ -84,6 +84,40 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def winnowing_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    window: int = 4,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Winnowing document fingerprints (rolling-hash selection): hash every
+    word n-gram, keep the minimum hash of each sliding window of ``window``
+    consecutive shingles, distinct per doc.
+
+    The standard local-fingerprint guarantee: any shared run of
+    window+n-1 tokens between two documents yields at least one shared
+    fingerprint, at ~1/window the storage of full shingle sets. All
+    codegen: one ordered window-min per doc after the shingle pipeline."""
+    from pyspark.sql import Window as W
+
+    from .dedup import shingle_rows
+
+    rows = shingle_rows(
+        docs, id_col, text_col, shingle_n, num_partitions, keep_pos=True
+    )
+    hashed = rows.withColumn("_h", F.xxhash64("_sh"))
+    win = (
+        W.partitionBy(id_col).orderBy(F.col("_pos")).rowsBetween(0, window - 1)
+    )
+    return (
+        hashed.withColumn("fp", F.min("_h").over(win))
+        .select(id_col, "fp")
+        .distinct()
+    )
+
+
 def fingerprint(text_col: str = "text") -> Column:
     """Document fingerprint: md5 of the lowercased, whitespace-collapsed
     text. Engine-portable (DuckDB md5() computes the identical digest) and

@@ -219,6 +219,43 @@ def dedup_embedding(spark, sf):
     )
 
 
+@query("text_winnowing")  # rows-only: xxhash64-based fingerprints
+def text_winnowing(spark, sf):
+    """Winnowing document fingerprints (rolling min-hash over shingle
+    windows): ~1/window the storage of full shingle sets with the shared-run
+    detection guarantee."""
+    return T.winnowing_fingerprints(
+        table(spark, sf, "documents"),
+        num_partitions=default_parallelism(spark),
+    )
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(224 AS BIGINT) AS width, CAST(224 AS BIGINT) AS height,
+           CAST(GREATEST(1, FLOOR(strlen(text) *
+                LEAST(1.0, 50176.0 / (((strlen(text) % 640) + 1)
+                                      * ((strlen(text) % 480) + 1)))))
+                AS BIGINT) AS out_bytes
+    FROM documents
+    """,
+)
+def multimodal_resize(spark, sf):
+    """Resize pipeline through mapInPandas (decode→resize→re-encode, stub
+    decoder): the oracle replays the deterministic stub arithmetic, so the
+    Arrow batch plumbing is what's actually under test."""
+    media = M.to_media_table(table(spark, sf, "documents"))
+    out = M.resize_media(media, width=224, height=224)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        F.octet_length("payload").cast("long").alias("out_bytes"),
+    )
+
+
 @query("multimodal_frames")  # rows-only: byte-slice plumbing demo
 def multimodal_frames(spark, sf):
     """Fixed-stride payload sampling (video frame-extraction plumbing):

@@ -117,6 +117,27 @@ def test_simhash_identical_docs_zero_hamming(spark):
     assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(1, 2, 0)]
 
 
+def test_winnowing_shared_run_guarantee(spark):
+    """Two docs sharing a long token run must share >= 1 winnowing
+    fingerprint; disjoint docs share none (with high probability)."""
+    from datacooker_dist_spark.operators.text import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, f"intro words {shared} closing remarks"),
+         (2, f"different opening {shared} other tail"),
+         (3, "completely unrelated vocabulary nothing matches here at all")],
+        "doc_id long, text string",
+    )
+    fp = winnowing_fingerprints(docs, window=4)
+    sets = {
+        r.doc_id: set(x.fp for x in fp.filter(fp.doc_id == r.doc_id).collect())
+        for r in docs.select("doc_id").collect()
+    }
+    assert sets[1] & sets[2], "shared run produced no shared fingerprint"
+    assert not (sets[1] & sets[3])
+
+
 def test_topk_deterministic_under_shuffle(spark):
     orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
     a = R.top_k_per_group(
