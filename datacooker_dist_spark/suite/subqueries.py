@@ -1,0 +1,118 @@
+"""Subquery-shaped suite entries: HAVING, scalar subqueries, correlated
+EXISTS, NOT IN — run through the engine's SQL surface (spark.sql over temp
+views) where the shape is SQL-native, with the same decimal-exactness
+conventions. Catalyst decorrelates EXISTS/IN into semi/anti joins and plans
+scalar subqueries as broadcast one-row joins — the scalable forms."""
+
+from __future__ import annotations
+
+from . import query, table
+
+
+def _view(spark, sf, name):
+    table(spark, sf, name).createOrReplaceTempView(f"{name}_v")
+
+
+@query(
+    "having_filter",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(25,2))) > 150
+    """,
+)
+def having_filter(spark, sf):
+    """TPC-H Q18 shape: post-aggregation HAVING. Planned as agg → filter;
+    the filter runs on one row per group, after the partial/final agg."""
+    _view(spark, sf, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS total_qty
+        FROM lineitem_v
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(25,2))) > 150
+        """
+    )
+
+
+@query(
+    "subquery_scalar",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_acctbal > (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,2))) AS DOUBLE) / COUNT(*)
+      FROM customer)
+    """,
+)
+def subquery_scalar(spark, sf):
+    """TPC-H Q22 shape: filter against an uncorrelated scalar subquery.
+    Catalyst plans the scalar as a one-row broadcast — the big side is
+    scanned once with a map-side filter (no shuffle). Decimal-exact mean so
+    boundary rows agree across engines."""
+    _view(spark, sf, "customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer_v
+        WHERE c_acctbal > (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,2))) AS DOUBLE) / COUNT(*)
+          FROM customer_v)
+        """
+    )
+
+
+@query(
+    "subquery_exists",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def subquery_exists(spark, sf):
+    """TPC-H Q4 shape: correlated EXISTS, decorrelated by Catalyst into a
+    left-semi hash join before the aggregate."""
+    _view(spark, sf, "orders")
+    _view(spark, sf, "lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders_v o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem_v l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        GROUP BY o.o_orderpriority
+        """
+    )
+
+
+@query(
+    "subquery_not_in",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_nationkey NOT IN (
+      SELECT n_nationkey FROM nation WHERE n_name LIKE 'NATION_1%')
+    """,
+)
+def subquery_not_in(spark, sf):
+    """NOT IN with a non-null subquery domain → null-aware anti join.
+    (With nullable domains NOT IN is three-valued and usually a bug — the
+    engine's guidance is NOT EXISTS; this entry pins the non-null case.)"""
+    _view(spark, sf, "supplier")
+    _view(spark, sf, "nation")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier_v
+        WHERE s_nationkey NOT IN (
+          SELECT n_nationkey FROM nation_v WHERE n_name LIKE 'NATION_1%')
+        """
+    )
