@@ -190,6 +190,31 @@ def scalar_array(spark, sf):
 
 
 @query(
+    "scalar_format",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m') AS ym,
+           CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(QUARTER(o_orderdate) AS BIGINT) AS qtr,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS ts_text
+    FROM orders
+    """,
+)
+def scalar_format(spark, sf):
+    """Datetime formatting/parsing surface. Format patterns are engine
+    dialects (Java vs C) — the engine's contract is the OUTPUT text, which
+    these pattern pairs make identical."""
+    o = table(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("ts_text"),
+    )
+
+
+@query(
     "scalar_struct",
     oracle="""
     SELECT event_id,

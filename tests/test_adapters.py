@@ -204,6 +204,37 @@ def test_direction_selection_errors():
         cfg.direction("missing")
 
 
+def test_declared_schema_required_error(spark, tmp_path):
+    """schema_from_file=false without schema_default errors, mirroring the
+    reference's required-param contract (S3DirectColumnarInput.java:56-59)."""
+    p = str(tmp_path / "x")
+    (tmp_path / "x").mkdir()
+    (tmp_path / "x" / "f.csv").write_text("1,2\n")
+    with pytest.raises(ValueError, match="schema_default"):
+        load_one(spark, "hadoopColumnar", p, params={"schema_from_file": False})
+
+
+def test_unknown_verb_error():
+    with pytest.raises(KeyError, match="Unknown input adapter"):
+        resolve_input("nope")
+    with pytest.raises(KeyError, match="Unknown output adapter"):
+        resolve_output("nope")
+
+
+def test_zstd_parquet_roundtrip(spark, nation, tmp_path):
+    """zstd codec on the parquet sink (modern default for cold data)."""
+    from datacooker_dist_spark.model import DataStream, StreamType
+
+    p = str(tmp_path / "nation_zstd.parquet")
+    resolve_output("hadoopParquet")().configure({"codec": "zstd"}).initialize(
+        spark, p
+    ).save("t", DataStream("t", nation, StreamType.COLUMNAR))
+    import glob
+
+    assert glob.glob(f"{p}/*.zstd.parquet"), "expected zstd parquet parts"
+    assert spark.read.parquet(p).count() == nation.count()
+
+
 def test_jdbc_reader_options(spark):
     """JDBC option plumbing (A1): partitioned bounds land in the reader
     options (no driver jar in this env — asserts the option surface only;
