@@ -34,6 +34,56 @@ def stream_tumbling(spark, sf):
     return out.withColumn("window_start", F.col("window_start").cast("timestamp_ntz"))
 
 
+@query("stream_late_data")  # rows-only: late-data policy demonstration
+def stream_late_data(spark, sf):
+    """Watermark late-data policy (§2.B late_data_policy), end-to-end: an
+    append-mode windowed count over two micro-batches where batch 2 carries
+    a row older than the advanced watermark. The finalized 10:00 window must
+    emit exactly once with the on-time count (2) — the late row is dropped.
+    Deterministic single-row result."""
+    import datetime as dt
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as SF
+
+    base = tempfile.mkdtemp(prefix=f"dds_late_{uuid.uuid4().hex[:6]}_")
+    src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+
+    def write(rows):
+        spark.createDataFrame(rows, "k string, ts timestamp").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema("k string, ts timestamp").option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(SF.window("ts", "1 hour").alias("w"), "k")
+            .agg(SF.count(SF.lit(1)).alias("n"))
+            .select(SF.col("w.start").cast("timestamp_ntz").alias("ws"), "k", "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write([("a", t0), ("a", t0.replace(minute=30)),
+           ("a", dt.datetime(2024, 1, 1, 13, 0))])
+    drain()
+    write([("a", t0.replace(minute=45))])  # late for the closed 10:00 window
+    drain()
+    return spark.read.parquet(sink).filter(SF.col("ws") == t0)
+
+
 @query(
     "stream_stateful_count",
     oracle="""
