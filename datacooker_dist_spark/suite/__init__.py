@@ -27,10 +27,20 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        return read_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read a synthetic table; the DataFrame (lazy plan root) is memoized
+    per (session, path) so parquet footer/schema inference happens once per
+    table instead of once per query."""
+    key = (id(spark), sf_dir, name)
+    if key not in _TABLE_CACHE:
+        if name == "events":
+            _TABLE_CACHE[key] = read_events(spark, sf_dir)
+        else:
+            _TABLE_CACHE[key] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _TABLE_CACHE[key]
 
 
 EVENTS_RAW_SCHEMA = (
