@@ -444,6 +444,50 @@ def multimodal_features(spark, sf):
     return M.extract_features(media, fake_decode=True)
 
 
+# ---------------------------------------------------------- composed pipeline
+
+
+@query(
+    "pipeline_llm_prep",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, text, lang, source FROM documents
+      WHERE len({SQL_TOKENS}) >= 5
+        AND (LENGTH(text) - LENGTH(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+            / LENGTH(text) < 0.3),
+    fp AS (
+      SELECT doc_id, text, lang, source,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+      FROM q),
+    exact AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f),
+    kept AS (SELECT fp.* FROM fp JOIN exact USING (doc_id)),
+    sh AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM kept),
+    pairs AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+    surv AS (
+      SELECT * FROM kept
+      WHERE doc_id NOT IN (SELECT DISTINCT ib FROM pairs))
+    SELECT doc_id, lang, source,
+           CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens,
+           f AS fp
+    FROM surv
+    """,
+)
+def pipeline_llm_prep(spark, sf):
+    """Flagship composition: the full corpus-prep pipeline (quality filter →
+    exact dedup → LSH near-dedup → stats) as ONE lazy plan, oracle-checked
+    end-to-end against the brute-force SQL replay of every stage."""
+    from ..operators.pipeline import llm_prep
+
+    return llm_prep(
+        table(spark, sf, "documents"),
+        num_partitions=default_parallelism(spark),
+    )
+
+
 # ------------------------------------------------------------- UDF surface
 
 
