@@ -190,6 +190,60 @@ def scalar_array(spark, sf):
 
 
 @query(
+    "join_interval",
+    oracle="""
+    SELECT a.user_id, CAST(COUNT(*) AS BIGINT) AS n_follow_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    GROUP BY a.user_id
+    """,
+)
+def join_interval(spark, sf):
+    """Time-interval self-join: pairs of events by the same user within 5
+    minutes. The equi key carries the hash join; the interval is a residual
+    filter — pair space is bounded per user, never a time cross join."""
+    e = table(spark, sf, "events").select("event_id", "user_id", "ts")
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.user_id") == F.col("b.user_id"),
+                F.col("a.event_id") < F.col("b.event_id"),
+                F.col("b.ts") >= F.col("a.ts"),
+                F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 5 MINUTE"),
+            ],
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_follow_pairs"))
+    )
+
+
+@query(
+    "agg_grouping_id",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+           {dsum_sql('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_grouping_id(spark, sf):
+    """ROLLUP with GROUPING() markers — distinguishes subtotal rows from
+    genuine NULL group values (the correctness detail rollup consumers
+    trip on)."""
+    li = table(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+@query(
     "scalar_format",
     oracle="""
     SELECT o_orderkey,
