@@ -160,6 +160,24 @@ class HadoopTextInput(_HadoopInputBase):
         return self.spark.read.text(uri)
 
 
+@input_adapter("hadoopStructured")
+class HadoopStructuredInput(_HadoopInputBase):
+    """JSON-lines → structured records (the upstream commons BSON/JSON
+    record family, SURVEY §1.2/§1.5): nested values land as native
+    struct/array/map columns. ``schema_json`` pins an explicit DDL schema;
+    otherwise Spark samples to infer. ``columns`` selects/reorders
+    (dotted paths allowed)."""
+
+    stream_type = StreamType.STRUCTURED
+
+    def _read(self, uri: str) -> DataFrame:
+        r = self.spark.read
+        ddl = self.params.get("schema_json")
+        if ddl:
+            r = r.schema(ddl)
+        return r.json(uri)
+
+
 # s3direct verbs are the same adapters under the reference's registered
 # names — the s3d:// → s3a rewrite happens in resolve_uri.
 input_adapter("s3directColumnar")(HadoopColumnarInput)

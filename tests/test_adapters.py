@@ -204,6 +204,32 @@ def test_direction_selection_errors():
         cfg.direction("missing")
 
 
+def test_structured_json_input(spark, tmp_path):
+    """JSON-lines adapter: nested structs survive, declared DDL schema
+    pins types, columns select dotted paths (STRUCTURED stream type)."""
+    p = tmp_path / "j"
+    p.mkdir()
+    (p / "part-0.json").write_text(
+        '{"id": 1, "meta": {"lang": "en", "score": 0.5}, "tags": ["a", "b"]}\n'
+        '{"id": 2, "meta": {"lang": "de", "score": 0.9}, "tags": []}\n'
+    )
+    streams = load_one(
+        spark,
+        "hadoopStructured",
+        str(p),
+        params={"schema_json": "id bigint, meta struct<lang:string, score:double>, tags array<string>"},
+    )
+    [ds] = streams.values()
+    from datacooker_dist_spark.model import StreamType
+
+    assert ds.stream_type is StreamType.STRUCTURED
+    rows = {r.id: r for r in ds.df.collect()}
+    assert rows[1].meta.lang == "en" and rows[1].tags == ["a", "b"]
+    assert rows[2].meta.score == 0.9
+    flat = ds.df.select("id", "meta.lang").collect()
+    assert sorted((r.id, r.lang) for r in flat) == [(1, "en"), (2, "de")]
+
+
 def test_declared_schema_required_error(spark, tmp_path):
     """schema_from_file=false without schema_default errors, mirroring the
     reference's required-param contract (S3DirectColumnarInput.java:56-59)."""
