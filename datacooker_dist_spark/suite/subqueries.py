@@ -94,6 +94,112 @@ def subquery_exists(spark, sf):
 
 
 @query(
+    "subquery_correlated_scalar",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, s.s_nationkey, s.s_acctbal
+    FROM supplier s
+    WHERE s.s_acctbal = (
+      SELECT MIN(s2.s_acctbal) FROM supplier s2
+      WHERE s2.s_nationkey = s.s_nationkey)
+    """,
+)
+def subquery_correlated_scalar(spark, sf):
+    """TPC-H Q2 shape: correlated scalar subquery (per-group minimum).
+    Catalyst decorrelates into a grouped aggregate + equi-join — one
+    shuffle, no per-row re-execution."""
+    _view(spark, sf, "supplier")
+    return spark.sql(
+        """
+        SELECT s.s_suppkey, s.s_name, s.s_nationkey, s.s_acctbal
+        FROM supplier_v s
+        WHERE s.s_acctbal = (
+          SELECT MIN(s2.s_acctbal) FROM supplier_v s2
+          WHERE s2.s_nationkey = s.s_nationkey)
+        """
+    )
+
+
+@query(
+    "having_vs_scalar",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(25,2))) AS DOUBLE) AS nation_bal
+    FROM customer
+    GROUP BY c_nationkey
+    HAVING SUM(CAST(c_acctbal AS DECIMAL(25,2))) >
+           (SELECT SUM(CAST(c_acctbal AS DECIMAL(25,2))) * 0.04 FROM customer)
+    """,
+)
+def having_vs_scalar(spark, sf):
+    """TPC-H Q11 shape: HAVING against an uncorrelated scalar over the whole
+    table — the scalar is one broadcast row; threshold compare stays in
+    exact decimal on both engines."""
+    _view(spark, sf, "customer")
+    return spark.sql(
+        """
+        SELECT c_nationkey,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(25,2))) AS DOUBLE) AS nation_bal
+        FROM customer_v
+        GROUP BY c_nationkey
+        HAVING SUM(CAST(c_acctbal AS DECIMAL(25,2))) >
+               (SELECT SUM(CAST(c_acctbal AS DECIMAL(25,2))) * 0.04 FROM customer_v)
+        """
+    )
+
+
+@query(
+    "agg_conditional_ratio",
+    oracle="""
+    SELECT CAST(100.0 * SUM(CAST(CASE WHEN p.p_type = 'PROMO'
+                 THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END
+                 AS DECIMAL(25,4))) AS DOUBLE)
+           / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(25,4))) AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def agg_conditional_ratio(spark, sf):
+    """TPC-H Q14 shape: conditional-aggregate ratio in one pass (CASE inside
+    SUM — no second scan, no self-join)."""
+    _view(spark, sf, "lineitem")
+    _view(spark, sf, "part")
+    return spark.sql(
+        """
+        SELECT CAST(100.0 * SUM(CAST(CASE WHEN p.p_type = 'PROMO'
+                     THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END
+                     AS DECIMAL(25,4))) AS DOUBLE)
+               / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(25,4))) AS DOUBLE) AS promo_revenue_pct
+        FROM lineitem_v l JOIN part_v p ON l.l_partkey = p.p_partkey
+        """
+    )
+
+
+@query(
+    "scalar_safe_cast",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_ok,
+           TRY_CAST(event_type AS BIGINT) AS type_as_int,
+           value / NULLIF(CAST(event_id % 3 AS DOUBLE), 0.0) AS safe_div
+    FROM events
+    """,
+)
+def scalar_safe_cast(spark, sf):
+    """Safe-conversion surface: try_cast yields NULL instead of an ANSI
+    error on malformed input; NULLIF guards division by zero."""
+    from pyspark.sql import functions as F
+
+    e = table(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.expr("TRY_CAST(get_json_object(props, '$.k') AS BIGINT)").alias("k_ok"),
+        F.expr("TRY_CAST(event_type AS BIGINT)").alias("type_as_int"),
+        (F.col("value") / F.nullif((F.col("event_id") % 3).cast("double"), F.lit(0.0))).alias("safe_div"),
+    )
+
+
+@query(
     "subquery_not_in",
     oracle="""
     SELECT s_suppkey, s_name
