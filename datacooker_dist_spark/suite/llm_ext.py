@@ -1,0 +1,118 @@
+"""Second-wave LLM-pipeline suite entries: PII scrubbing, deterministic
+corpus splits, stratified sampling, unigram LM scoring."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from . import query, table
+
+# The word-soup corpus carries no real PII; a synthetic column with planted
+# identifiers exercises the scrubbers deterministically.
+PII_TEXT_SQL = (
+    "concat('ref ', CAST(doc_id AS VARCHAR), ' user', CAST(doc_id AS VARCHAR),"
+    " '@mail.example +1555', CAST(1000000 + doc_id AS VARCHAR), ' ', text)"
+)
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace({PII_TEXT_SQL},
+                            '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g'),
+             '[0-9]{{4,}}', '<NUM>', 'g') AS scrubbed
+    FROM documents
+    """,
+)
+def text_pii_scrub(spark, sf):
+    """PII redaction pass (emails, long digit runs) — regexp_replace is
+    JVM-side; the pattern dialect is the RE2/Java common subset so the
+    oracle replays it byte-identically."""
+    docs = table(spark, sf, "documents")
+    pii = F.concat(
+        F.lit("ref "), F.col("doc_id").cast("string"),
+        F.lit(" user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example +1555"),
+        (F.col("doc_id") + 1000000).cast("string"),
+        F.lit(" "), F.col("text"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(pii, "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+", "<EMAIL>"),
+        "[0-9]{4,}",
+        "<NUM>",
+    )
+    return docs.select("doc_id", scrubbed.alias("scrubbed"))
+
+
+@query(
+    "split_train_test",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN ascii(substr(md5(regexp_replace(lower(trim(text)),
+                                   '\\s+', ' ', 'g')), 1, 1)) % 5 = 0
+                THEN 'test' ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def split_train_test(spark, sf):
+    """Deterministic content-hash 80/20 split: keyed on the normalized-text
+    fingerprint so exact duplicates always land in the same split (the
+    leakage-safety property row-number splits lack)."""
+    from ..operators.text import fingerprint
+
+    docs = table(spark, sf, "documents")
+    bucket = F.ascii(F.substring(fingerprint("text"), 1, 1)) % 5
+    return docs.select(
+        "doc_id",
+        F.when(bucket == 0, "test").otherwise("train").alias("split"),
+    )
+
+
+@query("sample_stratified")  # rows-only: Bernoulli sampling is engine-specific
+def sample_stratified(spark, sf):
+    """Per-stratum Bernoulli sampling (sampleBy): balanced subsampling by
+    lang with per-class fractions, seeded. Row membership is sampler-
+    implementation-specific → rows-only; determinism under a fixed seed is
+    what the engine guarantees."""
+    docs = table(spark, sf, "documents")
+    fractions = {"en": 0.5, "de": 0.8, "fr": 0.8, "es": 0.8, "zh": 0.8}
+    return docs.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+      FROM documents),
+    vocab AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY t),
+    total AS (SELECT CAST(SUM(tf) AS DOUBLE) AS n FROM vocab)
+    SELECT doc_id,
+           round(SUM(round(ln(tf / n), 9)), 6) AS logprob,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM tok, vocab, total
+    WHERE tok.t = vocab.t
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark, sf):
+    """Unigram LM corpus scoring (the simplest perplexity-style quality
+    signal): token log-likelihood under the corpus's own unigram
+    distribution. Per-token logs are rounded to 9 digits before the
+    order-sensitive sum, then the sum to 6 — making the double sum
+    engine-stable without decimal gymnastics on transcendentals."""
+    docs = table(spark, sf, "documents")
+    tok = docs.select("doc_id", F.explode(D.tokens_col("text")).alias("t"))
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("tf"))
+    total = float(vocab.agg(F.sum("tf")).collect()[0][0])
+    scored = tok.join(F.broadcast(vocab), "t").select(
+        "doc_id", F.round(F.log(F.col("tf") / F.lit(total)), 9).alias("_lp")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum("_lp"), 6).alias("logprob"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
