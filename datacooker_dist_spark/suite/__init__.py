@@ -63,4 +63,4 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from . import core, core_ext, llm, llm_ext, streaming, subqueries  # noqa: E402,F401
+from . import analytics, core, core_ext, llm, llm_ext, streaming, subqueries  # noqa: E402,F401
