@@ -83,6 +83,59 @@ def agg_string_concat(spark, sf):
     )
 
 
+@query("agg_approx_percentile")  # rows-only: sketch results are engine-specific
+def agg_approx_percentile(spark, sf):
+    """approx_percentile: the constant-memory quantile sketch that replaces
+    exact per-group sorts once key cardinality is unbounded (the 100 TB
+    counterpart of `agg_percentiles`)."""
+    li = table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "p50_approx"
+        ),
+        F.approx_percentile("l_extendedprice", F.lit(0.99), F.lit(10000)).alias(
+            "p99_approx"
+        ),
+    )
+
+
+@query(
+    "events_enriched",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           CAST(DATE_TRUNC('day', e.ts) AS TIMESTAMP) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(CAST(json_extract_string(e.props, '$.k') AS BIGINT)
+                AS DECIMAL(25,2))) AS DOUBLE) AS sum_k
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type IN ('click', 'purchase')
+    GROUP BY c.c_mktsegment, DATE_TRUNC('day', e.ts)
+    """,
+)
+def events_enriched(spark, sf):
+    """Stream-enrichment composition: events filtered, joined to a broadcast
+    customer dimension, JSON props extracted, rolled up by segment × day —
+    the shape of a production event pipeline (fact never shuffles for the
+    join; the aggregate shuffles one row per (segment, day) per partition)."""
+    e = table(spark, sf, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    c = table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .groupBy("c_mktsegment", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,2)")).cast("double").alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(k.cast("decimal(25,2)")).cast("double").alias("sum_k"),
+        )
+    )
+
+
 @query(
     "window_distribution",
     oracle="""
