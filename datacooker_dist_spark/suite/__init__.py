@@ -63,4 +63,13 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from . import analytics, core, core_ext, llm, llm_ext, streaming, subqueries  # noqa: E402,F401
+from . import (  # noqa: E402,F401
+    analytics,
+    core,
+    core_ext,
+    llm,
+    llm_ext,
+    relational_ext,
+    streaming,
+    subqueries,
+)

@@ -1,0 +1,343 @@
+"""Third-wave relational suite entries: classic multi-join TPC-H shapes
+(Q7/Q9/Q18/Q21 analogues on the synthetic join graph), value-ordered
+aggregates (max_by/min_by, FILTER clause), navigation window functions
+(first/last/nth value), and lateral explode with ordinality.
+
+All shapes land as single lazy Catalyst plans: dimension joins broadcast,
+fact-fact joins shuffle once on the join key, aggregates run partial →
+final. At 100 TB the multi-join shapes are the canonical star/snowflake
+plans AQE re-plans at runtime (skew split + dynamic broadcast)."""
+
+from __future__ import annotations
+
+from . import query, table
+
+
+def _view(spark, sf, name):
+    table(spark, sf, name).createOrReplaceTempView(f"{name}_v")
+
+
+@query(
+    "join_profit_rollup",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         - 0.6 * p.p_retailprice * l.l_quantity
+                    AS DECIMAL(25,4))) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%a%'
+    GROUP BY nation, o_year
+    """,
+)
+def join_profit_rollup(spark, sf):
+    """TPC-H Q9 shape: 5-table snowflake join + profit expression + rollup by
+    nation/year. part/supplier/nation broadcast (small dims); lineitem⋈orders
+    is the one shuffle join on l_orderkey. Decimal-exact profit sum.
+    Reference has no joins at all (README.md:1-3) — engine extension."""
+    _view(spark, sf, "lineitem")
+    _view(spark, sf, "part")
+    _view(spark, sf, "supplier")
+    _view(spark, sf, "nation")
+    _view(spark, sf, "orders")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             - 0.6 * p.p_retailprice * l.l_quantity
+                        AS DECIMAL(25,4))) AS DOUBLE) AS profit
+        FROM lineitem_v l
+        JOIN part_v p ON l.l_partkey = p.p_partkey
+        JOIN supplier_v s ON l.l_suppkey = s.s_suppkey
+        JOIN nation_v n ON s.s_nationkey = n.n_nationkey
+        JOIN orders_v o ON l.l_orderkey = o.o_orderkey
+        WHERE p.p_name LIKE '%a%'
+        GROUP BY nation, o_year
+        """
+    )
+
+
+@query(
+    "join_nation_volume",
+    oracle="""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(25,4))) AS DOUBLE) AS volume
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+    JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+    WHERE ns.n_nationkey < 3 AND nc.n_nationkey < 3
+      AND ns.n_nationkey <> nc.n_nationkey
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def join_nation_volume(spark, sf):
+    """TPC-H Q7 shape: shipping volume between nation pairs — the nation
+    dim joins twice under different aliases (supplier side vs customer
+    side) plus an inequality predicate across the two. Both nation joins
+    broadcast; the dim filters prune before the fact-fact shuffle."""
+    _view(spark, sf, "lineitem")
+    _view(spark, sf, "orders")
+    _view(spark, sf, "customer")
+    _view(spark, sf, "supplier")
+    _view(spark, sf, "nation")
+    return spark.sql(
+        """
+        SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(25,4))) AS DOUBLE) AS volume
+        FROM lineitem_v l
+        JOIN orders_v o ON l.l_orderkey = o.o_orderkey
+        JOIN customer_v c ON o.o_custkey = c.c_custkey
+        JOIN supplier_v s ON l.l_suppkey = s.s_suppkey
+        JOIN nation_v ns ON s.s_nationkey = ns.n_nationkey
+        JOIN nation_v nc ON c.c_nationkey = nc.n_nationkey
+        WHERE ns.n_nationkey < 3 AND nc.n_nationkey < 3
+          AND ns.n_nationkey <> nc.n_nationkey
+        GROUP BY supp_nation, cust_nation, l_year
+        """
+    )
+
+
+@query(
+    "subquery_in_grouped",
+    oracle="""
+    SELECT c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(25,2))) > 180)
+    """,
+)
+def subquery_in_grouped(spark, sf):
+    """TPC-H Q18 full shape: IN over a grouped-HAVING subquery. Catalyst
+    rewrites IN → left-semi join against the aggregated subquery, so the
+    big orders side is filtered by a hash-join probe, never re-scanned."""
+    _view(spark, sf, "customer")
+    _view(spark, sf, "orders")
+    _view(spark, sf, "lineitem")
+    return spark.sql(
+        """
+        SELECT c.c_name, o.o_orderkey, o.o_totalprice
+        FROM customer_v c
+        JOIN orders_v o ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderkey IN (
+          SELECT l_orderkey FROM lineitem_v
+          GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(25,2))) > 180)
+        """
+    )
+
+
+@query(
+    "subquery_not_exists",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    WHERE c.c_acctbal > 9000
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+)
+def subquery_not_exists(spark, sf):
+    """TPC-H Q22 shape: correlated NOT EXISTS → null-safe left-anti hash
+    join (the engine's recommended spelling over NOT IN on nullable
+    domains)."""
+    _view(spark, sf, "customer")
+    _view(spark, sf, "orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, c.c_mktsegment
+        FROM customer_v c
+        WHERE c.c_acctbal > 9000
+          AND NOT EXISTS (
+            SELECT 1 FROM orders_v o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        """
+    )
+
+
+@query(
+    "agg_filter_clause",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+             AS n_discounted,
+           CAST(COUNT(*) FILTER (WHERE l_tax = 0) AS BIGINT) AS n_taxfree,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,2)))
+                FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS open_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_filter_clause(spark, sf):
+    """FILTER (WHERE ...) aggregate modifier — several differently-filtered
+    aggregates in ONE scan/shuffle instead of N self-joined subqueries."""
+    _view(spark, sf, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+                 AS n_discounted,
+               CAST(COUNT(*) FILTER (WHERE l_tax = 0) AS BIGINT) AS n_taxfree,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(25,2)))
+                    FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS open_qty
+        FROM lineitem_v
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@query(
+    "agg_arg_extremes",
+    oracle="""
+    SELECT o_orderpriority,
+           MAX_BY(o_orderkey, o_totalprice) AS top_orderkey,
+           MIN_BY(o_orderkey, o_totalprice) AS bottom_orderkey,
+           MAX(o_totalprice) AS max_price,
+           MIN(o_totalprice) AS min_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_arg_extremes(spark, sf):
+    """max_by/min_by (argmax/argmin) — carry the witness key with the
+    extreme in one aggregation, replacing the window-rank-then-filter
+    pattern when only the single extreme row's key is needed. o_totalprice
+    is unique per priority group in the synthetic data, so the witness is
+    deterministic across engines."""
+    from pyspark.sql import functions as F
+
+    o = table(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("MAX_BY(o_orderkey, o_totalprice)").alias("top_orderkey"),
+        F.expr("MIN_BY(o_orderkey, o_totalprice)").alias("bottom_orderkey"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+    )
+
+
+@query(
+    "window_navigation",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           LAST_VALUE(o_totalprice) OVER w AS last_price,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_navigation(spark, sf):
+    """Navigation window functions (first/last/nth value) over an explicit
+    full-partition frame — the frame spec matters: the default frame stops
+    at CURRENT ROW and silently turns last_value into 'current value'.
+    Orderkey tiebreak makes the sequence deterministic."""
+    _view(spark, sf, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               FIRST_VALUE(o_totalprice) OVER w AS first_price,
+               LAST_VALUE(o_totalprice) OVER w AS last_price,
+               NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+        FROM orders_v
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        """
+    )
+
+
+@query(
+    "lateral_explode",
+    oracle="""
+    SELECT doc_id, CAST(x.o - 1 AS BIGINT) AS pos, x.w AS word
+    FROM (SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS w,
+                 generate_subscripts(string_split(text, ' '), 1) AS o
+          FROM documents WHERE doc_id < 50) x
+    WHERE length(x.w) > 0
+    """,
+)
+def lateral_explode(spark, sf):
+    """Lateral explode with ordinality: posexplode(split(text)) — one row
+    per token with its position. Generator runs inside whole-stage codegen;
+    no shuffle (narrow transform), so at 100 TB it scales linearly with
+    input bytes."""
+    from pyspark.sql import functions as F
+
+    d = table(spark, sf, "documents")
+    return (
+        d.filter(F.col("doc_id") < 50)
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
+        .filter(F.length("word") > 0)
+        .select("doc_id", F.col("pos").cast("bigint").alias("pos"), "word")
+    )
+
+
+@query(
+    "scalar_regex_extract_all",
+    oracle="""
+    SELECT event_id,
+           array_to_string(regexp_extract_all(props, '[0-9]+'), ',') AS nums,
+           CAST(len(regexp_extract_all(props, '"[a-z_]+":')) AS INT) AS n_keys
+    FROM events
+    WHERE event_id < 1000
+    """,
+)
+def scalar_regex_extract_all(spark, sf):
+    """regexp_extract_all → array, flattened to CSV for the engine-agnostic
+    hash compare; plus a derived count. Pure narrow projection."""
+    from pyspark.sql import functions as F
+
+    e = table(spark, sf, "events")
+    return e.filter(F.col("event_id") < 1000).select(
+        "event_id",
+        F.array_join(F.expr(r"regexp_extract_all(props, '[0-9]+', 0)"), ",").alias("nums"),
+        F.size(F.expr("regexp_extract_all(props, '\"[a-z_]+\":', 0)")).alias("n_keys"),
+    )
+
+
+@query(
+    "union_all_dedup_compare",
+    oracle="""
+    SELECT src, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT 'all' AS src, s_nationkey FROM (
+        SELECT s_nationkey FROM supplier UNION ALL SELECT c_nationkey FROM customer)
+      UNION ALL
+      SELECT 'distinct' AS src, s_nationkey FROM (
+        SELECT s_nationkey FROM supplier UNION SELECT c_nationkey FROM customer))
+    GROUP BY src
+    """,
+)
+def union_all_dedup_compare(spark, sf):
+    """UNION ALL (bag, no shuffle) vs UNION (set, hash-dedup shuffle) over
+    the same inputs, counted side by side — pins the cardinality semantics
+    of both spellings in one result."""
+    from pyspark.sql import functions as F
+
+    s = table(spark, sf, "supplier").select(F.col("s_nationkey"))
+    c = table(spark, sf, "customer").select(F.col("c_nationkey").alias("s_nationkey"))
+    union_all = s.unionByName(c).select(F.lit("all").alias("src"), "s_nationkey")
+    union_set = s.unionByName(c).distinct().select(
+        F.lit("distinct").alias("src"), "s_nationkey"
+    )
+    return (
+        union_all.unionByName(union_set)
+        .groupBy("src")
+        .agg(F.count("*").alias("n"))
+    )
