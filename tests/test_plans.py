@@ -68,3 +68,41 @@ def test_lsh_join_is_equi_not_cross(spark):
     plan = executed_plan(spark, "dedup_minhash_lsh")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize("name", ["join_profit_rollup", "join_nation_volume"])
+def test_snowflake_dims_broadcast(spark, name):
+    """Q9/Q7 shapes: every dimension join (part/supplier/nation/customer at
+    test scale) plans as a broadcast; no cartesian fallback from the
+    nation-pair inequality predicate."""
+    plan = executed_plan(spark, name)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_in_grouped_subquery_is_semi_join(spark):
+    """Q18 shape: IN (grouped subquery) must decorrelate to a semi join —
+    never a per-row re-execution or nested-loop."""
+    plan = executed_plan(spark, "subquery_in_grouped")
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_not_exists_is_anti_join(spark):
+    plan = executed_plan(spark, "subquery_not_exists")
+    assert "LeftAnti" in plan
+
+
+def test_filter_clause_single_aggregate(spark):
+    """FILTER (WHERE ...) variants fuse into ONE HashAggregate pair (partial
+    + final) over one scan — the whole point vs N self-joins."""
+    plan = executed_plan(spark, "agg_filter_clause")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_" in plan
+
+
+def test_lateral_explode_no_shuffle(spark):
+    """Generator (posexplode) is a narrow transform: zero exchanges."""
+    plan = executed_plan(spark, "lateral_explode")
+    assert "Exchange" not in plan
+    assert "Generate posexplode" in plan
