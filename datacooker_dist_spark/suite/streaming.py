@@ -104,3 +104,90 @@ def stream_stateful_count(spark, sf):
         running_counts(stream, "user_id"), spark, output_mode="update"
     )
     return emitted.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+@query(
+    "stream_sliding",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             DATE_TRUNC('hour', ts)
+             + CASE WHEN MINUTE(ts) >= 30 THEN INTERVAL 30 MINUTE
+                    ELSE INTERVAL 0 MINUTE END AS t30
+      FROM events),
+    w AS (
+      SELECT event_type,
+             CASE WHEN k = 0 THEN t30 ELSE t30 - INTERVAL 30 MINUTE END
+             AS window_start
+      FROM b CROSS JOIN (SELECT UNNEST([0, 1]) AS k))
+    SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM w GROUP BY window_start, event_type
+    """,
+)
+def stream_sliding(spark, sf):
+    """Sliding-window (1h every 30min) counts through the real micro-batch
+    engine: each event feeds exactly 2 windows' state; watermark bounds how
+    long a window's state outlives its end. Batch answer is the oracle."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = file_stream(spark, f"{sf}/events.parquet", EVENTS_RAW_SCHEMA)
+    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    result = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    out = run_available_now(result, spark)
+    return out.withColumn("window_start", F.col("window_start").cast("timestamp_ntz"))
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT DATE_TRUNC('hour', e.ts) AS window_start, c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY DATE_TRUNC('hour', e.ts), c.c_mktsegment
+    """,
+)
+def stream_static_join(spark, sf):
+    """Stream-static enrichment join: the static dimension (customer) is
+    joined inside every micro-batch — planned as a broadcast hash join, no
+    stream-side state. The canonical 100 TB/day enrichment topology: only
+    the windowed aggregate keeps state, bounded by the watermark."""
+    from . import table
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = file_stream(spark, f"{sf}/events.parquet", EVENTS_RAW_SCHEMA)
+    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    dim = table(spark, sf, "customer")
+    joined = stream.join(dim, stream.user_id == dim.c_custkey, "inner")
+    result = (
+        joined.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "c_mktsegment", "n_events")
+    )
+    out = run_available_now(result, spark)
+    return out.withColumn("window_start", F.col("window_start").cast("timestamp_ntz"))
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def stream_dedup(spark, sf):
+    """Streaming exact dedup: dropDuplicates on the key columns holds one
+    state entry per distinct key and emits each key's first arrival
+    (append mode). Over the bounded drain this is exactly DISTINCT. In
+    production the watermarked variant (dropDuplicatesWithinWatermark)
+    bounds the state for unbounded streams."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = file_stream(spark, f"{sf}/events.parquet", EVENTS_RAW_SCHEMA)
+    result = stream.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    out = run_available_now(result, spark, output_mode="append")
+    return out
