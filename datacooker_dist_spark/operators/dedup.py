@@ -316,3 +316,60 @@ def simhash_near_pairs(
     )
     ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).alias("hamming")
     return cand.select("id_a", "id_b", ham).filter(F.col("hamming") <= max_hamming)
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected pair list by iterative
+    min-label propagation: every node starts labeled with its own id; each
+    round takes the min of its own and its neighbors' labels; fixpoint in
+    O(graph diameter) rounds. Near-dup graphs are unions of small dense
+    cliques, so the diameter — and the round count — is tiny even at 100 TB;
+    each round is one shuffle join on the node id. ``localCheckpoint``
+    truncates the growing lineage so round N doesn't replay rounds 1..N-1.
+
+    Output: (``src`` node id, ``cluster_id`` = min node id in component).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .unionByName(pairs.select(F.col(dst).alias("s"), F.col(src).alias("t")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["t"] == labels["id"])
+            .groupBy("s")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["s"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["label"], F.coalesce("nbr_label", labels["label"])
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias(src), F.col("label").alias("cluster_id")
+    )

@@ -116,3 +116,47 @@ def text_unigram_logprob(spark, sf):
         F.round(F.sum("_lp"), 6).alias("logprob"),
         F.count(F.lit(1)).alias("n_tokens"),
     )
+
+
+@query(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE
+    sh AS (SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 2, 1) + 1),
+               i -> array_to_string((regexp_split_to_array(lower(trim(text)), '\\s+'))[i:i+2], ' ')))
+           AS s FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+    edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT s, t FROM edges
+      UNION
+      SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+      WHERE e.t <> r.s)
+    SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster_id
+    FROM reach GROUP BY s
+    """,
+)
+def dedup_clusters(spark, sf):
+    """Near-duplicate CLUSTERS, not just pairs: LSH candidates → exact
+    Jaccard ≥ 0.8 verification → iterative connected components
+    (min-label propagation, one shuffle per round, O(diameter) rounds).
+    The production dedup policy 'keep one doc per duplicate cluster' needs
+    the component id, which pairwise output alone can't give when dups
+    chain A~B~C without A~C. Oracle: recursive-CTE transitive closure."""
+    from ..session import default_parallelism
+
+    docs = table(spark, sf, "documents")
+    par = default_parallelism(spark)
+    sh = D.shingle_rows(docs, num_partitions=par, cache=True)
+    cand = D.minhash_lsh_candidates(docs, num_hashes=64, bands=16, shingles=sh)
+    pairs = D.ngram_jaccard_pairs(docs, cand, threshold=0.8, shingles=sh)
+    return D.connected_components(pairs.select("id_a", "id_b")).select(
+        F.col("id_a").alias("doc_id"), "cluster_id"
+    )

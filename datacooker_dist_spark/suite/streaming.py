@@ -191,3 +191,44 @@ def stream_dedup(spark, sf):
     )
     out = run_available_now(result, spark, output_mode="append")
     return out
+
+
+@query(
+    "stream_session",
+    oracle="""
+    WITH flags AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flags)
+    SELECT user_id, MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def stream_session(spark, sf):
+    """Session windows (30-min gap) through the streaming engine's native
+    session_window state — sessions merge as events arrive, watermark
+    finalizes them. Drained bounded input must equal the batch
+    gap-and-island answer (the window_session oracle verbatim)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = file_stream(spark, f"{sf}/events.parquet", EVENTS_RAW_SCHEMA)
+    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    result = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"), "user_id", "n_events"
+        )
+    )
+    out = run_available_now(result, spark)
+    return out.withColumn(
+        "session_start", F.col("session_start").cast("timestamp_ntz")
+    )

@@ -149,3 +149,17 @@ def test_topk_deterministic_under_shuffle(spark):
         [F.col("o_totalprice").desc(), F.col("o_orderkey")], 2,
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_connected_components_chain(spark):
+    """Chained dups A~B~C~D (no direct A~C edge) must collapse to one
+    cluster labeled by the min id; disjoint components stay separate."""
+    from datacooker_dist_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (23, 22), (21, 22), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r.id_a: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20}
