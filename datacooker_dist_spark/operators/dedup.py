@@ -334,10 +334,14 @@ def connected_components(
 
     Output: (``src`` node id, ``cluster_id`` = min node id in component).
     """
+    # Materialize the edge list once — every propagation round joins against
+    # it, and without this the upstream pair pipeline (LSH + verification)
+    # would replay per round.
     edges = (
         pairs.select(F.col(src).alias("s"), F.col(dst).alias("t"))
         .unionByName(pairs.select(F.col(dst).alias("s"), F.col(src).alias("t")))
         .distinct()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("s").alias("id"))
@@ -351,6 +355,8 @@ def connected_components(
             .groupBy("s")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # Carry a changed flag through the checkpoint so convergence is read
+        # off the materialized result — no extra join job per round.
         new_labels = (
             labels.join(nbr_min, labels["id"] == nbr_min["s"], "left")
             .select(
@@ -358,16 +364,14 @@ def connected_components(
                 F.least(
                     labels["label"], F.coalesce("nbr_label", labels["label"])
                 ).alias("label"),
+                (F.coalesce("nbr_label", labels["label"]) < labels["label"]).alias(
+                    "_changed"
+                ),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("_changed").count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
     return labels.select(

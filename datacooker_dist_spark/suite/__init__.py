@@ -43,6 +43,27 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _TABLE_CACHE[key]
 
 
+_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized cached shingle rows over ``documents`` — the dedup
+    family (MinHash LSH, exact Jaccard, SimHash-adjacent, clustering) all
+    consume the same (doc_id, _sh) pass, so shingling + its persist happen
+    once per session instead of once per query."""
+    key = (id(spark), sf_dir)
+    if key not in _SHINGLE_CACHE:
+        from ..operators import dedup as D
+        from ..session import default_parallelism
+
+        _SHINGLE_CACHE[key] = D.shingle_rows(
+            table(spark, sf_dir, "documents"),
+            num_partitions=default_parallelism(spark),
+            cache=True,
+        )
+    return _SHINGLE_CACHE[key]
+
+
 EVENTS_RAW_SCHEMA = (
     "event_id bigint, ts bigint, user_id bigint, "
     "event_type string, value double, props string"

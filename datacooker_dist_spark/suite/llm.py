@@ -79,9 +79,10 @@ def dedup_ngram_jaccard(spark, sf):
     banded MinHash LSH (16 bands × 4 hashes ⇒ P[detect | j=0.8] ≈ 0.9998,
     →1 rapidly above). The oracle brute-forces all pairs — at engine scale
     only the LSH-bucket equi-join runs, never the quadratic pair space."""
+    from . import shared_shingles
+
     docs = table(spark, sf, "documents")
-    par = default_parallelism(spark)
-    sh = D.shingle_rows(docs, num_partitions=par, cache=True)
+    sh = shared_shingles(spark, sf)
     cand = D.minhash_lsh_candidates(docs, num_hashes=64, bands=16, shingles=sh)
     return D.ngram_jaccard_pairs(docs, cand, threshold=0.8, shingles=sh)
 
@@ -90,9 +91,11 @@ def dedup_ngram_jaccard(spark, sf):
 def dedup_minhash_lsh(spark, sf):
     """Raw LSH candidate pairs (pre-verification). Deterministic given the
     fixed xxhash64 seed family, but not SQL-expressible → rows-only."""
+    from . import shared_shingles
+
     return D.minhash_lsh_candidates(
         table(spark, sf, "documents"),
-        num_partitions=default_parallelism(spark),
+        shingles=shared_shingles(spark, sf),
     )
 
 

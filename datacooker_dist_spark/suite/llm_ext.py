@@ -150,11 +150,10 @@ def dedup_clusters(spark, sf):
     The production dedup policy 'keep one doc per duplicate cluster' needs
     the component id, which pairwise output alone can't give when dups
     chain A~B~C without A~C. Oracle: recursive-CTE transitive closure."""
-    from ..session import default_parallelism
+    from . import shared_shingles
 
     docs = table(spark, sf, "documents")
-    par = default_parallelism(spark)
-    sh = D.shingle_rows(docs, num_partitions=par, cache=True)
+    sh = shared_shingles(spark, sf)
     cand = D.minhash_lsh_candidates(docs, num_hashes=64, bands=16, shingles=sh)
     pairs = D.ngram_jaccard_pairs(docs, cand, threshold=0.8, shingles=sh)
     return D.connected_components(pairs.select("id_a", "id_b")).select(

@@ -341,3 +341,45 @@ def union_all_dedup_compare(spark, sf):
         .groupBy("src")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "agg_regression",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_regression(spark, sf):
+    """Statistical aggregates: Pearson correlation + least-squares slope /
+    intercept (regr_* family) per group — single-pass moment accumulation
+    (partial → final merge), no per-group iteration. Rounded to 6 digits:
+    the moment formulas are algebraically identical across engines but
+    accumulate doubles in partition order."""
+    from pyspark.sql import functions as F
+
+    li = table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.expr("regr_slope(l_extendedprice, l_quantity)"), 6).alias("slope"),
+        F.round(F.expr("regr_intercept(l_extendedprice, l_quantity)"), 6).alias(
+            "intercept"
+        ),
+        F.expr("regr_count(l_extendedprice, l_quantity)").alias("n"),
+    )
+
+
+@query("agg_approx_topk")  # rows-only: sketch contents are engine-specific
+def agg_approx_topk(spark, sf):
+    """Approximate heavy hitters per column (DataFrame.freqItems — a
+    distributed misra-gries-style sketch): candidate frequent values of
+    p_brand and p_type at support 0.05 in one pass. Sketch output order and
+    over-approximation are engine-specific → rows-only; the exact-top-k
+    companion is text_term_freq."""
+    p = table(spark, sf, "part")
+    return p.freqItems(["p_brand", "p_type"], support=0.05)
