@@ -161,3 +161,105 @@ def window_distribution(spark, sf):
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS active_week
+      FROM events)
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS INT)
+             AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY f.cohort_week, week_offset
+    """,
+)
+def retention_cohorts(spark, sf):
+    """Cohort retention matrix: users bucketed by first-seen week, counted
+    per weeks-since-cohort offset. Two hash aggregates + one equi-join on
+    user_id — at 100 TB both aggregates pre-shuffle on user_id so AQE can
+    reuse the exchange; output is cohorts × offsets (tiny)."""
+    e = table(spark, sf, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("active_week")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "funnel_steps",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS ta
+      FROM events),
+    t2 AS (
+      SELECT user_id, ts, event_type, ta,
+             MIN(CASE WHEN event_type = 'click' AND ts > ta THEN ts END)
+               OVER (PARTITION BY user_id) AS tb
+      FROM t1),
+    t3 AS (
+      SELECT user_id, ta, tb,
+             MIN(CASE WHEN event_type = 'purchase' AND ts > tb THEN ts END)
+               OVER (PARTITION BY user_id) AS tc
+      FROM t2)
+    SELECT CAST(COUNT(DISTINCT CASE WHEN ta IS NOT NULL THEN user_id END)
+                AS BIGINT) AS viewed,
+           CAST(COUNT(DISTINCT CASE WHEN tb IS NOT NULL THEN user_id END)
+                AS BIGINT) AS then_clicked,
+           CAST(COUNT(DISTINCT CASE WHEN tc IS NOT NULL THEN user_id END)
+                AS BIGINT) AS then_purchased
+    FROM t3
+    """,
+)
+def funnel_steps(spark, sf):
+    """Ordered-funnel analysis (view → click → purchase, strictly later
+    steps): three chained conditional-min windows over ONE user_id
+    partitioning — a single shuffle, no self-joins (the naive 3-way
+    event-table self-join explodes quadratically at 100 TB); then one
+    global distinct-count rollup."""
+    e = table(spark, sf, "events")
+    w = Window.partitionBy("user_id")
+    ta = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    t1 = e.select("user_id", "ts", "event_type", ta.alias("ta"))
+    tb = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("ta")), F.col("ts"))
+    ).over(w)
+    t2 = t1.select("user_id", "ts", "event_type", "ta", tb.alias("tb"))
+    tc = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("tb")),
+            F.col("ts"),
+        )
+    ).over(w)
+    t3 = t2.select("user_id", "ta", "tb", tc.alias("tc"))
+    return t3.agg(
+        F.count_distinct(
+            F.when(F.col("ta").isNotNull(), F.col("user_id"))
+        ).alias("viewed"),
+        F.count_distinct(
+            F.when(F.col("tb").isNotNull(), F.col("user_id"))
+        ).alias("then_clicked"),
+        F.count_distinct(
+            F.when(F.col("tc").isNotNull(), F.col("user_id"))
+        ).alias("then_purchased"),
+    )
