@@ -383,3 +383,105 @@ def agg_approx_topk(spark, sf):
     companion is text_term_freq."""
     p = table(spark, sf, "part")
     return p.freqItems(["p_brand", "p_type"], support=0.05)
+
+
+@query(
+    "scd2_dim_build",
+    oracle="""
+    WITH dedup AS (
+      SELECT user_id, event_type, ts,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events),
+    changes AS (
+      SELECT user_id, event_type, ts AS valid_from
+      FROM dedup
+      WHERE prev_type IS NULL OR event_type <> prev_type)
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             AS valid_to
+    FROM changes
+    """,
+)
+def scd2_dim_build(spark, sf):
+    """Slowly-changing-dimension type 2 build from a change log: collapse
+    consecutive repeats of the tracked attribute, then derive each
+    version's [valid_from, valid_to) interval with a lead window —
+    NULL valid_to marks the current version. Both windows share one
+    user_id partitioning → a single shuffle end-to-end (the classic
+    sort-merge SCD2 ETL job expressed declaratively)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    e = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dedup = e.select(
+        "user_id", "event_type", "ts",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changes = dedup.filter(
+        F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type"))
+    ).select("user_id", "event_type", F.col("ts").alias("valid_from"))
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return changes.select(
+        "user_id", "event_type", "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )
+
+
+@query(
+    "snapshot_diff",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 11 <> 0),
+    b AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 13 <> 0)
+    SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type
+    FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+       OR a.o_totalprice <> b.o_totalprice
+       OR a.o_orderstatus <> b.o_orderstatus
+    """,
+)
+def snapshot_diff(spark, sf):
+    """CDC-style snapshot diff: full outer join on the business key,
+    classify added / removed / changed (unchanged rows dropped). At scale
+    both snapshots shuffle once on the key — or zero times if both are
+    bucketed on it; comparing a value-hash instead of N columns keeps the
+    probe cheap for wide tables (spelled out column-wise here for oracle
+    transparency)."""
+    from pyspark.sql import functions as F
+
+    o = table(spark, sf, "orders")
+    a = o.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    b = o.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") * 2)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    j = a.alias("a").join(
+        b.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    )
+    return j.filter(
+        F.col("a.o_orderkey").isNull()
+        | F.col("b.o_orderkey").isNull()
+        | (F.col("a.o_totalprice") != F.col("b.o_totalprice"))
+        | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+    ).select(
+        F.coalesce("a.o_orderkey", "b.o_orderkey").alias("o_orderkey"),
+        F.when(F.col("a.o_orderkey").isNull(), "added")
+        .when(F.col("b.o_orderkey").isNull(), "removed")
+        .otherwise("changed")
+        .alias("change_type"),
+    )
