@@ -567,3 +567,34 @@ def udf_map_in_pandas(spark, sf):
 
     e = table(spark, sf, "events").select("event_id", "value")
     return e.mapInPandas(xform, schema)
+
+
+@query(
+    "label_centroid_dims",
+    oracle="""
+    SELECT label, CAST(o - 1 AS INT) AS dim,
+           round(CAST(SUM(CAST(v AS DECIMAL(25,10))) AS DOUBLE)
+                 / COUNT(*), 6) AS centroid
+    FROM (SELECT label, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS o
+          FROM embeddings)
+    GROUP BY label, dim
+    """,
+)
+def label_centroid_dims(spark, sf):
+    """Per-label centroid, long form (label, dim, mean) — the oracle-checked
+    twin of the rows-only ``label_centroids`` vector assembly. Decimal
+    accumulation of the float components makes the per-dimension mean
+    partition-order invariant, so the cross-engine hash is exact. One
+    posexplode (narrow) + one hash aggregate on (label, dim)."""
+    e = table(spark, sf, "embeddings")
+    exploded = e.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    )
+    return exploded.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(25,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("centroid")
+    )

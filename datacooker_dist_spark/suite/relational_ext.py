@@ -485,3 +485,31 @@ def snapshot_diff(spark, sf):
         .otherwise("changed")
         .alias("change_type"),
     )
+
+
+@query(
+    "unpivot_long",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+           l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+)
+def unpivot_long(spark, sf):
+    """Wide → long unpivot (melt): the inverse of pivot_wide. DataFrame
+    ``unpivot`` expands each row into one row per measure column — a
+    narrow generator, no shuffle, 4× row amplification bounded by the
+    measure count."""
+    li = table(spark, sf, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
