@@ -121,3 +121,58 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """A filter on the dim side of a join against a partitioned fact must
+    inject a dynamic-pruning subquery into the fact scan — at 100 TB this
+    is the difference between scanning one partition directory and all of
+    them (static pruning can't see through the join)."""
+    fact = f"{tmp_path}/lineitem_by_flag"
+    spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").write.partitionBy(
+        "l_returnflag"
+    ).parquet(fact)
+    dim = spark.createDataFrame(
+        [("A", "accepted"), ("N", "new"), ("R", "returned")],
+        "flag string, label string",
+    )
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    joined = (
+        spark.read.parquet(fact)
+        .join(dim.filter(F.col("label") == "returned"),
+              F.col("l_returnflag") == F.col("flag"))
+        .select("l_orderkey", "l_quantity", "label")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert joined.count() > 0
+
+
+def test_bloom_filter_runtime_join_filter(spark, tmp_path):
+    """With a selective dim filter and a large un-partitioned fact, AQE's
+    runtime bloom filter should be injected on the fact side — row-level
+    pre-join filtering that cuts shuffle volume when partition pruning
+    can't apply. Thresholds lowered to fire at test scale."""
+    for k, v in {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }.items():
+        spark.conf.set(k, v)
+    try:
+        fact = f"{tmp_path}/lineitem_flat"
+        spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").write.parquet(fact)
+        dim = (
+            spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        joined = spark.read.parquet(fact).join(
+            dim, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
