@@ -513,3 +513,29 @@ def unpivot_long(spark, sf):
         "metric",
         "value",
     )
+
+
+@query(
+    "scalar_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_bigint,
+           json_extract_string(props, '$.k') AS k_str
+    FROM events
+    """,
+)
+def scalar_variant(spark, sf):
+    """Semi-structured access through Spark 4's native VARIANT type:
+    parse_json once into the binary variant encoding, then typed
+    variant_get extraction — the scale path for ragged JSON (no
+    per-query re-parse of the text, no rigid schema-of-json upfront).
+    Oracle reads the same paths with DuckDB's JSON extractors."""
+    from pyspark.sql import functions as F
+
+    e = table(spark, sf, "events")
+    v = e.select("event_id", F.parse_json("props").alias("pv"))
+    return v.select(
+        "event_id",
+        F.variant_get("pv", "$.k", "bigint").alias("k_bigint"),
+        F.variant_get("pv", "$.k", "string").alias("k_str"),
+    )

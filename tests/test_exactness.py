@@ -27,3 +27,46 @@ def test_dsum_is_exact_and_partition_invariant(spark, values, parts):
     got = df.agg(dsum("x").alias("s")).collect()[0]["s"]
     want = float(sum(values))  # exact decimal sum, then one rounding to double
     assert got == want
+
+
+def test_filter_clause_partition_invariant(spark):
+    """FILTER-qualified aggregates must not depend on the input
+    partitioning (the fused partial/final split happens per filter)."""
+    from conftest import SF_SMALL
+    from datacooker_dist_spark.suite import QUERIES
+
+    base = QUERIES["agg_filter_clause"](spark, SF_SMALL)
+    expected = sorted(map(tuple, base.collect()))
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    for parts in (1, 7):
+        li.repartition(parts).createOrReplaceTempView("lineitem_v")
+        got = sorted(map(tuple, spark.sql(
+            """
+            SELECT l_returnflag,
+                   CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+                     AS n_discounted,
+                   CAST(COUNT(*) FILTER (WHERE l_tax = 0) AS BIGINT) AS n_taxfree,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(25,2)))
+                        FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS open_qty
+            FROM lineitem_v GROUP BY l_returnflag
+            """
+        ).collect()))
+        assert got == expected, f"parts={parts}"
+
+
+def test_connected_components_idempotent(spark):
+    """Feeding CC's own (id, cluster_id) output back as edges must
+    reproduce the same assignment — the fixpoint is stable."""
+    from conftest import SF_SMALL
+    from datacooker_dist_spark.operators.dedup import connected_components
+    from datacooker_dist_spark.suite import QUERIES
+
+    first = QUERIES["dedup_clusters"](spark, SF_SMALL)
+    again = connected_components(
+        first.filter("doc_id <> cluster_id")
+        .selectExpr("doc_id AS id_a", "cluster_id AS id_b")
+    )
+    merged = {r.id_a: r.cluster_id for r in again.collect()}
+    for row in first.collect():
+        if row.doc_id in merged:
+            assert merged[row.doc_id] == row.cluster_id
