@@ -106,3 +106,20 @@ def test_lateral_explode_no_shuffle(spark):
     plan = executed_plan(spark, "lateral_explode")
     assert "Exchange" not in plan
     assert "Generate posexplode" in plan
+
+
+def test_funnel_windows_share_one_partitioning(spark):
+    """Three chained conditional-min windows reuse ONE user_id exchange
+    (the whole point vs a 3-way self-join); only the final distinct-count
+    rollup adds a second."""
+    plan = executed_plan(spark, "funnel_steps")
+    assert plan.count("Window ") == 3
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_scd2_single_shuffle(spark):
+    """Change-collapse lag and validity lead windows share one user_id
+    partitioning — a single shuffle end-to-end."""
+    plan = executed_plan(spark, "scd2_dim_build")
+    assert plan.count("Window ") == 2
+    assert plan.count("Exchange hashpartitioning") == 1
