@@ -259,10 +259,22 @@ def multimodal_resize(spark, sf):
     )
 
 
-@query("multimodal_frames")  # rows-only: byte-slice plumbing demo
+@query(
+    "multimodal_frames",
+    oracle="""
+    SELECT media_id, CAST(o - 1 AS INT) AS frame_no, substr(text, i, 8) AS frame
+    FROM (SELECT doc_id AS media_id, text,
+                 unnest(range(1, greatest(length(text), 1) + 1, 64)) AS i,
+                 generate_subscripts(
+                     range(1, greatest(length(text), 1) + 1, 64), 1) AS o
+          FROM documents WHERE doc_id < 50) x
+    """,
+)
 def multimodal_frames(spark, sf):
     """Fixed-stride payload sampling (video frame-extraction plumbing):
-    posexplode of byte-window slices per media row."""
+    posexplode of byte-window slices per media row. The payload stand-in is
+    the UTF-8 text, so the oracle replays the stride arithmetic with
+    substr over the same characters."""
     media = M.to_media_table(table(spark, sf, "documents"))
     return M.frame_sample(media.filter(F.col("media_id") < 50), every_n_bytes=64)
 
