@@ -269,3 +269,26 @@ def cosine_topk_lsh(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def cosine_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs exact cosine ≥ threshold over a bounded slice (id_a < id_b).
+    Quadratic — the exact-verification baseline only; at corpus scale feed
+    LSH/IVF candidates through :func:`cosine_topk_lsh`-style pruning and
+    run this check on candidates. Scores rounded to 6 digits for
+    engine-stable threshold comparison."""
+    e = emb.select(F.col(id_col), as_double_array(vec_col).alias("_v"))
+    a = e.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"))
+    b = e.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"))
+    cos = F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

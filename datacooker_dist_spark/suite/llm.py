@@ -206,20 +206,8 @@ def dedup_embedding(spark, sf):
     pruning; at corpus scale the LSH-bucketed candidates of
     `similarity_topk_lsh` replace the quadratic pair space and this exact
     check runs on candidates only)."""
-    e = (
-        table(spark, sf, "embeddings")
-        .filter(F.col("vec_id") < 500)
-        .select(F.col("vec_id"), S.as_double_array("embedding").alias("v"))
-    )
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("_va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("_vb"))
-    cos = F.round(S.cosine_expr(F.col("_va"), F.col("_vb")), 6)
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= 0.45)
-    )
+    emb = table(spark, sf, "embeddings").filter(F.col("vec_id") < 500)
+    return S.cosine_pairs(emb, threshold=0.45)
 
 
 @query("text_winnowing")  # rows-only: xxhash64-based fingerprints

@@ -159,3 +159,41 @@ def dedup_clusters(spark, sf):
     return D.connected_components(pairs.select("id_a", "id_b")).select(
         F.col("id_a").alias("doc_id"), "cluster_id"
     )
+
+
+@query(
+    "dedup_embedding_clusters",
+    oracle="""
+    WITH RECURSIVE
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id < 500),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45),
+    edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT s, t FROM edges
+      UNION
+      SELECT r.s, e2.t FROM reach r JOIN edges e2 ON r.t = e2.s
+      WHERE e2.t <> r.s)
+    SELECT s AS vec_id, LEAST(s, MIN(t)) AS cluster_id
+    FROM reach GROUP BY s
+    """,
+)
+def dedup_embedding_clusters(spark, sf):
+    """Embedding-space near-dup clusters: exact-cosine pairs (≥ 0.45 on the
+    bounded slice, matching dedup_embedding) fed through the same
+    connected-components operator as the text path — one operator serving
+    both modalities. At corpus scale the pair source swaps to the LSH/IVF
+    candidate path; the component step is unchanged."""
+    from ..operators import similarity as S
+
+    emb = table(spark, sf, "embeddings").filter(F.col("vec_id") < 500)
+    pairs = S.cosine_pairs(emb, threshold=0.45)
+    return D.connected_components(
+        pairs.select("id_a", "id_b")
+    ).select(F.col("id_a").alias("vec_id"), "cluster_id")
