@@ -51,6 +51,12 @@ def stream_late_data(spark, sf):
     src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
     t0 = dt.datetime(2024, 1, 1, 10, 0)
 
+    # The demo carries 4 rows; the state store allocates (and checkpoints)
+    # one directory per shuffle partition PER DRAIN, so scope the partition
+    # count down for the duration of the two drains. At production scale
+    # this knob is sized to the key cardinality, not left at the default.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+
     def write(rows):
         spark.createDataFrame(rows, "k string, ts timestamp").coalesce(
             1
@@ -76,11 +82,15 @@ def stream_late_data(spark, sf):
         )
         q.awaitTermination()
 
-    write([("a", t0), ("a", t0.replace(minute=30)),
-           ("a", dt.datetime(2024, 1, 1, 13, 0))])
-    drain()
-    write([("a", t0.replace(minute=45))])  # late for the closed 10:00 window
-    drain()
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        write([("a", t0), ("a", t0.replace(minute=30)),
+               ("a", dt.datetime(2024, 1, 1, 13, 0))])
+        drain()
+        write([("a", t0.replace(minute=45))])  # late for the closed 10:00 window
+        drain()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(sink).filter(SF.col("ws") == t0)
 
 
