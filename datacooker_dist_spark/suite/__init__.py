@@ -91,6 +91,7 @@ from . import (  # noqa: E402,F401
     llm,
     llm_ext,
     relational_ext,
+    relational_q4,
     streaming,
     subqueries,
 )

@@ -123,3 +123,34 @@ def test_scd2_single_shuffle(spark):
     plan = executed_plan(spark, "scd2_dim_build")
     assert plan.count("Window ") == 2
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_disjunctive_filter_single_scan(spark):
+    """Q19-shape OR-of-ANDs stays ONE scan of lineitem with a broadcast
+    part join — never a UNION of per-branch scans."""
+    plan = executed_plan(spark, "disjunctive_filter")
+    assert plan.count("lineitem.parquet") == 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_custdist_outer_join_preserved(spark):
+    """Q13-shape keeps zero-order customers: the non-equi priority
+    predicate lives in the outer join condition, not a post-filter that
+    would silently turn it inner."""
+    plan = executed_plan(spark, "custdist")
+    assert "Outer" in plan
+
+
+def test_returns_topk_no_global_sort(spark):
+    """Q10-shape top-20 runs as TakeOrderedAndProject (per-partition
+    top-k + merge), not a full Sort + Limit."""
+    plan = executed_plan(spark, "returns_revenue_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_exists_agg_is_semi_join(spark):
+    """Q4-shape EXISTS decorrelates to a left semi join feeding the
+    priority aggregate — no nested-loop."""
+    plan = executed_plan(spark, "order_priority_exists")
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
