@@ -263,3 +263,73 @@ def funnel_steps(spark, sf):
             F.when(F.col("tc").isNotNull(), F.col("user_id"))
         ).alias("then_purchased"),
     )
+
+
+@query(
+    "timeseries_gapfill",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS hour_value
+      FROM events GROUP BY event_type, hour),
+    bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events),
+    grid AS (
+      SELECT t.event_type, g.hour
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+            FROM bounds) g)
+    SELECT grid.event_type, grid.hour,
+           COALESCE(
+             LAST_VALUE(h.hour_value IGNORE NULLS) OVER (
+               PARTITION BY grid.event_type ORDER BY grid.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             0.0) AS filled_value,
+           h.hour_value IS NULL AS gap_filled
+    FROM grid LEFT JOIN hourly h
+      ON h.event_type = grid.event_type AND h.hour = grid.hour
+    """,
+)
+def timeseries_gapfill(spark, sf):
+    """Regular-grid densification + last-observation-carried-forward: hourly
+    per-type value sums on a complete hour grid, gaps filled with the last
+    observed hour (0.0 before the first observation). The grid is
+    span-hours × type-cardinality — independent of fact row count, so at
+    100 TB it is still tiny and both grid inputs broadcast; the only wide
+    operations are the hourly pre-aggregate (map-side partial) and one
+    per-type window. Hour sums accumulate as DECIMAL; LOCF copies values
+    bit-for-bit, so the fill is cross-engine exact."""
+    ev = table(spark, sf, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(25,2)")).cast("double")
+        .alias("hour_value")
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    grid = ev.select("event_type").distinct().crossJoin(F.broadcast(hours))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce(
+                F.last("hour_value", ignorenulls=True).over(w), F.lit(0.0)
+            ).alias("filled_value"),
+            F.col("hour_value").isNull().alias("gap_filled"),
+        )
+    )

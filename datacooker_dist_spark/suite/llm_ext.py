@@ -3,6 +3,7 @@ corpus splits, stratified sampling, unigram LM scoring."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
@@ -197,3 +198,67 @@ def dedup_embedding_clusters(spark, sf):
     return D.connected_components(
         pairs.select("id_a", "id_b")
     ).select(F.col("id_a").alias("vec_id"), "cluster_id")
+
+
+@query(
+    "text_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             UNNEST(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+      FROM documents),
+    tf AS (
+      SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE t <> '' GROUP BY doc_id, t),
+    idf AS (
+      SELECT t, round(ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                         / COUNT(*)), 9) AS idf
+      FROM tf GROUP BY t),
+    scored AS (
+      SELECT tf.doc_id, tf.t AS token, tf.tf,
+             round(tf.tf * idf.idf, 6) AS tfidf
+      FROM tf JOIN idf ON tf.t = idf.t)
+    SELECT doc_id, token, tf, tfidf
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def text_tfidf(spark, sf):
+    """Per-document top-3 terms by tf-idf — the classic keyword-extraction
+    signal for corpus curation. tf and df come from one tokenize→explode
+    pass with two aggregates; document count stays in-plan (scalar agg
+    cross-joined, no driver collect); idf broadcasts into the tf rows
+    (vocab ≪ corpus at any scale). The transcendental ln rounds to 9
+    digits and the product to 6 before ranking, with a token tiebreak, so
+    the top-3 cut is identical on both engines. Top-k per group is a
+    rank-filter window, not a global sort."""
+    docs = table(spark, sf, "documents")
+    tok = docs.select("doc_id", F.explode(D.tokens_col("text")).alias("t"))
+    tf = (
+        tok.filter(F.col("t") != "")
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    idf = (
+        tf.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select("t", F.round(F.log(F.col("_n") / F.col("_df")), 9).alias("idf"))
+    )
+    scored = tf.join(F.broadcast(idf), "t").select(
+        "doc_id",
+        F.col("t").alias("token"),
+        "tf",
+        F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
