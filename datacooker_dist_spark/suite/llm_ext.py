@@ -262,3 +262,105 @@ def text_tfidf(spark, sf):
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+@query(
+    "pack_sequences",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                  AS BIGINT) AS n_tokens
+      FROM documents),
+    packed AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS tok_before
+      FROM sized)
+    SELECT source, CAST(tok_before // 2048 AS BIGINT) AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS batch_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM packed
+    GROUP BY source, batch_id
+    """,
+)
+def pack_sequences(spark, sf):
+    """Token-budget sequence packing: documents fill contiguous 2048-token
+    training batches per source (batch = exclusive prefix token count div
+    budget, doc_id order — fully deterministic). The prefix sum windows
+    PER SOURCE, so at 100 TB the sequential-scan hazard of a global
+    cumulative sum is bounded by the largest single source, and sources
+    pack in parallel; everything is integer arithmetic, exact on both
+    engines. This is the batch-assignment half of LLM pretraining data
+    prep (the concat/pad half is a narrow per-batch map downstream)."""
+    docs = table(spark, sf, "documents")
+    sized = docs.select(
+        "doc_id", "source",
+        F.size(D.tokens_col("text")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = sized.withColumn(
+        "tok_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return (
+        packed.groupBy(
+            "source",
+            (F.col("tok_before") / F.lit(2048)).cast("long").alias("batch_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("batch_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@query(
+    "chunk_documents",
+    oracle="""
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_id,
+           substr(text, CAST(i * 150 + 1 AS BIGINT), 200) AS chunk_text,
+           CAST(len(substr(text, CAST(i * 150 + 1 AS BIGINT), 200))
+                AS BIGINT) AS chunk_len
+    FROM (
+      SELECT doc_id, text,
+             UNNEST(range(CAST(GREATEST(CEIL((len(text) - 50) / 150.0), 1)
+                          AS BIGINT))) AS i
+      FROM documents)
+    """,
+)
+def chunk_documents(spark, sf):
+    """RAG-style sliding-window chunking: 200-char chunks on a 150-char
+    stride (50 overlap), ceil((len-overlap)/stride) chunks per document,
+    minimum one. posexplode over an in-row sequence is a narrow transform
+    — zero shuffles at any scale, output size a constant factor of input.
+    Pure integer/substring arithmetic replayed verbatim by the oracle."""
+    docs = table(spark, sf, "documents")
+    n_chunks = F.greatest(
+        F.ceil((F.length("text") - F.lit(50)) / F.lit(150.0)), F.lit(1)
+    ).cast("long")
+    return (
+        docs.select(
+            "doc_id", "text",
+            F.posexplode(
+                F.sequence(F.lit(0), n_chunks - 1)
+            ).alias("chunk_id", "_off"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.substring(
+                F.col("text"), (F.col("_off") * 150 + 1).cast("int"), 200
+            ).alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text").cast("long"))
+    )
