@@ -364,3 +364,58 @@ def chunk_documents(spark, sf):
         )
         .withColumn("chunk_len", F.length("chunk_text").cast("long"))
     )
+
+
+@query(
+    "decontaminate_ngrams",
+    oracle="""
+    WITH split AS (
+      SELECT doc_id, text,
+             CASE WHEN ascii(substr(md5(regexp_replace(lower(trim(text)),
+                                    '\\s+', ' ', 'g')), 1, 1)) % 5 = 0
+                  THEN 'test' ELSE 'train' END AS split
+      FROM documents),
+    sh AS (
+      SELECT doc_id, split,
+             UNNEST(list_distinct(list_transform(
+               range(1, greatest(len(regexp_split_to_array(lower(trim(text)),
+                                 '\\s+')) - 2, 1) + 1),
+               i -> array_to_string((regexp_split_to_array(lower(trim(text)),
+                                    '\\s+'))[i:i+2], ' ')))) AS s
+      FROM split),
+    test_sh AS (SELECT DISTINCT s FROM sh WHERE split = 'test')
+    SELECT sh.doc_id, CAST(COUNT(DISTINCT sh.s) AS BIGINT) AS n_shared
+    FROM sh JOIN test_sh USING (s)
+    WHERE sh.split = 'train'
+    GROUP BY sh.doc_id
+    """,
+)
+def decontaminate_ngrams(spark, sf):
+    """Benchmark decontamination: train-split documents sharing at least one
+    word 3-gram with any test-split document, with the shared-gram count —
+    the standard pretraining hygiene pass (strict n-gram collision, as in
+    published LLM data-prep pipelines). Reuses the leakage-safe
+    fingerprint split and the session-shared shingle pass; the distinct
+    test-gram vocabulary is a small fraction of the corpus, so its join
+    side stays broadcastable at scale (test sets don't grow with train
+    data). One shuffle: the per-train-doc distinct-count aggregate."""
+    from ..operators.text import fingerprint
+    from . import shared_shingles
+
+    sh = shared_shingles(spark, sf)
+    docs = table(spark, sf, "documents")
+    split = docs.select(
+        "doc_id",
+        (F.ascii(F.substring(fingerprint("text"), 1, 1)) % 5 == 0)
+        .alias("_is_test"),
+    )
+    sh = sh.select("doc_id", "_sh").distinct().join(split, "doc_id")
+    test_sh = (
+        sh.filter("_is_test").select("_sh").distinct()
+    )
+    return (
+        sh.filter(~F.col("_is_test"))
+        .join(F.broadcast(test_sh), "_sh")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("_sh").alias("n_shared"))
+    )
