@@ -40,9 +40,21 @@ def stream_late_data(spark, sf):
     append-mode windowed count over two micro-batches where batch 2 carries
     a row older than the advanced watermark. The finalized 10:00 window must
     emit exactly once with the on-time count (2) — the late row is dropped.
-    Deterministic single-row result."""
+    Deterministic single-row result.
+
+    All batches run inside ONE availableNow drain: ``maxFilesPerTrigger=1``
+    splits the source files into one micro-batch each (file order pinned by
+    explicit mtimes). Since Spark 3.4 the LATE-EVENT watermark lags one
+    batch behind the EVICTION watermark within a run (SPARK-24634 split
+    them; a restart collapses both to the checkpointed value), so a spacer
+    batch sits between the on-time file and the late file — by the late
+    batch, the late-event watermark has advanced past the closed window and
+    the row drops, exactly as it would on restart, at a third of the
+    engine-startup cost."""
     import datetime as dt
+    import os
     import tempfile
+    import time
     import uuid
 
     from pyspark.sql import functions as SF
@@ -52,20 +64,34 @@ def stream_late_data(spark, sf):
     t0 = dt.datetime(2024, 1, 1, 10, 0)
 
     # The demo carries 4 rows; the state store allocates (and checkpoints)
-    # one directory per shuffle partition PER DRAIN, so scope the partition
-    # count down for the duration of the two drains. At production scale
-    # this knob is sized to the key cardinality, not left at the default.
+    # one directory per shuffle partition, so scope the partition count
+    # down for the duration of the drain. At production scale this knob is
+    # sized to the key cardinality, not left at the default.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
 
-    def write(rows):
+    def write(rows, mtime):
         spark.createDataFrame(rows, "k string, ts timestamp").coalesce(
             1
         ).write.mode("append").parquet(src)
+        for name in os.listdir(src):
+            path = os.path.join(src, name)
+            if os.path.getmtime(path) > mtime:
+                os.utime(path, (mtime, mtime))
 
-    def drain():
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        now = time.time()
+        write([("a", t0), ("a", t0.replace(minute=30)),
+               ("a", dt.datetime(2024, 1, 1, 13, 0))], now - 60)
+        # Spacer batch: advances the late-event watermark to batch 0's
+        # 12:50 before the late row arrives; lands in the 13:00 window,
+        # outside the returned 10:00 filter.
+        write([("spacer", dt.datetime(2024, 1, 1, 13, 5))], now - 30)
+        # Late for the 10:00 window, which batch 0's 13:00 row finalized.
+        write([("a", t0.replace(minute=45))], now)
         stream = spark.readStream.schema("k string, ts timestamp").option(
             "maxFilesPerTrigger", "1"
-        ).parquet(src)
+        ).option("latestFirst", "false").parquet(src)
         agg = (
             stream.withWatermark("ts", "10 minutes")
             .groupBy(SF.window("ts", "1 hour").alias("w"), "k")
@@ -81,14 +107,6 @@ def stream_late_data(spark, sf):
             .start()
         )
         q.awaitTermination()
-
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
-    try:
-        write([("a", t0), ("a", t0.replace(minute=30)),
-               ("a", dt.datetime(2024, 1, 1, 13, 0))])
-        drain()
-        write([("a", t0.replace(minute=45))])  # late for the closed 10:00 window
-        drain()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(sink).filter(SF.col("ws") == t0)
