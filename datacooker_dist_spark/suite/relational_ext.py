@@ -10,6 +10,8 @@ plans AQE re-plans at runtime (skew split + dynamic broadcast)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from . import query, table
 
 
@@ -538,4 +540,48 @@ def scalar_variant(spark, sf):
         "event_id",
         F.variant_get("pv", "$.k", "bigint").alias("k_bigint"),
         F.variant_get("pv", "$.k", "string").alias("k_str"),
+    )
+
+
+@query(
+    "incremental_agg_merge",
+    oracle="""
+    SELECT CAST(o_orderdate AS DATE) AS o_day, o_orderstatus,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE)
+             AS day_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_day, o_orderstatus
+    """,
+)
+def incremental_agg_merge(spark, sf):
+    """Materialized-aggregate maintenance: a 'yesterday' aggregate (orders
+    before 2000-01-01) merged with today's delta by re-aggregating the
+    union of PARTIAL states — sum-of-sums, sum-of-counts — instead of
+    recomputing from raw facts. The oracle is the full recompute, so the
+    check asserts merge ≡ recompute, the property that lets a 100 TB
+    pipeline update a rollup by touching only the new partition. Partials
+    stay DECIMAL until after the merge so the two-step sum is exactly the
+    one-step sum."""
+    o = table(spark, sf, "orders")
+
+    def partial(df):
+        return df.groupBy(
+            F.col("o_orderdate").cast("date").alias("o_day"),
+            "o_orderstatus",
+        ).agg(
+            F.sum(F.col("o_totalprice").cast("decimal(25,2)")).alias("_rev"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+
+    cutoff = F.lit("2000-01-01").cast("timestamp_ntz")
+    base = partial(o.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_day", "o_orderstatus")
+        .agg(
+            F.sum("_rev").cast("double").alias("day_revenue"),
+            F.sum("_n").alias("n_orders"),
+        )
     )

@@ -70,8 +70,15 @@ def stream_late_data(spark, sf):
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
 
     def write(rows, mtime):
-        spark.createDataFrame(rows, "k string, ts timestamp").coalesce(
-            1
+        # numSlices=1 (not coalesce(1)): coalescing a locally-parallelized
+        # DataFrame folds default_parallelism Python partition payloads
+        # into ONE task that pays a Python-worker round-trip per payload —
+        # ~5 s on local[32] for a 3-row write. A single slice is one
+        # round-trip and still exactly one output file (batch boundaries
+        # here are per-file).
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1),
+            "k string, ts timestamp",
         ).write.mode("append").parquet(src)
         for name in os.listdir(src):
             path = os.path.join(src, name)
@@ -259,4 +266,78 @@ def stream_session(spark, sf):
     out = run_available_now(result, spark)
     return out.withColumn(
         "session_start", F.col("session_start").cast("timestamp_ntz")
+    )
+
+
+@query(
+    "stream_upsert_sink",
+    oracle="""
+    SELECT user_id, event_type AS last_event_type, ts AS last_ts, value AS last_value
+    FROM (
+      SELECT user_id, event_type, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def stream_upsert_sink(spark, sf):
+    """foreachBatch upsert sink — the canonical CDC 'latest row per key'
+    materialization: each micro-batch reduces to its newest row per
+    user_id (event_id tiebreak), then merges into the parquet target by
+    read-union-reduce-overwrite. Arbitrary sinks get exactly-once
+    semantics from availableNow + checkpoint (batch id dedups replays);
+    at warehouse scale the overwrite step becomes a storage-layer MERGE
+    (Delta/Iceberg), but the batch-reduction topology is identical. The
+    drained target equals the batch window answer — the oracle."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    base = tempfile.mkdtemp(prefix=f"dds_upsert_{uuid.uuid4().hex[:6]}_")
+    target, ckpt = f"{base}/target", f"{base}/ckpt"
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = file_stream(spark, f"{sf}/events.parquet", EVENTS_RAW_SCHEMA)
+    stream = stream.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    )
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def latest_per_key(df):
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("user_id", "event_type", "ts", "value", "event_id")
+        )
+
+    def upsert(batch_df, batch_id):
+        s = batch_df.sparkSession
+        news = latest_per_key(batch_df)
+        try:
+            cur = s.read.parquet(target)
+            merged = latest_per_key(cur.unionByName(news))
+        except Exception:
+            merged = news
+        # Stage then swap: the target can't be overwritten while being read.
+        staged = f"{base}/stage_{batch_id}"
+        merged.write.mode("overwrite").parquet(staged)
+        s.read.parquet(staged).write.mode("overwrite").parquet(target)
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(target).select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("ts").alias("last_ts"),
+        F.col("value").alias("last_value"),
     )

@@ -16,9 +16,12 @@ from datacooker_dist_spark.streaming.pipeline import (
 
 
 def _write_batch(spark, path, rows):
-    spark.createDataFrame(rows, "k string, ts timestamp").coalesce(1).write.mode(
-        "append"
-    ).parquet(path)
+    # numSlices=1, not coalesce(1): see stream_late_data — coalescing a
+    # locally-parallelized frame serializes N Python-worker round-trips
+    # into one task.
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), "k string, ts timestamp"
+    ).write.mode("append").parquet(path)
 
 
 def test_watermark_drops_late_rows(spark, tmp_path):
