@@ -333,3 +333,45 @@ def timeseries_gapfill(spark, sf):
             F.col("hour_value").isNull().alias("gap_filled"),
         )
     )
+
+
+@query(
+    "pipeline_feature_store",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           MAX(ts) AS last_seen,
+           CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) / COUNT(value)
+             AS avg_value,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+             AS n_purchase,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+             AS n_error,
+           CAST(SUM(CAST(value AS DECIMAL(25,2)))
+                  FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+             AS purchase_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def pipeline_feature_store(spark, sf):
+    """User-level ML feature engineering: event counts, type cardinality,
+    recency, decimal-exact monetary aggregates, and conditional (FILTER)
+    per-type features — all fused into ONE hash aggregate over a single
+    events scan. This is the feature-store build job: at 100 TB it is one
+    shuffle on user_id with map-side partials, and every feature column
+    adds zero extra passes. NULL-safe: purchase_value is NULL for users
+    with no purchases (exactly what a downstream imputation step expects)."""
+    ev = table(spark, sf, "events")
+    is_p = F.col("event_type") == "purchase"
+    dec = F.col("value").cast("decimal(25,2)")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("event_type").alias("n_types"),
+        F.max("ts").alias("last_seen"),
+        (F.sum(dec).cast("double") / F.count("value")).alias("avg_value"),
+        F.count(F.when(is_p, 1)).alias("n_purchase"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_error"),
+        F.sum(F.when(is_p, dec)).cast("double").alias("purchase_value"),
+    )

@@ -154,3 +154,35 @@ def test_exists_agg_is_semi_join(spark):
     plan = executed_plan(spark, "order_priority_exists")
     assert "LeftSemi" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_rank_filter_and_broadcast_idf(spark):
+    """tf-idf: idf (vocab-sized) broadcasts into the tf rows and the top-3
+    cut is a rank-filter window, not a global sort+limit."""
+    plan = executed_plan(spark, "text_tfidf")
+    assert "BroadcastHashJoin" in plan
+    assert "row_number" in plan
+    assert "TakeOrderedAndProject" not in plan
+    assert "GlobalLimit" not in plan
+
+
+def test_gapfill_grid_broadcasts(spark):
+    """Gap-fill's hour grid (span × types, volume-independent) must stay on
+    the broadcast side; only the hourly pre-aggregate and the per-type
+    window shuffle."""
+    plan = executed_plan(spark, "timeseries_gapfill")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_pack_sequences_single_window_shuffle(spark):
+    """Sequence packing: ONE source-partitioned exchange feeds both the
+    prefix-sum window and the batch aggregate."""
+    plan = executed_plan(spark, "pack_sequences")
+    assert plan.count("Window ") == 1
+
+
+def test_decontaminate_broadcasts_test_vocab(spark):
+    """Decontamination joins the (small) distinct test-gram vocabulary as
+    the broadcast side against train grams."""
+    plan = executed_plan(spark, "decontaminate_ngrams")
+    assert "BroadcastHashJoin" in plan
