@@ -130,14 +130,26 @@ def stream_stateful_count(spark, sf):
     """Custom stateful operator (applyInPandasWithState): running per-user
     counts in the state store, Arrow-batched through Python. Draining the
     bounded stream and keeping each key's last (= max, counts are monotone)
-    emission reproduces the batch GROUP BY — the oracle."""
+    emission reproduces the batch GROUP BY — the oracle.
+
+    State partitions are scoped to the key cardinality (~1e3 users →
+    8 partitions ≈ 125 keys each): every state partition costs a state
+    store instance + an Arrow/Python round-trip per batch, so oversizing
+    the count multiplies fixed cost with zero parallelism gain. At
+    production key cardinalities the same rule sizes the count UP
+    (keys / target-keys-per-partition), bounded by cluster cores."""
     from ..streaming.stateful import running_counts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = file_stream(spark, f"{sf}/events.parquet", EVENTS_RAW_SCHEMA)
-    emitted = run_available_now(
-        running_counts(stream, "user_id"), spark, output_mode="update"
-    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = file_stream(spark, f"{sf}/events.parquet", EVENTS_RAW_SCHEMA)
+        emitted = run_available_now(
+            running_counts(stream, "user_id"), spark, output_mode="update"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return emitted.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
 
 
