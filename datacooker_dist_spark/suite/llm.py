@@ -144,11 +144,14 @@ def similarity_topk(spark, sf):
 @query("similarity_topk_lsh")  # rows-only: approximate (recall < 1)
 def similarity_topk_lsh(spark, sf):
     """Scale path: random-hyperplane LSH buckets prune the corpus before
-    scoring (equi-join on (table, signature) instead of a cross join)."""
+    scoring (equi-join on (table, signature) instead of a cross join).
+    No explicit repartition: the signature pass is narrow, so partitioning
+    comes from the scan (maxPartitionBytes at real scale) — forcing
+    default_parallelism partitions on a small corpus just multiplies
+    Arrow-worker startups."""
     emb = table(spark, sf, "embeddings")
     out = S.cosine_topk_lsh(
         emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, planes=6, tables=8,
-        num_partitions=default_parallelism(spark),
     )
     return out.select(
         "query_id", "neighbor_id", "cosine", F.col("rnk").cast("long").alias("rnk")
