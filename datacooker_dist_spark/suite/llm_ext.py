@@ -419,3 +419,39 @@ def decontaminate_ngrams(spark, sf):
         .groupBy("doc_id")
         .agg(F.count_distinct("_sh").alias("n_shared"))
     )
+
+
+@query(
+    "dedup_edit_distance",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, substr(lower(trim(text)), 1, 80) AS t
+      FROM documents WHERE doc_id < 300)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_dist
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.t, b.t) <= 20
+    """,
+)
+def dedup_edit_distance(spark, sf):
+    """Edit-distance near-dup verification on a bounded candidate slice:
+    Levenshtein ≤ 20 over 80-char normalized prefixes — the
+    character-level verifier that catches small in-place edits word-level
+    Jaccard can miss. Quadratic in the SLICE, which stands in for an LSH
+    candidate list; at corpus scale this exact check runs per candidate
+    pair (linear in candidates), never all-pairs. Integer distance —
+    exact on both engines."""
+    docs = table(spark, sf, "documents")
+    d = docs.filter(F.col("doc_id") < 300).select(
+        "doc_id",
+        F.substring(F.lower(F.trim(F.col("text"))), 1, 80).alias("t"),
+    )
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("t").alias("_ta"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("t").alias("_tb"))
+    dist = F.levenshtein("_ta", "_tb")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(dist <= 20)
+        .select("id_a", "id_b", dist.cast("long").alias("edit_dist"))
+    )

@@ -28,6 +28,8 @@ is engine-extension surface per SURVEY.md §2.B.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from . import query, table
 
 
@@ -351,3 +353,36 @@ def disjunctive_filter(spark, sf):
     return spark.sql(_DISJUNCTIVE_FILTER.format(
         lineitem="lineitem_v", part="part_v",
     ))
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_skew_salted(spark, sf):
+    """Skew-salted fact-fact join (operators/relational.salted_join): the
+    left side's key is salted into 16 sub-keys and the right side
+    replicated across salts, spreading any hot key over 16 reducers. The
+    oracle is the PLAIN join aggregate — asserting the salting rewrite is
+    semantics-preserving, the property that makes it safe to deploy
+    against a power-law key. Used when one key exceeds a task even after
+    AQE skew-split (null floods, power-law heads) or where AQE can't run
+    (streaming joins); costs salt_buckets× replication of the right side."""
+    from ..operators.relational import salted_join
+
+    li = table(spark, sf, "lineitem")
+    o = table(spark, sf, "orders").withColumnRenamed("o_orderkey", "l_orderkey")
+    joined = salted_join(li, o, on="l_orderkey", salt_buckets=16)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast("decimal(25,2)"))
+        .cast("double").alias("revenue"),
+    )
