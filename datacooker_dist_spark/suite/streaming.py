@@ -353,3 +353,65 @@ def stream_upsert_sink(spark, sf):
         F.col("ts").alias("last_ts"),
         F.col("value").alias("last_value"),
     )
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+           v.user_id, v.ts AS view_ts, p.ts AS purchase_ts
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_stream_join(spark, sf):
+    """Stream-stream interval join — the hardest stateful topology: views
+    and purchases arrive as two independent streams, matched on user_id
+    within a 30-minute event-time window. Both sides carry watermarks, so
+    each side's join state is evicted once the other side's watermark
+    passes the interval bound — state stays O(window × rate), not O(stream).
+    Inner join in append mode; the bounded drain equals the batch interval
+    join — the oracle. State partitions scoped to the ~1e3-user key
+    cardinality (see stream_stateful_count's sizing rule)."""
+    from pyspark.sql import functions as SF
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    def side(label, event_type):
+        s = file_stream(spark, f"{sf}/events.parquet", EVENTS_RAW_SCHEMA)
+        s = s.withColumn("ts", SF.timestamp_micros(SF.expr("ts div 1000")))
+        return (
+            s.filter(SF.col("event_type") == event_type)
+            .select(
+                SF.col("event_id").alias(f"{label}_id"),
+                SF.col("user_id").alias(f"{label}_user"),
+                SF.col("ts").alias(f"{label}_ts"),
+            )
+            .withWatermark(f"{label}_ts", "1 hour")
+        )
+
+    try:
+        views, purchases = side("view", "view"), side("purchase", "purchase")
+        joined = views.join(
+            purchases,
+            SF.expr(
+                "view_user = purchase_user"
+                " AND purchase_ts >= view_ts"
+                " AND purchase_ts <= view_ts + INTERVAL 30 MINUTES"
+            ),
+            "inner",
+        )
+        out = run_available_now(joined, spark, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return out.select(
+        SF.col("view_id"),
+        SF.col("purchase_id"),
+        SF.col("view_user").alias("user_id"),
+        SF.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+        SF.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+    )
