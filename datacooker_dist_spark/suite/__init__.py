@@ -88,6 +88,7 @@ from . import (  # noqa: E402,F401
     analytics,
     core,
     core_ext,
+    graph,
     llm,
     llm_ext,
     relational_ext,
