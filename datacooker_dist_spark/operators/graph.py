@@ -23,6 +23,7 @@ def pagerank(
     damping_ppb: int = 850_000_000,
     src: str = "src",
     dst: str = "dst",
+    eager: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an (src, dst) edge DataFrame,
     computed in FIXED-POINT parts-per-billion (rank_ppb: BIGINT).
@@ -46,8 +47,12 @@ def pagerank(
     standard simplification); feed a bidirectionalized edge set if every
     node must keep nonzero rank.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # The edge list is consumed 2·K+2 times (every iteration's join, the
+    # degree table, the node set); persist it once or the upstream edge
+    # derivation re-executes per consumer. At cluster scale this is the
+    # standard cached-adjacency form (MEMORY_AND_DISK spills, never OOMs).
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -72,4 +77,11 @@ def pagerank(
                 + F.expr(f"({damping_ppb} * sum(_c)) div {SCALE_PPB}")
             ).alias("rank_ppb")
         )
+    if eager:
+        # Materialize the loop now (under the caller's current session
+        # conf) and release the cached adjacency — downstream consumers
+        # get the small rank table, not the 2·K-stage lineage.
+        ranks = ranks.localCheckpoint()
+        e.unpersist()
+        deg.unpersist()
     return ranks
