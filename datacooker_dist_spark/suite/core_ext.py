@@ -348,3 +348,75 @@ def agg_median(spark, sf):
             F.median("l_extendedprice").alias("med_price"),
         )
     )
+
+
+@query(
+    "scalar_higher_order",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           list_transform([l_quantity, l_extendedprice, l_tax],
+                          x -> round(x * 2, 2)) AS doubled,
+           list_filter([l_quantity, l_extendedprice, l_tax],
+                       x -> x > 1.0) AS big_vals,
+           len(list_filter([l_quantity, l_extendedprice, l_tax],
+                           x -> x > 1.0)) > 0 AS any_big,
+           round(l_quantity + (l_extendedprice + (l_tax + 0.0)), 2)
+             AS folded_sum
+    FROM lineitem
+    """,
+)
+def scalar_higher_order(spark, sf):
+    """Array higher-order lambdas — transform / filter / exists / aggregate
+    (left fold) — run as Catalyst LambdaFunction expressions, per-row and
+    shuffle-free. The fold is written with explicit right-nested
+    parentheses in the oracle so both engines add in the identical order;
+    round(·,2) keeps the lambda outputs engine-exact."""
+    li = table(spark, sf, "lineitem")
+    arr = F.array("l_quantity", "l_extendedprice", "l_tax")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.transform(arr, lambda x: F.round(x * 2, 2)).alias("doubled"),
+        F.filter(arr, lambda x: x > 1.0).alias("big_vals"),
+        F.exists(arr, lambda x: x > 1.0).alias("any_big"),
+        F.round(
+            F.aggregate(
+                F.reverse(arr), F.lit(0.0), lambda acc, x: x + acc
+            ),
+            2,
+        ).alias("folded_sum"),
+    )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH l AS (
+      SELECT l_orderkey, l_linenumber,
+             NULLIF(l_returnflag, 'N') AS flag
+      FROM lineitem WHERE l_orderkey < 500),
+    d AS (SELECT * FROM (VALUES ('R', 'returned'), ('A', 'accepted'),
+                                (NULL, 'none')) AS t(flag, label))
+    SELECT l.l_orderkey, l.l_linenumber, l.flag, d.label
+    FROM l JOIN d ON l.flag IS NOT DISTINCT FROM d.flag
+    """,
+)
+def join_null_safe(spark, sf):
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH
+    each other instead of vanishing — the semantic needed when NULL is a
+    legitimate dimension value (here 'N' mapped to NULL, joined to a
+    'none' label). Catalyst plans <=> as a hash join key just like =, so
+    the shape stays a broadcast hash join — no fallback to a nested
+    loop; a plain = join would silently drop every NULL-key row."""
+    li = table(spark, sf, "lineitem")
+    l = li.filter(F.col("l_orderkey") < 500).select(
+        "l_orderkey", "l_linenumber",
+        F.nullif("l_returnflag", F.lit("N")).alias("flag"),
+    )
+    d = spark.createDataFrame(
+        [("R", "returned"), ("A", "accepted"), (None, "none")],
+        "flag string, label string",
+    )
+    return l.join(
+        F.broadcast(d), l["flag"].eqNullSafe(d["flag"])
+    ).select(l["l_orderkey"], l["l_linenumber"], l["flag"], d["label"])
