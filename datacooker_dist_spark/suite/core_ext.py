@@ -413,8 +413,12 @@ def join_null_safe(spark, sf):
         "l_orderkey", "l_linenumber",
         F.nullif("l_returnflag", F.lit("N")).alias("flag"),
     )
+    # numSlices=1: a default-parallelism parallelize of 3 local rows costs
+    # one Python-worker round-trip per slice when the broadcast collects.
     d = spark.createDataFrame(
-        [("R", "returned"), ("A", "accepted"), (None, "none")],
+        spark.sparkContext.parallelize(
+            [("R", "returned"), ("A", "accepted"), (None, "none")], 1
+        ),
         "flag string, label string",
     )
     return l.join(
