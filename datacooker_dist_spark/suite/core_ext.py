@@ -424,3 +424,72 @@ def join_null_safe(spark, sf):
     return l.join(
         F.broadcast(d), l["flag"].eqNullSafe(d["flag"])
     ).select(l["l_orderkey"], l["l_linenumber"], l["flag"], d["label"])
+
+
+@query(
+    "adapter_csv_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def adapter_csv_roundtrip(spark, sf):
+    """Reference copy-path parity through the driver's correctness gate:
+    nation flows out through the hadoopColumnar OUTPUT adapter (TAB
+    delimited text + header, reference A7/A12) and back in through the
+    hadoopColumnar INPUT adapter (header schema inference, A2), then
+    re-casts the loose string schema. The oracle is the original table —
+    asserting the full adapter round-trip is lossless. Same verb-registry
+    machinery the CLI copy runner uses (A20-A22)."""
+    import tempfile
+    import uuid
+
+    from ..model import DataStream, StreamType
+    from ..registry import resolve_input, resolve_output
+
+    base = tempfile.mkdtemp(prefix=f"dds_rt_{uuid.uuid4().hex[:6]}_")
+    nation = table(spark, sf, "nation")
+    out = resolve_output("hadoopColumnar")().configure(
+        {"delimiter": "\t"}
+    ).initialize(spark, base)
+    out.save("nation", DataStream("nation", nation, StreamType.COLUMNAR))
+    inp = resolve_input("hadoopColumnar")().configure(
+        {"delimiter": "\t"}
+    ).initialize(spark, base)
+    [ds] = inp.load("nation").values()
+    return ds.df.select(
+        F.col("n_nationkey").cast("int"),
+        F.col("n_name"),
+        F.col("n_regionkey").cast("int"),
+    )
+
+
+@query(
+    "scalar_map",
+    oracle="""
+    SELECT o_orderkey,
+           map_extract(MAP {'status': o_orderstatus,
+                            'priority': o_orderpriority},
+                       'priority')[1] AS prio,
+           CAST(len(map_keys(MAP {'status': o_orderstatus,
+                                  'priority': o_orderpriority}))
+                AS BIGINT) AS n_keys,
+           list_contains(map_keys(MAP {'status': o_orderstatus,
+                                       'priority': o_orderpriority}),
+                         'status') AS has_status
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def scalar_map(spark, sf):
+    """MAP-typed scalars: construction, keyed extraction, key listing,
+    membership — per-row expressions with no shuffle. Output columns are
+    extracted SCALARS (maps themselves hash differently across engines'
+    key ordering, so the contract surfaces values, not map objects)."""
+    o = table(spark, sf, "orders").filter(F.col("o_orderkey") < 1000)
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.element_at(m, "priority").alias("prio"),
+        F.size(F.map_keys(m)).cast("long").alias("n_keys"),
+        F.array_contains(F.map_keys(m), "status").alias("has_status"),
+    )
