@@ -256,5 +256,19 @@ class HadoopTextOutput(_HadoopOutputBase):
         )
 
 
+@output_adapter("hadoopStructured")
+class HadoopStructuredOutput(_HadoopOutputBase):
+    """Structured records → JSON-lines with codec (completes the
+    structured family: the reference's commons has the JSON record type
+    but dist never shipped a JSON sink — engine extension). Nested
+    struct/array/map columns serialize natively."""
+
+    def save(self, name: str, stream: DataStream) -> None:
+        codec = str(self.params.get("codec", "none")).lower()
+        self._projected(stream).write.mode("overwrite").option(
+            "compression", codec
+        ).json(self._target(name))
+
+
 output_adapter("s3directText")(HadoopColumnarOutput)
 output_adapter("s3directParquet")(HadoopParquetOutput)

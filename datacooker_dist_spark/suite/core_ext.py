@@ -493,3 +493,46 @@ def scalar_map(spark, sf):
         F.size(F.map_keys(m)).cast("long").alias("n_keys"),
         F.array_contains(F.map_keys(m), "status").alias("has_status"),
     )
+
+
+@query(
+    "adapter_jsonl_roundtrip",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+    FROM events WHERE event_id < 2000
+    """,
+)
+def adapter_jsonl_roundtrip(spark, sf):
+    """Structured-record copy path through the correctness gate: events
+    (with the nested props JSON parsed to a struct) flow out through the
+    hadoopStructured OUTPUT adapter (JSON-lines) and back in through the
+    structured INPUT adapter with a pinned DDL schema, then re-flatten.
+    Oracle extracts the same nested field from the source — asserting the
+    nested round-trip is lossless. Pinning ``schema_json`` on read is the
+    scale posture: schema inference samples the data (an extra pass) and
+    can drift between runs."""
+    import tempfile
+    import uuid
+
+    from . import read_events
+    from ..model import DataStream, StreamType
+    from ..registry import resolve_input, resolve_output
+
+    base = tempfile.mkdtemp(prefix=f"dds_js_{uuid.uuid4().hex[:6]}_")
+    ev = read_events(spark, sf).filter(F.col("event_id") < 2000).select(
+        "event_id",
+        "event_type",
+        F.from_json("props", "k bigint").alias("props"),
+    )
+    out = resolve_output("hadoopStructured")().configure({}).initialize(
+        spark, base
+    )
+    out.save("events", DataStream("events", ev, StreamType.STRUCTURED))
+    inp = resolve_input("hadoopStructured")().configure(
+        {"schema_json": "event_id bigint, event_type string, props struct<k:bigint>"}
+    ).initialize(spark, base)
+    [ds] = inp.load("events").values()
+    return ds.df.select(
+        "event_id", "event_type", F.col("props.k").alias("prop_k")
+    )
