@@ -222,3 +222,33 @@ def subquery_not_in(spark, sf):
           SELECT n_nationkey FROM nation_v WHERE n_name LIKE 'NATION_1%')
         """
     )
+
+
+_LATERAL_TOPN = """
+SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+FROM {customer} c, LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM {orders} o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 3
+) t
+WHERE c.c_custkey < 500
+"""
+
+
+@query(
+    "subquery_lateral",
+    oracle=_LATERAL_TOPN.format(customer="customer", orders="orders"),
+)
+def subquery_lateral(spark, sf):
+    """LATERAL correlated subquery: each customer's top-3 orders by price,
+    written as a per-row dependent subquery with ORDER BY + LIMIT.
+    Catalyst DECORRELATES it — the executed plan is a window rank-filter
+    over one o_custkey shuffle, no nested loop (asserted in
+    tests/test_plans.py) — so the declarative per-row form costs the same
+    as the hand-written topk_per_group. Deterministic o_orderkey
+    tiebreak."""
+    for t in ("customer", "orders"):
+        table(spark, sf, t).createOrReplaceTempView(f"{t}_v")
+    return spark.sql(_LATERAL_TOPN.format(customer="customer_v", orders="orders_v"))

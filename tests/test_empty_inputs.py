@@ -1,0 +1,75 @@
+"""Empty-input hardening: operators must return an EMPTY, correctly-typed
+result — not crash, not emit garbage rows — when a filter leaves zero
+rows. At 100 TB, empty partitions and empty date slices are routine
+(fresh tenants, pre-launch date ranges, all-filtered sources); an
+operator that throws on empty input takes down the whole pipeline run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_SMALL
+from datacooker_dist_spark.operators import dedup as D
+from datacooker_dist_spark.operators import relational as R
+from datacooker_dist_spark.operators.graph import pagerank
+from datacooker_dist_spark.operators.similarity import cosine_topk
+
+
+def _empty_docs(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    return docs.filter(F.lit(False))
+
+
+def test_shingles_on_empty_corpus(spark):
+    sh = D.shingle_rows(_empty_docs(spark))
+    assert sh.count() == 0
+    assert set(sh.columns) >= {"doc_id", "_sh"}
+
+
+def test_connected_components_on_empty_edges(spark):
+    pairs = spark.createDataFrame(
+        spark.sparkContext.parallelize([], 1), "id_a long, id_b long"
+    )
+    out = D.connected_components(pairs)
+    assert out.count() == 0
+
+
+def test_pagerank_on_single_edge(spark):
+    edges = spark.createDataFrame(
+        spark.sparkContext.parallelize([(1, 2), (2, 1)], 1),
+        "src long, dst long",
+    )
+    out = pagerank(edges, iterations=2).collect()
+    # Two symmetric nodes split the mass equally: 1e9 // 2 each, exactly.
+    assert sorted((r["node"], r["rank_ppb"]) for r in out) == [
+        (1, 500000000), (2, 500000000)
+    ]
+
+
+def test_cosine_topk_on_empty_queries(spark):
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    out = cosine_topk(emb, emb.filter(F.lit(False)), k=3)
+    assert out.count() == 0
+
+
+def test_salted_join_on_empty_left(spark):
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").filter(F.lit(False))
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    assert R.salted_join(li, o, on="l_orderkey").count() == 0
+
+
+def test_suite_aggregate_on_empty_slice(spark):
+    """A grouped aggregate over zero rows yields zero groups (not a
+    null-group row) and keeps its schema."""
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").filter(
+        F.col("l_shipdate") < F.lit("1990-01-01").cast("timestamp_ntz")
+    )
+    out = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(25,2)")).cast("double")
+        .alias("s")
+    )
+    assert out.columns == ["l_returnflag", "s"]
+    assert out.count() == 0

@@ -186,3 +186,11 @@ def test_decontaminate_broadcasts_test_vocab(spark):
     the broadcast side against train grams."""
     plan = executed_plan(spark, "decontaminate_ngrams")
     assert "BroadcastHashJoin" in plan
+
+
+def test_lateral_subquery_decorrelates(spark):
+    """LATERAL (... ORDER BY ... LIMIT 3) must decorrelate to a window
+    rank-filter over one shuffle — never a per-row nested loop."""
+    plan = executed_plan(spark, "subquery_lateral")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
