@@ -375,3 +375,39 @@ def pipeline_feature_store(spark, sf):
         F.count(F.when(F.col("event_type") == "error", 1)).alias("n_error"),
         F.sum(F.when(is_p, dec)).cast("double").alias("purchase_value"),
     )
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+    SELECT event_type, value_bucket, n FROM (
+      SELECT event_type, value_bucket, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, value_bucket) AS rn
+      FROM (SELECT event_type,
+                   CAST(FLOOR(value / 50) AS BIGINT) AS value_bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type, value_bucket))
+    WHERE rn = 1
+    """,
+)
+def agg_mode_deterministic(spark, sf):
+    """Per-group MODE with a total order: most frequent value bucket per
+    event type, ties broken by bucket value. The built-in mode() breaks
+    ties arbitrarily (engine- and partitioning-dependent), so the engine
+    form is count-then-rank — two hash aggregates sharing the group key's
+    partitioning plus a tiny per-group window. Same result every run, on
+    every engine."""
+    ev = table(spark, sf, "events")
+    counts = ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / 50).cast("long").alias("value_bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("value_bucket")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

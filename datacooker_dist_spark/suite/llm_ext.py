@@ -455,3 +455,45 @@ def dedup_edit_distance(spark, sf):
         .filter(dist <= 20)
         .select("id_a", "id_b", dist.cast("long").alias("edit_dist"))
     )
+
+
+@query(
+    "pipeline_multimodal_pairs",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, text, lang, n_chars
+      FROM documents
+      WHERE n_chars >= 200 AND lang IN ('en', 'de', 'fr')),
+    e AS (
+      SELECT vec_id, label,
+             round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))), 6)
+               AS vnorm
+      FROM embeddings)
+    SELECT q.doc_id, e.label, q.lang, q.n_chars, e.vnorm
+    FROM q JOIN e ON q.doc_id = e.vec_id
+    WHERE e.vnorm > 0.1
+    """,
+)
+def pipeline_multimodal_pairs(spark, sf):
+    """Cross-modal training-pair construction (CLIP-style): quality-filter
+    the text side (length + language), validity-filter the embedding side
+    (nonzero norm), and join on the shared id to emit aligned
+    (document, embedding) pairs with their metadata. One equi-join on the
+    id — at corpus scale both sides arrive bucketed on the id and the
+    join is co-located, zero extra shuffle. Norms rounded to 6 for the
+    cross-engine threshold comparison."""
+    from ..operators.similarity import as_double_array, _norm
+
+    docs = table(spark, sf, "documents")
+    emb = table(spark, sf, "embeddings")
+    q = docs.filter(
+        (F.col("n_chars") >= 200) & F.col("lang").isin("en", "de", "fr")
+    ).select("doc_id", "lang", "n_chars")
+    e = emb.select(
+        "vec_id", "label",
+        F.round(_norm(as_double_array("embedding")), 6).alias("vnorm"),
+    ).filter(F.col("vnorm") > 0.1)
+    return q.join(e, q["doc_id"] == e["vec_id"]).select(
+        "doc_id", "label", "lang", "n_chars", "vnorm"
+    )
