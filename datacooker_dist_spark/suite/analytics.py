@@ -411,3 +411,64 @@ def agg_mode_deterministic(spark, sf):
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@query(
+    "window_distinct_count",
+    oracle="""
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           CAST(COUNT(DISTINCT event_type) OVER (
+             PARTITION BY user_id ORDER BY CAST(ts AS DATE)
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS types_so_far
+    FROM events
+    """,
+)
+def window_distinct_count(spark, sf):
+    """Running DISTINCT count per key: Spark has no COUNT(DISTINCT) OVER,
+    so the engine form is size(collect_set() OVER) — same state bound
+    (the distinct set per partition frame) and one user_id shuffle. Day
+    peers enter the frame together (RANGE semantics) on both engines.
+    This is the 'unique event types seen so far' engagement signal."""
+    ev = table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("date"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        F.size(F.collect_set("event_type").over(w)).cast("long")
+        .alias("types_so_far"),
+    )
+
+
+@query(
+    "window_ratio_to_report",
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) OVER (
+               PARTITION BY o_custkey) AS DOUBLE) AS cust_total
+      FROM orders)
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           o_totalprice / cust_total AS share_of_customer
+    FROM s
+    """,
+)
+def window_ratio_to_report(spark, sf):
+    """Ratio-to-report: each order's share of its customer's total spend —
+    an unordered full-partition window (no sort needed, one user_id
+    shuffle). The denominator accumulates as DECIMAL so the division's
+    operands are bit-identical across engines and partition counts; the
+    division itself is then IEEE-deterministic."""
+    o = table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey")
+    total = F.sum(F.col("o_totalprice").cast("decimal(25,2)")).over(w).cast("double")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("o_totalprice") / total).alias("share_of_customer"),
+    )
