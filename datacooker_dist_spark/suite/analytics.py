@@ -472,3 +472,103 @@ def window_ratio_to_report(spark, sf):
         "o_totalprice",
         (F.col("o_totalprice") / total).alias("share_of_customer"),
     )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value * value AS DECIMAL(25,4))) AS DOUBLE) AS s2,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - m.s1 / m.n)
+                 / sqrt((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1)), 6) AS z
+    FROM events e JOIN m ON e.event_type = m.event_type
+    WHERE abs(round((e.value - m.s1 / m.n)
+                    / sqrt((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1)), 6)) > 2.5
+    """,
+)
+def events_anomaly_zscore(spark, sf):
+    """Per-type z-score outlier detection: decimal-exact moments (sum,
+    sum-of-squares) give bit-stable mean/stddev per event type; the tiny
+    moment table broadcasts back onto the events scan, so flagging is one
+    aggregate plus one broadcast join — two passes over events, no
+    per-row shuffle. z rounded to 6 before the threshold so the cut is
+    identical on both engines."""
+    ev = table(spark, sf, "events")
+    dec2 = F.col("value").cast("decimal(25,2)")
+    dec4 = (F.col("value") * F.col("value")).cast("decimal(25,4)")
+    m = ev.groupBy("event_type").agg(
+        F.sum(dec2).cast("double").alias("s1"),
+        F.sum(dec4).cast("double").alias("s2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    n = F.col("n")
+    mean = F.col("s1") / n
+    std = F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1))
+    z = F.round((F.col("value") - mean) / std, 6)
+    return (
+        ev.join(F.broadcast(m), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 2.5)
+    )
+
+
+@query(
+    "rfm_segments",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT o_custkey, last_order, frequency, monetary,
+             NTILE(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
+             NTILE(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+             NTILE(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+      FROM base)
+    SELECT o_custkey, last_order, frequency, monetary,
+           CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm
+    FROM scored
+    """,
+)
+def rfm_segments(spark, sf):
+    """RFM customer segmentation: one hash aggregate builds the
+    recency/frequency/monetary base, then three global NTILE(5) windows
+    (each tiebroken by custkey for a total order — NTILE on ties is
+    otherwise partitioning-dependent) produce the 1-5 scores and the
+    composite segment code. The windows are global single-partition
+    sorts over ONE ROW PER CUSTOMER — at 100 TB that's the aggregated
+    table (millions, not billions), and the standard rewrite if it ever
+    outgrows one task is percent_rank-based bucketing, which shuffles
+    normally."""
+    o = table(spark, sf, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,2)")).cast("double")
+        .alias("monetary"),
+    )
+    wr = Window.orderBy("last_order", "o_custkey")
+    wf = Window.orderBy("frequency", "o_custkey")
+    wm = Window.orderBy("monetary", "o_custkey")
+    scored = base.select(
+        "o_custkey", "last_order", "frequency", "monetary",
+        F.ntile(5).over(wr).alias("r_score"),
+        F.ntile(5).over(wf).alias("f_score"),
+        F.ntile(5).over(wm).alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("int"),
+    )
