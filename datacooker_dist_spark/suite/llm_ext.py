@@ -497,3 +497,56 @@ def pipeline_multimodal_pairs(spark, sf):
     return q.join(e, q["doc_id"] == e["vec_id"]).select(
         "doc_id", "label", "lang", "n_chars", "vnorm"
     )
+
+
+URL_SQL = (
+    "concat('HTTPS://WWW.Example', CAST(doc_id % 7 AS VARCHAR),"
+    " '.COM:443/Path/', CAST(doc_id AS VARCHAR),"
+    " CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=x&q=1&utm_campaign=y'"
+    "      WHEN doc_id % 3 = 1 THEN '/?q=1' ELSE '/' END)"
+)
+
+
+@query(
+    "text_url_canonicalize",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, {URL_SQL} AS url FROM documents)
+    SELECT doc_id, url,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(lower(url), '^https?://www\\.', 'https://'),
+                 ':443/', '/'),
+               '(utm_[a-z]+=[^&]*&?)', '', 'g'),
+             '[?&/]+$', '') AS canonical
+    FROM u
+    """,
+)
+def text_url_canonicalize(spark, sf):
+    """URL canonicalization — the crawl-dedup prerequisite: lowercase,
+    scheme+www fold, default-port strip, tracking-param (utm_*) removal,
+    trailing separator trim. Pure regexp_replace chain (JVM codegen,
+    per-row, no shuffle) in the RE2/Java-compatible dialect so the oracle
+    replays it byte-identically. The corpus has no URL column, so a
+    deterministic synthetic URL per doc exercises every rule. Canonical
+    forms are what exact-dedup then groups on (dedup_exact's fingerprint
+    over canonical URLs ≫ raw URLs for crawl data)."""
+    docs = table(spark, sf, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Example"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM:443/Path/"), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("/?utm_source=x&q=1&utm_campaign=y"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("/?q=1"))
+        .otherwise(F.lit("/")),
+    )
+    canonical = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(url), r"^https?://www\.", "https://"),
+                ":443/", "/"),
+            r"(utm_[a-z]+=[^&]*&?)", ""),
+        r"[?&/]+$", "")
+    return docs.select(
+        "doc_id", url.alias("url"), canonical.alias("canonical")
+    )
