@@ -550,3 +550,52 @@ def text_url_canonicalize(spark, sf):
     return docs.select(
         "doc_id", url.alias("url"), canonical.alias("canonical")
     )
+
+
+@query(
+    "dedup_exact_survivor",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source, n_chars,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+      FROM documents)
+    SELECT f AS fingerprint, doc_id AS survivor_id, source, n_chars,
+           n_dups
+    FROM (
+      SELECT fp.*,
+             ROW_NUMBER() OVER (PARTITION BY f
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY f) AS BIGINT) AS n_dups
+      FROM fp)
+    WHERE rn = 1
+    """,
+)
+def dedup_exact_survivor(spark, sf):
+    """Exact dedup with a DETERMINISTIC survivor policy: group by the
+    normalized-text fingerprint and keep the longest document (doc_id
+    tiebreak), carrying the duplicate count. dropDuplicates picks an
+    arbitrary partition-order-dependent survivor — fine for counts,
+    wrong for reproducible corpus builds; this rank-filter form costs
+    the same single fingerprint shuffle and is replayable bit-for-bit.
+    The survivor policy (longest / newest / highest-quality) is just the
+    window's ORDER BY."""
+    from ..operators.text import fingerprint
+
+    docs = table(spark, sf, "documents")
+    fp = docs.select(
+        "doc_id", "source", "n_chars", fingerprint("text").alias("f")
+    )
+    w = Window.partitionBy("f").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    wc = Window.partitionBy("f")
+    return (
+        fp.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_dups", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("f").alias("fingerprint"),
+            F.col("doc_id").alias("survivor_id"),
+            "source", "n_chars", "n_dups",
+        )
+    )
