@@ -536,3 +536,60 @@ def adapter_jsonl_roundtrip(spark, sf):
     return ds.df.select(
         "event_id", "event_type", F.col("props.k").alias("prop_k")
     )
+
+
+_Z_TERMS_SQL = " + ".join(
+    f"(((a >> {i}) & 1) << {2 * i + 1}) + (((b >> {i}) & 1) << {2 * i})"
+    for i in range(8)
+)
+
+
+@query(
+    "layout_zorder_key",
+    oracle=f"""
+    WITH n AS (
+      SELECT o_orderkey,
+             CAST(LEAST(FLOOR(o_totalprice / 2500), 255) AS BIGINT) AS a,
+             CAST(o_custkey % 256 AS BIGINT) AS b
+      FROM orders)
+    SELECT o_orderkey, a, b,
+           CAST({_Z_TERMS_SQL} AS BIGINT) AS z
+    FROM n
+    """,
+)
+def layout_zorder_key(spark, sf):
+    """Z-order (Morton) layout key: interleave the bits of two normalized
+    8-bit dimensions so rows close in BOTH dimensions get close keys —
+    sortWithinPartitions(z) before a parquet write then gives row-group
+    min/max stats that prune on EITHER column (the multi-dimensional
+    data-skipping layout Delta/Iceberg OPTIMIZE ZORDER applies; here it's
+    plain integer arithmetic + a sort, no table format needed). Pure
+    bit ops — bit-identical on both engines."""
+    o = table(spark, sf, "orders")
+    a = F.least(F.floor(F.col("o_totalprice") / 2500), F.lit(255)).cast("long")
+    b = (F.col("o_custkey") % 256).cast("long")
+    n = o.select("o_orderkey", a.alias("a"), b.alias("b"))
+    z = None
+    for i in range(8):
+        ta = F.shiftleft(F.shiftright(F.col("a"), i).bitwiseAND(1), 2 * i + 1)
+        tb = F.shiftleft(F.shiftright(F.col("b"), i).bitwiseAND(1), 2 * i)
+        z = ta + tb if z is None else z + ta + tb
+    return n.select("o_orderkey", "a", "b", z.cast("long").alias("z"))
+
+
+@query("agg_hll_union")  # rows-only: sketch estimates are engine-specific
+def agg_hll_union(spark, sf):
+    """Mergeable cardinality sketches — the re-aggregatable rollup
+    pattern: per-(type, day) HLL sketches of distinct users built once,
+    then UNIONED per type and estimated, without touching raw events
+    again. At 100 TB this is how daily uniques roll up to monthly:
+    sketches are tiny, merge is associative, and the raw-event scan
+    happens exactly once. Estimates are implementation-specific →
+    rows-only (the engine guarantees determinism for a fixed input)."""
+    ev = table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    )
