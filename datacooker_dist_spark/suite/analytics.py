@@ -572,3 +572,67 @@ def rfm_segments(spark, sf):
         (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
         .cast("int"),
     )
+
+
+@query(
+    "agg_boolean",
+    oracle="""
+    SELECT event_type,
+           bool_and(value > 10) AS all_big,
+           bool_or(value > 990) AS any_huge,
+           CAST(count_if(value > 500) AS BIGINT) AS n_high,
+           CAST(count_if(value <= 500) AS BIGINT) AS n_low
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_boolean(spark, sf):
+    """Boolean aggregates — every/any/count_if — one hash aggregate with
+    map-side partials; the boolean lattice short-circuits in the combiner
+    (a single false settles bool_and for the partition)."""
+    ev = table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.every(F.col("value") > 10).alias("all_big"),
+        F.some(F.col("value") > 990).alias("any_huge"),
+        F.count_if(F.col("value") > 500).alias("n_high"),
+        F.count_if(F.col("value") <= 500).alias("n_low"),
+    )
+
+
+@query(
+    "adapter_partitioned_roundtrip",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           CAST(EXTRACT(year FROM l_shipdate) AS INT) AS ship_year
+    FROM lineitem
+    WHERE EXTRACT(year FROM l_shipdate) = 1998
+    """,
+)
+def adapter_partitioned_roundtrip(spark, sf):
+    """Partitioned-sink copy path through the correctness gate: lineitem
+    flows out through the hadoopParquet OUTPUT adapter with
+    partition_by=[ship_year] (hive-style directories), then a
+    ship_year=1998 read comes back with PartitionFilters pruning — only
+    that year's directory is opened, the organizing principle for
+    time-partitioned lakes. The oracle filters the source the plain way;
+    equality proves the partitioned layout is lossless and the partition
+    column round-trips."""
+    import tempfile
+    import uuid
+
+    from ..model import DataStream, StreamType
+    from ..registry import resolve_output
+
+    base = tempfile.mkdtemp(prefix=f"dds_part_{uuid.uuid4().hex[:6]}_")
+    li = table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity",
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+    )
+    out = resolve_output("hadoopParquet")().configure(
+        {"partition_by": ["ship_year"]}
+    ).initialize(spark, base)
+    out.save("lineitem", DataStream("lineitem", li, StreamType.COLUMNAR))
+    back = spark.read.parquet(base).filter(F.col("ship_year") == 1998)
+    return back.select(
+        "l_orderkey", "l_linenumber", "l_quantity",
+        F.col("ship_year").cast("int").alias("ship_year"),
+    )
