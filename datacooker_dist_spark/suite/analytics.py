@@ -636,3 +636,93 @@ def adapter_partitioned_roundtrip(spark, sf):
         "l_orderkey", "l_linenumber", "l_quantity",
         F.col("ship_year").cast("int").alias("ship_year"),
     )
+
+
+@query(
+    "growth_wow",
+    oracle="""
+    WITH w AS (
+      SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE)
+               AS revenue
+      FROM orders GROUP BY week)
+    SELECT week, revenue,
+           LAG(revenue) OVER (ORDER BY week) AS prev_revenue,
+           round(100.0 * (revenue - LAG(revenue) OVER (ORDER BY week))
+                 / LAG(revenue) OVER (ORDER BY week), 6) AS wow_pct
+    FROM w
+    """,
+)
+def growth_wow(spark, sf):
+    """Week-over-week growth — the canonical BI period comparison: weekly
+    decimal-exact revenue, previous week via LAG over the (tiny,
+    one-row-per-week) aggregate, growth as a rounded percentage. The
+    global window orders weeks AFTER aggregation, so the sort input is
+    weeks-count rows regardless of fact volume. NULL first week
+    (LAG over nothing) round-trips as NULL on both engines."""
+    o = table(spark, sf, "orders")
+    wk = o.groupBy(
+        F.date_trunc("week", "o_orderdate").cast("date").alias("week")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(25,2)")).cast("double")
+        .alias("revenue")
+    )
+    w = Window.orderBy("week")
+    prev = F.lag("revenue").over(w)
+    return wk.select(
+        "week", "revenue", prev.alias("prev_revenue"),
+        F.round(100.0 * (F.col("revenue") - prev) / prev, 6).alias("wow_pct"),
+    )
+
+
+@query(
+    "attribution_last_touch",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, event_id, ts, value,
+             MAX(CASE WHEN event_type = 'view' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_view_ts,
+             event_type
+      FROM events)
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+           last_view_ts, value
+    FROM tagged
+    WHERE event_type = 'purchase'
+      AND last_view_ts IS NOT NULL
+      AND ts - last_view_ts <= INTERVAL 7 DAY
+    """,
+)
+def attribution_last_touch(spark, sf):
+    """Last-touch attribution: each purchase credits the most recent
+    preceding view by the same user within a 7-day window. One user_id
+    window (running MAX of view timestamps, excluding the current row)
+    replaces the events⋈events self-join — a single shuffle and linear
+    state, where the join form is quadratic per heavy user. The
+    (ts, event_id) ordering makes the frame deterministic under
+    same-timestamp events."""
+    ev = table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_view = F.max(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(w)
+    return (
+        ev.withColumn("last_view_ts", last_view)
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_view_ts").isNotNull()
+            & (F.col("ts") <= F.col("last_view_ts") + F.expr("INTERVAL 7 DAY"))
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "last_view_ts",
+            "value",
+        )
+    )
