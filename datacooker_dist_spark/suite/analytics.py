@@ -726,3 +726,75 @@ def attribution_last_touch(spark, sf):
             "value",
         )
     )
+
+
+@query(
+    "event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events)
+    SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+)
+def event_transitions(spark, sf):
+    """User-journey transition matrix (Markov bigram counts): LEAD over
+    each user's event sequence pairs every event with its successor, then
+    one aggregate counts the 5×5 transition matrix. One user_id window
+    shuffle + a map-side-partial aggregate over 25 groups; the
+    (ts, event_id) ordering pins same-timestamp sequences."""
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "time_rollup_multigrain",
+    oracle="""
+    WITH base AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(date_trunc('week', ts) AS DATE) AS week,
+             value
+      FROM events)
+    SELECT hour, day, week,
+           CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS v,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM base
+    GROUP BY GROUPING SETS ((hour), (day), (week))
+    """,
+)
+def time_rollup_multigrain(spark, sf):
+    """Hour + day + week rollups from ONE events scan: GROUPING SETS over
+    three derived time columns expands each row into its three
+    granularities inside the aggregate (Catalyst's Expand), so the
+    multi-grain dashboard table costs one pass instead of three separate
+    scans. Decimal sums keep every grain engine-exact."""
+    ev = table(spark, sf, "events")
+    ev.select(
+        F.date_trunc("hour", "ts").alias("hour"),
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.date_trunc("week", "ts").cast("date").alias("week"),
+        "value",
+    ).createOrReplaceTempView("mg_base_v")
+    return spark.sql(
+        """
+        SELECT hour, day, week,
+               CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS v,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM mg_base_v
+        GROUP BY GROUPING SETS ((hour), (day), (week))
+        """
+    )
