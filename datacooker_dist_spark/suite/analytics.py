@@ -798,3 +798,36 @@ def time_rollup_multigrain(spark, sf):
         GROUP BY GROUPING SETS ((hour), (day), (week))
         """
     )
+
+
+@query(
+    "agg_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY event_type)
+    SELECT e.event_type, m.med,
+           median(abs(e.value - m.med)) AS mad,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events e JOIN med m ON e.event_type = m.event_type
+    GROUP BY e.event_type, m.med
+    """,
+)
+def agg_mad(spark, sf):
+    """Median absolute deviation — the robust dispersion measure outliers
+    can't poison (unlike stddev, which events_anomaly_zscore showed needs
+    a 2.5σ cut precisely because extremes drag it). Two exact medians:
+    per-type median, broadcast back, then the median of absolute
+    deviations — two aggregate passes over events, the unavoidable shape
+    for exact nested medians (approx sketches collapse it to one).
+    abs(x - med) of identical doubles is bit-stable, so the second median
+    is engine-exact too."""
+    ev = table(spark, sf, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(
+            F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

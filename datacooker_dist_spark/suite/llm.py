@@ -601,3 +601,58 @@ def label_centroid_dims(spark, sf):
             6,
         ).alias("centroid")
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH dims AS (
+      SELECT i, MIN(v) AS lo, MAX(v) AS hi
+      FROM (SELECT vec_id,
+                   UNNEST(CAST(embedding AS DOUBLE[])) AS v,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+      GROUP BY i),
+    flat AS (
+      SELECT vec_id,
+             UNNEST(CAST(embedding AS DOUBLE[])) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings)
+    SELECT f.vec_id, CAST(f.i AS INT) AS dim,
+           CAST(CASE WHEN d.hi = d.lo THEN 0
+                     ELSE ROUND(255 * (f.v - d.lo) / (d.hi - d.lo)) - 128
+                END AS BIGINT) AS q
+    FROM flat f JOIN dims d ON f.i = d.i
+    WHERE f.vec_id < 200
+    """,
+)
+def embedding_quantize_int8(spark, sf):
+    """Scalar int8 quantization of embeddings — the 4× storage/bandwidth
+    compression every billion-vector corpus applies before ANN serving:
+    per-DIMENSION min/max (one posexplode + 64-group aggregate, the tiny
+    result broadcast back) then affine map to [-128, 127]. Output long-form
+    (vec_id, dim, q) on a bounded slice so the oracle compares exact
+    integers; min/max of identical doubles and one rounded affine map are
+    bit-stable cross-engine. Dequantization error is bounded by
+    (hi-lo)/255 per dim — the standard recall/size trade."""
+    emb = table(spark, sf, "embeddings")
+    flat = emb.select(
+        "vec_id",
+        F.posexplode(S.as_double_array("embedding")).alias("i0", "v"),
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "v")
+    dims = flat.groupBy("i").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    q = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.round(255 * (F.col("v") - F.col("lo")) / (F.col("hi") - F.col("lo")), 0)
+        - 128
+    )
+    return (
+        flat.filter(F.col("vec_id") < 200)
+        .join(F.broadcast(dims), "i")
+        .select(
+            "vec_id",
+            F.col("i").cast("int").alias("dim"),
+            q.cast("long").alias("q"),
+        )
+    )
