@@ -593,3 +593,29 @@ def agg_hll_union(spark, sf):
     return daily.groupBy("event_type").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
     )
+
+
+@query(
+    "scalar_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey & 255 AS BIGINT) AS low_byte,
+           CAST(xor(o_orderkey, o_custkey) AS BIGINT) AS key_xor,
+           CAST(o_orderkey | 4096 AS BIGINT) AS with_flag,
+           CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def scalar_bitwise(spark, sf):
+    """Bitwise scalar family — AND/XOR/OR/popcount — per-row integer ops
+    (codegen, no shuffle); the building blocks behind hash partitioning,
+    bitmap flags, and the z-order key. Exact integers on both engines."""
+    o = table(spark, sf, "orders").filter(F.col("o_orderkey") < 2000)
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").bitwiseAND(255).cast("long").alias("low_byte"),
+        F.col("o_orderkey").bitwiseXOR(F.col("o_custkey")).cast("long")
+        .alias("key_xor"),
+        F.col("o_orderkey").bitwiseOR(4096).cast("long").alias("with_flag"),
+        F.bit_count("o_orderkey").cast("long").alias("popcount"),
+    )

@@ -599,3 +599,50 @@ def dedup_exact_survivor(spark, sf):
             "source", "n_chars", "n_dups",
         )
     )
+
+
+@query(
+    "dedup_cross_source",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(array_to_string(
+               (regexp_split_to_array(lower(trim(text)), '\\s+'))[1:3],
+               ' ')) AS f
+      FROM documents)
+    SELECT f AS fingerprint,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           MIN(doc_id) AS first_doc
+    FROM fp
+    GROUP BY f
+    HAVING COUNT(DISTINCT source) > 1
+    """,
+)
+def dedup_cross_source(spark, sf):
+    """Cross-source lead-collision detection: documents OPENING with the
+    same 3 tokens in MORE THAN ONE source — the syndication/mirror signal
+    (same article republished under different sources) that full-text
+    fingerprints miss once mirrors edit the body, and the check that
+    stops source-weighted sampling from double-counting mirrored content.
+    Keyed on the md5 of the 3-token lead: one 16-byte-key shuffle exactly
+    like dedup_exact, plus a distinct-source count and a HAVING gate.
+    (Full-text equality across sources is near-empty in the synthetic
+    corpus at small sf; the lead key keeps the shape meaningful at every
+    scale.)"""
+    from ..operators import dedup as DD
+
+    docs = table(spark, sf, "documents")
+    lead = F.md5(
+        F.concat_ws(" ", F.slice(DD.tokens_col("text"), 1, 3))
+    )
+    return (
+        docs.select("doc_id", "source", lead.alias("f"))
+        .groupBy(F.col("f").alias("fingerprint"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.count_distinct("source").alias("n_sources"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_sources") > 1)
+    )
