@@ -646,3 +646,75 @@ def dedup_cross_source(spark, sf):
         )
         .filter(F.col("n_sources") > 1)
     )
+
+
+@query(
+    "pipeline_crawl_refine",
+    oracle=f"""
+    WITH canon AS (
+      SELECT doc_id, source, n_chars, text,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(lower({URL_SQL}),
+                                  '^https?://www\\.', 'https://'),
+                   ':443/', '/'),
+                 '(utm_[a-z]+=[^&]*&?)', '', 'g'),
+               '[?&/]+$', '') AS canonical_url
+      FROM documents),
+    kept AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY canonical_url
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM canon WHERE n_chars >= 150),
+    survivors AS (SELECT * FROM kept WHERE rn = 1)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len(regexp_split_to_array(lower(trim(text)), '\\s+')))
+                AS BIGINT) AS total_tokens
+    FROM survivors
+    GROUP BY source
+    """,
+)
+def pipeline_crawl_refine(spark, sf):
+    """Composed crawl-refinement flagship: URL canonicalization → length
+    gate → per-URL deterministic survivor (longest, doc_id tiebreak) →
+    per-source corpus stats, all ONE lazy Catalyst plan (canonicalize and
+    gate are narrow; the survivor window and the stats aggregate are the
+    only two shuffles). This is the crawl half of corpus prep, feeding
+    the content half (pipeline_llm_prep); at 100 TB the URL-survivor
+    shuffle keys on the canonical URL hash, bounded by unique-URL count
+    not page fetches."""
+    from ..operators import dedup as DD
+
+    docs = table(spark, sf, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Example"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM:443/Path/"), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("/?utm_source=x&q=1&utm_campaign=y"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("/?q=1"))
+        .otherwise(F.lit("/")),
+    )
+    canonical = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(url), r"^https?://www\.", "https://"),
+                ":443/", "/"),
+            r"(utm_[a-z]+=[^&]*&?)", ""),
+        r"[?&/]+$", "")
+    w = Window.partitionBy("canonical_url").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    survivors = (
+        docs.withColumn("canonical_url", canonical)
+        .filter(F.col("n_chars") >= 150)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return survivors.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.size(DD.tokens_col("text")).cast("long")).alias("total_tokens"),
+    )

@@ -194,3 +194,34 @@ def test_lateral_subquery_decorrelates(spark):
     plan = executed_plan(spark, "subquery_lateral")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_attribution_single_window_no_self_join(spark):
+    """Last-touch attribution is ONE running-max window — no events⋈events
+    self-join (quadratic per heavy user) and one exchange."""
+    plan = executed_plan(spark, "attribution_last_touch")
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("Window ") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_transitions_window_feeds_partial_agg(spark):
+    """Markov transitions: LEAD window then a map-side-partial aggregate —
+    exactly two exchanges (user window + 25-group agg)."""
+    plan = executed_plan(spark, "event_transitions")
+    assert plan.count("Window ") == 1
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_zorder_key_is_narrow(spark):
+    """Morton key computation is pure per-row arithmetic: zero exchanges."""
+    plan = executed_plan(spark, "layout_zorder_key")
+    assert "Exchange" not in plan
+
+
+def test_multigrain_uses_expand_single_scan(spark):
+    """GROUPING SETS over derived grains must be ONE events scan through
+    an Expand, not three unioned scans."""
+    plan = executed_plan(spark, "time_rollup_multigrain")
+    assert "Expand" in plan
+    assert plan.count("events.parquet") == 1
