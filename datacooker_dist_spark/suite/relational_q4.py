@@ -386,3 +386,55 @@ def join_skew_salted(spark, sf):
         F.sum(F.col("l_extendedprice").cast("decimal(25,2)"))
         .cast("double").alias("revenue"),
     )
+
+
+_RANGE_BANDED_ORACLE = """
+WITH e AS (
+  SELECT event_id, event_type, value FROM events WHERE event_id < 500)
+SELECT a.event_id AS id_a, b.event_id AS id_b,
+       a.event_type, abs(a.value - b.value) AS value_gap
+FROM e a JOIN e b
+  ON a.event_type = b.event_type
+ AND a.event_id < b.event_id
+ AND abs(a.value - b.value) <= 5.0
+"""
+
+
+@query("join_range_banded", oracle=_RANGE_BANDED_ORACLE)
+def join_range_banded(spark, sf):
+    """Banded range join: pairs of same-type events with values within 5 —
+    executed as an EQUI-join on (type, value-band) with the right side
+    replicated into its three adjacent bands, then the exact |Δ| ≤ 5
+    residual. The plain inequality join (the oracle's form) degenerates
+    to a per-type nested loop — quadratic; banding bounds candidates to
+    3·density per row and keeps the join hash-partitioned. The 3×
+    replication is the whole cost — the standard trade for interval/range
+    joins at scale (plan-asserted: no nested loop)."""
+    ev = table(spark, sf, "events").filter(F.col("event_id") < 500).select(
+        "event_id", "event_type", "value"
+    )
+    band = F.floor(F.col("value") / 5).cast("long")
+    a = ev.select(
+        F.col("event_id").alias("id_a"), "event_type",
+        F.col("value").alias("_va"), band.alias("_band"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("id_b"),
+        F.col("event_type").alias("_tb"),
+        F.col("value").alias("_vb"),
+        F.explode(
+            F.array(band - 1, band, band + 1)
+        ).alias("_band"),
+    )
+    return (
+        a.join(b, ["_band"])
+        .filter(
+            (F.col("event_type") == F.col("_tb"))
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("_va") - F.col("_vb")) <= 5.0)
+        )
+        .select(
+            "id_a", "id_b", "event_type",
+            F.abs(F.col("_va") - F.col("_vb")).alias("value_gap"),
+        )
+    )

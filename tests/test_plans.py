@@ -225,3 +225,11 @@ def test_multigrain_uses_expand_single_scan(spark):
     plan = executed_plan(spark, "time_rollup_multigrain")
     assert "Expand" in plan
     assert plan.count("events.parquet") == 1
+
+
+def test_range_banded_is_equi_join(spark):
+    """The banded range join must plan as a hash equi-join on the band
+    key — never the nested loop the plain inequality form produces."""
+    plan = executed_plan(spark, "join_range_banded")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
