@@ -97,10 +97,12 @@ def asof_join(
     right_ts: str,
     right_cols: Sequence[str],
     how: str = "inner",
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for each left row, the single right row with the greatest
     ``right_ts`` ≤ ``left_ts`` within the same key (DuckDB ``ASOF JOIN``
-    semantics).
+    semantics). ``direction="forward"`` flips it: the SMALLEST
+    ``right_ts`` ≥ ``left_ts`` (the "next event" match).
 
     Implementation: union-tag + per-key ordered window carrying the last seen
     right row forward — ONE shuffle on the key, one per-key sort, no range
@@ -125,14 +127,25 @@ def asof_join(
     )
     both = r.unionByName(l.withColumn("_rv", F.lit(None).cast(r.schema["_rv"].dataType)),
                          allowMissingColumns=True)
-    # Right rows sort before left rows at equal timestamps (_side 0 < 1), so a
-    # right row AT the left timestamp is visible — matching ASOF's ≤.
-    w = (
-        Window.partitionBy("_k")
-        .orderBy(F.col("_t"), F.col("_side"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = both.withColumn("_m", F.last("_rv", ignorenulls=True).over(w))
+    # Backward: right rows sort before left rows at equal timestamps
+    # (_side 0 < 1), so a right row AT the left timestamp is visible in the
+    # trailing frame — matching ASOF's ≤. Forward mirrors it: left sorts
+    # before right at equal timestamps and the frame looks ahead, so the
+    # first carried right row is the smallest _t ≥ the left's.
+    if direction == "backward":
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(F.col("_t"), F.col("_side"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = both.withColumn("_m", F.last("_rv", ignorenulls=True).over(w))
+    else:
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(F.col("_t"), F.col("_side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carried = both.withColumn("_m", F.first("_rv", ignorenulls=True).over(w))
     out = carried.filter(F.col("_side") == 1)
     if how == "inner":
         out = out.filter(F.col("_m").isNotNull())

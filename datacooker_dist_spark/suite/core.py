@@ -741,3 +741,44 @@ def window_session(spark, sf):
         [F.count(F.lit(1)).alias("n_events")],
     )
     return out.select("user_id", F.col("session_start"), "n_events")
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    WITH v AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'view'),
+    p AS (SELECT user_id, ts, MAX(event_id) AS purchase_id
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+    SELECT v.event_id, v.user_id, v.ts,
+           p.purchase_id, p.ts AS purchase_ts
+    FROM v ASOF JOIN p
+      ON v.user_id = p.user_id AND v.ts <= p.ts
+    """,
+)
+def join_asof_forward(spark, sf):
+    """Forward as-of join: each view matched to the user's NEXT purchase
+    at-or-after it — the time-to-convert primitive, mirror of
+    join_asof's latest-before. Same single-shuffle union+window operator
+    with the frame flipped to look ahead; purchase side deduped per
+    (user, ts) so the match is well-defined."""
+    e = table(spark, sf, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("p_ts"))
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    return TS.asof_join(
+        v,
+        p,
+        left_on="user_id",
+        right_on="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        right_cols=["purchase_id", "p_ts"],
+        how="inner",
+        direction="forward",
+    ).withColumnRenamed("p_ts", "purchase_ts")
