@@ -831,3 +831,60 @@ def agg_mad(spark, sf):
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query(
+    "session_stats",
+    oracle="""
+    WITH flags AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flags)
+    SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+           MIN(ts) AS session_start,
+           epoch_us(MAX(ts) - MIN(ts)) AS duration_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS session_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def session_stats(spark, sf):
+    """Full batch sessionization deliverable: 30-minute-gap sessions via
+    gaps-and-islands (LAG flag → running SUM = session id) with duration,
+    event count, and decimal-exact value per session. Both windows AND
+    the final aggregate share the user_id partitioning — one shuffle end
+    to end; (ts, event_id) ordering pins simultaneous events."""
+    ev = table(spark, sf, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            F.col("ts") - F.lag("ts").over(wo) >= F.expr("INTERVAL 30 MINUTES"),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn("sid", F.sum("new_s").over(wr))
+    return sess.groupBy(
+        "user_id", F.col("sid").cast("long").alias("session_id")
+    ).agg(
+        F.min("ts").alias("session_start"),
+        (
+            F.unix_micros(F.max("ts").cast("timestamp"))
+            - F.unix_micros(F.min("ts").cast("timestamp"))
+        ).alias("duration_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(25,2)")).cast("double")
+        .alias("session_value"),
+    )
