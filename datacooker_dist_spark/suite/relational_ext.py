@@ -585,3 +585,70 @@ def incremental_agg_merge(spark, sf):
             F.sum("_n").alias("n_orders"),
         )
     )
+
+
+@query(
+    "scd2_point_in_time",
+    oracle="""
+    WITH dedup AS (
+      SELECT user_id, event_type, ts,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events),
+    changes AS (
+      SELECT user_id, event_type, ts AS valid_from
+      FROM dedup
+      WHERE prev_type IS NULL OR event_type <> prev_type),
+    dim AS (
+      SELECT user_id, event_type AS state_at, valid_from,
+             LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+               AS valid_to
+      FROM changes)
+    SELECT o.o_orderkey, o.o_custkey, d.state_at, d.valid_from
+    FROM orders o JOIN dim d
+      ON o.o_custkey = d.user_id
+     AND TIMESTAMP '2024-01-15 12:00:00' >= d.valid_from
+     AND (d.valid_to IS NULL OR TIMESTAMP '2024-01-15 12:00:00' < d.valid_to)
+    WHERE o.o_orderkey < 3000
+    """,
+)
+def scd2_point_in_time(spark, sf):
+    """Point-in-time lookup against the SCD2 dimension — the consumption
+    half of scd2_dim_build: each fact row joins the EXACTLY ONE dimension
+    version whose [valid_from, valid_to) interval covers the lookup
+    instant (NULL valid_to = current). With a constant instant the
+    interval predicate folds into a dimension FILTER before the equi-join
+    — one version per key survives, so the join is 1:1 and broadcastable;
+    a per-row event-time lookup is the same plan with the as-of operator
+    instead of the filter."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf, "events")
+    o = table(spark, sf, "orders").filter(F.col("o_orderkey") < 3000)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select(
+            "user_id", "event_type", "ts",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    dim = changes.select(
+        "user_id",
+        F.col("event_type").alias("state_at"),
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )
+    at = F.lit("2024-01-15 12:00:00").cast("timestamp_ntz")
+    current = dim.filter(
+        (at >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (at < F.col("valid_to")))
+    )
+    return o.join(
+        F.broadcast(current), o["o_custkey"] == current["user_id"]
+    ).select("o_orderkey", "o_custkey", "state_at", "valid_from")
