@@ -691,3 +691,41 @@ def multimodal_dedup_binary(spark, sf):
             F.min("meta_bytes").alias("payload_bytes"),
         )
     )
+
+
+@query(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             {_LANG_SCORE_SQL['en']} AS s_en,
+             {_LANG_SCORE_SQL['de']} AS s_de,
+             {_LANG_SCORE_SQL['fr']} AS s_fr
+      FROM documents),
+    pred AS (
+      SELECT lang AS actual_lang,
+             CASE WHEN greatest(s_en, s_de, s_fr) = 0 THEN 'und'
+                  WHEN s_de = greatest(s_en, s_de, s_fr) THEN 'de'
+                  WHEN s_en = greatest(s_en, s_de, s_fr) THEN 'en'
+                  ELSE 'fr' END AS pred_lang
+      FROM s)
+    SELECT actual_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY actual_lang, pred_lang
+    """,
+)
+def text_langid_confusion(spark, sf):
+    """Classifier evaluation as a data-pipeline op: the language-ID
+    confusion matrix (labeled lang × predicted lang counts) — the
+    aggregate every model-quality dashboard needs, produced by one scan +
+    one tiny-group aggregate on top of the langid expression. The
+    word-soup corpus makes most predictions 'und'/'en'; the matrix shape
+    and determinism are what's under test."""
+    docs = table(spark, sf, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("actual_lang"),
+            T.lang_id("text").alias("pred_lang"),
+        )
+        .groupBy("actual_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
