@@ -888,3 +888,55 @@ def session_stats(spark, sf):
         F.sum(F.col("value").cast("decimal(25,2)")).cast("double")
         .alias("session_value"),
     )
+
+
+@query(
+    "pareto_abc",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE)
+               AS revenue
+      FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2)))
+                        AS DOUBLE) AS t FROM lineitem),
+    ranked AS (
+      SELECT l_partkey, revenue,
+             round(SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                                      ROWS UNBOUNDED PRECEDING)
+                   / (SELECT t FROM tot), 9) AS cum_share
+      FROM pv)
+    SELECT l_partkey, revenue, cum_share,
+           CASE WHEN cum_share <= 0.8 THEN 'A'
+                WHEN cum_share <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+)
+def pareto_abc(spark, sf):
+    """Pareto / ABC classification: parts ranked by revenue with running
+    cumulative share of total — class A carries the top 80% of revenue,
+    B the next 15%, C the tail. The global ordered window runs over the
+    one-row-per-part AGGREGATE (like rfm_segments: the sort input is the
+    part count, not fact volume). Decimal part revenues + one rounded
+    division per row keep the class boundaries engine-exact; the
+    (revenue DESC, partkey) tiebreak totally orders the cumsum."""
+    li = table(spark, sf, "lineitem")
+    dec = F.col("l_extendedprice").cast("decimal(25,2)")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(dec).cast("double").alias("revenue")
+    )
+    tot = li.agg(F.sum(dec).cast("double").alias("t"))
+    w = Window.orderBy(F.col("revenue").desc(), F.col("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = pv.crossJoin(F.broadcast(tot)).select(
+        "l_partkey", "revenue",
+        F.round(F.sum("revenue").over(w) / F.col("t"), 9).alias("cum_share"),
+    )
+    return ranked.withColumn(
+        "abc_class",
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C"),
+    )
