@@ -652,3 +652,46 @@ def scd2_point_in_time(spark, sf):
     return o.join(
         F.broadcast(current), o["o_custkey"] == current["user_id"]
     ).select("o_orderkey", "o_custkey", "state_at", "valid_from")
+
+
+@query(
+    "audit_referential_integrity",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk, CAST(COUNT(*) AS BIGINT) AS n_orphans
+    FROM lineitem l WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders->customer' AS fk, CAST(COUNT(*) AS BIGINT) AS n_orphans
+    FROM orders o WHERE NOT EXISTS (
+      SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'customer->nation' AS fk, CAST(COUNT(*) AS BIGINT) AS n_orphans
+    FROM customer c WHERE NOT EXISTS (
+      SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    """,
+)
+def audit_referential_integrity(spark, sf):
+    """Referential-integrity audit — the data-quality gate every warehouse
+    load runs: orphan counts per foreign-key edge via anti joins (orders
+    and customer sides broadcast; the lineitem check is the one shuffle).
+    Zero rows of orphans is the expected healthy result — the audit's
+    value is that it STAYS zero, and the count columns make violations
+    quantifiable when a partial load breaks an edge."""
+    li = table(spark, sf, "lineitem")
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer")
+    n = table(spark, sf, "nation")
+
+    def orphans(fact, dim, fk, pk, label):
+        return (
+            fact.join(dim, fact[fk] == dim[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(label).alias("fk"), "n_orphans")
+        )
+
+    return (
+        orphans(li, o, "l_orderkey", "o_orderkey", "lineitem->orders")
+        .unionByName(orphans(o, c, "o_custkey", "c_custkey", "orders->customer"))
+        .unionByName(orphans(c, n, "c_nationkey", "n_nationkey",
+                             "customer->nation"))
+    )
