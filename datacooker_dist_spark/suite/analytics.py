@@ -940,3 +940,31 @@ def pareto_abc(spark, sf):
         .when(F.col("cum_share") <= 0.95, "B")
         .otherwise("C"),
     )
+
+
+@query(
+    "events_heatmap_dow_hour",
+    oracle="""
+    SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+           CAST(EXTRACT(hour FROM ts) AS INT) AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY dow, hod
+    """,
+)
+def events_heatmap_dow_hour(spark, sf):
+    """Activity heatmap: day-of-week × hour-of-day counts and decimal-exact
+    value sums — one hash aggregate into at most 168 cells, map-side
+    partial, the canonical seasonality profile. Engine numbering gotcha:
+    Spark's dayofweek is 1=Sunday..7 while DuckDB's is 0=Sunday..6 — the
+    oracle shifts by one to align."""
+    ev = table(spark, sf, "events")
+    return ev.groupBy(
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(25,2)")).cast("double")
+        .alias("total_value"),
+    )
