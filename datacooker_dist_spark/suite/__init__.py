@@ -71,17 +71,26 @@ EVENTS_RAW_SCHEMA = (
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; read it as raw int64 nanoseconds and convert
-    to microsecond TIMESTAMP_NTZ (floor division — exactly DuckDB's nanos →
-    micros truncation)."""
+    """Read ``events.parquet`` with ``ts`` normalized to TIMESTAMP_NTZ.
+
+    Handles both generator vintages: ``ts`` stored as TIMESTAMP(MICROS)
+    (read directly) or as TIMESTAMP(NANOS), which Spark's vectorized reader
+    rejects — read raw int64 nanoseconds and floor-divide to microseconds
+    (exactly DuckDB's nanos → micros truncation)."""
+    import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-    )
+    ts_type = str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type)
+    if ts_type == "timestamp[ns]":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(
+            f"{sf_dir}/events.parquet"
+        )
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
 from . import (  # noqa: E402,F401

@@ -8,6 +8,28 @@ from pyspark.sql import functions as F
 from ..streaming.pipeline import file_stream, run_available_now, windowed_counts
 from . import EVENTS_RAW_SCHEMA, query
 
+EVENTS_US_SCHEMA = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def events_stream(spark, sf):
+    """readStream over ``events.parquet`` with ``ts`` normalized to TIMESTAMP
+    (with local tz — watermarks require it; the session runs UTC so values
+    equal the naive batch ones). Mirrors ``read_events``'s handling of both
+    generator vintages: TIMESTAMP(NANOS) is read as raw int64 and
+    floor-divided to micros; TIMESTAMP(MICROS) reads directly."""
+    import pyarrow.parquet as pq
+
+    path = f"{sf}/events.parquet"
+    if str(pq.read_schema(path).field("ts").type) == "timestamp[ns]":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        s = file_stream(spark, path, EVENTS_RAW_SCHEMA)
+        return s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    s = file_stream(spark, path, EVENTS_US_SCHEMA)
+    return s.withColumn("ts", F.col("ts").cast("timestamp"))
+
 
 @query(
     "stream_tumbling",
@@ -22,11 +44,9 @@ def stream_tumbling(spark, sf):
     over the bounded events table, drained with availableNow into a memory
     sink. The oracle is the batch answer — the parity the watermark contract
     guarantees for bounded input."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = file_stream(spark, f"{sf}/events.parquet", EVENTS_RAW_SCHEMA)
     # Watermarks require TIMESTAMP (with local tz); the session runs UTC so
     # the collected window bounds equal the NTZ batch values.
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = events_stream(spark, sf)
     result = windowed_counts(stream, "ts", "1 hour", ["event_type"], watermark="1 hour")
     out = run_available_now(result, spark)
     # The watermark path forces TIMESTAMP (ltz); normalize to the suite's
@@ -140,11 +160,10 @@ def stream_stateful_count(spark, sf):
     (keys / target-keys-per-partition), bounded by cluster cores."""
     from ..streaming.stateful import running_counts
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        stream = file_stream(spark, f"{sf}/events.parquet", EVENTS_RAW_SCHEMA)
+        stream = events_stream(spark, sf)
         emitted = run_available_now(
             running_counts(stream, "user_id"), spark, output_mode="update"
         )
@@ -175,9 +194,7 @@ def stream_sliding(spark, sf):
     """Sliding-window (1h every 30min) counts through the real micro-batch
     engine: each event feeds exactly 2 windows' state; watermark bounds how
     long a window's state outlives its end. Batch answer is the oracle."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = file_stream(spark, f"{sf}/events.parquet", EVENTS_RAW_SCHEMA)
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = events_stream(spark, sf)
     result = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
@@ -204,9 +221,7 @@ def stream_static_join(spark, sf):
     the windowed aggregate keeps state, bounded by the watermark."""
     from . import table
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = file_stream(spark, f"{sf}/events.parquet", EVENTS_RAW_SCHEMA)
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = events_stream(spark, sf)
     dim = table(spark, sf, "customer")
     joined = stream.join(dim, stream.user_id == dim.c_custkey, "inner")
     result = (
@@ -231,8 +246,7 @@ def stream_dedup(spark, sf):
     (append mode). Over the bounded drain this is exactly DISTINCT. In
     production the watermarked variant (dropDuplicatesWithinWatermark)
     bounds the state for unbounded streams."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = file_stream(spark, f"{sf}/events.parquet", EVENTS_RAW_SCHEMA)
+    stream = events_stream(spark, sf)
     result = stream.select("user_id", "event_type").dropDuplicates(
         ["user_id", "event_type"]
     )
@@ -264,9 +278,7 @@ def stream_session(spark, sf):
     session_window state — sessions merge as events arrive, watermark
     finalizes them. Drained bounded input must equal the batch
     gap-and-island answer (the window_session oracle verbatim)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = file_stream(spark, f"{sf}/events.parquet", EVENTS_RAW_SCHEMA)
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = events_stream(spark, sf)
     result = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
@@ -310,10 +322,8 @@ def stream_upsert_sink(spark, sf):
     base = tempfile.mkdtemp(prefix=f"dds_upsert_{uuid.uuid4().hex[:6]}_")
     target, ckpt = f"{base}/target", f"{base}/ckpt"
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = file_stream(spark, f"{sf}/events.parquet", EVENTS_RAW_SCHEMA)
-    stream = stream.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    stream = events_stream(spark, sf).withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
     )
 
     w = Window.partitionBy("user_id").orderBy(
@@ -377,13 +387,11 @@ def stream_stream_join(spark, sf):
     cardinality (see stream_stateful_count's sizing rule)."""
     from pyspark.sql import functions as SF
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
 
     def side(label, event_type):
-        s = file_stream(spark, f"{sf}/events.parquet", EVENTS_RAW_SCHEMA)
-        s = s.withColumn("ts", SF.timestamp_micros(SF.expr("ts div 1000")))
+        s = events_stream(spark, sf)
         return (
             s.filter(SF.col("event_type") == event_type)
             .select(
