@@ -334,12 +334,13 @@ def connected_components(
 
     Output: (``src`` node id, ``cluster_id`` = min node id in component).
     """
-    # Materialize the edge list once — every propagation round joins against
-    # it, and without this the upstream pair pipeline (LSH + verification)
-    # would replay per round.
+    # Materialize the pair list once BEFORE mirroring it: the union scans its
+    # input twice, and un-materialized that replays the whole upstream pair
+    # pipeline (LSH + verification) twice in one job. Then materialize the
+    # mirrored edge list too — every propagation round joins against it.
+    p = pairs.select(F.col(src).alias("s"), F.col(dst).alias("t")).localCheckpoint()
     edges = (
-        pairs.select(F.col(src).alias("s"), F.col(dst).alias("t"))
-        .unionByName(pairs.select(F.col(dst).alias("s"), F.col(src).alias("t")))
+        p.unionByName(p.select(F.col("t").alias("s"), F.col("s").alias("t")))
         .distinct()
         .localCheckpoint()
     )
