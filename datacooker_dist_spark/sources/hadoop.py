@@ -178,6 +178,23 @@ class HadoopStructuredInput(_HadoopInputBase):
         return r.json(uri)
 
 
+@input_adapter("hadoopOrc")
+class HadoopOrcInput(_HadoopInputBase):
+    """ORC → columnar rows (engine extension of the reference's A5
+    'any Hadoop format' base — dist itself only shipped text/parquet).
+    ORC is the other self-describing columnar lake format Spark reads
+    vectorized with predicate pushdown; ``columns`` selects/reorders."""
+
+    stream_type = StreamType.COLUMNAR
+
+    def _read(self, uri: str) -> DataFrame:
+        df = self.spark.read.orc(uri)
+        columns = self.params.get("columns")
+        if columns:
+            df = df.select(*[c for c in columns if c != "_"])
+        return df
+
+
 # s3direct verbs are the same adapters under the reference's registered
 # names — the s3d:// → s3a rewrite happens in resolve_uri.
 input_adapter("s3directColumnar")(HadoopColumnarInput)
@@ -268,6 +285,23 @@ class HadoopStructuredOutput(_HadoopOutputBase):
         self._projected(stream).write.mode("overwrite").option(
             "compression", codec
         ).json(self._target(name))
+
+
+@output_adapter("hadoopOrc")
+class HadoopOrcOutput(_HadoopOutputBase):
+    """Columnar → ORC with codec (zlib/snappy/zstd/none) and optional
+    hive-style ``partition_by`` — mirrors the parquet sink for the other
+    columnar lake format."""
+
+    def save(self, name: str, stream: DataStream) -> None:
+        codec = str(self.params.get("codec", "snappy")).lower()
+        w = self._projected(stream).write.mode("overwrite").option(
+            "compression", codec
+        )
+        partition_by = self.params.get("partition_by")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.orc(self._target(name))
 
 
 output_adapter("s3directText")(HadoopColumnarOutput)

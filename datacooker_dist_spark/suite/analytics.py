@@ -639,6 +639,66 @@ def adapter_partitioned_roundtrip(spark, sf):
 
 
 @query(
+    "scan_partition_dpp",
+    oracle="""
+    WITH yrs AS (
+      SELECT DISTINCT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr
+      FROM orders WHERE o_totalprice > 499700)
+    SELECT CAST(EXTRACT(year FROM l_shipdate) AS INT) AS ship_year,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    JOIN yrs ON CAST(EXTRACT(year FROM l_shipdate) AS INT) = yrs.yr
+    GROUP BY ship_year
+    """,
+)
+def scan_partition_dpp(spark, sf):
+    """Dynamic partition pruning — the join-time complement to
+    adapter_partitioned_roundtrip's static pruning: the fact lands
+    hive-partitioned by ship_year, and the partition filter is NOT a
+    literal but the distinct year set of a filtered dimension (orders with
+    a near-cap total price). Catalyst plants a DPP subquery on the scan
+    (reusing the broadcast), so only qualifying year directories are
+    opened — on a date-partitioned 100 TB lake this is the difference
+    between scanning 7 years and scanning the 4 the dim selects. The
+    oracle computes the same join without the partitioned detour."""
+    import tempfile
+    import uuid
+
+    from ..model import DataStream, StreamType
+    from ..registry import resolve_output
+
+    base = tempfile.mkdtemp(prefix=f"dds_dpp_{uuid.uuid4().hex[:6]}_")
+    li = table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_extendedprice",
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+    )
+    out = resolve_output("hadoopParquet")().configure(
+        {"partition_by": ["ship_year"]}
+    ).initialize(spark, base)
+    out.save("lineitem", DataStream("lineitem", li, StreamType.COLUMNAR))
+
+    fact = spark.read.parquet(base)
+    yrs = (
+        table(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 499700)
+        .select(F.year("o_orderdate").cast("int").alias("yr"))
+        .distinct()
+    )
+    from ..functions.scalars import dsum
+
+    return (
+        fact.join(F.broadcast(yrs), fact["ship_year"] == yrs["yr"])
+        .groupBy(fact["ship_year"].cast("int").alias("ship_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice").alias("revenue"),
+        )
+    )
+
+
+@query(
     "growth_wow",
     oracle="""
     WITH w AS (

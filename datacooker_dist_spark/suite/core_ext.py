@@ -462,6 +462,35 @@ def adapter_csv_roundtrip(spark, sf):
 
 
 @query(
+    "adapter_orc_roundtrip",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def adapter_orc_roundtrip(spark, sf):
+    """ORC round-trip through the adapter registry: supplier flows out
+    through the hadoopOrc OUTPUT adapter (zstd) and back in through the
+    hadoopOrc INPUT adapter. ORC is self-describing, so types round-trip
+    without re-casts — the oracle is the source table, asserting
+    losslessness of the engine's second columnar lake format (extends the
+    reference's A5/A9 'any Hadoop format' base, which dist itself only
+    exercised for text/parquet)."""
+    import tempfile
+    import uuid
+
+    from ..model import DataStream, StreamType
+    from ..registry import resolve_input, resolve_output
+
+    base = tempfile.mkdtemp(prefix=f"dds_orc_{uuid.uuid4().hex[:6]}_")
+    sup = table(spark, sf, "supplier")
+    out = resolve_output("hadoopOrc")().configure(
+        {"codec": "zstd"}
+    ).initialize(spark, base)
+    out.save("supplier", DataStream("supplier", sup, StreamType.COLUMNAR))
+    inp = resolve_input("hadoopOrc")().configure({}).initialize(spark, base)
+    [ds] = inp.load("supplier").values()
+    return ds.df.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+
+
+@query(
     "scalar_map",
     oracle="""
     SELECT o_orderkey,

@@ -718,3 +718,46 @@ def pipeline_crawl_refine(spark, sf):
         F.sum("n_chars").alias("total_chars"),
         F.sum(F.size(DD.tokens_col("text")).cast("long")).alias("total_tokens"),
     )
+
+
+@query(
+    "text_repetition_ratio",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             UNNEST(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+      FROM documents),
+    cnt AS (
+      SELECT doc_id, t, COUNT(*) AS c FROM tok
+      WHERE t <> '' GROUP BY doc_id, t)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           round(COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS distinct_ratio,
+           round(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_token_share
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def text_repetition_ratio(spark, sf):
+    """Intra-document repetition profile — the C4/Gopher-style quality
+    signal that catches boilerplate and keyword-stuffed pages: per-doc
+    token count, distinct-token ratio, and the share of the single most
+    frequent token. Two chained hash aggregates on the same doc_id-prefixed
+    key — the second groupBy is a near-free re-aggregation of the first's
+    output, and both run with map-side partials; nothing is quadratic in
+    document length (vs the naive self-join of tokens)."""
+    docs = table(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(D.tokens_col("text")).alias("t")
+    ).filter(F.col("t") != "")
+    cnt = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(F.count(F.lit(1)) / F.sum("c").cast("double"), 6).alias(
+            "distinct_ratio"
+        ),
+        F.round(F.max("c") / F.sum("c").cast("double"), 6).alias(
+            "top_token_share"
+        ),
+    )

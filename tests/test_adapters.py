@@ -284,3 +284,23 @@ def test_jdbc_reader_options(spark):
     ad2 = JdbcColumnarInput().configure({"url": "jdbc:x"}).initialize(spark, "tbl")
     assert ad2.reader(None) is not None
     assert reader is not None
+
+
+def test_orc_roundtrip(spark, nation, tmp_path):
+    from datacooker_dist_spark.model import DataStream, StreamType
+    from datacooker_dist_spark.registry import resolve_input, resolve_output
+
+    base = str(tmp_path / "orc")
+    out = resolve_output("hadoopOrc")().configure({"codec": "zlib"}).initialize(
+        spark, base
+    )
+    out.save("nation", DataStream("nation", nation, StreamType.COLUMNAR))
+    inp = resolve_input("hadoopOrc")().configure(
+        {"columns": ["n_name", "n_nationkey"]}
+    ).initialize(spark, base)
+    [ds] = inp.load("nation").values()
+    assert ds.df.columns == ["n_name", "n_nationkey"]
+    assert ds.df.count() == nation.count()
+    assert dict(ds.df.collect()) == {
+        r["n_name"]: r["n_nationkey"] for r in nation.collect()
+    }

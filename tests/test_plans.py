@@ -233,3 +233,8 @@ def test_range_banded_is_equi_join(spark):
     plan = executed_plan(spark, "join_range_banded")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dpp_scan_has_dynamic_pruning(spark):
+    plan = executed_plan(spark, "scan_partition_dpp")
+    assert "dynamicpruning" in plan.lower()
