@@ -102,6 +102,7 @@ from . import (  # noqa: E402,F401
     llm_ext,
     relational_ext,
     relational_q4,
+    spatial,
     streaming,
     subqueries,
 )

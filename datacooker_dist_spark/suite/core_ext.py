@@ -648,3 +648,34 @@ def scalar_bitwise(spark, sf):
         F.col("o_orderkey").bitwiseOR(4096).cast("long").alias("with_flag"),
         F.bit_count("o_orderkey").cast("long").alias("popcount"),
     )
+
+
+@query(
+    "compact_small_files",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderstatus = 'O'
+    """,
+)
+def compact_small_files(spark, sf):
+    """Small-file compaction — the lake-maintenance pass that keeps file
+    counts sane under streaming/incremental ingestion: a deliberately
+    over-fragmented landing zone (64 files) is rewritten into a handful of
+    right-sized files with a single narrow coalesce (no shuffle — file
+    merging needs no data movement, only fewer write tasks). The oracle is
+    the source selection: compaction must be byte-lossless. At warehouse
+    scale the target file count comes from bytes/target_file_size instead
+    of a constant, and the rewrite is per-partition-directory."""
+    import tempfile
+    import uuid
+
+    base = tempfile.mkdtemp(prefix=f"dds_compact_{uuid.uuid4().hex[:6]}_")
+    frag, compacted = f"{base}/frag", f"{base}/compacted"
+    src = (
+        table(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    src.repartition(64).write.parquet(frag)
+    spark.read.parquet(frag).coalesce(4).write.parquet(compacted)
+    return spark.read.parquet(compacted)

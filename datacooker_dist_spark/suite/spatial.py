@@ -1,0 +1,67 @@
+"""Spatial suite entries — the commons JTS/Point record family (SURVEY
+§1.2/§1.5) as relational operators over planar coordinates.
+
+Coordinates are synthesized deterministically from integer keys (the
+word-soup testdata carries no geometry): multiplicative hashing onto a
+1000×1000 planar field held in integer CENTI-units. All geometry up to and
+including the radius predicate is 64-bit integer arithmetic — engines may
+fuse double multiply-adds differently (FMA), but integers are exact
+everywhere. The one double op, sqrt of an identical integer, is correctly
+rounded on both engines, so even the returned distance is bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import query, table
+
+# Deterministic planar points: centi-unit integers in [0, 100000).
+_XC = "({k} * 7919) % 100000"
+_YC = "({k} * 104729) % 100000"
+
+
+@query(
+    "geo_radius_join",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey, {_XC.format(k="c_custkey")} AS x,
+             {_YC.format(k="c_custkey")} AS y
+      FROM customer),
+    s AS (
+      SELECT s_suppkey, {_XC.format(k="s_suppkey")} AS x,
+             {_YC.format(k="s_suppkey")} AS y
+      FROM supplier)
+    SELECT c.c_custkey, s.s_suppkey,
+           sqrt((c.x - s.x) * (c.x - s.x)
+                + (c.y - s.y) * (c.y - s.y)) / 100.0 AS dist
+    FROM c JOIN s
+      ON (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
+         <= 6250000
+    """,
+)
+def geo_radius_join(spark, sf):
+    """Spatial radius join (customers within 25 planar units of a
+    supplier site) via grid-cell bucketing: probe side lands in its exact
+    cell, build side explodes to the 3×3 neighborhood, and the exact
+    circle test runs on bucket-mates only — a hash equi-join on cell ids,
+    never a cross join (plan-asserted). The oracle brute-forces the pair
+    space; at engine scale only the linear grid join runs. This is the
+    engine's mapping of the reference commons' JTS Point records."""
+    from ..operators.spatial import grid_radius_join
+
+    def points(df, key):
+        return df.select(
+            F.col(key),
+            F.expr(_XC.format(k=key)).alias("x"),
+            F.expr(_YC.format(k=key)).alias("y"),
+        )
+
+    cust = points(table(spark, sf, "customer"), "c_custkey")
+    supp = points(table(spark, sf, "supplier"), "s_suppkey")
+    joined = grid_radius_join(cust, supp, radius=2500)  # centi-units
+    return joined.select(
+        F.col("c_custkey"),
+        F.col("s_suppkey"),
+        (F.col("dist") / 100.0).alias("dist"),
+    )

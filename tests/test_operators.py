@@ -163,3 +163,36 @@ def test_connected_components_chain(spark):
     got = {r.id_a: r.cluster_id for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_grid_radius_join_matches_brute_force(spark):
+    from pyspark.sql import functions as F
+
+    from datacooker_dist_spark.operators.spatial import grid_radius_join
+
+    # Deterministic integer lattice points; radius crosses cell boundaries.
+    a = spark.range(120).select(
+        F.col("id").alias("aid"),
+        ((F.col("id") * 37) % 100).alias("x"),
+        ((F.col("id") * 61) % 100).alias("y"),
+    )
+    b = spark.range(80).select(
+        F.col("id").alias("bid"),
+        ((F.col("id") * 53) % 100).alias("x"),
+        ((F.col("id") * 29) % 100).alias("y"),
+    )
+    got = {
+        (r["aid"], r["bid"])
+        for r in grid_radius_join(a, b, radius=7.0).collect()
+    }
+    d2 = (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x")) + (
+        F.col("a.y") - F.col("b.y")
+    ) * (F.col("a.y") - F.col("b.y"))
+    want = {
+        (r["aid"], r["bid"])
+        for r in a.alias("a")
+        .crossJoin(b.alias("b"))
+        .filter(d2 <= 49.0)
+        .collect()
+    }
+    assert got == want and len(want) > 0

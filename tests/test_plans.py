@@ -238,3 +238,9 @@ def test_range_banded_is_equi_join(spark):
 def test_dpp_scan_has_dynamic_pruning(spark):
     plan = executed_plan(spark, "scan_partition_dpp")
     assert "dynamicpruning" in plan.lower()
+
+
+def test_geo_radius_join_is_grid_equi_join(spark):
+    plan = executed_plan(spark, "geo_radius_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
