@@ -1028,3 +1028,104 @@ def events_heatmap_dow_hour(spark, sf):
         F.sum(F.col("value").cast("decimal(25,2)")).cast("double")
         .alias("total_value"),
     )
+
+
+@query(
+    "merge_upsert_scd1",
+    oracle="""
+    WITH upd AS (
+      SELECT c_custkey AS k, c_name AS name, c_acctbal + 100.0 AS acctbal
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 'new_' || CAST(c_custkey AS VARCHAR), 0.0
+      FROM customer WHERE c_custkey % 97 = 0)
+    SELECT COALESCE(u.k, c.c_custkey) AS c_custkey,
+           COALESCE(u.name, c.c_name) AS c_name,
+           COALESCE(u.acctbal, c.c_acctbal) AS c_acctbal,
+           u.k IS NOT NULL AS touched
+    FROM customer c FULL OUTER JOIN upd u ON c.c_custkey = u.k
+    """,
+)
+def merge_upsert_scd1(spark, sf):
+    """MERGE INTO semantics (SCD type-1 upsert) as a batch operator: a
+    changelog of updates + inserts full-outer-joins the target on the key;
+    matched rows take the update's values, unmatched targets survive
+    unchanged, unmatched updates insert. This is the relational core of
+    Delta/Iceberg MERGE — at warehouse scale the same plan runs
+    partition-pruned against only the files the changelog keys touch.
+    Complements scd2_dim_build (which keeps history; type 1 overwrites)."""
+    c = table(spark, sf, "customer")
+    upd = (
+        c.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.col("c_name").alias("name"),
+            (F.col("c_acctbal") + 100.0).alias("acctbal"),
+        )
+        .unionAll(
+            c.filter(F.col("c_custkey") % 97 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("k"),
+                F.concat(F.lit("new_"), F.col("c_custkey").cast("string")).alias(
+                    "name"
+                ),
+                F.lit(0.0).alias("acctbal"),
+            )
+        )
+    )
+    merged = c.join(upd, c["c_custkey"] == upd["k"], "full_outer")
+    return merged.select(
+        F.coalesce(upd["k"], c["c_custkey"]).alias("c_custkey"),
+        F.coalesce(upd["name"], c["c_name"]).alias("c_name"),
+        F.coalesce(upd["acctbal"], c["c_acctbal"]).alias("c_acctbal"),
+        upd["k"].isNotNull().alias("touched"),
+    )
+
+
+@query(
+    "events_pattern_match",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id)
+    SELECT user_id,
+           CAST(length(s) AS BIGINT) AS n_events,
+           CAST((length(s) - length(replace(s, 'vp', ''))) // 2 AS BIGINT)
+             AS n_view_then_buy,
+           regexp_matches(s, 'v[^p]*p') AS reaches_purchase
+    FROM seq
+    """,
+)
+def events_pattern_match(spark, sf):
+    """Sequence-pattern matching (MATCH_RECOGNIZE-lite): each user's
+    event history collapses to an ordered initial-letter string (one hash
+    aggregate; array_sort of (ts, event_id, initial) structs pins a total
+    order), then pattern ops run as plain string expressions — count of
+    immediate view→purchase adjacencies and a regex for any
+    view-eventually-purchase path. Complex-event-processing over 100 TB
+    without a specialized engine: the per-user string is bounded by the
+    user's own history, and everything after the aggregate is narrow."""
+    ev = table(spark, sf, "events")
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("i"))
+            .alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("e")), lambda x: x["i"]),
+                "",
+            ).alias("s")
+        )
+    )
+    return seq.select(
+        "user_id",
+        F.length("s").cast("long").alias("n_events"),
+        F.expr(
+            "(length(s) - length(replace(s, 'vp', ''))) div 2"
+        ).cast("long").alias("n_view_then_buy"),
+        F.col("s").rlike("v[^p]*p").alias("reaches_purchase"),
+    )

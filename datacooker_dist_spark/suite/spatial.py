@@ -65,3 +65,63 @@ def geo_radius_join(spark, sf):
         F.col("s_suppkey"),
         (F.col("dist") / 100.0).alias("dist"),
     )
+
+
+@query(
+    "geo_knn_join",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey, {_XC.format(k="c_custkey")} AS x,
+             {_YC.format(k="c_custkey")} AS y
+      FROM customer),
+    s AS (
+      SELECT s_suppkey, {_XC.format(k="s_suppkey")} AS x,
+             {_YC.format(k="s_suppkey")} AS y
+      FROM supplier),
+    pairs AS (
+      SELECT c.c_custkey, s.s_suppkey,
+             (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) AS d2
+      FROM c JOIN s
+        ON (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
+           <= 25000000),
+    ranked AS (
+      SELECT c_custkey, s_suppkey, d2,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                ORDER BY d2, s_suppkey) AS rn
+      FROM pairs)
+    SELECT c_custkey, s_suppkey, CAST(rn AS BIGINT) AS rank,
+           sqrt(d2) / 100.0 AS dist
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def geo_knn_join(spark, sf):
+    """Bounded-radius k-nearest-neighbor join: each customer's 3 closest
+    supplier sites within 50 planar units — grid-bucketed candidates (the
+    same linear equi-join as geo_radius_join, wider cells) ranked by a
+    per-customer window with a total-order tiebreak (distance, then key).
+    Bounding the search radius is what keeps kNN scalable: the unbounded
+    version degrades to a cross join for isolated points, while real
+    pipelines always carry a 'too far is no match' cutoff."""
+    from pyspark.sql import Window
+
+    from ..operators.spatial import grid_radius_join
+
+    def points(df, key):
+        return df.select(
+            F.col(key),
+            F.expr(_XC.format(k=key)).alias("x"),
+            F.expr(_YC.format(k=key)).alias("y"),
+        )
+
+    cust = points(table(spark, sf, "customer"), "c_custkey")
+    supp = points(table(spark, sf, "supplier"), "s_suppkey")
+    joined = grid_radius_join(cust, supp, radius=5000)  # centi-units
+    w = Window.partitionBy("c_custkey").orderBy("dist", "s_suppkey")
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "c_custkey", "s_suppkey", "rank",
+            (F.col("dist") / 100.0).alias("dist"),
+        )
+    )
