@@ -287,6 +287,28 @@ class HadoopStructuredOutput(_HadoopOutputBase):
         ).json(self._target(name))
 
 
+@input_adapter("hadoopXml")
+class HadoopXmlInput(_HadoopInputBase):
+    """XML → columnar rows via Spark 4's native XML source (engine
+    extension; ``row_tag`` picks the repeating record element,
+    ``schema_ddl`` pins an explicit schema instead of inference)."""
+
+    stream_type = StreamType.COLUMNAR
+
+    def _read(self, uri: str) -> DataFrame:
+        r = self.spark.read.format("xml").option(
+            "rowTag", self.params.get("row_tag", "row")
+        )
+        ddl = self.params.get("schema_ddl")
+        if ddl:
+            r = r.schema(ddl)
+        df = r.load(uri)
+        columns = self.params.get("columns")
+        if columns:
+            df = df.select(*[c for c in columns if c != "_"])
+        return df
+
+
 @output_adapter("hadoopOrc")
 class HadoopOrcOutput(_HadoopOutputBase):
     """Columnar → ORC with codec (zlib/snappy/zstd/none) and optional
@@ -302,6 +324,24 @@ class HadoopOrcOutput(_HadoopOutputBase):
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.orc(self._target(name))
+
+
+@output_adapter("hadoopXml")
+class HadoopXmlOutput(_HadoopOutputBase):
+    """Columnar → XML documents (``row_tag``/``root_tag`` name the
+    elements; codec compresses whole files, XML is not splittable)."""
+
+    def save(self, name: str, stream: DataStream) -> None:
+        codec = str(self.params.get("codec", "none")).lower()
+        (
+            self._projected(stream)
+            .write.mode("overwrite")
+            .format("xml")
+            .option("rowTag", self.params.get("row_tag", "row"))
+            .option("rootTag", self.params.get("root_tag", "rows"))
+            .option("compression", codec)
+            .save(self._target(name))
+        )
 
 
 output_adapter("s3directText")(HadoopColumnarOutput)

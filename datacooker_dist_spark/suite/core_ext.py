@@ -679,3 +679,74 @@ def compact_small_files(spark, sf):
     src.repartition(64).write.parquet(frag)
     spark.read.parquet(frag).coalesce(4).write.parquet(compacted)
     return spark.read.parquet(compacted)
+
+
+@query(
+    "adapter_xml_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def adapter_xml_roundtrip(spark, sf):
+    """XML round-trip through the adapter registry (Spark 4 native XML
+    source): nation flows out as <rows><row>...</row></rows> documents and
+    back in with schema inference, then re-casts the inferred numerics.
+    XML is the interchange format of record for many enterprise feeds the
+    reference's JDBC/S3 adapters front — the engine covers it as a
+    first-class verb."""
+    import tempfile
+    import uuid
+
+    from ..model import DataStream, StreamType
+    from ..registry import resolve_input, resolve_output
+
+    base = tempfile.mkdtemp(prefix=f"dds_xml_{uuid.uuid4().hex[:6]}_")
+    nation = table(spark, sf, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    out = resolve_output("hadoopXml")().configure(
+        {"row_tag": "nation", "root_tag": "nations"}
+    ).initialize(spark, base)
+    out.save("nation", DataStream("nation", nation, StreamType.COLUMNAR))
+    inp = resolve_input("hadoopXml")().configure(
+        {"row_tag": "nation"}
+    ).initialize(spark, base)
+    [ds] = inp.load("nation").values()
+    return ds.df.select(
+        F.col("n_nationkey").cast("bigint"),
+        F.col("n_name").cast("string"),
+        F.col("n_regionkey").cast("int"),
+    )
+
+
+@query(
+    "recursive_cte_closure",
+    oracle="""
+    WITH RECURSIVE up AS (
+      SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth
+      FROM customer WHERE c_custkey < 500
+      UNION ALL
+      SELECT node, cur // 10, depth + 1 FROM up WHERE cur > 0)
+    SELECT node, CAST(MAX(depth) AS BIGINT) AS depth_to_root,
+           CAST(SUM(cur) AS BIGINT) AS path_sum
+    FROM up GROUP BY node
+    """,
+)
+def recursive_cte_closure(spark, sf):
+    """Recursive CTE (Spark 4 WITH RECURSIVE) walking a synthesized
+    containment hierarchy — each key's parent is key/10, a forest of
+    4-level chains: per-node depth-to-root and ancestor path sum. The
+    iterative union is the SQL-surface twin of the engine's
+    connected-components loop; Spark bounds it with the recursion-depth
+    guard the same way the CC operator bounds max_iter."""
+    table(spark, sf, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        WITH RECURSIVE up AS (
+          SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth
+          FROM customer_v WHERE c_custkey < 500
+          UNION ALL
+          SELECT node, cur div 10, depth + 1 FROM up WHERE cur > 0)
+        SELECT node, CAST(MAX(depth) AS BIGINT) AS depth_to_root,
+               CAST(SUM(cur) AS BIGINT) AS path_sum
+        FROM up GROUP BY node
+        """
+    )

@@ -729,3 +729,43 @@ def text_langid_confusion(spark, sf):
         .groupBy("actual_lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1.0 - l_discount) AS net_price
+    FROM lineitem
+    """,
+)
+def udf_map_in_arrow(spark, sf):
+    """mapInArrow — the zero-copy rung of the Python UDF ladder: batches
+    arrive as pyarrow RecordBatches and never materialize a pandas frame,
+    so there is no index/dtype conversion tax (the fastest Python path for
+    columnar math; pandas shines only when its API is actually needed).
+    Double multiply is correctly rounded identically in Arrow and both SQL
+    engines, so the oracle is exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    schema = "l_orderkey bigint, l_linenumber int, net_price double"
+
+    def net(batches):
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("l_orderkey"),
+                    b.column("l_linenumber"),
+                    pc.multiply(
+                        b.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+                    ),
+                ],
+                names=["l_orderkey", "l_linenumber", "net_price"],
+            )
+
+    li = table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    return li.mapInArrow(net, schema)

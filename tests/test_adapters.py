@@ -304,3 +304,21 @@ def test_orc_roundtrip(spark, nation, tmp_path):
     assert dict(ds.df.collect()) == {
         r["n_name"]: r["n_nationkey"] for r in nation.collect()
     }
+
+
+def test_xml_roundtrip(spark, nation, tmp_path):
+    from datacooker_dist_spark.model import DataStream, StreamType
+    from datacooker_dist_spark.registry import resolve_input, resolve_output
+
+    base = str(tmp_path / "xml")
+    out = resolve_output("hadoopXml")().configure(
+        {"row_tag": "nation", "root_tag": "nations"}
+    ).initialize(spark, base)
+    out.save("nation", DataStream("nation", nation, StreamType.COLUMNAR))
+    inp = resolve_input("hadoopXml")().configure(
+        {"row_tag": "nation", "schema_ddl": "n_nationkey BIGINT, n_name STRING"}
+    ).initialize(spark, base)
+    [ds] = inp.load("nation").values()
+    assert dict(ds.df.collect()) == {
+        r["n_nationkey"]: r["n_name"] for r in nation.collect()
+    }
