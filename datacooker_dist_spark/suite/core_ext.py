@@ -750,3 +750,32 @@ def recursive_cte_closure(spark, sf):
         FROM up GROUP BY node
         """
     )
+
+
+@query(
+    "adapter_custom_datasource",
+    oracle="""
+    SELECT range AS id, (range * 2654435761) % 1000 AS v,
+           CAST(COUNT(*) OVER () AS BIGINT) AS total
+    FROM range(10000)
+    """,
+)
+def adapter_custom_datasource(spark, sf):
+    """Custom Python DataSource through the full read path — the engine's
+    answer to the reference's storage-adapter extensibility (A21): schema
+    declaration, driver-side partition planning (8 InputPartitions), and
+    executor-side generator reads all happen in user code; Spark owns
+    scheduling and Arrow transfer. The deterministic sequence makes the
+    extension point itself oracle-checkable."""
+    from ..sources.pydatasource import register
+
+    register(spark)
+    df = (
+        spark.read.format("synthseq")
+        .option("n", "10000")
+        .option("parts", "8")
+        .load()
+    )
+    return df.select(
+        "id", "v", F.count(F.lit(1)).over(Window.partitionBy()).alias("total")
+    )

@@ -322,3 +322,19 @@ def test_xml_roundtrip(spark, nation, tmp_path):
     assert dict(ds.df.collect()) == {
         r["n_nationkey"]: r["n_name"] for r in nation.collect()
     }
+
+
+def test_custom_python_datasource_partitions(spark):
+    from datacooker_dist_spark.sources.pydatasource import register
+
+    register(spark)
+    df = (
+        spark.read.format("synthseq")
+        .option("n", "1000")
+        .option("parts", "5")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 5
+    assert df.count() == 1000
+    rows = dict(df.filter("id < 3").collect())
+    assert rows == {0: 0, 1: 2654435761 % 1000, 2: (2 * 2654435761) % 1000}
