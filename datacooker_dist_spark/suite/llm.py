@@ -769,3 +769,37 @@ def udf_map_in_arrow(spark, sf):
         "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
     )
     return li.mapInArrow(net, schema)
+
+
+@query(
+    "udf_broadcast_dict",
+    oracle="""
+    SELECT c.c_custkey, n.n_name AS nation_name
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def udf_broadcast_dict(spark, sf):
+    """Broadcast-dictionary lookup inside a vectorized UDF — the
+    tokenizer-vocab / label-map pattern every training pipeline ships: a
+    BOUNDED driver-side dict (here the 25-row nation dim) rides
+    ``sc.broadcast`` to every Python worker once, and the pandas UDF maps
+    a key column against it with zero per-row IPC. The deliberate
+    contrast with join-based enrichment: a broadcast dict is for small
+    closed vocabularies consumed by Python logic; anything growing with
+    the data belongs in a broadcast JOIN (events_enriched) instead. The
+    oracle is the equivalent join."""
+    nat = {
+        r["n_nationkey"]: r["n_name"]
+        for r in table(spark, sf, "nation").select(
+            "n_nationkey", "n_name"
+        ).collect()
+    }
+    b = spark.sparkContext.broadcast(nat)
+
+    @F.pandas_udf(StringType())
+    def lookup(k: pd.Series) -> pd.Series:
+        return k.map(b.value)
+
+    return table(spark, sf, "customer").select(
+        "c_custkey", lookup("c_nationkey").alias("nation_name")
+    )
