@@ -755,8 +755,7 @@ def recursive_cte_closure(spark, sf):
 @query(
     "adapter_custom_datasource",
     oracle="""
-    SELECT range AS id, (range * 2654435761) % 1000 AS v,
-           CAST(COUNT(*) OVER () AS BIGINT) AS total
+    SELECT range AS id, (range * 2654435761) % 1000 AS v
     FROM range(10000)
     """,
 )
@@ -770,12 +769,9 @@ def adapter_custom_datasource(spark, sf):
     from ..sources.pydatasource import register
 
     register(spark)
-    df = (
+    return (
         spark.read.format("synthseq")
         .option("n", "10000")
         .option("parts", "8")
         .load()
-    )
-    return df.select(
-        "id", "v", F.count(F.lit(1)).over(Window.partitionBy()).alias("total")
     )
