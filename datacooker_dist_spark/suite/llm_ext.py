@@ -761,3 +761,26 @@ def text_repetition_ratio(spark, sf):
             "top_token_share"
         ),
     )
+
+
+@query(
+    "sample_hash_reproducible",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE (doc_id * 2654435761) % 100 < 10
+    """,
+)
+def sample_hash_reproducible(spark, sf):
+    """Reproducible 10% sample by multiplicative key hashing — the
+    production answer to 'give me the same sample next run, next engine,
+    next cluster': membership is a pure function of the key, so the
+    sample is stable across partitionings, engines and re-ingests
+    (unlike engine-RNG Bernoulli sampling, which sample_stratified
+    covers as rows-only). Narrow — the predicate rides the scan; at
+    100 TB this is the only sampling that composes with incremental
+    pipelines, because yesterday's rows keep yesterday's verdict."""
+    docs = table(spark, sf, "documents")
+    return docs.filter((F.col("doc_id") * 2654435761) % 100 < 10).select(
+        "doc_id", "lang", "source"
+    )

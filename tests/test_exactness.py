@@ -70,3 +70,39 @@ def test_connected_components_idempotent(spark):
     for row in first.collect():
         if row.doc_id in merged:
             assert merged[row.doc_id] == row.cluster_id
+
+
+def test_new_operators_partition_invariant(spark):
+    """Grid radius join and sequence-pattern matching must not depend on
+    the physical partitioning of their inputs."""
+    from pyspark.sql import functions as F
+
+    from conftest import SF_SMALL
+    from datacooker_dist_spark.suite import QUERIES
+
+    for name in ("geo_radius_join", "events_pattern_match"):
+        base = sorted(map(tuple, QUERIES[name](spark, SF_SMALL).collect()))
+        assert len(base) > 0, name
+
+    # Re-run the grid join itself on repartitioned inputs.
+    from datacooker_dist_spark.operators.spatial import grid_radius_join
+
+    def pts(key):
+        return spark.range(200).select(
+            F.col("id").alias(key),
+            ((F.col("id") * 37) % 500).alias("x"),
+            ((F.col("id") * 61) % 500).alias("y"),
+        )
+
+    expected = None
+    for parts in (1, 7):
+        j = grid_radius_join(
+            pts("ka").repartition(parts), pts("kb").repartition(parts),
+            radius=40.0,
+        )
+        got = sorted(
+            (r["ka"], r["kb"]) for r in j.select("ka", "kb").collect()
+        )
+        if expected is None:
+            expected = got
+        assert got == expected, f"parts={parts}"
