@@ -784,3 +784,41 @@ def sample_hash_reproducible(spark, sf):
     return docs.filter((F.col("doc_id") * 2654435761) % 100 < 10).select(
         "doc_id", "lang", "source"
     )
+
+
+@query(
+    "corpus_stats_report",
+    oracle="""
+    SELECT COALESCE(source, '<all>') AS source,
+           COALESCE(lang, '<all>') AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len(regexp_split_to_array(lower(trim(text)), '\\s+')))
+                AS BIGINT) AS total_tokens,
+           round(SUM(n_chars) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_chars
+    FROM documents
+    GROUP BY GROUPING SETS ((source, lang), (source), ())
+    """,
+)
+def corpus_stats_report(spark, sf):
+    """The corpus 'data card' in one scan: doc counts, char and token
+    volumes, and average length at three grains — (source, lang), per
+    source, and corpus-wide — via GROUPING SETS (a single Expand + one
+    hash aggregate; no second pass per grain). This is the report every
+    training-data release ships and the first sanity gate after any
+    pipeline change: volume deltas localize to a source×lang cell before
+    anyone reads a sample."""
+    docs = table(spark, sf, "documents")
+    docs.createOrReplaceTempView("documents_v")
+    return spark.sql(
+        """
+        SELECT COALESCE(source, '<all>') AS source,
+               COALESCE(lang, '<all>') AS lang,
+               COUNT(*) AS n_docs,
+               SUM(n_chars) AS total_chars,
+               SUM(size(split(lower(trim(text)), '\\\\s+'))) AS total_tokens,
+               round(SUM(n_chars) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_chars
+        FROM documents_v
+        GROUP BY GROUPING SETS ((source, lang), (source), ())
+        """
+    )
