@@ -109,9 +109,17 @@ def text_unigram_logprob(spark, sf):
     docs = table(spark, sf, "documents")
     tok = docs.select("doc_id", F.explode(D.tokens_col("text")).alias("t"))
     vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("tf"))
-    total = float(vocab.agg(F.sum("tf")).collect()[0][0])
-    scored = tok.join(F.broadcast(vocab), "t").select(
-        "doc_id", F.round(F.log(F.col("tf") / F.lit(total)), 9).alias("_lp")
+    # Corpus total stays IN the plan (broadcast 1-row cross join) — no
+    # driver round-trip, one lazy plan end to end (same shape text_tfidf
+    # uses for its in-plan doc count).
+    total_df = vocab.agg(F.sum("tf").cast("double").alias("_total"))
+    scored = (
+        tok.join(F.broadcast(vocab), "t")
+        .crossJoin(F.broadcast(total_df))
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("tf") / F.col("_total")), 9).alias("_lp"),
+        )
     )
     return scored.groupBy("doc_id").agg(
         F.round(F.sum("_lp"), 6).alias("logprob"),
