@@ -73,3 +73,29 @@ def test_suite_aggregate_on_empty_slice(spark):
     )
     assert out.columns == ["l_returnflag", "s"]
     assert out.count() == 0
+
+
+def test_grid_radius_join_empty_sides(spark):
+    from datacooker_dist_spark.operators.spatial import grid_radius_join
+
+    pts = spark.range(10).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 7).alias("x"),
+        (F.col("id") * 3).alias("y"),
+    )
+    none = pts.filter(F.lit(False))
+    assert grid_radius_join(none, pts, radius=5.0).count() == 0
+    assert grid_radius_join(pts, none, radius=5.0).count() == 0
+    assert grid_radius_join(none, none, radius=5.0).count() == 0
+
+
+def test_pattern_match_no_events(spark):
+    """events_pattern_match's aggregate shape on a zero-row slice."""
+    from datacooker_dist_spark.suite import QUERIES
+
+    df = QUERIES["events_pattern_match"](spark, SF_SMALL)
+    empty = df.filter(F.lit(False))
+    assert empty.count() == 0
+    assert empty.columns == [
+        "user_id", "n_events", "n_view_then_buy", "reaches_purchase"
+    ]

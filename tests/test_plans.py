@@ -244,3 +244,16 @@ def test_geo_radius_join_is_grid_equi_join(spark):
     plan = executed_plan(spark, "geo_radius_join")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_merge_upsert_no_cartesian(spark):
+    plan = executed_plan(spark, "merge_upsert_scd1")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_pattern_match_single_aggregate_shuffle(spark):
+    # One hash-partitioned exchange (the per-user aggregate); string ops
+    # after it are narrow.
+    plan = executed_plan(spark, "events_pattern_match")
+    assert plan.count("Exchange hashpartitioning") == 1
