@@ -1129,3 +1129,81 @@ def events_pattern_match(spark, sf):
         ).cast("long").alias("n_view_then_buy"),
         F.col("s").rlike("v[^p]*p").alias("reaches_purchase"),
     )
+
+
+@query(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY DATE_TRUNC('day', ts)
+    """,
+)
+def agg_multi_distinct(spark, sf):
+    """Several COUNT(DISTINCT ...) over different columns in ONE query —
+    Catalyst compiles this to a single Expand (one input row per distinct
+    column) feeding one aggregate pipeline, not one scan per distinct.
+    The plan shape to know at 100 TB: N distinct columns cost N× the
+    shuffled rows of one scan, never N scans of the fact."""
+    ev = table(spark, sf, "events")
+    return ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "market_basket_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_orders
+          FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS n_together
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey)
+    SELECT part_a, part_b, n_together,
+           round(n_together / n.n_orders, 9) AS support
+    FROM pairs, n
+    WHERE n_together >= 2
+    """,
+)
+def market_basket_pairs(spark, sf):
+    """Market-basket co-occurrence (association mining's candidate pass):
+    part pairs appearing in the same order, with support. The self-join
+    is keyed on l_orderkey, so the pair space is per-basket quadratic —
+    bounded by max basket size (~7 lines), never corpus-quadratic — and
+    the support denominator rides the plan as a broadcast scalar. The
+    support>=k gate is what keeps the output sparse at scale (the
+    frequent-itemset pruning principle)."""
+    li = table(spark, sf, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.l_orderkey") == F.col("b.l_orderkey"),
+                F.col("a.l_partkey") < F.col("b.l_partkey"),
+            ],
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_together"))
+        .filter(F.col("n_together") >= 2)
+    )
+    return pairs.crossJoin(F.broadcast(n_orders)).select(
+        "part_a", "part_b", "n_together",
+        F.round(F.col("n_together") / F.col("n_orders"), 9).alias("support"),
+    )
