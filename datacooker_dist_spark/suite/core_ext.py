@@ -775,3 +775,37 @@ def adapter_custom_datasource(spark, sf):
         .option("parts", "8")
         .load()
     )
+
+
+@query(
+    "adapter_schema_evolution",
+    oracle="""
+    SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey
+    FROM nation WHERE n_nationkey < 10
+    UNION ALL
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation WHERE n_nationkey >= 10
+    """,
+)
+def adapter_schema_evolution(spark, sf):
+    """Schema evolution on read — the lake reality that columns arrive
+    over time: an old vintage (2 columns) and a new vintage (3 columns)
+    coexist in one directory; ``mergeSchema`` unions the footers into the
+    widest schema and back-fills the old files' missing column with
+    nulls. The oracle spells out exactly that contract. At 100 TB,
+    schema merging is a footer-only operation — no data rewrite — which
+    is why additive evolution is free and renames/drops are not."""
+    import tempfile
+    import uuid
+
+    base = tempfile.mkdtemp(prefix=f"dds_evo_{uuid.uuid4().hex[:6]}_")
+    nation = table(spark, sf, "nation")
+    nation.filter(F.col("n_nationkey") < 10).select(
+        "n_nationkey", "n_name"
+    ).write.mode("append").parquet(base)
+    nation.filter(F.col("n_nationkey") >= 10).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).write.mode("append").parquet(base)
+    return spark.read.option("mergeSchema", "true").parquet(base).select(
+        "n_nationkey", "n_name", F.col("n_regionkey").cast("int")
+    )

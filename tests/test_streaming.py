@@ -106,3 +106,39 @@ def test_stream_batch_parity(spark, tmp_path):
         .select(F.col("w.start").alias("window_start"), "k", "n_events")
     )
     assert sorted(map(tuple, res.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_restart_from_checkpoint_processes_only_new_files(spark, tmp_path):
+    """Exactly-once resume: a second availableNow run against the same
+    checkpoint must process only files that arrived after the first run —
+    no reprocessing, no duplicates in the append sink."""
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(rows):
+        spark.createDataFrame(rows, "k string, v long").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def drain():
+        q = (
+            spark.readStream.schema("k string, v long")
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write([("a", 1), ("b", 2)])
+    drain()
+    assert spark.read.parquet(sink).count() == 2
+    write([("c", 3), ("d", 4), ("e", 5)])
+    drain()
+    out = spark.read.parquet(sink)
+    assert out.count() == 5
+    assert sorted(r["k"] for r in out.collect()) == ["a", "b", "c", "d", "e"]
