@@ -1207,3 +1207,55 @@ def market_basket_pairs(spark, sf):
         "part_a", "part_b", "n_together",
         F.round(F.col("n_together") / F.col("n_orders"), 9).alias("support"),
     )
+
+
+@query(
+    "interval_sweep_open_orders",
+    oracle="""
+    WITH iv AS (
+      SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS s,
+             CAST(MAX(l.l_shipdate) AS DATE) AS e
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate),
+    deltas AS (
+      SELECT s AS day, 1 AS d FROM iv
+      UNION ALL
+      SELECT CAST(e + INTERVAL 1 DAY AS DATE), -1 FROM iv),
+    daily AS (
+      SELECT day, CAST(SUM(d) AS BIGINT) AS delta
+      FROM deltas GROUP BY day)
+    SELECT day, delta,
+           CAST(SUM(delta) OVER (ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS open_orders
+    FROM daily
+    """,
+)
+def interval_sweep_open_orders(spark, sf):
+    """Sweep-line interval-overlap counting — how many orders are 'in
+    flight' (placed, not yet fully shipped) on each day: every interval
+    emits +1 at its start and -1 the day after its end, a hash aggregate
+    nets the deltas per day, and a running sum over the (tiny,
+    one-row-per-day) aggregate reconstructs the concurrency curve. The
+    alternative — joining a day grid against intervals — is
+    O(days × intervals); the sweep is O(intervals) + a sort of distinct
+    days, the only formulation that survives 100 TB of intervals. The
+    global window runs AFTER aggregation, on rows bounded by the
+    calendar, not the data."""
+    o = table(spark, sf, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("s")
+    )
+    e = (
+        table(spark, sf, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").cast("date").alias("e"))
+    )
+    iv = o.join(e, o["o_orderkey"] == e["l_orderkey"]).select("s", "e")
+    deltas = iv.select(F.col("s").alias("day"), F.lit(1).alias("d")).unionAll(
+        iv.select(F.date_add("e", 1).alias("day"), F.lit(-1).alias("d"))
+    )
+    daily = deltas.groupBy("day").agg(F.sum("d").cast("long").alias("delta"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day", "delta", F.sum("delta").over(w).cast("long").alias("open_orders")
+    )
