@@ -51,18 +51,49 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    ordered = sorted(timings.values())
+    median = round(ordered[len(ordered) // 2], 3) if ordered else 0.0
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+
+    # Full per-query map goes to an artifact file; stdout gets a compact line
+    # (the driver's capture window truncates multi-KB lines — VERDICT r01).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
             {
                 "metric": "suite_total",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "cpus": cpus,
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
+
+    spark.stop()
+    # Compact summary is the LAST stdout line so the driver's tail capture
+    # always holds one complete, parse-able JSON object.
+    print(
+        json.dumps(
+            {
+                "metric": "suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": slowest,
+                "n_queries": len(timings),
+                "median_sec": median,
+                "detail": "BENCH_DETAIL.json",
+                "sf": sf,
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -43,11 +43,18 @@ class Partitioning(Enum):
               columns — distribution parity, not bit parity, per SURVEY §7.3)
     RANDOM    round-robin (reference keys by ``Random.nextInt()``)
     SOURCE    keep the source partitioning (no shuffle)
+    BY_SOURCE co-locate records by originating file (``input_file_name()``)
+              — the by-source mode the commons enum implies beyond the two
+              JDBC supports ("Supports only PARTITION BY HASHCODE and
+              RANDOM", reference ``JdbcColumnarInput.java:39-40``); file
+              sources group all records of one input file into one
+              partition, e.g. for per-source dedup or per-file sessionizing
     """
 
     HASHCODE = "HASHCODE"
     RANDOM = "RANDOM"
     SOURCE = "SOURCE"
+    BY_SOURCE = "BY_SOURCE"
 
 
 @dataclass(frozen=True)
@@ -93,15 +100,22 @@ class DataStream:
         """Reference A13/A14 repartitioning semantics on DataFrames.
 
         HASHCODE → hash-partition on ``xxhash64(*columns)`` (stable record
-        hash); RANDOM → round-robin; SOURCE → leave as-is. ``part_count`` of
-        ``None``/0 keeps the current partition count for SOURCE and lets
-        Spark's default parallelism rule for the others (the reference treats
-        part_count<=0 as "one partition" only for JdbcRDD bounds — a quirk we
-        do not reproduce, SURVEY §2.A bugs note 4).
+        hash); RANDOM → round-robin; BY_SOURCE → hash-partition on
+        ``input_file_name()`` so each originating file's records co-locate
+        (must run before any projection that severs file lineage); SOURCE →
+        leave as-is. ``part_count`` of ``None``/0 keeps the current
+        partition count for SOURCE and lets Spark's default parallelism
+        rule for the others (the reference treats part_count<=0 as "one
+        partition" only for JdbcRDD bounds — a quirk we do not reproduce,
+        SURVEY §2.A bugs note 4).
         """
         if partitioning is Partitioning.SOURCE or not part_count or part_count <= 0:
             return self
         if partitioning is Partitioning.HASHCODE:
             cols = [F.col(c) for c in self.df.columns]
             return self.with_df(self.df.repartition(part_count, F.xxhash64(*cols)))
+        if partitioning is Partitioning.BY_SOURCE:
+            return self.with_df(
+                self.df.repartition(part_count, F.input_file_name())
+            )
         return self.with_df(self.df.repartition(part_count))

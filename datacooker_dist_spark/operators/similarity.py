@@ -59,6 +59,13 @@ def cosine_topk(
     deterministic (score desc, id asc) ranking so results are stable across
     engines and partitionings. Self-matches are excluded.
     Output: (query_id, neighbor_id, rnk, cosine).
+
+    Scale contract: the plan is a BroadcastNestedLoopJoin whose BUILD side
+    is the query set — cost is |corpus| × |queries|, linear in the corpus
+    for a bounded query set (pinned by ``test_plans.py``). This is the
+    exact baseline only; an unbounded query set must route through
+    :func:`cosine_topk_lsh` (bucketed equi-join) or :func:`cosine_topk_ivf`
+    (cell-probe equi-join), which trade recall for corpus-scale pruning.
     """
     from pyspark.sql.window import Window
 
@@ -314,6 +321,58 @@ def cosine_topk_lsh(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def cosine_candidate_pairs(
+    emb: DataFrame,
+    threshold: float,
+    dim: int,
+    planes: int = 2,
+    tables: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine ≥ threshold pairs with an LSH-bucketed candidate source —
+    the scale path for embedding near-dedup (no cross join anywhere).
+
+    Plan: one narrow pass computes random-hyperplane signatures per vector
+    (:func:`lsh_signatures` — pandas-UDF matmul, zero joins), then a
+    self-equi-join on (htable, sig) yields candidate id pairs, deduped on
+    the ids alone (vectors re-attach by id-key join afterwards so the
+    distinct shuffle carries ids, not vectors), and the exact rounded
+    cosine is verified per candidate. Recall for a pair at angle θ is
+    1-(1-p^planes)^tables with p = 1-θ/π; planes low / tables high biases
+    to recall ≈ 1 (for threshold 0.45, planes=2 × tables=32 gives a
+    per-pair miss probability ~3e-8 — and the hyperplanes are seeded, so
+    the output is deterministic). At production thresholds (≥ 0.7) the
+    same machinery prunes aggressively; near the random-pair mode it
+    degrades gracefully toward all-pairs *candidates* while the plan stays
+    an equi-join (linear shuffle, no CartesianProduct).
+    Output: (id_a, id_b, cosine) with id_a < id_b.
+    """
+    sigs = lsh_signatures(
+        emb, "vec", dim=dim, planes=planes, tables=tables,
+        id_col=id_col, vec_col=vec_col,
+    ).select(F.col("vec").alias("_id"), "htable", "sig")
+    a = sigs.select(F.col("_id").alias("id_a"), "htable", "sig")
+    b = sigs.select(F.col("_id").alias("id_b"), "htable", "sig")
+    cand = (
+        a.join(b, on=["htable", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    e = emb.select(F.col(id_col), as_double_array(vec_col).alias("_v"))
+    cand = cand.join(
+        e.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va")), "id_a"
+    ).join(
+        e.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb")), "id_b"
+    )
+    cos = F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6)
+    return (
+        cand.select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
 
 
 def cosine_pairs(

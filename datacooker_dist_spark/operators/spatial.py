@@ -31,26 +31,42 @@ def grid_radius_join(
     should be passed as ``right``). The join is a hash equi-join on
     (cell_x, cell_y); the exact circle test runs on bucket-mates only.
     Shuffle volume is |left| + 9·|right| rows — linear, never quadratic.
+
+    ``cell`` must be ≥ ``radius`` (the 3×3 neighborhood only covers the
+    circle under that invariant — violating it would silently drop true
+    matches, so it raises instead). The right side's coordinate columns
+    come back suffixed ``{x}_r``/``{y}_r`` so the output has no ambiguous
+    names.
     """
-    cell = cell or radius
-    lx, ly = F.col(f"l.{x}"), F.col(f"l.{y}")
-    rx, ry = F.col(f"r.{x}"), F.col(f"r.{y}")
+    if radius <= 0:
+        raise ValueError(f"radius must be > 0, got {radius}")
+    if cell is None:
+        cell = radius
+    elif cell < radius:
+        raise ValueError(
+            f"cell ({cell}) must be >= radius ({radius}): the 3x3 "
+            "neighborhood no longer covers the radius otherwise"
+        )
+    xr, yr = f"{x}_r", f"{y}_r"
+    lx, ly = F.col(x), F.col(y)
+    rx, ry = F.col(xr), F.col(yr)
 
     l = left.withColumn("_cx", F.floor(F.col(x) / cell)).withColumn(
         "_cy", F.floor(F.col(y) / cell)
     )
     offsets = F.expr("explode(sequence(-1, 1))")
     r = (
-        right.withColumn("_dx", offsets)
+        right.withColumnRenamed(x, xr)
+        .withColumnRenamed(y, yr)
+        .withColumn("_dx", offsets)
         .withColumn("_dy", F.expr("explode(sequence(-1, 1))"))
-        .withColumn("_cx", F.floor(F.col(x) / cell) + F.col("_dx"))
-        .withColumn("_cy", F.floor(F.col(y) / cell) + F.col("_dy"))
+        .withColumn("_cx", F.floor(F.col(xr) / cell) + F.col("_dx"))
+        .withColumn("_cy", F.floor(F.col(yr) / cell) + F.col("_dy"))
         .drop("_dx", "_dy")
     )
     d2 = (lx - rx) * (lx - rx) + (ly - ry) * (ly - ry)
     return (
-        l.alias("l")
-        .join(r.alias("r"), ["_cx", "_cy"])
+        l.join(r, ["_cx", "_cy"])
         .filter(d2 <= F.lit(float(radius) * float(radius)))
         .withColumn("dist", F.sqrt(d2))
         .drop("_cx", "_cy")

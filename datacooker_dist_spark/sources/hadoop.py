@@ -30,10 +30,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql.types import StringType, StructField, StructType
 
 from ..model import DataStream, Lineage, Partitioning, StreamType
-from ..registry import input_adapter, output_adapter
+from ..registry import Param, input_adapter, output_adapter
 from .base import InputAdapter, OutputAdapter
 
 DEFAULT_DELIMITER = "\t"  # reference default (S3DirectColumnarInput.java:60-61)
+
+# Every hadoop-family adapter accepts the s3d:// credential params
+# (reference ``S3DirectStorage`` metas, pushed to fs.s3a.* in resolve_uri).
+S3_PARAMS = (
+    Param("access_key", "str", doc="S3 access key for s3d:// paths"),
+    Param("secret_key", "str", doc="S3 secret key for s3d:// paths"),
+    Param("endpoint", "str", doc="S3 endpoint override for s3d:// paths"),
+    Param("region", "str", doc="S3 endpoint region for s3d:// paths"),
+)
+COLUMNS_PARAM = Param(
+    "columns", "list[str]",
+    doc="column select + reorder; '_' skips a physical column (A10/A11)",
+)
+CODEC_PARAM = Param(
+    "codec", "str", default="none",
+    doc="compression codec on write: none/gzip/snappy/zstd/... (A18)",
+)
+CONTENT_TYPE_PARAM = Param(
+    "content_type", "str",
+    doc="S3 object Content-Type metadata on upload (reference "
+        "S3DirectTextOutput.java:34-44); applied via the s3a conf for "
+        "s3a/s3d targets, a documented no-op on other filesystems",
+)
 
 
 def _bool(v, default=False) -> bool:
@@ -118,6 +141,20 @@ class HadoopColumnarInput(_HadoopInputBase):
     """
 
     stream_type = StreamType.COLUMNAR
+    PARAMS = S3_PARAMS + (
+        COLUMNS_PARAM,
+        Param("delimiter", "str", default=DEFAULT_DELIMITER,
+              doc="field delimiter for delimited text (A2)"),
+        Param("schema_from_file", "bool", default=True,
+              doc="read the header row as the schema (A12)"),
+        Param("schema_default", "list[str]",
+              doc="declared loose schema when schema_from_file=false; "
+                  "'_' positions drop the physical column"),
+        Param("parquet", "bool",
+              doc="force the parquet branch regardless of path suffix (A3)"),
+        Param("sub_dirs", "bool",
+              doc="split first-level subdirectories into sub-streams (A15)"),
+    )
 
     def _read(self, uri: str) -> DataFrame:
         if uri.rstrip("/").endswith(".parquet") or _bool(self.params.get("parquet")):
@@ -155,6 +192,10 @@ class HadoopTextInput(_HadoopInputBase):
     """Line stream → single ``value: string`` column (reference A4)."""
 
     stream_type = StreamType.PLAIN_TEXT
+    PARAMS = S3_PARAMS + (
+        Param("sub_dirs", "bool",
+              doc="split first-level subdirectories into sub-streams (A15)"),
+    )
 
     def _read(self, uri: str) -> DataFrame:
         return self.spark.read.text(uri)
@@ -169,13 +210,24 @@ class HadoopStructuredInput(_HadoopInputBase):
     (dotted paths allowed)."""
 
     stream_type = StreamType.STRUCTURED
+    PARAMS = S3_PARAMS + (
+        COLUMNS_PARAM,
+        Param("schema_json", "str",
+              doc="explicit DDL schema; omitted → Spark samples to infer"),
+        Param("sub_dirs", "bool",
+              doc="split first-level subdirectories into sub-streams (A15)"),
+    )
 
     def _read(self, uri: str) -> DataFrame:
         r = self.spark.read
         ddl = self.params.get("schema_json")
         if ddl:
             r = r.schema(ddl)
-        return r.json(uri)
+        df = r.json(uri)
+        columns = self.params.get("columns")
+        if columns:
+            df = df.select(*[c for c in columns if c != "_"])
+        return df
 
 
 @input_adapter("hadoopOrc")
@@ -186,6 +238,11 @@ class HadoopOrcInput(_HadoopInputBase):
     vectorized with predicate pushdown; ``columns`` selects/reorders."""
 
     stream_type = StreamType.COLUMNAR
+    PARAMS = S3_PARAMS + (
+        COLUMNS_PARAM,
+        Param("sub_dirs", "bool",
+              doc="split first-level subdirectories into sub-streams (A15)"),
+    )
 
     def _read(self, uri: str) -> DataFrame:
         df = self.spark.read.orc(uri)
@@ -204,6 +261,15 @@ input_adapter("s3directText")(HadoopTextInput)
 class _HadoopOutputBase(OutputAdapter):
     def _target(self, name: str) -> str:
         uri = resolve_uri(self.path, self.params, self.spark)
+        # content_type (reference S3DirectTextOutput.java:34-44): S3 object
+        # Content-Type metadata. On s3a targets this lands in the Hadoop
+        # conf consumed by the committer's object uploads; on file:// and
+        # hdfs:// there is no object metadata to set — accepted, documented
+        # no-op.
+        if self.params.get("content_type") and uri.startswith("s3a://"):
+            self.spark.sparkContext._jsc.hadoopConfiguration().set(
+                "fs.s3a.object.content.type", str(self.params["content_type"])
+            )
         # Sub-stream names ("dest/sub") land in subdirectories, mirroring the
         # reference's dest-name rewrite (Main.java:139-145).
         sub = name.split("/", 1)[1] if "/" in name else None
@@ -218,6 +284,16 @@ class HadoopColumnarOutput(_HadoopOutputBase):
     """Columnar → delimited text with codec (reference A7), or parquet when
     ``format=parquet`` (A8). Accepts PlainText or Columnar streams, like the
     reference's union-typed text output (``S3DirectTextOutput.java:34``)."""
+
+    PARAMS = S3_PARAMS + (
+        COLUMNS_PARAM,
+        CODEC_PARAM,
+        CONTENT_TYPE_PARAM,
+        Param("format", "str", default="csv",
+              doc="'csv' (delimited text, A7) or 'parquet' (A8)"),
+        Param("delimiter", "str", default=DEFAULT_DELIMITER,
+              doc="field delimiter for the csv branch"),
+    )
 
     def save(self, name: str, stream: DataStream) -> None:
         df = self._projected(stream)
@@ -242,6 +318,15 @@ class HadoopParquetOutput(_HadoopOutputBase):
     partition values prune at scan time, the organizing principle for
     time/tenant-partitioned 100 TB lakes)."""
 
+    PARAMS = S3_PARAMS + (
+        COLUMNS_PARAM,
+        CONTENT_TYPE_PARAM,
+        Param("codec", "str", default="snappy",
+              doc="parquet compression codec (none → snappy)"),
+        Param("partition_by", "list[str]",
+              doc="hive-style partition columns on write"),
+    )
+
     def save(self, name: str, stream: DataStream) -> None:
         codec = str(self.params.get("codec", "snappy")).lower()
         w = self._projected(stream).write.mode("overwrite").option(
@@ -256,6 +341,14 @@ class HadoopParquetOutput(_HadoopOutputBase):
 @output_adapter("hadoopText")
 class HadoopTextOutput(_HadoopOutputBase):
     """Plain-text sink: one line per record (reference A7 text branch)."""
+
+    PARAMS = S3_PARAMS + (
+        COLUMNS_PARAM,
+        CODEC_PARAM,
+        CONTENT_TYPE_PARAM,
+        Param("delimiter", "str", default=DEFAULT_DELIMITER,
+              doc="join delimiter when the stream has >1 column"),
+    )
 
     def save(self, name: str, stream: DataStream) -> None:
         df = self._projected(stream)
@@ -280,6 +373,8 @@ class HadoopStructuredOutput(_HadoopOutputBase):
     but dist never shipped a JSON sink — engine extension). Nested
     struct/array/map columns serialize natively."""
 
+    PARAMS = S3_PARAMS + (COLUMNS_PARAM, CODEC_PARAM, CONTENT_TYPE_PARAM)
+
     def save(self, name: str, stream: DataStream) -> None:
         codec = str(self.params.get("codec", "none")).lower()
         self._projected(stream).write.mode("overwrite").option(
@@ -294,6 +389,15 @@ class HadoopXmlInput(_HadoopInputBase):
     ``schema_ddl`` pins an explicit schema instead of inference)."""
 
     stream_type = StreamType.COLUMNAR
+    PARAMS = S3_PARAMS + (
+        COLUMNS_PARAM,
+        Param("row_tag", "str", default="row",
+              doc="repeating record element name"),
+        Param("schema_ddl", "str",
+              doc="explicit DDL schema instead of inference"),
+        Param("sub_dirs", "bool",
+              doc="split first-level subdirectories into sub-streams (A15)"),
+    )
 
     def _read(self, uri: str) -> DataFrame:
         r = self.spark.read.format("xml").option(
@@ -315,6 +419,14 @@ class HadoopOrcOutput(_HadoopOutputBase):
     hive-style ``partition_by`` — mirrors the parquet sink for the other
     columnar lake format."""
 
+    PARAMS = S3_PARAMS + (
+        COLUMNS_PARAM,
+        CONTENT_TYPE_PARAM,
+        Param("codec", "str", default="snappy", doc="ORC compression codec"),
+        Param("partition_by", "list[str]",
+              doc="hive-style partition columns on write"),
+    )
+
     def save(self, name: str, stream: DataStream) -> None:
         codec = str(self.params.get("codec", "snappy")).lower()
         w = self._projected(stream).write.mode("overwrite").option(
@@ -330,6 +442,14 @@ class HadoopOrcOutput(_HadoopOutputBase):
 class HadoopXmlOutput(_HadoopOutputBase):
     """Columnar → XML documents (``row_tag``/``root_tag`` name the
     elements; codec compresses whole files, XML is not splittable)."""
+
+    PARAMS = S3_PARAMS + (
+        COLUMNS_PARAM,
+        CODEC_PARAM,
+        CONTENT_TYPE_PARAM,
+        Param("row_tag", "str", default="row", doc="record element name"),
+        Param("root_tag", "str", default="rows", doc="root element name"),
+    )
 
     def save(self, name: str, stream: DataStream) -> None:
         codec = str(self.params.get("codec", "none")).lower()

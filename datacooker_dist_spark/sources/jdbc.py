@@ -16,8 +16,16 @@ tests exercise option-plumbing and registry wiring; a deployment provides
 from __future__ import annotations
 
 from ..model import DataStream, Lineage, Partitioning, StreamType
-from ..registry import input_adapter, output_adapter
+from ..registry import Param, input_adapter, output_adapter
 from .base import InputAdapter, OutputAdapter
+
+_CONN_PARAMS = (
+    Param("url", "str", required=True,
+          doc="JDBC URL (reference JDBCAdapter meta 'url')"),
+    Param("driver", "str", doc="JDBC driver class name"),
+    Param("user", "str", doc="connection user"),
+    Param("password", "str", doc="connection password"),
+)
 
 
 def _props(params: dict) -> dict:
@@ -38,6 +46,15 @@ class JdbcColumnarInput(InputAdapter):
     ``lower_bound``/``upper_bound`` with ``part_count`` slices — Spark binds
     per-partition WHERE ranges exactly where the reference binds its two
     ``?`` placeholders."""
+
+    PARAMS = _CONN_PARAMS + (
+        Param("partition_column", "str",
+              doc="numeric column for range-partitioned reads"),
+        Param("lower_bound", "int", default=0,
+              doc="partition range lower bound"),
+        Param("upper_bound", "int",
+              doc="partition range upper bound (default: part_count)"),
+    )
 
     def reader(self, part_count: int | None):
         params = self.params
@@ -81,6 +98,13 @@ class JdbcColumnarOutput(OutputAdapter):
     defaults to the reference's 500 (``JdbcColumnarOutput.java:49-50``);
     ``columns`` projects/reorders with ``_`` skips before insert
     (``JdbcColumnarOutput.java:116-120``)."""
+
+    PARAMS = _CONN_PARAMS + (
+        Param("batch_size", "int", default=500,
+              doc="INSERT batch size (reference JdbcColumnarOutput.java:49-50)"),
+        Param("columns", "list[str]",
+              doc="column select + reorder with '_' skips before insert"),
+    )
 
     def save(self, name: str, stream: DataStream) -> None:
         df = stream.select_columns(self.params.get("columns")).df

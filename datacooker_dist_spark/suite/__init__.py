@@ -70,6 +70,35 @@ EVENTS_RAW_SCHEMA = (
 )
 
 
+def scratch_dir(tag: str) -> str:
+    """Process-scoped scratch directory, removed at interpreter exit.
+
+    Suite queries that materialize intermediate files (adapter roundtrips,
+    partitioned rewrites, streaming checkpoints) must allocate through
+    here so repeated bench/test runs don't accumulate orphaned copies of
+    the tables on disk (ADVICE r01)."""
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    d = tempfile.mkdtemp(prefix=f"dds_{tag}_{uuid.uuid4().hex[:6]}_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
+def enable_nanos_as_long(spark: SparkSession) -> None:
+    """Turn on ``spark.sql.legacy.parquet.nanosAsLong`` — INTENTIONALLY
+    session-global and never restored: reads are lazy, so the conf must
+    still hold whenever a downstream job executes the scan, and a
+    try/finally restore would race it. The conf only affects parquet
+    columns physically typed TIMESTAMP(NANOS), which Spark otherwise
+    refuses to read at all (PARQUET_TYPE_ILLEGAL), and every nanos read in
+    this engine funnels through :func:`read_events` /
+    ``streaming.events_stream``, which both expect the int64 form."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read ``events.parquet`` with ``ts`` normalized to TIMESTAMP_NTZ.
 
@@ -82,7 +111,7 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ts_type = str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type)
     if ts_type == "timestamp[ns]":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        enable_nanos_as_long(spark)
         df = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(
             f"{sf_dir}/events.parquet"
         )

@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from . import query, table
+from . import query, scratch_dir, table
 
 
 @query(
@@ -616,13 +616,11 @@ def adapter_partitioned_roundtrip(spark, sf):
     time-partitioned lakes. The oracle filters the source the plain way;
     equality proves the partitioned layout is lossless and the partition
     column round-trips."""
-    import tempfile
-    import uuid
 
     from ..model import DataStream, StreamType
     from ..registry import resolve_output
 
-    base = tempfile.mkdtemp(prefix=f"dds_part_{uuid.uuid4().hex[:6]}_")
+    base = scratch_dir("part")
     li = table(spark, sf, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity",
         F.year("l_shipdate").cast("int").alias("ship_year"),
@@ -663,13 +661,11 @@ def scan_partition_dpp(spark, sf):
     opened — on a date-partitioned 100 TB lake this is the difference
     between scanning 7 years and scanning the 4 the dim selects. The
     oracle computes the same join without the partitioned detour."""
-    import tempfile
-    import uuid
 
     from ..model import DataStream, StreamType
     from ..registry import resolve_output
 
-    base = tempfile.mkdtemp(prefix=f"dds_dpp_{uuid.uuid4().hex[:6]}_")
+    base = scratch_dir("dpp")
     li = table(spark, sf, "lineitem").select(
         "l_orderkey", "l_extendedprice",
         F.year("l_shipdate").cast("int").alias("ship_year"),

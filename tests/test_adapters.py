@@ -338,3 +338,79 @@ def test_custom_python_datasource_partitions(spark):
     assert df.count() == 1000
     rows = dict(df.filter("id < 3").collect())
     assert rows == {0: 0, 1: 2654435761 % 1000, 2: (2 * 2654435761) % 1000}
+
+
+def test_typoed_param_raises(spark):
+    """A21 param metadata: unknown names error instead of silently no-oping
+    (reference typed-param contract, DocGen.java:68-76)."""
+    with pytest.raises(ValueError, match="delimitter"):
+        resolve_input("hadoopColumnar")().configure({"delimitter": "|"})
+    with pytest.raises(ValueError, match="Unknown param"):
+        resolve_output("hadoopParquet")().configure({"partitionby": ["x"]})
+
+
+def test_missing_required_param_raises(spark):
+    from datacooker_dist_spark.sources.jdbc import JdbcColumnarInput
+
+    with pytest.raises(ValueError, match="url"):
+        JdbcColumnarInput().configure({"user": "u"})
+
+
+def test_param_defaults_applied(spark):
+    ad = resolve_input("hadoopColumnar")().configure({})
+    assert ad.params["delimiter"] == "\t"
+    assert ad.params["schema_from_file"] is True
+
+
+def test_adapter_docs_cover_registry():
+    from datacooker_dist_spark.registry import INPUTS, OUTPUTS, adapter_docs
+
+    docs = adapter_docs()
+    for verb in list(INPUTS) + list(OUTPUTS):
+        assert f"`{verb}`" in docs
+    assert "| `delimiter` |" in docs
+    # Committed page stays in sync with the registry.
+    import pathlib
+
+    page = pathlib.Path(__file__).resolve().parents[1] / "docs" / "ADAPTERS.md"
+    assert page.read_text() == docs + "\n"
+
+
+def test_by_source_partitioning(spark, nation, tmp_path):
+    """Partitioning.BY_SOURCE co-locates each input file's records in one
+    partition (commons enum gap, JdbcColumnarInput.java:39-40 note)."""
+    base = str(tmp_path / "multi")
+    # Three physical files → three sources.
+    nation.repartition(3).write.options(header=True, sep="\t").csv(base)
+    [ds] = load_one(spark, "hadoopColumnar", base).values()
+    # Pin the file name as a data column BEFORE the exchange —
+    # input_file_name() is only defined on the scan side of a shuffle.
+    ds = ds.with_df(ds.df.withColumn("f", F.input_file_name()))
+    n_files = ds.df.select("f").distinct().count()
+    assert n_files >= 2
+    parted = ds.repartitioned(8, Partitioning.BY_SOURCE)
+    # Each file maps to exactly one partition id (hash of file name), so
+    # counting distinct partition ids per file must give 1 for every file.
+    from pyspark.sql.functions import spark_partition_id
+
+    per_file = (
+        parted.df.select("f", spark_partition_id().alias("p"))
+        .groupBy("f")
+        .agg(F.countDistinct("p").alias("np"))
+        .collect()
+    )
+    assert len(per_file) == n_files
+    assert all(r["np"] == 1 for r in per_file)
+
+
+def test_content_type_param_accepted(spark, nation, tmp_path):
+    """content_type (S3DirectTextOutput.java:34-44) is declared and accepted;
+    on file:// targets it is a documented no-op."""
+    from datacooker_dist_spark.model import DataStream, StreamType
+
+    p = str(tmp_path / "ct")
+    out = resolve_output("hadoopText")().configure(
+        {"content_type": "text/tab-separated-values"}
+    ).initialize(spark, p)
+    out.save("nation", DataStream("nation", nation, StreamType.COLUMNAR))
+    assert spark.read.text(p).count() == nation.count()

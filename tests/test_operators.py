@@ -196,3 +196,23 @@ def test_grid_radius_join_matches_brute_force(spark):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_grid_radius_join_validates_cell(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from datacooker_dist_spark.operators.spatial import grid_radius_join
+
+    pts = spark.range(4).select(
+        F.col("id"), (F.col("id") * 3.0).alias("x"), F.lit(0.0).alias("y")
+    )
+    with _pytest.raises(ValueError, match="cell"):
+        grid_radius_join(pts, pts, radius=5.0, cell=2.0)
+    with _pytest.raises(ValueError, match="radius"):
+        grid_radius_join(pts, pts, radius=0.0)
+    # cell == radius is the documented boundary and must work; the right
+    # side's coordinates come back suffixed, never ambiguous.
+    out = grid_radius_join(pts, pts.withColumnRenamed("id", "id2"), radius=5.0, cell=5.0)
+    assert {"x", "y", "x_r", "y_r", "dist"} <= set(out.columns)
+    out.select("x").collect()  # no ambiguous-column error

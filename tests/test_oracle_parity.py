@@ -57,13 +57,27 @@ def values_equal(a, b):
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query(name, spark):
-    df = QUERIES[name](spark, SF_SMALL)
+    _run_parity(name, spark, SF_SMALL)
+
+
+@pytest.mark.sf_medium
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_medium(name, spark):
+    """The same mirror at the driver's sf0.01 scale — rules out
+    scale-dependent divergence (e.g. percentile interpolation) before the
+    driver's own differential runs (VERDICT r01 task 8). Opt-in:
+    ``pytest -m sf_medium``."""
+    _run_parity(name, spark, SF_MEDIUM)
+
+
+def _run_parity(name, spark, sf_dir):
+    df = QUERIES[name](spark, sf_dir)
     spark_cols = df.columns
     spark_rows = [tuple(r) for r in df.collect()]
     if name not in ORACLES:
         assert len(spark_rows) > 0, f"{name}: rows-only query returned 0 rows"
         return
-    con = duck_connection(SF_SMALL)
+    con = duck_connection(sf_dir)
     cur = con.execute(ORACLES[name])
     duck_cols = [d[0] for d in cur.description]
     duck_rows = cur.fetchall()

@@ -257,3 +257,24 @@ def test_pattern_match_single_aggregate_shuffle(spark):
     # after it are narrow.
     plan = executed_plan(spark, "events_pattern_match")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_embedding", "dedup_embedding_clusters", "dedup_edit_distance"],
+)
+def test_candidate_dedup_no_cartesian(spark, name):
+    """Every shipped dedup path must source pairs from an LSH-bucket
+    equi-join — never an all-pairs cross join (VERDICT r01 task 1/3)."""
+    plan = executed_plan(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_similarity_topk_broadcasts_query_side(spark):
+    """Exact similarity_topk is a BNLJ by design (non-equi self-exclusion),
+    but the BUILD side must be the bounded query set — broadcast right —
+    so cost stays linear in the corpus (VERDICT r01 task 6)."""
+    plan = executed_plan(spark, "similarity_topk")
+    assert "BroadcastNestedLoopJoin BuildRight" in plan
+    assert "CartesianProduct" not in plan

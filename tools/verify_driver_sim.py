@@ -1,0 +1,43 @@
+"""Driver-sim verify: vanilla session, full oracle comparator (the /verify
+skill entry point). Usage: python tools/verify_driver_sim.py [sf_dir]."""
+import sys, os, traceback
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+import duckdb
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+import __spark_entry__ as E
+n = len(E.entry(spark).collect())
+print(f"entry(): {n} rows", flush=True)
+assert n > 0
+from test_oracle_parity import duck_connection, normalize, values_equal
+qs, os_ = E.queries(), E.oracle_sql()
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+con = duck_connection(sf)
+fails = []
+for name in sorted(qs):
+    try:
+        df = qs[name](spark, sf)
+        cols = df.columns
+        rows = [tuple(r) for r in df.collect()]
+        if name not in os_:
+            assert len(rows) > 0, "rows-only returned 0"
+            continue
+        cur = con.execute(os_[name])
+        dcols = [d[0] for d in cur.description]
+        drows = cur.fetchall()
+        assert sorted(cols) == sorted(dcols), f"cols {sorted(cols)} vs {sorted(dcols)}"
+        assert len(rows) == len(drows), f"rowcount {len(rows)} vs {len(drows)}"
+        s_norm, _ = normalize(rows, cols)
+        d_norm, _ = normalize(drows, dcols)
+        bad = [i for i, (sr, dr) in enumerate(zip(s_norm, d_norm))
+               if not all(values_equal(x, y) for x, y in zip(sr, dr))]
+        assert not bad, f"{len(bad)} value mismatches"
+    except Exception as e:
+        fails.append((name, str(e)[:200]))
+        print(f"FAIL {name}: {str(e)[:200]}", flush=True)
+print(f"DONE: {len(qs)} queries, {len(fails)} failures", flush=True)
+sys.exit(1 if fails else 0)
