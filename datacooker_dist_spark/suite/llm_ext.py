@@ -199,13 +199,11 @@ def dedup_embedding_clusters(spark, sf):
     bucket signatures, no CartesianProduct) fed through the same
     connected-components operator as the text path — one operator serving
     both modalities. The component step is unchanged between the bounded
-    slice and a corpus-scale run."""
-    from ..operators import similarity as S
+    slice and a corpus-scale run. The verified pair list comes from the
+    session memo shared with dedup_embedding (the LSH pipeline runs once)."""
+    from .llm import shared_embedding_pairs
 
-    emb = table(spark, sf, "embeddings").filter(F.col("vec_id") < 500)
-    pairs = S.cosine_candidate_pairs(
-        emb, threshold=0.45, dim=64, planes=2, tables=32
-    )
+    pairs = shared_embedding_pairs(spark, sf)
     return D.connected_components(
         pairs.select("id_a", "id_b")
     ).select(F.col("id_a").alias("vec_id"), "cluster_id")
