@@ -378,3 +378,57 @@ def connected_components(
     return labels.select(
         F.col("id").alias(src), F.col("label").alias("cluster_id")
     )
+
+
+def char_trigrams(col):
+    """Distinct character 3-grams of a string column, JVM-side (empty array
+    under 3 chars — mirrors the DuckDB twin used by the oracles)."""
+    c = F.lower(F.trim(col)) if not isinstance(col, str) else F.lower(F.trim(F.col(col)))
+    return F.when(
+        F.length(c) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(c) - 2),
+                lambda i: c.substr(i, F.lit(3)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def blocked_fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    name_col: str,
+    block_cols: list[str],
+    threshold: float,
+    id_col: str,
+) -> DataFrame:
+    """Entity resolution across tables: candidate pairs from an equi-join on
+    the blocking key(s), verified by character-trigram Jaccard ≥ threshold.
+
+    The classic record-linkage shape: blocking bounds the pair space (the
+    equi-join shuffles each side once on the block key; pair count is
+    quadratic only WITHIN a block, so block cardinality is the scale dial),
+    and the exact set-similarity check runs per candidate — never a cross
+    join. Self-join callers get each unordered pair once (id_a < id_b).
+    Output: (id_a, id_b, jaccard) with jaccard rounded to 6 digits for
+    engine-stable thresholding.
+    """
+    def prep(df, side):
+        return df.select(
+            F.col(id_col).alias(f"id_{side}"),
+            *[F.col(b).alias(f"_b{i}") for i, b in enumerate(block_cols)],
+            char_trigrams(name_col).alias(f"_tg_{side}"),
+        )
+
+    a, b = prep(left, "a"), prep(right, "b")
+    on = [f"_b{i}" for i in range(len(block_cols))]
+    inter = F.size(F.array_intersect("_tg_a", "_tg_b"))
+    union = F.size("_tg_a") + F.size("_tg_b") - inter
+    jac = F.round(inter / union, 6)
+    return (
+        a.join(b, on=on)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -4,9 +4,13 @@ Same JSON shape as the reference (``dist/Configuration.java:89-107``):
 
     {"direction_name": [
         {"source": {"adapter": verb, "path": uri, "name": n,
-                    "part_count": k, "params": {...}},
+                    "part_count": k, "partitioning": "HASHCODE",
+                    "params": {...}},
          "dest":   {...}},
         ...]}
+
+``partitioning`` (source side only) picks the repartition mode:
+HASHCODE (default) / RANDOM / SOURCE / BY_SOURCE (see ``model.Partitioning``).
 
 Config may live on any Spark-readable filesystem: ``Configuration.load``
 reads it through the SparkContext like the reference's ``wholeTextFiles``
@@ -25,15 +29,23 @@ class DistLocation:
     path: str
     name: str = ""
     part_count: int | None = None
+    partitioning: str = "HASHCODE"
     params: dict = field(default_factory=dict)
 
     @classmethod
     def from_dict(cls, d: dict) -> "DistLocation":
+        part = d.get("partitioning", "HASHCODE")
+        valid = {"HASHCODE", "RANDOM", "SOURCE", "BY_SOURCE"}
+        if part not in valid:
+            raise ValueError(
+                f"Unknown partitioning '{part}'; expected one of {sorted(valid)}"
+            )
         return cls(
             adapter=d["adapter"],
             path=d["path"],
             name=d.get("name", ""),
             part_count=d.get("part_count"),
+            partitioning=part,
             params=d.get("params") or {},
         )
 

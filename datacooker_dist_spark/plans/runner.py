@@ -24,7 +24,7 @@ def run_task(spark: SparkSession, task: DistTask) -> dict[str, int]:
     in_cls = resolve_input(src.adapter)
     inp = in_cls().configure(src.params).initialize(spark, src.path)
     streams = inp.load(
-        src.name or "source", src.part_count, Partitioning.HASHCODE
+        src.name or "source", src.part_count, Partitioning[src.partitioning]
     )
 
     written: dict[str, int] = {}

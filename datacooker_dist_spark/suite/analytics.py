@@ -1255,3 +1255,74 @@ def interval_sweep_open_orders(spark, sf):
     return daily.select(
         "day", "delta", F.sum("delta").over(w).cast("long").alias("open_orders")
     )
+
+
+@query(
+    "quality_audit_columns",
+    oracle="""
+    SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows,
+           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey', COUNT(*),
+           SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT o_orderkey),
+           CAST(MIN(o_orderkey) AS VARCHAR), CAST(MAX(o_orderkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*),
+           SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT o_orderstatus),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*),
+           SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT o_totalprice),
+           CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+           CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+    FROM orders
+    """,
+)
+def quality_audit_columns(spark, sf):
+    """Column-profile data-quality audit (the Deequ/Great-Expectations
+    shape): completeness (null count), exact cardinality, and min/max per
+    audited column, all in ONE scan — the multi-distinct aggregate plans
+    as a single Expand, so a 100 TB table is read once however many
+    columns are audited (exact distincts are the audit-grade choice for
+    key columns; swap approx_count_distinct for free-text ones). Output is
+    one row per column for dashboarding; numeric min/max normalize
+    through decimal(18,2) so the report is engine-stable."""
+    o = table(spark, sf, "orders")
+    specs = [
+        ("o_custkey", "bigint"),
+        ("o_orderkey", "bigint"),
+        ("o_orderstatus", "string"),
+        ("o_totalprice", "double"),
+    ]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, t in specs:
+        mn, mx = F.min(c), F.max(c)
+        if t == "double":
+            mn = mn.cast("decimal(18,2)")
+            mx = mx.cast("decimal(18,2)")
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint").alias(f"_nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"_nd_{c}"),
+            mn.cast("string").alias(f"_mn_{c}"),
+            mx.cast("string").alias(f"_mx_{c}"),
+        ]
+    row = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', _nn_{c}, _nd_{c}, _mn_{c}, _mx_{c}" for c, _ in specs
+    )
+    return row.selectExpr(
+        f"stack({len(specs)}, {stack}) AS "
+        "(col_name, n_nulls, n_distinct, min_value, max_value)",
+        "n_rows",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct",
+             "min_value", "max_value")

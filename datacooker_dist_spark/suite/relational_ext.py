@@ -695,3 +695,49 @@ def audit_referential_integrity(spark, sf):
         .unionByName(orphans(c, n, "c_nationkey", "n_nationkey",
                              "customer->nation"))
     )
+
+
+@query(
+    "join_fuzzy_blocked",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, lower(trim(p_name)) AS nm,
+             split_part(p_name, ' ', 1) AS w1, p_size
+      FROM part),
+    t AS (
+      SELECT p_partkey, w1, p_size,
+             CASE WHEN len(nm) >= 3
+                  THEN list_distinct(list_transform(
+                         range(1, len(nm) - 1), i -> nm[i:i+2]))
+                  ELSE [] END AS tg
+      FROM p)
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           round(len(list_intersect(a.tg, b.tg)) * 1.0
+                 / (len(a.tg) + len(b.tg) - len(list_intersect(a.tg, b.tg))),
+                 6) AS jaccard
+    FROM t a JOIN t b
+      ON a.w1 = b.w1 AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+    WHERE round(len(list_intersect(a.tg, b.tg)) * 1.0
+                / (len(a.tg) + len(b.tg) - len(list_intersect(a.tg, b.tg))),
+                6) >= 0.7
+    """,
+)
+def join_fuzzy_blocked(spark, sf):
+    """Blocked fuzzy entity matching (record linkage) over part names:
+    candidates from an equi-join on (first name word, p_size) blocking
+    keys, verified by character-trigram Jaccard ≥ 0.7 per candidate —
+    quadratic only within a block, never a cross join. The operator is the
+    cross-table ER sibling of the MinHash near-dedup family; the oracle
+    mirrors blocking + verification exactly (blocking is part of the
+    operator's declared semantics, as in classic record-linkage
+    pipelines)."""
+    from ..operators.dedup import blocked_fuzzy_join
+
+    p = table(spark, sf, "part").select(
+        "p_partkey", "p_name", "p_size",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("w1"),
+    )
+    return blocked_fuzzy_join(
+        p, p, name_col="p_name", block_cols=["w1", "p_size"],
+        threshold=0.7, id_col="p_partkey",
+    )

@@ -414,3 +414,34 @@ def test_content_type_param_accepted(spark, nation, tmp_path):
     ).initialize(spark, p)
     out.save("nation", DataStream("nation", nation, StreamType.COLUMNAR))
     assert spark.read.text(p).count() == nation.count()
+
+
+def test_config_partitioning_plumb_through(spark, nation, tmp_path):
+    """The copy-config 'partitioning' key reaches the adapter's load()
+    (HASHCODE default; BY_SOURCE/RANDOM/SOURCE accepted; typos raise)."""
+    import json as _json
+
+    from datacooker_dist_spark.plans import Configuration, run
+
+    src = str(tmp_path / "cfg_src")
+    dst = str(tmp_path / "cfg_dst")
+    nation.write.options(header=True, sep="\t").csv(src)
+    conf = {
+        "copy": [{
+            "source": {"adapter": "hadoopColumnar", "path": src,
+                       "name": "nation", "part_count": 4,
+                       "partitioning": "RANDOM"},
+            "dest": {"adapter": "hadoopColumnar", "path": dst,
+                     "name": "nation", "params": {"delimiter": "\t"}},
+        }]
+    }
+    cfg = Configuration.from_json(_json.dumps(conf))
+    assert cfg.direction("copy")[0].source.partitioning == "RANDOM"
+    run(spark, cfg, "copy")
+    assert spark.read.options(header=True, sep="\t").csv(dst).count() == 25
+
+    bad = {"copy": [{"source": {"adapter": "x", "path": "p",
+                                "partitioning": "BYSRC"},
+                     "dest": {"adapter": "y", "path": "q"}}]}
+    with pytest.raises(ValueError, match="BYSRC"):
+        Configuration.from_json(_json.dumps(bad))

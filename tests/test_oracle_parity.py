@@ -15,7 +15,7 @@ import pytest
 
 from datacooker_dist_spark.suite import ORACLES, QUERIES
 
-from conftest import SF_SMALL
+from conftest import SF_MEDIUM, SF_SMALL
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
