@@ -98,11 +98,17 @@ def asof_join(
     right_cols: Sequence[str],
     how: str = "inner",
     direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the single right row with the greatest
     ``right_ts`` ≤ ``left_ts`` within the same key (DuckDB ``ASOF JOIN``
     semantics). ``direction="forward"`` flips it: the SMALLEST
-    ``right_ts`` ≥ ``left_ts`` (the "next event" match).
+    ``right_ts`` ≥ ``left_ts`` (the "next event" match). ``tolerance``
+    (an SQL interval string, e.g. ``"7 days"``) bounds the match gap the
+    way pandas ``merge_asof(tolerance=...)`` does: a carried match farther
+    than the tolerance is discarded (inner) or nulled (left) — the stale
+    quote/price guard. The filter is applied AFTER the single-pass carry,
+    so the plan cost is unchanged.
 
     Implementation: union-tag + per-key ordered window carrying the last seen
     right row forward — ONE shuffle on the key, one per-key sort, no range
@@ -112,7 +118,11 @@ def asof_join(
     O(|left|+|right|).
     """
     lkey = F.col(left_on)
-    rrow = F.struct(*[F.col(c) for c in right_cols])
+    # The matched row's timestamp rides inside the carried struct so the
+    # tolerance check reads match time and payload from the SAME row.
+    rrow = F.struct(
+        *[F.col(c) for c in right_cols], F.col(right_ts).alias("__mt")
+    )
     r = right.select(
         F.col(right_on).alias("_k"),
         F.col(right_ts).alias("_t"),
@@ -147,6 +157,15 @@ def asof_join(
         )
         carried = both.withColumn("_m", F.first("_rv", ignorenulls=True).over(w))
     out = carried.filter(F.col("_side") == 1)
+    if tolerance is not None:
+        gap_ok = (
+            F.col("_m.__mt") >= F.col("_t") - F.expr(f"INTERVAL {tolerance}")
+            if direction == "backward"
+            else F.col("_m.__mt") <= F.col("_t") + F.expr(f"INTERVAL {tolerance}")
+        )
+        out = out.withColumn(
+            "_m", F.when(F.col("_m").isNotNull() & gap_ok, F.col("_m"))
+        )
     if how == "inner":
         out = out.filter(F.col("_m").isNotNull())
     cols = [F.col("_lv")[c].alias(c) for c in left.columns] + [

@@ -782,3 +782,46 @@ def join_asof_forward(spark, sf):
         how="inner",
         direction="forward",
     ).withColumnRenamed("p_ts", "purchase_ts")
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH od AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts, m.o_orderkey, m.o_orderdate
+    FROM events e, LATERAL (
+      SELECT od.o_orderkey, od.o_orderdate
+      FROM od
+      WHERE od.o_custkey = e.user_id
+        AND od.o_orderdate <= e.ts
+        AND od.o_orderdate >= e.ts - INTERVAL 365 DAY
+      ORDER BY od.o_orderdate DESC LIMIT 1
+    ) m
+    """,
+)
+def join_asof_tolerance(spark, sf):
+    """As-of join with a match-gap tolerance (pandas merge_asof
+    tolerance=...): latest order at-or-before each event but no older
+    than 365 days — the stale-match guard every quote/price lookup needs.
+    Same single-shuffle union+window operator; the tolerance is a post-
+    carry filter, so the plan cost equals the unbounded as-of."""
+    e = table(spark, sf, "events")
+    o = (
+        table(spark, sf, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    return TS.asof_join(
+        e.select("event_id", "user_id", "ts"),
+        o,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_orderdate"],
+        how="inner",
+        tolerance="365 DAYS",
+    )

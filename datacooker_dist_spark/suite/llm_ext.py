@@ -840,3 +840,74 @@ def corpus_stats_report(spark, sf):
         GROUP BY GROUPING SETS ((source, lang), (source), ())
         """
     )
+
+
+@query(
+    "text_bigram_logprob",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+      FROM documents),
+    b AS (
+      SELECT doc_id, bg, split_part(bg, ' ', 1) AS prev FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(tk)),
+                                     i -> tk[i] || ' ' || tk[i+1])) AS bg
+        FROM t)),
+    c2 AS (SELECT bg, COUNT(*) AS n2 FROM b GROUP BY bg),
+    c1 AS (SELECT prev, COUNT(*) AS n1 FROM b GROUP BY prev),
+    scored AS (
+      SELECT b.doc_id, round(ln(CAST(c2.n2 AS DOUBLE) / c1.n1), 9) AS lp
+      FROM b JOIN c2 USING (bg) JOIN c1 USING (prev))
+    SELECT doc_id,
+           round(CAST(SUM(CAST(lp AS DECIMAL(25,9))) AS DOUBLE), 6)
+             AS logprob,
+           COUNT(*) AS n_bigrams
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark, sf):
+    """Bigram-LM document score: mean-free sum of ln P(w_i | w_{i-1}) with
+    conditional probabilities estimated from the corpus itself (bigram
+    count over bigram-prefix count) — the step up from the unigram LM
+    quality filter that actually penalizes scrambled word ORDER, not just
+    rare words. Adjacency comes from one posexplode + per-doc LEAD window
+    (the measured-fast shingle path, not interpreted array lambdas); the
+    count tables are corpus-level hash aggregates joined back by bigram
+    key. Per-term ln is rounded to 9 digits, then summed through exact
+    decimal accumulation (dsum) — the double-sum order sensitivity that
+    round-6 alone can't absorb at a rounding boundary."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        .alias("pos", "w"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        tok.withColumn("w2", F.lead("w").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "w", "w2").alias("bg"),
+            F.col("w").alias("prev"),
+        )
+    )
+    c2 = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = bg.groupBy("prev").agg(F.count(F.lit(1)).alias("n1"))
+    scored = (
+        bg.join(c2, "bg")
+        .join(c1, "prev")
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("n2") / F.col("n1")), 9).alias("_lp"),
+        )
+    )
+    from ..functions.scalars import dsum
+
+    return scored.groupBy("doc_id").agg(
+        F.round(dsum("_lp", 9), 6).alias("logprob"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )

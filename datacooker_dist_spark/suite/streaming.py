@@ -421,3 +421,29 @@ def stream_stream_join(spark, sf):
         SF.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
         SF.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
     )
+
+
+@query(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def stream_dedup_watermark(spark, sf):
+    """Watermark-scoped streaming dedup (dropDuplicatesWithinWatermark) —
+    the UNBOUNDED-stream variant of stream_dedup: state for a key is
+    evicted once the watermark passes it, so state size tracks the
+    in-flight window instead of all history. With the delay covering the
+    bounded drain's whole event span, every duplicate falls inside the
+    watermark and the emission set is exactly DISTINCT — the batch
+    oracle."""
+    stream = events_stream(spark, sf)
+    deduped = (
+        stream.select("user_id", "event_type", "ts")
+        .withWatermark("ts", "365 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    out = run_available_now(
+        deduped.select("user_id", "event_type"), spark, output_mode="append"
+    )
+    return out

@@ -106,3 +106,101 @@ def test_new_operators_partition_invariant(spark):
         if expected is None:
             expected = got
         assert got == expected, f"parts={parts}"
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+        min_size=1, max_size=30,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+        min_size=1, max_size=30,
+    ),
+    st.sampled_from(["backward", "forward"]),
+    st.sampled_from([None, "100 SECONDS"]),
+)
+def test_asof_join_matches_brute_force(spark, lrows, rrows, direction, tol):
+    """asof_join (union + carry window) must equal the per-row brute-force
+    definition for any key/timestamp multiset, both directions, with and
+    without tolerance."""
+    from datacooker_dist_spark.operators.timeseries import asof_join
+
+    # Dedup right per (key, ts) — the operator contract (well-defined match).
+    rmap = {}
+    for k, t in rrows:
+        rmap[(k, t)] = max(rmap.get((k, t), t), t)
+    rseq = [(k, t, k * 10000 + t) for (k, t) in sorted(rmap)]
+    lseq = [(k, t, i) for i, (k, t) in enumerate(lrows)]
+
+    left = spark.createDataFrame(
+        [(k, float(t), i) for k, t, i in lseq], "k int, ts double, lid int"
+    ).selectExpr("k", "timestamp_seconds(ts) AS ts", "lid")
+    right = spark.createDataFrame(
+        [(k, float(t), v) for k, t, v in rseq], "k int, ts double, rv int"
+    ).selectExpr("k", "timestamp_seconds(ts) AS rts", "rv")
+
+    got = {
+        r["lid"]: r["rv"]
+        for r in asof_join(
+            left, right,
+            left_on="k", right_on="k", left_ts="ts", right_ts="rts",
+            right_cols=["rv"], how="inner", direction=direction,
+            tolerance=tol,
+        ).collect()
+    }
+
+    tol_s = 100 if tol else None
+    want = {}
+    for k, t, lid in lseq:
+        if direction == "backward":
+            c = [(rt, rv) for rk, rt, rv in rseq
+                 if rk == k and rt <= t and (tol_s is None or rt >= t - tol_s)]
+            if c:
+                want[lid] = max(c)[1]
+        else:
+            c = [(rt, rv) for rk, rt, rv in rseq
+                 if rk == k and rt >= t and (tol_s is None or rt <= t + tol_s)]
+            if c:
+                want[lid] = min(c)[1]
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcd ", min_size=3, max_size=12),
+        min_size=2, max_size=15,
+    ),
+    st.floats(min_value=0.2, max_value=0.9),
+)
+def test_blocked_fuzzy_join_matches_brute_force(spark, names, threshold):
+    """blocked_fuzzy_join must equal the brute-force within-block trigram
+    Jaccard for any name multiset and threshold."""
+    from datacooker_dist_spark.operators.dedup import blocked_fuzzy_join
+
+    rows = [(i, nm, nm.strip().lower()[:1] or "_") for i, nm in enumerate(names)]
+    df = spark.createDataFrame(rows, "id int, nm string, blk string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in blocked_fuzzy_join(
+            df, df, name_col="nm", block_cols=["blk"],
+            threshold=threshold, id_col="id",
+        ).collect()
+    }
+
+    def trigrams(s):
+        s = s.strip().lower()
+        return {s[i:i + 3] for i in range(len(s) - 2)} if len(s) >= 3 else set()
+
+    want = set()
+    for i, nmi, bi in rows:
+        for j, nmj, bj in rows:
+            if i < j and bi == bj:
+                ti, tj = trigrams(nmi), trigrams(nmj)
+                if ti | tj:
+                    jac = round(len(ti & tj) / len(ti | tj), 6)
+                    if jac >= threshold:
+                        want.add((i, j))
+    assert got == want
