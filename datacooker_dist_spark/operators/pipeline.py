@@ -23,6 +23,7 @@ def llm_prep(
     min_tokens: int = 5,
     max_punct_ratio: float = 0.3,
     num_partitions: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-prep pipeline over a documents table.
 
@@ -34,6 +35,12 @@ def llm_prep(
        anti-join — at 100 TB this is the standard "pair-drop" policy; full
        transitive clustering would need connected components);
     4. emit per-document stats for the surviving corpus.
+
+    ``shingles`` accepts a precomputed full-corpus (doc_id, _sh) pass (e.g.
+    the session-shared shingle memo): it is narrowed to the exact-dedup
+    survivors by an id join, which equals shingling the survivors directly
+    — one shingle pass serves the whole dedup family instead of this
+    pipeline paying its own.
     """
     q = T.quality_features(docs).filter(F.col("quality_keep"))
     exact = (
@@ -44,7 +51,10 @@ def llm_prep(
     )
     kept = docs.join(exact, "doc_id")
 
-    sh = D.shingle_rows(kept, num_partitions=num_partitions, cache=True)
+    if shingles is not None:
+        sh = shingles.join(kept.select("doc_id"), "doc_id")
+    else:
+        sh = D.shingle_rows(kept, num_partitions=num_partitions, cache=True)
     cand = D.minhash_lsh_candidates(kept, shingles=sh)
     near_pairs = D.ngram_jaccard_pairs(
         kept, cand, threshold=jaccard_threshold, shingles=sh

@@ -511,12 +511,16 @@ def multimodal_features(spark, sf):
 def pipeline_llm_prep(spark, sf):
     """Flagship composition: the full corpus-prep pipeline (quality filter →
     exact dedup → LSH near-dedup → stats) as ONE lazy plan, oracle-checked
-    end-to-end against the brute-force SQL replay of every stage."""
+    end-to-end against the brute-force SQL replay of every stage. Feeds on
+    the session-shared shingle pass (narrowed to exact-dedup survivors by
+    id join) so the dedup family pays for shingling once."""
     from ..operators.pipeline import llm_prep
+    from . import shared_shingles
 
     return llm_prep(
         table(spark, sf, "documents"),
         num_partitions=default_parallelism(spark),
+        shingles=shared_shingles(spark, sf),
     )
 
 
