@@ -425,7 +425,9 @@ def blocked_fuzzy_join(
     on = [f"_b{i}" for i in range(len(block_cols))]
     inter = F.size(F.array_intersect("_tg_a", "_tg_b"))
     union = F.size("_tg_a") + F.size("_tg_b") - inter
-    jac = F.round(inter / union, 6)
+    # Two sub-3-char names have empty trigram sets: union 0 would divide
+    # by zero under ANSI; such pairs carry no signal → null → filtered.
+    jac = F.round(F.when(union > 0, inter / union), 6)
     return (
         a.join(b, on=on)
         .filter(F.col("id_a") < F.col("id_b"))

@@ -172,3 +172,49 @@ def asof_join(
         F.col("_m")[c].alias(c) for c in right_cols
     ]
     return out.select(*cols)
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    ts: str,
+    value: str,
+    keys: Sequence[str],
+    tiebreak: Sequence[str] = (),
+    sum_scale: int = 6,
+) -> DataFrame:
+    """Time-weighted average of ``value`` per key over [first, last] event
+    (the TWAP/sensor-mean shape): each observation is weighted by the
+    interval it was in force — value_i · (t_{i+1} − t_i), summed and
+    divided by the covered span. One shuffle (the per-key ordered window);
+    keys with a single event (zero span) are excluded. Durations are
+    integer epoch-micros and the weighted sum accumulates in exact
+    decimal, so the result is partition-order independent; equal
+    timestamps pair with zero-length intervals EXCEPT the last of a tie
+    run, so pass ``tiebreak`` columns forming a total order to make which
+    observation carries the following interval engine-stable.
+    Output: (*keys, span_us, twap).
+    """
+    from ..functions.scalars import dsum
+
+    t_us = F.unix_micros(F.col(ts).cast("timestamp"))
+    base = df.select(
+        *keys, t_us.alias("_t"), F.col(value).alias("_v"),
+        *[F.col(c) for c in tiebreak],
+    )
+    w2 = Window.partitionBy(*keys).orderBy("_t", *[F.col(c) for c in tiebreak])
+    stepped = base.withColumn("_d", F.lead("_t").over(w2) - F.col("_t")).filter(
+        F.col("_d").isNotNull()
+    )
+    return (
+        stepped.groupBy(*keys)
+        .agg(
+            F.sum("_d").alias("span_us"),
+            dsum(F.col("_v") * F.col("_d"), sum_scale).alias("_wsum"),
+        )
+        .filter(F.col("span_us") > 0)
+        .select(
+            *keys,
+            "span_us",
+            F.round(F.col("_wsum") / F.col("span_us"), 6).alias("twap"),
+        )
+    )

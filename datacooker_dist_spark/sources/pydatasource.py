@@ -19,7 +19,13 @@ planned on the driver, generators yielded per partition.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 MULT = 2654435761  # Knuth multiplicative hash constant
 
@@ -60,6 +66,78 @@ class SyntheticSequenceReader(DataSourceReader):
             yield (i, (i * MULT) % 1000)
 
 
+class JsonLinesSinkSource(DataSource):
+    """Custom Python DataSource SINK — the write half of the extension
+    point (the reference's output-adapter story, e.g. its hand-rolled S3
+    multipart upload finalize, ``S3DirectTextOutputFunction.java:57-74``).
+
+    ``df.write.format("pyjsonl").save(path)``: each task streams its
+    partition to a temp file and returns a WriterCommitMessage; the driver
+    finalizes by renaming temp files to ``part-NNNNN.jsonl`` on commit and
+    deletes them on abort — the classic two-phase task-commit protocol,
+    here in user Python with Spark owning retries and message transport.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "pyjsonl"
+
+    def writer(self, schema, overwrite: bool):
+        return JsonLinesWriter(self.options, overwrite)
+
+
+class _JsonCommit(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class JsonLinesWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("pyjsonl sink requires a path")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        """Executor-side: stream the partition to a task-scoped temp file
+        (never the final name — a retried task must not collide)."""
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"_tmp_{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _JsonCommit(tmp, n)
+
+    def commit(self, messages):
+        """Driver-side finalize: rename every task's temp file into place —
+        the rename barrier makes the output all-or-nothing."""
+        import os
+
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                if name.startswith("part-"):
+                    os.remove(os.path.join(self.path, name))
+        for i, m in enumerate(messages):
+            os.rename(
+                m.path, os.path.join(self.path, f"part-{i:05d}.jsonl")
+            )
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
 def register(spark) -> None:
     """Idempotent registration (re-registering the same name is safe)."""
     spark.dataSource.register(SyntheticSequenceSource)
+    spark.dataSource.register(JsonLinesSinkSource)

@@ -51,3 +51,75 @@ def running_counts(stream: DataFrame, key_col: str = "user_id") -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def running_value_stats(
+    stream: DataFrame, key_col: str = "user_id", value_col: str = "value"
+) -> DataFrame:
+    """Running per-key (count, max) via ``transformWithStateInPandas`` —
+    Spark 4's successor to applyInPandasWithState: typed state handles
+    (ValueState here; ListState/MapState/timers available) instead of one
+    opaque tuple, and per-processor lifecycle (init/close). Same scale
+    posture: one shuffle on the key, state store partitioned by key.
+    Each batch emits the key's cumulative stats so far; consumers keep the
+    last emission per key (both stats are monotone over appends; count and
+    max are order-exact floats, unlike a double sum).
+
+    Environment gate: the transformWithState state-server protocol speaks
+    protobuf between the JVM and the Python driver worker; on containers
+    without ``google.protobuf`` the stream crashes at init, so this raises
+    a clear ImportError up front. The applyInPandasWithState sibling
+    (:func:`running_counts`) has no such dependency."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        raise ImportError(
+            "transformWithStateInPandas requires the protobuf package "
+            "(google.protobuf) for its state-server protocol; use "
+            "running_counts (applyInPandasWithState) where it is absent"
+        ) from None
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import DoubleType
+
+    key_type = stream.schema[key_col].dataType
+    out_schema = StructType(
+        [
+            StructField(key_col, key_type),
+            StructField("n_events", LongType()),
+            StructField("value_max", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("m", DoubleType())]
+    )
+
+    class Stats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("stats", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, m = self._state.get() if self._state.exists() else (0, None)
+            for pdf in rows:
+                n += len(pdf)
+                batch_max = float(pdf[value_col].max())
+                m = batch_max if m is None else max(m, batch_max)
+            self._state.update((n, m))
+            yield pd.DataFrame(
+                {key_col: [key[0]], "n_events": [n], "value_max": [m]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.groupBy(key_col)
+        .transformWithStateInPandas(
+            Stats(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -1326,3 +1326,78 @@ def quality_audit_columns(spark, sf):
         "n_rows",
     ).select("col_name", "n_rows", "n_nulls", "n_distinct",
              "min_value", "max_value")
+
+
+@query(
+    "timeseries_twap",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) AS t, value,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id)
+               - epoch_us(ts) AS d
+      FROM events),
+    g AS (
+      SELECT user_id, SUM(d) AS span_us,
+             CAST(SUM(CAST(value * d AS DECIMAL(25,6))) AS DOUBLE) AS wsum
+      FROM s WHERE d IS NOT NULL GROUP BY user_id)
+    SELECT user_id, span_us, round(wsum / span_us, 6) AS twap
+    FROM g WHERE span_us > 0
+    """,
+)
+def timeseries_twap(spark, sf):
+    """Time-weighted average value per user (TWAP / sensor duty-cycle
+    mean): each observation weighted by the interval it was in force,
+    normalized by the covered span. One shuffle (per-key ordered window
+    into the grouped sum); durations are integer epoch-micros and the
+    weighted sum accumulates in exact decimal, with event_id breaking
+    timestamp ties — fully engine-stable floats."""
+    from ..operators.timeseries import time_weighted_avg
+    from . import read_events
+
+    ev = read_events(spark, sf)
+    return time_weighted_avg(
+        ev, ts="ts", value="value", keys=["user_id"], tiebreak=["event_id"]
+    )
+
+
+@query(
+    "skew_profile_keys",
+    oracle="""
+    WITH c AS (
+      SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_suppkey),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total,
+                   CAST(AVG(n) AS DOUBLE) AS avg_n,
+                   MAX(n) AS max_n FROM c)
+    SELECT l_suppkey, n,
+           round(n / total, 6) AS share,
+           round(max_n / avg_n, 6) AS skew_factor
+    FROM c, tot
+    ORDER BY n DESC, l_suppkey ASC LIMIT 10
+    """,
+)
+def skew_profile_keys(spark, sf):
+    """Join-key skew profiler — the diagnostic run before sizing a big
+    join: per-key row counts, each heavy hitter's share of the table, and
+    the max/avg skew factor (>> 1 means salting or AQE skew-split
+    territory). One hash aggregate; the totals stay IN the plan as a
+    broadcast 1-row join (no driver collect); top-10 via TakeOrdered with
+    a deterministic tiebreak."""
+    li = table(spark, sf, "lineitem")
+    c = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.agg(
+        F.sum("n").cast("double").alias("total"),
+        F.avg("n").alias("avg_n"),
+        F.max("n").alias("max_n"),
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "l_suppkey", "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+            F.round(F.col("max_n") / F.col("avg_n"), 6).alias("skew_factor"),
+        )
+        .orderBy(F.col("n").desc(), F.col("l_suppkey").asc())
+        .limit(10)
+    )

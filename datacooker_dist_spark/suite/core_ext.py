@@ -797,3 +797,31 @@ def adapter_schema_evolution(spark, sf):
     return spark.read.option("mergeSchema", "true").parquet(base).select(
         "n_nationkey", "n_name", F.col("n_regionkey").cast("int")
     )
+
+
+@query(
+    "adapter_custom_sink",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def adapter_custom_sink(spark, sf):
+    """Custom Python DataSource SINK through the full write path — the
+    output half of the extensibility story (A21/A6): executor tasks
+    stream partitions to temp files, the driver finalizes with a rename
+    barrier on commit (two-phase task commit, the protocol the
+    reference's multipart-upload finalize hand-rolls). Write nation
+    through it, read the JSON lines back — lossless round-trip is the
+    oracle."""
+    from ..sources.pydatasource import register
+    from . import scratch_dir
+
+    register(spark)
+    base = scratch_dir("pysink")
+    nation = table(spark, sf, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    nation.write.format("pyjsonl").mode("append").save(base)
+    return spark.read.schema(
+        "n_nationkey bigint, n_name string, n_regionkey int"
+    ).json(f"{base}/part-*.jsonl")

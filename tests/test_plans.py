@@ -289,3 +289,30 @@ def test_similarity_topk_broadcasts_query_side(spark):
     plan = executed_plan(spark, "similarity_topk")
     assert "BroadcastNestedLoopJoin BuildRight" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quality_audit_single_scan_expand(spark):
+    """The multi-distinct column audit must plan as ONE scan feeding an
+    Expand — not one scan per audited column."""
+    plan = executed_plan(spark, "quality_audit_columns")
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
+
+
+def test_fuzzy_join_is_blocked_equi_join(spark):
+    plan = executed_plan(spark, "join_fuzzy_blocked")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_twap_single_shuffle(spark):
+    """TWAP = per-key ordered window feeding the grouped sum; the window's
+    hash partitioning is reused by the aggregate — exactly one exchange."""
+    plan = executed_plan(spark, "timeseries_twap")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_skew_profile_takeordered_and_broadcast_totals(spark):
+    plan = executed_plan(spark, "skew_profile_keys")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

@@ -142,3 +142,32 @@ def test_restart_from_checkpoint_processes_only_new_files(spark, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == 5
     assert sorted(r["k"] for r in out.collect()) == ["a", "b", "c", "d", "e"]
+
+
+def test_transform_with_state_requires_protobuf_or_runs(spark):
+    """Spark 4 transformWithStateInPandas operator: runs end-to-end where
+    protobuf is available; raises the documented gate error where not
+    (this container lacks google.protobuf — the operator's plumbing is
+    still exercised up to the gate)."""
+    import pytest as _pytest
+
+    from conftest import SF_SMALL
+    from datacooker_dist_spark.streaming.pipeline import run_available_now
+    from datacooker_dist_spark.streaming.stateful import running_value_stats
+    from datacooker_dist_spark.suite.streaming import events_stream
+
+    stream = events_stream(spark, SF_SMALL)
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with _pytest.raises(ImportError, match="protobuf"):
+            running_value_stats(stream)
+        return
+    out = run_available_now(
+        running_value_stats(stream), spark, output_mode="update"
+    )
+    batch = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .groupBy("user_id").count()
+    )
+    assert out.select("user_id").distinct().count() == batch.count()
