@@ -741,3 +741,48 @@ def join_fuzzy_blocked(spark, sf):
         p, p, name_col="p_name", block_cols=["w1", "p_size"],
         threshold=0.7, id_col="p_partkey",
     )
+
+
+@query(
+    "join_bucketed",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_totalprice
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def join_bucketed(spark, sf):
+    """Bucketed co-located fact↔fact join: both tables are written
+    bucketed+sorted on the join key, so the join plans as a SortMergeJoin
+    with ZERO Exchange — the shuffle is paid once at write time and
+    amortized over every subsequent join, the organizing pattern for
+    repeatedly-joined 100 TB fact tables (plan-asserted in
+    test_plans/test_scale_patterns). Tables are session-scoped externals
+    under a scratch path; results equal the plain join — the oracle."""
+    import uuid
+
+    from . import scratch_dir
+
+    tag = uuid.uuid4().hex[:8]
+    base = scratch_dir("bucketed")
+    for name, df, key in [
+        (f"bk_orders_{tag}",
+         table(spark, sf, "orders").select("o_orderkey", "o_totalprice"),
+         "o_orderkey"),
+        (f"bk_lineitem_{tag}",
+         table(spark, sf, "lineitem").select(
+             "l_orderkey", "l_linenumber", "l_quantity"),
+         "l_orderkey"),
+    ]:
+        (
+            df.write.format("parquet")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", f"{base}/{name}")
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    bo = spark.table(f"bk_orders_{tag}")
+    bl = spark.table(f"bk_lineitem_{tag}")
+    return bl.join(bo, bl.l_orderkey == bo.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "o_totalprice"
+    )

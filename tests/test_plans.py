@@ -316,3 +316,17 @@ def test_skew_profile_takeordered_and_broadcast_totals(spark):
     plan = executed_plan(spark, "skew_profile_keys")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_join_bucketed_zero_exchange(spark):
+    """The bucketed-join suite query must plan shuffle-free (broadcast off
+    would make it SMJ; at test scale the small side may broadcast — either
+    way NO Exchange hashpartitioning on the join keys)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = executed_plan(spark, "join_bucketed")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
