@@ -428,6 +428,12 @@ def blocked_fuzzy_join(
     # Two sub-3-char names have empty trigram sets: union 0 would divide
     # by zero under ANSI; such pairs carry no signal → null → filtered.
     jac = F.round(F.when(union > 0, inter / union), 6)
+    # Note: the classic size-ratio prune (J ≤ min/max ⇒ filter
+    # min ≥ t·max before intersecting) was measured HERE and reverted —
+    # on length-homogeneous name sets it prunes nothing and its extra
+    # per-row predicate made the join ~1.7× slower (interleaved A/B at
+    # sf0.1). Re-introduce it only for corpora with heterogeneous name
+    # lengths, where it actually cuts intersections.
     return (
         a.join(b, on=on)
         .filter(F.col("id_a") < F.col("id_b"))
