@@ -204,3 +204,54 @@ def test_blocked_fuzzy_join_matches_brute_force(spark, names, threshold):
                     if jac >= threshold:
                         want.add((i, j))
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),          # key
+            st.integers(0, 500),        # ts seconds
+            st.integers(-1000, 1000),   # value in hundredths
+        ),
+        min_size=2, max_size=25,
+    )
+)
+def test_time_weighted_avg_matches_brute_force(spark, rows):
+    """time_weighted_avg must equal the brute-force interval-weighted mean
+    for any key/timestamp/value multiset, including timestamp ties (the
+    eid tiebreak makes which observation carries the interval exact)."""
+    from decimal import Decimal
+
+    from datacooker_dist_spark.operators.timeseries import time_weighted_avg
+
+    data = [(k, t, v / 100.0, i) for i, (k, t, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "k int, tsec long, v double, eid int"
+    ).selectExpr("k", "timestamp_seconds(tsec) AS ts", "v", "eid")
+    got = {
+        r["k"]: (r["span_us"], r["twap"])
+        for r in time_weighted_avg(
+            df, ts="ts", value="v", keys=["k"], tiebreak=["eid"]
+        ).collect()
+    }
+
+    want = {}
+    bykey: dict = {}
+    for k, t, v, eid in data:
+        bykey.setdefault(k, []).append((t * 1_000_000, eid, v))
+    for k, obs in bykey.items():
+        obs.sort(key=lambda o: (o[0], o[1]))
+        span = obs[-1][0] - obs[0][0]
+        if span <= 0:
+            continue
+        wsum = Decimal(0)
+        for (t0, _, v), (t1, _, _) in zip(obs, obs[1:]):
+            d = t1 - t0
+            # mirror dsum's decimal(25,6) truncation of each product
+            wsum += Decimal(f"{v * d:.6f}")
+        want[k] = (span, round(float(wsum) / span, 6))
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], f"span mismatch key {k}"
+        assert abs(got[k][1] - want[k][1]) < 1e-9, f"twap mismatch key {k}"
