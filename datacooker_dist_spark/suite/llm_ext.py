@@ -911,3 +911,119 @@ def text_bigram_logprob(spark, sf):
         F.round(dsum("_lp", 9), 6).alias("logprob"),
         F.count(F.lit(1)).alias("n_bigrams"),
     )
+
+
+@query(
+    "pipeline_embedding_prep",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 500),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45),
+    drops AS (SELECT DISTINCT id_b AS vec_id FROM pairs),
+    kept AS (SELECT * FROM e WHERE vec_id NOT IN (SELECT vec_id FROM drops)),
+    flat AS (
+      SELECT vec_id, label, generate_subscripts(v, 1) AS i,
+             round(UNNEST(v), 9) AS x
+      FROM kept),
+    cent AS (
+      SELECT label, i,
+             round(CAST(SUM(CAST(x AS DECIMAL(25,9))) AS DOUBLE)
+                   / COUNT(*), 9) AS c
+      FROM flat GROUP BY label, i),
+    percomp AS (
+      SELECT f.vec_id, f.label,
+             round(f.x * c.c, 9) AS xc,
+             round(f.x * f.x, 9) AS xx,
+             round(c.c * c.c, 9) AS cc
+      FROM flat f JOIN cent c ON f.label = c.label AND f.i = c.i),
+    pervec AS (
+      SELECT vec_id, label,
+             round(CAST(SUM(CAST(xc AS DECIMAL(25,9))) AS DOUBLE)
+                   / (sqrt(CAST(SUM(CAST(xx AS DECIMAL(25,9))) AS DOUBLE))
+                      * sqrt(CAST(SUM(CAST(cc AS DECIMAL(25,9))) AS DOUBLE))),
+                   6) AS cos_c
+      FROM percomp GROUP BY vec_id, label),
+    dropped AS (
+      SELECT e.label, CAST(COUNT(*) AS BIGINT) AS n_dropped
+      FROM e JOIN drops USING (vec_id) GROUP BY e.label)
+    SELECT p.label, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           COALESCE(MAX(d.n_dropped), 0) AS n_dropped,
+           round(CAST(SUM(CAST(p.cos_c AS DECIMAL(25,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_cos_to_centroid
+    FROM pervec p LEFT JOIN dropped d ON p.label = d.label
+    GROUP BY p.label
+    """,
+)
+def pipeline_embedding_prep(spark, sf):
+    """Embedding-corpus prep pipeline, end-to-end: LSH-candidate near-dup
+    drop (the shared verified pair set — drop the higher id of each pair)
+    → per-label centroid (exact decimal mean per dimension) → per-vector
+    cosine to its label centroid → the corpus data card: per label,
+    vectors kept, duplicates dropped, and mean intra-label coherence.
+    The coherence number is the embedding-space analogue of the text
+    pipeline's quality stats — it flags mislabeled or polluted label
+    groups before training. Every reduction (centroid mean, dot products,
+    final average) runs through rounded-term exact-decimal accumulation
+    so the doubles are engine-stable end to end. One lazy plan: anti-join
+    → posexplode → two hash aggregates → broadcast-joined centroid dims."""
+    from ..operators import similarity as S
+    from .llm import shared_embedding_pairs
+
+    emb = table(spark, sf, "embeddings").filter(F.col("vec_id") < 500)
+    drops = (
+        shared_embedding_pairs(spark, sf)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    kept = emb.join(drops, "vec_id", "left_anti")
+    flat = kept.select(
+        "vec_id", "label",
+        F.posexplode(S.as_double_array("embedding")).alias("i", "x0"),
+    ).select("vec_id", "label", "i", F.round("x0", 9).alias("x"))
+
+    def dsum9(col):
+        return F.sum(F.col(col).cast("decimal(25,9)")).cast("double")
+
+    cent = flat.groupBy("label", "i").agg(
+        F.round(dsum9("x") / F.count(F.lit(1)), 9).alias("c")
+    )
+    percomp = flat.join(F.broadcast(cent), ["label", "i"]).select(
+        "vec_id", "label",
+        F.round(F.col("x") * F.col("c"), 9).alias("xc"),
+        F.round(F.col("x") * F.col("x"), 9).alias("xx"),
+        F.round(F.col("c") * F.col("c"), 9).alias("cc"),
+    )
+    pervec = percomp.groupBy("vec_id", "label").agg(
+        F.round(
+            dsum9("xc") / (F.sqrt(dsum9("xx")) * F.sqrt(dsum9("cc"))), 6
+        ).alias("cos_c")
+    )
+    dropped = (
+        emb.join(drops, "vec_id")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    return (
+        pervec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(
+                F.sum(F.col("cos_c").cast("decimal(25,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_cos_to_centroid"),
+        )
+        .join(F.broadcast(dropped), "label", "left")
+        .select(
+            "label", "n_kept",
+            F.coalesce(F.col("n_dropped"), F.lit(0)).cast("long")
+            .alias("n_dropped"),
+            "avg_cos_to_centroid",
+        )
+    )

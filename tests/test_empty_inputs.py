@@ -99,3 +99,59 @@ def test_pattern_match_no_events(spark):
     assert empty.columns == [
         "user_id", "n_events", "n_view_then_buy", "reaches_purchase"
     ]
+
+
+def test_blocked_fuzzy_join_empty_sides(spark):
+    from datacooker_dist_spark.operators.dedup import blocked_fuzzy_join
+
+    pts = spark.createDataFrame(
+        [(1, "alpha beta", "a"), (2, "alpha bets", "a")],
+        "id int, nm string, blk string",
+    )
+    none = pts.filter(F.lit(False))
+    assert blocked_fuzzy_join(none, pts, "nm", ["blk"], 0.5, "id").count() == 0
+    assert blocked_fuzzy_join(pts, none, "nm", ["blk"], 0.5, "id").count() == 0
+    out = blocked_fuzzy_join(none, none, "nm", ["blk"], 0.5, "id")
+    assert out.count() == 0
+    assert set(out.columns) == {"id_a", "id_b", "jaccard"}
+
+
+def test_time_weighted_avg_empty_and_single(spark):
+    from datacooker_dist_spark.operators.timeseries import time_weighted_avg
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 1.0, 1)], "k int, tsec double, v double, eid int"
+    ).selectExpr("k", "timestamp_seconds(tsec) AS ts", "v", "eid")
+    # single observation → zero span → excluded, not a crash
+    assert time_weighted_avg(df, "ts", "v", ["k"], ["eid"]).count() == 0
+    none = df.filter(F.lit(False))
+    out = time_weighted_avg(none, "ts", "v", ["k"], ["eid"])
+    assert out.count() == 0
+    assert set(out.columns) == {"k", "span_us", "twap"}
+
+
+def test_cosine_candidate_pairs_empty(spark):
+    from datacooker_dist_spark.operators.similarity import cosine_candidate_pairs
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").filter(
+        F.lit(False)
+    )
+    out = cosine_candidate_pairs(emb, 0.45, dim=64, planes=2, tables=4)
+    assert out.count() == 0
+    assert set(out.columns) == {"id_a", "id_b", "cosine"}
+
+
+def test_asof_join_tolerance_empty_right(spark):
+    from datacooker_dist_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5.0, 10)], "k int, tsec double, lv int"
+    ).selectExpr("k", "timestamp_seconds(tsec) AS ts", "lv")
+    right = spark.createDataFrame(
+        [], "k int, rts timestamp, rv int"
+    )
+    out = asof_join(
+        left, right, "k", "k", "ts", "rts", ["rv"],
+        how="inner", tolerance="10 SECONDS",
+    )
+    assert out.count() == 0

@@ -330,3 +330,22 @@ def test_join_bucketed_zero_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "SortMergeJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_embedding_prep_no_cartesian_broadcast_centroids(spark):
+    """The embedding-prep pipeline must keep the LSH-candidate pair source
+    (no cross join) and broadcast the tiny (label × dim) centroid table
+    into the per-component join."""
+    plan = executed_plan(spark, "pipeline_embedding_prep")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_asof_tolerance_same_plan_as_asof(spark):
+    """The tolerance filter must not change the as-of plan shape: still
+    one union+window carry (≤2 hash exchanges incl. right-side pre-agg),
+    no join blowup."""
+    plan = executed_plan(spark, "join_asof_tolerance")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Window [last" in plan
+    assert "CartesianProduct" not in plan
