@@ -413,12 +413,22 @@ def blocked_fuzzy_join(
     join. Self-join callers get each unordered pair once (id_a < id_b).
     Output: (id_a, id_b, jaccard) with jaccard rounded to 6 digits for
     engine-stable thresholding.
+
+    Trigram sets are hashed to int64 (xxhash64) before the join:
+    intersecting long arrays measured ~1.5× faster than string arrays at
+    sf0.1 (interleaved A/B) and the joined rows shrink severalfold. Set
+    equality — and therefore the Jaccard — is exact absent a 64-bit hash
+    collision among the corpus's distinct trigrams (P ≈ d²/2⁶⁵, and
+    deterministic for fixed data).
     """
     def prep(df, side):
+        tg = F.array_distinct(
+            F.transform(char_trigrams(name_col), lambda s: F.xxhash64(s))
+        )
         return df.select(
             F.col(id_col).alias(f"id_{side}"),
             *[F.col(b).alias(f"_b{i}") for i, b in enumerate(block_cols)],
-            char_trigrams(name_col).alias(f"_tg_{side}"),
+            tg.alias(f"_tg_{side}"),
         )
 
     a, b = prep(left, "a"), prep(right, "b")
