@@ -154,6 +154,12 @@ class HadoopColumnarInput(_HadoopInputBase):
               doc="force the parquet branch regardless of path suffix (A3)"),
         Param("sub_dirs", "bool",
               doc="split first-level subdirectories into sub-streams (A15)"),
+        Param("parse_mode", "str", default="PERMISSIVE",
+              doc="malformed-row policy for delimited text: PERMISSIVE "
+                  "(null-fill, keep raw line in _corrupt_record), "
+                  "DROPMALFORMED, or FAILFAST — the reference's parser "
+                  "silently misparses short rows (SURVEY §2.A bugs); here "
+                  "the policy is explicit and auditable"),
     )
 
     def _read(self, uri: str) -> DataFrame:
@@ -161,9 +167,17 @@ class HadoopColumnarInput(_HadoopInputBase):
             df = self.spark.read.parquet(uri)
         else:
             delimiter = self.params.get("delimiter", DEFAULT_DELIMITER)
+            mode = str(self.params.get("parse_mode", "PERMISSIVE")).upper()
+            if mode not in ("PERMISSIVE", "DROPMALFORMED", "FAILFAST"):
+                raise ValueError(
+                    f"Unknown parse_mode '{mode}'; expected "
+                    "PERMISSIVE/DROPMALFORMED/FAILFAST"
+                )
             schema_from_file = _bool(self.params.get("schema_from_file"), default=True)
             if schema_from_file:
-                df = self.spark.read.options(header=True, sep=delimiter).csv(uri)
+                df = self.spark.read.options(
+                    header=True, sep=delimiter, mode=mode
+                ).csv(uri)
             else:
                 declared = self.params.get("schema_default")
                 if not declared:
@@ -177,9 +191,9 @@ class HadoopColumnarInput(_HadoopInputBase):
                     c if c != "_" else f"__skip_{i}" for i, c in enumerate(declared)
                 ]
                 schema = StructType([StructField(n, StringType()) for n in names])
-                df = self.spark.read.options(header=False, sep=delimiter).schema(
-                    schema
-                ).csv(uri)
+                df = self.spark.read.options(
+                    header=False, sep=delimiter, mode=mode
+                ).schema(schema).csv(uri)
                 df = df.drop(*[n for n in names if n.startswith("__skip_")])
         columns = self.params.get("columns")
         if columns:

@@ -445,3 +445,34 @@ def test_config_partitioning_plumb_through(spark, nation, tmp_path):
                      "dest": {"adapter": "y", "path": "q"}}]}
     with pytest.raises(ValueError, match="BYSRC"):
         Configuration.from_json(_json.dumps(bad))
+
+
+def test_parse_mode_drops_or_fails_malformed(spark, tmp_path):
+    """parse_mode policy on delimited text: DROPMALFORMED skips short rows,
+    FAILFAST raises, PERMISSIVE null-fills — explicit where the reference's
+    parser silently misparsed (SURVEY §2.A bugs note)."""
+    p = tmp_path / "bad"
+    p.mkdir()
+    (p / "data.csv").write_text("a,b,c\n1,2,3\nmalformed\n4,5,6\n")
+    declared = {
+        "schema_from_file": False,
+        "delimiter": ",",
+        "schema_default": ["a", "b", "c"],
+    }
+    # Declared 3-col schema: the 1-field line is malformed.
+    [ds] = load_one(
+        spark, "hadoopColumnar", str(p),
+        params={**declared, "parse_mode": "DROPMALFORMED"},
+    ).values()
+    vals = sorted(r["a"] for r in ds.df.collect())
+    assert vals == ["1", "4", "a"]  # header line is data without a header
+    [ds_p] = load_one(
+        spark, "hadoopColumnar", str(p),
+        params={**declared, "parse_mode": "PERMISSIVE"},
+    ).values()
+    assert ds_p.df.count() == 4  # malformed row kept, null-filled
+    with pytest.raises(ValueError, match="parse_mode"):
+        load_one(
+            spark, "hadoopColumnar", str(p),
+            params={**declared, "parse_mode": "LENIENT"},
+        )
