@@ -230,10 +230,19 @@ class HadoopStructuredInput(_HadoopInputBase):
               doc="explicit DDL schema; omitted → Spark samples to infer"),
         Param("sub_dirs", "bool",
               doc="split first-level subdirectories into sub-streams (A15)"),
+        Param("parse_mode", "str", default="PERMISSIVE",
+              doc="malformed-record policy: PERMISSIVE (null-fill), "
+                  "DROPMALFORMED, or FAILFAST"),
     )
 
     def _read(self, uri: str) -> DataFrame:
-        r = self.spark.read
+        mode = str(self.params.get("parse_mode", "PERMISSIVE")).upper()
+        if mode not in ("PERMISSIVE", "DROPMALFORMED", "FAILFAST"):
+            raise ValueError(
+                f"Unknown parse_mode '{mode}'; expected "
+                "PERMISSIVE/DROPMALFORMED/FAILFAST"
+            )
+        r = self.spark.read.option("mode", mode)
         ddl = self.params.get("schema_json")
         if ddl:
             r = r.schema(ddl)

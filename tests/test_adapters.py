@@ -476,3 +476,15 @@ def test_parse_mode_drops_or_fails_malformed(spark, tmp_path):
             spark, "hadoopColumnar", str(p),
             params={**declared, "parse_mode": "LENIENT"},
         )
+
+
+def test_structured_parse_mode_drops_malformed(spark, tmp_path):
+    p = tmp_path / "badjson"
+    p.mkdir()
+    (p / "d.jsonl").write_text('{"id": 1}\nnot json\n{"id": 2}\n')
+    [ds] = load_one(
+        spark, "hadoopStructured", str(p),
+        params={"schema_json": "id bigint",
+                "parse_mode": "DROPMALFORMED"},
+    ).values()
+    assert sorted(r["id"] for r in ds.df.collect()) == [1, 2]
