@@ -255,3 +255,45 @@ def test_time_weighted_avg_matches_brute_force(spark, rows):
     for k in want:
         assert got[k][0] == want[k][0], f"span mismatch key {k}"
         assert abs(got[k][1] - want[k][1]) < 1e-9, f"twap mismatch key {k}"
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(-100, 100), min_size=8, max_size=8),
+        min_size=2, max_size=20,
+    ),
+    st.floats(min_value=0.3, max_value=0.9),
+)
+def test_cosine_candidate_pairs_sound(spark, vecs, threshold):
+    """Soundness of the LSH candidate path on arbitrary vectors: every
+    returned pair must appear in the exact all-pairs result with the same
+    rounded cosine (recall is a tuned probability; precision is exact —
+    the verification step must never pass a below-threshold pair)."""
+    from datacooker_dist_spark.operators.similarity import (
+        cosine_candidate_pairs,
+        cosine_pairs,
+    )
+
+    rows = [
+        (i, [float(x) for x in v])
+        for i, v in enumerate(vecs)
+        if any(x != 0 for x in v)  # zero vectors have no cosine
+    ]
+    if len(rows) < 2:
+        return
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_pairs(df, threshold).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_candidate_pairs(
+            df, threshold, dim=8, planes=2, tables=8
+        ).collect()
+    }
+    for pair, cos in got.items():
+        assert pair in exact, f"{pair} not in exact result"
+        assert cos == exact[pair]
+        assert cos >= threshold
