@@ -1,1 +1,1 @@
-from . import dedup, multimodal, relational, similarity, text, timeseries  # noqa: F401
+from . import audit, dedup, graph, multimodal, pipeline, relational, similarity, spatial, text, timeseries  # noqa: F401

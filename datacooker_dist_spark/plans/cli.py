@@ -21,7 +21,10 @@ from .runner import run
 
 def make_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="datacooker-dist-spark", add_help=True)
-    p.add_argument("-c", "--config", required=True, help="config JSON path/URI")
+    p.add_argument("--docgen", action="store_true",
+                   help="print adapter registry docs (verbs, params, "
+                        "example configs) and exit — reference DocGen parity")
+    p.add_argument("-c", "--config", default=None, help="config JSON path/URI")
     p.add_argument("-d", "--direction", default=None, help="direction name")
     p.add_argument("-t", "--tmp", default=None, help="tmp location")
     p.add_argument("-l", "--local", action="store_true", help="local mode")
@@ -33,6 +36,16 @@ def make_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args, _unknown = make_parser().parse_known_args(argv)
+    if args.docgen:
+        from .. import sources  # noqa: F401 — populate the registry
+        from ..registry import adapter_docs
+
+        print(adapter_docs())
+        return 0
+    if not args.config:
+        print("error: -c/--config is required (or use --docgen)",
+              file=sys.stderr)
+        return 2
     extra = {}
     if args.memory:
         extra["spark.driver.memory"] = args.memory

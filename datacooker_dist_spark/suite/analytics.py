@@ -1296,36 +1296,17 @@ def quality_audit_columns(spark, sf):
     key columns; swap approx_count_distinct for free-text ones). Output is
     one row per column for dashboarding; numeric min/max normalize
     through decimal(18,2) so the report is engine-stable."""
-    o = table(spark, sf, "orders")
-    specs = [
-        ("o_custkey", "bigint"),
-        ("o_orderkey", "bigint"),
-        ("o_orderstatus", "string"),
-        ("o_totalprice", "double"),
-    ]
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c, t in specs:
-        mn, mx = F.min(c), F.max(c)
-        if t == "double":
-            mn = mn.cast("decimal(18,2)")
-            mx = mx.cast("decimal(18,2)")
-        aggs += [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
-            .cast("bigint").alias(f"_nn_{c}"),
-            F.count_distinct(F.col(c)).alias(f"_nd_{c}"),
-            mn.cast("string").alias(f"_mn_{c}"),
-            mx.cast("string").alias(f"_mx_{c}"),
-        ]
-    row = o.agg(*aggs)
-    stack = ", ".join(
-        f"'{c}', _nn_{c}, _nd_{c}, _mn_{c}, _mx_{c}" for c, _ in specs
+    from ..operators.audit import profile_columns
+
+    return profile_columns(
+        table(spark, sf, "orders"),
+        [
+            ("o_custkey", "bigint"),
+            ("o_orderkey", "bigint"),
+            ("o_orderstatus", "string"),
+            ("o_totalprice", "double"),
+        ],
     )
-    return row.selectExpr(
-        f"stack({len(specs)}, {stack}) AS "
-        "(col_name, n_nulls, n_distinct, min_value, max_value)",
-        "n_rows",
-    ).select("col_name", "n_rows", "n_nulls", "n_distinct",
-             "min_value", "max_value")
 
 
 @query(

@@ -488,3 +488,18 @@ def test_structured_parse_mode_drops_malformed(spark, tmp_path):
                 "parse_mode": "DROPMALFORMED"},
     ).values()
     assert sorted(r["id"] for r in ds.df.collect()) == [1, 2]
+
+
+def test_cli_docgen_prints_registry():
+    import contextlib
+    import io
+
+    from datacooker_dist_spark.plans.cli import main
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["--docgen"]) == 0
+    out = buf.getvalue()
+    assert "### `hadoopColumnar` (input)" in out
+    assert "| `parse_mode` |" in out
+    assert main([]) == 2  # config required when not docgen
