@@ -216,3 +216,25 @@ def test_grid_radius_join_validates_cell(spark):
     out = grid_radius_join(pts, pts.withColumnRenamed("id", "id2"), radius=5.0, cell=5.0)
     assert {"x", "y", "x_r", "y_r", "dist"} <= set(out.columns)
     out.select("x").collect()  # no ambiguous-column error
+
+
+def test_profile_columns_counts_nulls_and_distincts(spark):
+    from datacooker_dist_spark.operators.audit import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, None, 1.5), (2, "x", None), (3, "x", 2.5), (None, "y", 2.5)],
+        "k bigint, s string, v double",
+    )
+    rows = {
+        r["col_name"]: r
+        for r in profile_columns(
+            df, [("k", "bigint"), ("s", "string"), ("v", "double")]
+        ).collect()
+    }
+    assert rows["k"]["n_rows"] == 4
+    assert rows["k"]["n_nulls"] == 1
+    assert rows["k"]["n_distinct"] == 3
+    assert rows["k"]["min_value"] == "1" and rows["k"]["max_value"] == "3"
+    assert rows["s"]["n_nulls"] == 1 and rows["s"]["n_distinct"] == 2
+    assert rows["v"]["n_nulls"] == 1
+    assert rows["v"]["min_value"] == "1.50" and rows["v"]["max_value"] == "2.50"
