@@ -1027,3 +1027,67 @@ def pipeline_embedding_prep(spark, sf):
             "avg_cos_to_centroid",
         )
     )
+
+
+@query(
+    "corpus_dup_rate_by_source",
+    oracle="""
+    WITH sh AS (SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 2, 1) + 1),
+               i -> array_to_string((regexp_split_to_array(lower(trim(text)), '\\s+'))[i:i+2], ' ')))
+           AS s FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+    dup_ids AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT id_a AS doc_id FROM pairs
+        UNION ALL SELECT id_b FROM pairs)),
+    per_source AS (
+      SELECT d.source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(di.doc_id) AS BIGINT) AS n_dup_docs
+      FROM documents d LEFT JOIN dup_ids di ON d.doc_id = di.doc_id
+      GROUP BY d.source)
+    SELECT source, n_docs, n_dup_docs,
+           round(n_dup_docs * 1.0 / n_docs, 6) AS dup_rate
+    FROM per_source
+    """,
+)
+def corpus_dup_rate_by_source(spark, sf):
+    """Per-source near-duplication rate — the corpus-health metric a dedup
+    pipeline reports before dropping anything: which ingestion sources
+    are polluting the corpus with near-copies (syndication feeds, mirror
+    crawls). Docs participating in any verified near-dup pair (shared
+    LSH candidates → exact Jaccard ≥ 0.8, the same machinery as
+    dedup_ngram_jaccard) are counted against their source's total. One
+    extra hash aggregate over the shared pair set — the monitoring twin
+    of the destructive dedup ops."""
+    from . import shared_shingles, table
+
+    docs = table(spark, sf, "documents")
+    sh = shared_shingles(spark, sf)
+    cand = D.minhash_lsh_candidates(docs, num_hashes=64, bands=16, shingles=sh)
+    pairs = D.ngram_jaccard_pairs(docs, cand, threshold=0.8, shingles=sh)
+    dup_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        docs.join(dup_ids, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("_dup").alias("n_dup_docs"),
+        )
+        .select(
+            "source", "n_docs", "n_dup_docs",
+            F.round(F.col("n_dup_docs") / F.col("n_docs"), 6)
+            .alias("dup_rate"),
+        )
+    )
