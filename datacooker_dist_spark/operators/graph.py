@@ -85,3 +85,122 @@ def pagerank(
         e.unpersist()
         deg.unpersist()
     return ranks
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Breadth-first min-hop labeling from a seed set, FRONTIER-based:
+    each round expands only the nodes discovered in the previous round
+    (frontier ⋈ edges, then anti-join against the visited set), not the
+    whole visited set — the full-relaxation alternative re-joins every
+    settled node every round, which at 100 TB multiplies shuffle volume
+    by the diameter. Returns (node, hops) for everything reachable
+    within ``max_hops``; ``hops`` is exact min-distance because BFS
+    settles each node the first round it appears.
+
+    Each round localCheckpoints the (small) frontier so the lineage
+    stays flat across rounds instead of compounding K joins deep.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    visited = (
+        seeds.select(F.col(node).alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = visited
+    for k in range(1, max_hops + 1):
+        reached = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        frontier = (
+            reached.join(visited, "node", "left_anti")
+            .withColumn("hops", F.lit(k))
+            .localCheckpoint()
+        )
+        if frontier.isEmpty():
+            break
+        visited = visited.unionAll(frontier)
+    return visited
+
+
+def triangle_participation(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle membership counts over an UNDIRECTED edge set
+    (one row per edge, endpoints in either order; self-loops and
+    duplicates are removed here).
+
+    Degree-ordered counting: orient every edge from the (degree, id)-
+    smaller endpoint to the larger, enumerate wedges u→v, u→w (v before
+    w in the same order), and close each wedge against the oriented edge
+    v→w. Every triangle is produced exactly once. Orientation bounds the
+    out-degree of any node by O(sqrt(|E|)) on skewed (power-law) graphs —
+    the wedge join stays near-linear where the naive triple self-join
+    explodes on hub nodes. Both joins are hash equi-joins on a node id.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da, db = deg.alias("da"), deg.alias("db")
+    # Orient low → high in the total order (deg, node id).
+    oriented = (
+        und.join(da, F.col("a") == F.col("da.n"))
+        .join(db, F.col("b") == F.col("db.n"))
+        .select(
+            F.when(
+                (F.col("da.deg") < F.col("db.deg"))
+                | (
+                    (F.col("da.deg") == F.col("db.deg"))
+                    & (F.col("a") < F.col("b"))
+                ),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+        .persist()
+    )
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    # Wedges u→v, u→w (v ≠ w, both orders kept); only the order whose
+    # (v, w) matches the oriented closing edge v→w survives the e3 join,
+    # so each triangle is produced exactly once.
+    wedges = e1.join(e2, F.col("e1.u") == F.col("e2.u")).filter(
+        F.col("e1.v") != F.col("e2.v")
+    )
+    tri = wedges.join(
+        e3,
+        (F.col("e1.v") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")),
+    ).select(
+        F.col("e1.u").alias("x"), F.col("e3.u").alias("y"), F.col("e3.v").alias("z")
+    )
+    counts = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    # Materialize now so the triple-consumed oriented cache can be
+    # released (the counts table is tiny: one row per triangle-member).
+    counts = counts.localCheckpoint()
+    oriented.unpersist()
+    return counts

@@ -85,3 +85,143 @@ def graph_pagerank(spark, sf):
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _trade_edges(spark, sf):
+    """Bidirectional part↔supplier trade graph (same construction as
+    ``graph_pagerank``): one distinct pass over lineitem, supplier ids
+    offset by 1e6 to disjoin the id spaces."""
+    li = table(spark, sf, "lineitem")
+    pairs = li.select(
+        F.col("l_partkey").alias("p"),
+        (F.col("l_suppkey") + 1000000).alias("s"),
+    ).distinct()
+    return pairs.select(
+        F.col("p").alias("src"), F.col("s").alias("dst")
+    ).unionAll(pairs.select(F.col("s").alias("src"), F.col("p").alias("dst")))
+
+
+@query(
+    "graph_degree_hist",
+    oracle=_GRAPH_PRELUDE
+    + """
+    SELECT CAST(deg AS BIGINT) AS deg,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY deg
+    """,
+)
+def graph_degree_hist(spark, sf):
+    """Degree distribution of the trade graph: two chained hash
+    aggregates (node → degree, degree → node count). The first shuffles
+    on the node id; the second's input is one row per node and its
+    output one row per distinct degree — the classic heavy-tail
+    diagnostic that decides whether downstream joins need skew
+    handling. Every node appears as ``src`` because the edge set is
+    bidirectionalized, so out-degree == total degree."""
+    edges = _trade_edges(spark, sf)
+    return (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .groupBy("deg")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+
+
+@query(
+    "graph_triangles",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM pairs e1
+      JOIN pairs e2 ON e2.a = e1.b
+      JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b)
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+    FROM (SELECT x AS node FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri)
+    GROUP BY node
+    """,
+)
+def graph_triangles(spark, sf):
+    """Per-node triangle counts over the co-purchase graph (parts
+    appearing together in ≥ 2 orders — the same thresholded pair pass as
+    ``market_basket_pairs``). Uses degree-ordered wedge counting
+    (:func:`..operators.graph.triangle_participation`): edges oriented
+    low-degree → high-degree bound the wedge fanout by O(√|E|) per node
+    on power-law graphs, where the oracle's naive triple self-join is
+    hub-quadratic — same count, scale-safe plan. Triangle density over
+    co-purchase edges is the standard cohesion signal for community
+    detection and recommender quality checks."""
+    from ..operators.graph import triangle_participation
+
+    li = table(spark, sf, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.l_orderkey") == F.col("b.l_orderkey"),
+                F.col("a.l_partkey") < F.col("b.l_partkey"),
+            ],
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+    return triangle_participation(pairs, src="pa", dst="pb")
+
+
+_BFS_HOPS = 3
+
+
+def _bfs_oracle(max_hops: int) -> str:
+    steps = []
+    for k in range(1, max_hops + 1):
+        steps.append(f"""
+    f{k} AS (
+      SELECT node, MIN(hops) AS hops FROM (
+        SELECT node, hops FROM f{k - 1}
+        UNION ALL
+        SELECT e.dst AS node, f.hops + 1 AS hops
+        FROM f{k - 1} f JOIN edges e ON e.src = f.node)
+      GROUP BY node)""")
+    return (
+        """
+    WITH pairs AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey + 1000000 AS s FROM lineitem),
+    edges AS (SELECT p AS src, s AS dst FROM pairs
+              UNION ALL SELECT s AS src, p AS dst FROM pairs),
+    f0 AS (SELECT p_partkey AS node, 0 AS hops FROM part WHERE p_size = 50),"""
+        + ",".join(steps)
+        + f"\nSELECT node, CAST(hops AS INT) AS hops FROM f{max_hops}"
+    )
+
+
+@query("graph_bfs_hops", oracle=_bfs_oracle(_BFS_HOPS))
+def graph_bfs_hops(spark, sf):
+    """Min-hop BFS labels within 3 hops of a seed set (parts of size 50)
+    over the trade graph. Frontier-based (:func:`..operators.graph.
+    bfs_hops`): each round joins only the NEWLY discovered nodes against
+    the adjacency and anti-joins the visited set — shuffle per round is
+    O(frontier), not O(visited), which is what keeps the K-th round from
+    re-shuffling the whole reachable set at 100 TB. The oracle unrolls
+    the same rounds as full-relaxation min-aggregates (equivalent labels:
+    BFS settles every node the first round it appears)."""
+    from ..operators.graph import bfs_hops
+
+    seeds = (
+        table(spark, sf, "part")
+        .filter(F.col("p_size") == 50)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    return bfs_hops(_trade_edges(spark, sf), seeds, max_hops=_BFS_HOPS)
