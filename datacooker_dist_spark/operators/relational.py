@@ -162,6 +162,13 @@ def intersect(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.intersect(b)
 
 
+def intersect_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Multiset INTERSECT ALL (duplicates kept up to the min of the two
+    sides' counts) — plans as one shuffle on the full row, same as
+    intersect, with per-row count bookkeeping instead of dedup."""
+    return a.intersectAll(b)
+
+
 def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.exceptAll(b)
 

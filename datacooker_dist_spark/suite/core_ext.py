@@ -825,3 +825,44 @@ def adapter_custom_sink(spark, sf):
     return spark.read.schema(
         "n_nationkey bigint, n_name string, n_regionkey int"
     ).json(f"{base}/part-*.jsonl")
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT l_partkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT ALL
+    SELECT l_partkey, l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+    """,
+)
+def set_intersect_all(spark, sf):
+    """Multiset intersection: (part, supplier) pairs appearing among BOTH
+    returned and accepted lines, duplicates kept to the min of the two
+    multiplicities — semantics DISTINCT-based intersect can't express
+    (a pair shipping 3× returned and 2× accepted contributes 2 rows).
+    Plans as one hash shuffle on the full row with per-side counters;
+    at 100 TB it is exactly the cost of the distinct form."""
+    li = table(spark, sf, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_partkey", "l_suppkey")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_partkey", "l_suppkey")
+    return r.intersectAll(a)
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT l_partkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    EXCEPT ALL
+    SELECT l_partkey, l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+    """,
+)
+def set_except_all(spark, sf):
+    """Multiset difference: returned (part, supplier) pairs with each
+    occurrence cancelled by one accepted occurrence — the surviving
+    multiplicity is count_R - count_A, which EXCEPT (distinct) collapses
+    to membership. The reconciliation shape (ledger vs ledger, N-M
+    surviving rows) that motivates EXCEPT ALL in audit pipelines."""
+    li = table(spark, sf, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_partkey", "l_suppkey")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_partkey", "l_suppkey")
+    return r.exceptAll(a)

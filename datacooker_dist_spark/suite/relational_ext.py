@@ -786,3 +786,107 @@ def join_bucketed(spark, sf):
     return bl.join(bo, bl.l_orderkey == bo.o_orderkey).select(
         "l_orderkey", "l_linenumber", "l_quantity", "o_totalprice"
     )
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(25,4))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    WHERE l.l_orderkey IN (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000)
+    GROUP BY l.l_returnflag
+    """,
+)
+def join_bloom_prefilter(spark, sf):
+    """Bloom-prefiltered selective semi-join: the urgent-high-value order
+    keys build a distributed Bloom filter (:mod:`..operators.bloom` —
+    Kirsch–Mitzenmacher double hashing into bit_or-aggregated 64-bit
+    words), the fact scan probes it via k broadcast word-joins BEFORE
+    any fact-side shuffle, and the exact semi-join then runs over the
+    pruned candidate set only. At 100 TB this is the difference between
+    shuffling the whole fact table to discover 86% of rows don't match
+    and shuffling just the candidates; the trailing exact join removes
+    the filter's false positives, so results equal the plain semi-join
+    — the oracle."""
+    from ..operators.bloom import bloom_build, bloom_prefilter
+
+    num_bits, k = 1 << 17, 3
+    keys = (
+        table(spark, sf, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 150000)
+        )
+        .select("o_orderkey")
+    )
+    words = bloom_build(keys, "o_orderkey", num_bits=num_bits, k=k)
+    li = table(spark, sf, "lineitem")
+    candidates = bloom_prefilter(
+        li, "l_orderkey", words, num_bits=num_bits, k=k
+    )
+    exact = candidates.join(
+        keys.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "l_orderkey",
+        "left_semi",
+    )
+    return exact.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(25,4)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@query(
+    "sole_return_supplier",
+    oracle="""
+    WITH su AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    multi AS (SELECT l_orderkey FROM su GROUP BY l_orderkey
+              HAVING COUNT(*) > 1)
+    SELECT DISTINCT l.l_suppkey, l.l_orderkey
+    FROM lineitem l
+    WHERE l.l_returnflag = 'R'
+      AND l.l_orderkey IN (SELECT l_orderkey FROM multi)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem x
+        WHERE x.l_orderkey = l.l_orderkey
+          AND x.l_suppkey <> l.l_suppkey
+          AND x.l_returnflag = 'R')
+    """,
+)
+def sole_return_supplier(spark, sf):
+    """TPC-H Q21 shape (adapted to this schema's returnflag semantics):
+    suppliers who were the ONLY supplier with returned lines in a
+    multi-supplier order — an IN over a grouped subquery plus a
+    correlated NOT EXISTS against the same fact table. Catalyst plans
+    the IN as a left-semi hash join and the NOT EXISTS as a null-safe
+    left-anti hash join, both keyed on l_orderkey, so the three passes
+    over lineitem co-partition on one key and AQE can reuse the
+    exchange — the canonical "self-join heavy" TPC-H plan that
+    nested-loop engines fall over on."""
+    _view(spark, sf, "lineitem")
+    return spark.sql(
+        """
+        WITH su AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem_v),
+        multi AS (SELECT l_orderkey FROM su GROUP BY l_orderkey
+                  HAVING COUNT(*) > 1)
+        SELECT DISTINCT l.l_suppkey, l.l_orderkey
+        FROM lineitem_v l
+        WHERE l.l_returnflag = 'R'
+          AND l.l_orderkey IN (SELECT l_orderkey FROM multi)
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem_v x
+            WHERE x.l_orderkey = l.l_orderkey
+              AND x.l_suppkey <> l.l_suppkey
+              AND x.l_returnflag = 'R')
+        """
+    )

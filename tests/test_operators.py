@@ -238,3 +238,22 @@ def test_profile_columns_counts_nulls_and_distincts(spark):
     assert rows["s"]["n_nulls"] == 1 and rows["s"]["n_distinct"] == 2
     assert rows["v"]["n_nulls"] == 1
     assert rows["v"]["min_value"] == "1.50" and rows["v"]["max_value"] == "2.50"
+
+
+class TestBloom:
+    def test_no_false_negatives_and_prunes(self, spark):
+        """Every true key survives the Bloom gate (superset property)
+        and a disjoint probe set is mostly pruned."""
+        from datacooker_dist_spark.operators.bloom import (
+            bloom_build,
+            bloom_prefilter,
+        )
+
+        keys = spark.range(0, 500).withColumnRenamed("id", "k")
+        words = bloom_build(keys, "k", num_bits=1 << 14, k=3)
+        probe = spark.range(0, 5000).withColumnRenamed("id", "k")
+        kept = bloom_prefilter(probe, "k", words, num_bits=1 << 14, k=3)
+        kept_ids = {r.k for r in kept.collect()}
+        assert set(range(500)) <= kept_ids  # no false negatives
+        # false-positive rate for m=16384, n=500, k=3 is ~0.1%; allow 10x
+        assert len(kept_ids) - 500 <= 45

@@ -349,3 +349,12 @@ def test_asof_tolerance_same_plan_as_asof(spark):
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "Window [last" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_prefilter_probes_broadcast(spark):
+    """The Bloom probe side must stay shuffle-free: all k word fetches
+    plan as BroadcastHashJoin, and no CartesianProduct sneaks in."""
+    plan = executed_plan(spark, "join_bloom_prefilter")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
