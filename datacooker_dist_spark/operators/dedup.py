@@ -450,3 +450,91 @@ def blocked_fuzzy_join(
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+    shingle_n: int = 3,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Directional containment near-dup pairs: (id_a, id_b, containment)
+    with |sh(A) ∩ sh(B)| / |sh(A)| ≥ num/den — catches sub/superset
+    duplicates (a doc quoted wholesale inside a longer one) that
+    symmetric-Jaccard MinHash LSH structurally misses (J is small when
+    |B| ≫ |A| even at containment 1.0).
+
+    Candidate generation is PREFIX FILTERING (the set-similarity-join
+    standard): order every doc's shingles by ascending global document
+    frequency; if C(A,B) ≥ t then B must hit at least one of A's
+    (|A| - ⌈t·|A|⌉ + 1) rarest shingles — so only those prefix rows join
+    the inverted index, and rare-first ordering keeps each posting list
+    short. Everything is equi-joins + hash aggregates: shuffle is
+    O(prefix rows + index rows), never the quadratic pair space the
+    oracle brute-forces. The required-overlap count uses exact integer
+    arithmetic (⌈n·sz/d⌉ = (n·sz + d - 1) div d) — a float ⌈0.9·sz⌉
+    can round up and silently shrink the prefix below the sound bound.
+
+    Exact verification then computes containment per candidate from the
+    distinct-shingle arrays; the division is a single int/int → double,
+    bit-identical across engines.
+    """
+    from pyspark.sql import Window
+
+    rows = (
+        shingles
+        if shingles is not None
+        else shingle_rows(docs, id_col, text_col, shingle_n)
+    )
+    uniq = rows.select(F.col(id_col).alias("_id"), "_sh").distinct()
+    sizes = uniq.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    freq = uniq.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("_id").orderBy("_df", "_sh")
+    prefix = (
+        uniq.join(freq, "_sh")
+        .withColumn("_rn", F.row_number().over(w))
+        .join(sizes, "_id")
+        .filter(
+            F.col("_rn")
+            <= F.col("_sz")
+            - F.expr(
+                f"({threshold_num} * _sz + {threshold_den} - 1)"
+                f" div {threshold_den}"
+            )
+            + 1
+        )
+        .select(F.col("_id").alias("id_a"), "_sh")
+    )
+    cand = (
+        prefix.join(
+            uniq.select(F.col("_id").alias("id_b"), "_sh"), "_sh"
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = shingle_table(docs, id_col, text_col, shingle_n, rows=rows)
+    verified = (
+        cand.join(
+            sets.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("_sha", "_shb")) / F.size("_sha")
+            ).alias("containment"),
+        )
+        .filter(
+            F.col("containment") >= F.lit(threshold_num) / F.lit(threshold_den)
+        )
+    )
+    return verified

@@ -218,3 +218,50 @@ def time_weighted_avg(
             F.round(F.col("_wsum") / F.col("span_us"), 6).alias("twap"),
         )
     )
+
+
+def ema_fixedpoint(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 8,
+    out_col: str = "ema",
+) -> DataFrame:
+    """Per-series exponential moving average in exact integer fixed-point:
+    ema_1 = x_1; ema_t = (num·x_t + (den-num)·ema_{t-1}) div den.
+
+    EMA is inherently sequential (each step's floor division depends on
+    the previous result — no closed form survives integer truncation), so
+    this is the textbook ``applyInPandas`` case: partition by series key,
+    Arrow-ship each group once, run the O(len) loop in Python ints
+    (arbitrary precision — no int64 overflow mid-multiply), return one
+    Arrow batch. ONE shuffle on the series keys; series length is the
+    per-group memory bound (days/hours per key, not corpus size), and
+    group count is the parallelism — the layout that scales to millions
+    of independent series. Values must be pre-scaled integers (e.g.
+    cents): all arithmetic is exact, so results are bit-identical to any
+    other engine running the same recurrence (the suite oracle is a
+    DuckDB recursive CTE).
+    """
+    import pandas as pd
+
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    schema = f"{out_fields}, {out_col} bigint"
+    a_num, a_den = int(alpha_num), int(alpha_den)
+
+    def _ema(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        vals = [int(v) for v in pdf[value_col]]
+        out = []
+        prev = None
+        for x in vals:
+            prev = x if prev is None else (a_num * x + (a_den - a_num) * prev) // a_den
+            out.append(prev)
+        pdf[out_col] = pd.array(out, dtype="int64")
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(_ema, schema=schema)

@@ -1382,3 +1382,53 @@ def skew_profile_keys(spark, sf):
         .orderBy(F.col("n").desc(), F.col("l_suppkey").asc())
         .limit(10)
     )
+
+
+@query(
+    "timeseries_ema",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) * 100 AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1, 2),
+    rn AS (SELECT pri, day, cents,
+                  ROW_NUMBER() OVER (PARTITION BY pri ORDER BY day) AS r
+           FROM base),
+    rec AS (
+      SELECT pri, day, cents, r, cents AS ema FROM rn WHERE r = 1
+      UNION ALL
+      SELECT b.pri, b.day, b.cents, b.r, (b.cents + 7 * r0.ema) // 8
+      FROM rec r0 JOIN rn b ON b.pri = r0.pri AND b.r = r0.r + 1)
+    SELECT pri, day, cents, CAST(ema AS BIGINT) AS ema FROM rec
+    """,
+)
+def timeseries_ema(spark, sf):
+    """Exponential moving average (α = 1/8) of daily order value per
+    priority, in exact integer fixed-point (cents). EMA's per-step floor
+    division is inherently sequential, so the series run as
+    ``applyInPandas`` groups (:func:`..operators.timeseries.
+    ema_fixedpoint`): one shuffle on the series key, one Arrow batch per
+    series, O(days) Python-int loop inside — group count is the
+    parallelism, series length the memory bound, the layout that holds
+    at millions of series. The oracle replays the identical recurrence
+    as a DuckDB recursive CTE — integer arithmetic makes the two engines
+    agree bit-for-bit where double EMA would drift."""
+    from ..operators.timeseries import ema_fixedpoint
+
+    daily = (
+        table(spark, sf, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(25,2)")) * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    return ema_fixedpoint(
+        daily, keys=["pri"], order_col="day", value_col="cents",
+        alpha_num=1, alpha_den=8,
+    )

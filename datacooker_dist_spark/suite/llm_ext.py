@@ -1091,3 +1091,38 @@ def corpus_dup_rate_by_source(spark, sf):
             .alias("dup_rate"),
         )
     )
+
+
+@query(
+    "dedup_containment",
+    oracle="""
+    WITH sh AS (SELECT doc_id,
+        list_distinct(list_transform(
+            range(1, greatest(len(regexp_split_to_array(lower(trim(text)),
+                                                        '\\s+')) - 2, 1) + 1),
+            i -> array_to_string((regexp_split_to_array(lower(trim(text)),
+                                                        '\\s+'))[i:i+2], ' ')))
+        AS s FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.s, b.s)) / len(a.s) AS containment
+    FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+    WHERE len(list_intersect(a.s, b.s)) / len(a.s) >= 9/10
+    """,
+)
+def dedup_containment(spark, sf):
+    """Directional containment dedup (≥ 0.9 of doc A's 3-gram shingles
+    inside doc B) via prefix-filtered set-similarity join
+    (:func:`..operators.dedup.containment_pairs`): rare-first shingle
+    prefixes probe the inverted index, so candidates are linear in
+    postings, never all-pairs — the blocking that stays sound for the
+    asymmetric containment measure where MinHash LSH (tuned for
+    symmetric Jaccard) loses recall when |B| ≫ |A|. The oracle
+    brute-forces the quadratic pair space."""
+    from . import shared_shingles
+
+    return D.containment_pairs(
+        table(spark, sf, "documents"),
+        threshold_num=9,
+        threshold_den=10,
+        shingles=shared_shingles(spark, sf),
+    )
