@@ -155,3 +155,52 @@ def test_asof_join_tolerance_empty_right(spark):
         how="inner", tolerance="10 SECONDS",
     )
     assert out.count() == 0
+
+
+def test_bloom_on_empty_key_set(spark):
+    """An empty key set means the filter contains nothing: every probe
+    must be rejected (and nothing may crash on the empty word table)."""
+    from datacooker_dist_spark.operators.bloom import bloom_build, bloom_prefilter
+
+    keys = spark.range(0).withColumnRenamed("id", "k")
+    words = bloom_build(keys, "k", num_bits=1 << 10, k=3)
+    probe = spark.range(100).withColumnRenamed("id", "k")
+    assert bloom_prefilter(probe, "k", words, num_bits=1 << 10, k=3).count() == 0
+
+
+def test_triangles_on_empty_edges(spark):
+    from datacooker_dist_spark.operators.graph import triangle_participation
+
+    edges = spark.createDataFrame(
+        spark.sparkContext.parallelize([], 1), "src long, dst long"
+    )
+    assert triangle_participation(edges).count() == 0
+
+
+def test_bfs_on_empty_seed_set(spark):
+    from datacooker_dist_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        spark.sparkContext.parallelize([(1, 2), (2, 3)], 1), "src long, dst long"
+    )
+    seeds = spark.createDataFrame(
+        spark.sparkContext.parallelize([], 1), "node long"
+    )
+    assert bfs_hops(edges, seeds, max_hops=3).count() == 0
+
+
+def test_containment_on_empty_corpus(spark):
+    out = D.containment_pairs(_empty_docs(spark))
+    assert out.count() == 0
+    assert out.columns == ["id_a", "id_b", "containment"]
+
+
+def test_ema_on_empty_series(spark):
+    from datacooker_dist_spark.operators.timeseries import ema_fixedpoint
+
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize([], 1), "pri string, day date, cents long"
+    )
+    out = ema_fixedpoint(df, keys=["pri"], order_col="day", value_col="cents")
+    assert out.count() == 0
+    assert out.columns == ["pri", "day", "cents", "ema"]
