@@ -107,7 +107,10 @@ def bfs_hops(
     Each round localCheckpoints the (small) frontier so the lineage
     stays flat across rounds instead of compounding K joins deep.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # Each round's localCheckpoint is an action, so an unpersisted edge
+    # plan would re-derive its upstream (scan + distinct) once per round
+    # — persist the adjacency like the pagerank loop does.
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
     visited = (
         seeds.select(F.col(node).alias("node"))
         .distinct()
@@ -129,6 +132,8 @@ def bfs_hops(
         if frontier.isEmpty():
             break
         visited = visited.unionAll(frontier)
+    # visited is a union of checkpointed frontiers only — safe to release.
+    e.unpersist()
     return visited
 
 
@@ -154,6 +159,10 @@ def triangle_participation(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        # consumed by both the degree aggregate and the orientation join
+        # — persist or the (possibly expensive) upstream edge derivation
+        # runs twice.
+        .persist()
     )
     deg = (
         und.select(F.col("a").alias("n"))
@@ -199,8 +208,9 @@ def triangle_participation(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_tri"))
     )
-    # Materialize now so the triple-consumed oriented cache can be
+    # Materialize now so the double/triple-consumed caches can be
     # released (the counts table is tiny: one row per triangle-member).
     counts = counts.localCheckpoint()
     oriented.unpersist()
+    und.unpersist()
     return counts

@@ -64,6 +64,32 @@ def shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _SHINGLE_CACHE[key]
 
 
+_JACCARD_PAIR_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def shared_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized VERIFIED near-dup pairs over ``documents``:
+    banded-MinHash LSH candidates → exact 3-gram Jaccard ≥ 0.8, i.e.
+    (id_a, id_b, jaccard). Three suite consumers (pair listing,
+    cluster building, per-source dup-rate reporting) need exactly this
+    set, so it materializes once per session via localCheckpoint (the
+    pair set is tiny — O(dups), not O(corpus)) instead of re-running
+    the candidate join + verification per query."""
+    key = (id(spark), sf_dir)
+    if key not in _JACCARD_PAIR_CACHE:
+        from ..operators import dedup as D
+
+        docs = table(spark, sf_dir, "documents")
+        sh = shared_shingles(spark, sf_dir)
+        cand = D.minhash_lsh_candidates(
+            docs, num_hashes=64, bands=16, shingles=sh
+        )
+        _JACCARD_PAIR_CACHE[key] = D.ngram_jaccard_pairs(
+            docs, cand, threshold=0.8, shingles=sh
+        ).localCheckpoint()
+    return _JACCARD_PAIR_CACHE[key]
+
+
 EVENTS_RAW_SCHEMA = (
     "event_id bigint, ts bigint, user_id bigint, "
     "event_type string, value double, props string"

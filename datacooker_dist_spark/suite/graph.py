@@ -87,6 +87,25 @@ def graph_pagerank(spark, sf):
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _scoped_partitions(spark, n: int = 8):
+    """Temporarily scope shuffle partitions to the graph's size: the
+    multi-stage iterative loops schedule rounds × partitions tasks, and
+    at ~1M edges 8 beats 32 (less per-stage scheduling overhead). Only
+    valid around operators that materialize EAGERLY inside the scope
+    (localCheckpoint) — a lazy plan would execute under the caller's
+    restored conf."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def _trade_edges(spark, sf):
     """Bidirectional part↔supplier trade graph (same construction as
     ``graph_pagerank``): one distinct pass over lineitem, supplier ids
@@ -178,7 +197,9 @@ def graph_triangles(spark, sf):
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
     )
-    return triangle_participation(pairs, src="pa", dst="pb")
+    with _scoped_partitions(spark):
+        # eager: the operator localCheckpoints its result inside.
+        return triangle_participation(pairs, src="pa", dst="pb")
 
 
 _BFS_HOPS = 3
@@ -224,4 +245,6 @@ def graph_bfs_hops(spark, sf):
         .filter(F.col("p_size") == 50)
         .select(F.col("p_partkey").alias("node"))
     )
-    return bfs_hops(_trade_edges(spark, sf), seeds, max_hops=_BFS_HOPS)
+    with _scoped_partitions(spark):
+        # eager: every BFS round localCheckpoints its frontier inside.
+        return bfs_hops(_trade_edges(spark, sf), seeds, max_hops=_BFS_HOPS)

@@ -102,12 +102,9 @@ def dedup_ngram_jaccard(spark, sf):
     banded MinHash LSH (16 bands × 4 hashes ⇒ P[detect | j=0.8] ≈ 0.9998,
     →1 rapidly above). The oracle brute-forces all pairs — at engine scale
     only the LSH-bucket equi-join runs, never the quadratic pair space."""
-    from . import shared_shingles
+    from . import shared_jaccard_pairs
 
-    docs = table(spark, sf, "documents")
-    sh = shared_shingles(spark, sf)
-    cand = D.minhash_lsh_candidates(docs, num_hashes=64, bands=16, shingles=sh)
-    return D.ngram_jaccard_pairs(docs, cand, threshold=0.8, shingles=sh)
+    return shared_jaccard_pairs(spark, sf)
 
 
 @query("dedup_minhash_lsh")  # rows-only: banded-LSH candidate set
