@@ -1432,3 +1432,41 @@ def timeseries_ema(spark, sf):
         daily, keys=["pri"], order_col="day", value_col="cents",
         alpha_num=1, alpha_den=8,
     )
+
+
+@query(
+    "agg_equidepth_histogram",
+    oracle="""
+    WITH t AS (
+      SELECT o_totalprice,
+             CAST(NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                  AS BIGINT) AS bucket
+      FROM orders)
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM t GROUP BY bucket
+    """,
+)
+def agg_equidepth_histogram(spark, sf):
+    """Equi-DEPTH histogram (decile buckets of equal row count) — the
+    optimizer-statistics twin of the equi-width `agg_histogram`:
+    boundaries adapt to the distribution, so heavy-tailed columns get
+    resolution where the mass is. Exact ntile needs a total order (one
+    range-partitioned sort; tiebroken on the key so bucket edges are
+    engine-stable); at 100 TB the production variant computes
+    approx_percentile boundaries first and buckets with width_bucket —
+    one pass, no sort — which `agg_approx_percentile` demonstrates.
+    This entry is the exact, oracle-checkable form."""
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    o = table(spark, sf, "orders")
+    return (
+        o.select(
+            "o_totalprice", F.ntile(10).over(w).cast("long").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )

@@ -159,12 +159,9 @@ def dedup_clusters(spark, sf):
     The production dedup policy 'keep one doc per duplicate cluster' needs
     the component id, which pairwise output alone can't give when dups
     chain A~B~C without A~C. Oracle: recursive-CTE transitive closure."""
-    from . import shared_shingles
+    from . import shared_jaccard_pairs
 
-    docs = table(spark, sf, "documents")
-    sh = shared_shingles(spark, sf)
-    cand = D.minhash_lsh_candidates(docs, num_hashes=64, bands=16, shingles=sh)
-    pairs = D.ngram_jaccard_pairs(docs, cand, threshold=0.8, shingles=sh)
+    pairs = shared_jaccard_pairs(spark, sf)
     return D.connected_components(pairs.select("id_a", "id_b")).select(
         F.col("id_a").alias("doc_id"), "cluster_id"
     )
@@ -1066,12 +1063,10 @@ def corpus_dup_rate_by_source(spark, sf):
     dedup_ngram_jaccard) are counted against their source's total. One
     extra hash aggregate over the shared pair set — the monitoring twin
     of the destructive dedup ops."""
-    from . import shared_shingles, table
+    from . import shared_jaccard_pairs, table
 
     docs = table(spark, sf, "documents")
-    sh = shared_shingles(spark, sf)
-    cand = D.minhash_lsh_candidates(docs, num_hashes=64, bands=16, shingles=sh)
-    pairs = D.ngram_jaccard_pairs(docs, cand, threshold=0.8, shingles=sh)
+    pairs = shared_jaccard_pairs(spark, sf)
     dup_ids = (
         pairs.select(F.col("id_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
@@ -1125,4 +1120,69 @@ def dedup_containment(spark, sf):
         threshold_num=9,
         threshold_den=10,
         shingles=shared_shingles(spark, sf),
+    )
+
+
+@query(
+    "sample_weighted_deterministic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE ((l_orderkey * 131 + l_linenumber) % 1000003) * 2654435761 % 10000
+          < CAST(FLOOR(l_quantity * 100) AS BIGINT)
+    """,
+)
+def sample_weighted_deterministic(spark, sf):
+    """Deterministic IMPORTANCE sampling: each line is kept with
+    probability l_quantity / 100, decided by a pure multiplicative hash
+    of its key — the weighted twin of `sample_hash_reproducible`.
+    Up-weighting informative rows while keeping the sample reproducible
+    across engines/partitionings/re-ingests is the standard
+    training-data curriculum trick; engine-RNG weighted sampling can't
+    replay. All-integer arithmetic (key reduced mod 1000003 BEFORE the
+    golden-ratio multiply so the product stays far from int64 overflow
+    at any scale factor; the weight comparison uses an explicit FLOOR —
+    double→int CAST rounds in DuckDB but truncates in Spark ANSI).
+    Narrow: the predicate rides the scan, no shuffle."""
+    li = table(spark, sf, "lineitem")
+    keep = (
+        ((F.col("l_orderkey") * 131 + F.col("l_linenumber")) % 1000003)
+        * 2654435761
+        % 10000
+    ) < F.floor(F.col("l_quantity") * 100).cast("long")
+    return li.filter(keep).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@query(
+    "text_ngram_topk",
+    oracle="""
+    WITH sh AS (SELECT doc_id,
+        UNNEST(list_distinct(list_transform(
+            range(1, greatest(len(regexp_split_to_array(lower(trim(text)),
+                                                        '\\s+')) - 2, 1) + 1),
+            i -> array_to_string((regexp_split_to_array(lower(trim(text)),
+                                                        '\\s+'))[i:i+2], ' '))))
+        AS g FROM documents)
+    SELECT g AS gram, CAST(COUNT(*) AS BIGINT) AS doc_freq
+    FROM sh GROUP BY g
+    ORDER BY doc_freq DESC, gram
+    LIMIT 100
+    """,
+)
+def text_ngram_topk(spark, sf):
+    """Corpus-wide top-100 3-grams by document frequency — the exact
+    heavy-hitters report behind boilerplate detection and stopword-list
+    construction. One hash aggregate over the shared shingle pass, then
+    TakeOrderedAndProject (per-partition top-k → driver merge of k·P
+    rows, never a global sort); ties broken on the gram so the cut line
+    is engine-stable. The sketch twin is `agg_approx_topk`."""
+    from . import shared_shingles
+
+    sh = shared_shingles(spark, sf)
+    return (
+        sh.select(F.col("doc_id"), F.col("_sh")).distinct()
+        .groupBy(F.col("_sh").alias("gram"))
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), "gram")
+        .limit(100)
     )

@@ -890,3 +890,38 @@ def sole_return_supplier(spark, sf):
               AND x.l_returnflag = 'R')
         """
     )
+
+
+@query(
+    "supplier_cnt_by_part",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size IN (1, 14, 23, 45) AND p.p_brand <> 'Brand#23'
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def supplier_cnt_by_part(spark, sf):
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    bucket, excluding a NOT IN supplier subquery. The part filter
+    broadcasts (attribute-filtered dim), the NOT IN decorrelates to a
+    null-aware anti join against a tiny set, and the COUNT(DISTINCT)
+    runs as an Expand-based two-phase aggregate — dedup before count,
+    partial on the map side. One fact shuffle total."""
+    _view(spark, sf, "lineitem")
+    _view(spark, sf, "part")
+    _view(spark, sf, "supplier")
+    return spark.sql(
+        """
+        SELECT p.p_brand, p.p_type, p.p_size,
+               COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM lineitem_v l JOIN part_v p ON p.p_partkey = l.l_partkey
+        WHERE p.p_size IN (1, 14, 23, 45) AND p.p_brand <> 'Brand#23'
+          AND l.l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier_v WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+        """
+    )

@@ -8,6 +8,7 @@ from decimal import Decimal
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from datacooker_dist_spark.functions.scalars import dsum
 
@@ -297,3 +298,185 @@ def test_cosine_candidate_pairs_sound(spark, vecs, threshold):
         assert pair in exact, f"{pair} not in exact result"
         assert cos == exact[pair]
         assert cos >= threshold
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(0, 2000), min_size=0, max_size=60),
+    st.integers(8, 12),
+)
+def test_bloom_never_false_negative(spark, keys, log_bits):
+    """Membership keys must always survive the Bloom gate, at any filter
+    size (the superset property the exact-join correctness rests on)."""
+    from datacooker_dist_spark.operators.bloom import bloom_build, bloom_prefilter
+
+    m = 1 << log_bits
+    kdf = spark.createDataFrame([(k,) for k in keys] or [(None,)], "k long")
+    kdf = kdf.filter(F.col("k").isNotNull())
+    words = bloom_build(kdf, "k", num_bits=m, k=3)
+    kept = {
+        r["k"]
+        for r in bloom_prefilter(kdf, "k", words, num_bits=m, k=3).collect()
+    }
+    assert set(keys) <= kept
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=1, max_size=30),
+        min_size=2,
+        max_size=10,
+    ),
+    st.sampled_from([(9, 10), (7, 10), (1, 2)]),
+)
+def test_containment_pairs_match_brute_force(spark, texts, thresh):
+    """Prefix-filtered containment must equal brute-force shingle
+    containment for any corpus and threshold — i.e. the prefix blocking
+    loses no true pair and the verification is exact."""
+    from datacooker_dist_spark.operators.dedup import containment_pairs
+
+    num, den = thresh
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in containment_pairs(
+            df, threshold_num=num, threshold_den=den
+        ).collect()
+    }
+
+    def shingles(s):
+        import re
+
+        # mirror tokens_col: split(lower(trim(text)), '\s+') — a blank
+        # doc yields one empty token, hence one empty-string shingle
+        # (blank docs are mutual duplicates, same as the DuckDB oracle)
+        toks = re.split(r"\s+", s.strip().lower())
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    want = set()
+    sh = {i: shingles(t) for i, t in rows}
+    for a in sh:
+        for b in sh:
+            if a != b and sh[a] and len(sh[a] & sh[b]) / len(sh[a]) >= num / den:
+                want.add((a, b))
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_triangles_match_brute_force(spark, edges):
+    """Degree-ordered wedge counting must equal brute-force triangle
+    membership counts for any multigraph (self-loops/dupes ignored)."""
+    from datacooker_dist_spark.operators.graph import triangle_participation
+
+    df = spark.createDataFrame(
+        edges or [(None, None)], "src int, dst int"
+    ).filter(F.col("src").isNotNull())
+    got = {
+        (r["node"], r["n_tri"]) for r in triangle_participation(df).collect()
+    }
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # enumerate each unordered triangle once
+    counts: dict = {}
+    nodes = sorted(adj)
+    for i, x in enumerate(nodes):
+        for y in (n for n in adj[x] if n > x):
+            for z in (n for n in (adj[x] & adj[y]) if n > y):
+                for v in (x, y, z):
+                    counts[v] = counts.get(v, 0) + 1
+    assert got == set(counts.items())
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10), st.integers(0, 10)),
+        min_size=0,
+        max_size=30,
+    ),
+    st.lists(st.integers(0, 10), min_size=1, max_size=3),
+    st.integers(1, 4),
+)
+def test_bfs_matches_brute_force(spark, edges, seeds, max_hops):
+    """Frontier BFS labels must equal brute-force shortest hop counts
+    (directed edges, bounded depth) for any graph and seed set."""
+    from datacooker_dist_spark.operators.graph import bfs_hops
+
+    edf = spark.createDataFrame(
+        edges or [(None, None)], "src int, dst int"
+    ).filter(F.col("src").isNotNull())
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node int")
+    got = {
+        (r["node"], r["hops"])
+        for r in bfs_hops(edf, sdf, max_hops=max_hops).collect()
+    }
+
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, max_hops + 1):
+        nxt = {
+            d for s, d in edges if s in frontier and d not in dist
+        }
+        for n in nxt:
+            dist[n] = h
+        frontier = nxt
+        if not frontier:
+            break
+    assert got == set(dist.items())
+
+
+def test_containment_and_ema_partition_invariant(spark):
+    """Prefix-filtered containment and the sequential EMA must produce
+    identical results under any input partitioning (the property that
+    makes them safe to run after arbitrary upstream shuffles)."""
+    from conftest import SF_SMALL
+    from datacooker_dist_spark.operators.dedup import containment_pairs
+    from datacooker_dist_spark.operators.timeseries import ema_fixedpoint
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").filter(
+        F.col("doc_id") < 120
+    )
+    expected = None
+    for parts in (1, 13):
+        got = sorted(
+            (r["id_a"], r["id_b"])
+            for r in containment_pairs(docs.repartition(parts)).collect()
+        )
+        if expected is None:
+            expected = got
+        assert got == expected, f"containment parts={parts}"
+
+    series = spark.range(300).select(
+        (F.col("id") % 3).cast("string").alias("k"),
+        F.col("id").alias("t"),
+        ((F.col("id") * 7919) % 1000).alias("v"),
+    )
+    expected = None
+    for parts in (1, 13):
+        got = sorted(
+            map(
+                tuple,
+                ema_fixedpoint(
+                    series.repartition(parts), keys=["k"],
+                    order_col="t", value_col="v",
+                ).collect(),
+            )
+        )
+        if expected is None:
+            expected = got
+        assert got == expected, f"ema parts={parts}"

@@ -358,3 +358,17 @@ def test_bloom_prefilter_probes_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_containment_no_cartesian(spark):
+    """The prefix-filtered containment join must stay equi-join-only —
+    the all-pairs space belongs to the oracle, never the plan."""
+    plan = executed_plan(spark, "dedup_containment")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_topk_is_take_ordered(spark):
+    """Global top-k must plan as TakeOrderedAndProject (per-partition
+    top-k + driver merge), never a full sort of the gram counts."""
+    assert "TakeOrderedAndProject" in executed_plan(spark, "text_ngram_topk")
