@@ -51,6 +51,11 @@ def pagerank(
     # degree table, the node set); persist it once or the upstream edge
     # derivation re-executes per consumer. At cluster scale this is the
     # standard cached-adjacency form (MEMORY_AND_DISK spills, never OOMs).
+    # Rejected variant (A/B-measured): folding deg INTO the persisted
+    # adjacency (src, dst, deg) to drop the per-round deg join was ~5%
+    # SLOWER over 6 interleaved runs (median 4.08 s vs 3.87 s at sf0.1,
+    # 8 partitions) — the wider cached rows ride every round's shuffle,
+    # costing more than the small-table join they replace.
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     nodes = (

@@ -64,6 +64,29 @@ def shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _SHINGLE_CACHE[key]
 
 
+_LSH_CAND_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def shared_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized banded-MinHash LSH candidate pairs (id_a < id_b,
+    64 hashes × 16 bands) over ``documents``. Whether a pair shares a
+    band bucket depends only on the two documents' own signatures, so
+    ANY doc-subset restriction can be applied as a post-filter on this
+    one set (``dedup_edit_distance`` filters it to its bounded slice)
+    instead of re-running the signature + bucket join per consumer."""
+    key = (id(spark), sf_dir)
+    if key not in _LSH_CAND_CACHE:
+        from ..operators import dedup as D
+
+        _LSH_CAND_CACHE[key] = D.minhash_lsh_candidates(
+            table(spark, sf_dir, "documents"),
+            num_hashes=64,
+            bands=16,
+            shingles=shared_shingles(spark, sf_dir),
+        ).localCheckpoint()
+    return _LSH_CAND_CACHE[key]
+
+
 _JACCARD_PAIR_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
@@ -80,12 +103,11 @@ def shared_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ..operators import dedup as D
 
         docs = table(spark, sf_dir, "documents")
-        sh = shared_shingles(spark, sf_dir)
-        cand = D.minhash_lsh_candidates(
-            docs, num_hashes=64, bands=16, shingles=sh
-        )
         _JACCARD_PAIR_CACHE[key] = D.ngram_jaccard_pairs(
-            docs, cand, threshold=0.8, shingles=sh
+            docs,
+            shared_lsh_candidates(spark, sf_dir),
+            threshold=0.8,
+            shingles=shared_shingles(spark, sf_dir),
         ).localCheckpoint()
     return _JACCARD_PAIR_CACHE[key]
 

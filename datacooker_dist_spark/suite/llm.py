@@ -111,12 +111,9 @@ def dedup_ngram_jaccard(spark, sf):
 def dedup_minhash_lsh(spark, sf):
     """Raw LSH candidate pairs (pre-verification). Deterministic given the
     fixed xxhash64 seed family, but not SQL-expressible → rows-only."""
-    from . import shared_shingles
+    from . import shared_lsh_candidates
 
-    return D.minhash_lsh_candidates(
-        table(spark, sf, "documents"),
-        shingles=shared_shingles(spark, sf),
-    )
+    return shared_lsh_candidates(spark, sf)
 
 
 @query("dedup_simhash")  # rows-only: hash-specific

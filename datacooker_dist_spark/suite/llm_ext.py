@@ -451,11 +451,15 @@ def dedup_edit_distance(spark, sf):
     hashes — so the candidate set provably covers the oracle's qualifying
     pairs on this corpus while the plan is the corpus-scale one. Integer
     distance — exact on both engines."""
-    from . import shared_shingles
+    from . import shared_lsh_candidates
 
     docs = table(spark, sf, "documents").filter(F.col("doc_id") < 300)
-    sh = shared_shingles(spark, sf).filter(F.col("doc_id") < 300)
-    cand = D.minhash_lsh_candidates(docs, num_hashes=64, bands=16, shingles=sh)
+    # Bucket-mateship is a pure pairwise property, so the bounded slice
+    # is a post-filter on the session-shared candidate set — identical
+    # to running LSH on the filtered docs, without the recompute.
+    cand = shared_lsh_candidates(spark, sf).filter(
+        (F.col("id_a") < 300) & (F.col("id_b") < 300)
+    )
     d = docs.select(
         "doc_id",
         F.substring(F.lower(F.trim(F.col("text"))), 1, 80).alias("t"),

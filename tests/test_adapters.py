@@ -503,3 +503,21 @@ def test_cli_docgen_prints_registry():
     assert "### `hadoopColumnar` (input)" in out
     assert "| `parse_mode` |" in out
     assert main([]) == 2  # config required when not docgen
+
+
+def test_query_index_doc_is_fresh():
+    """docs/QUERIES.md is generated from the registry; adding a query
+    without re-running tools/gen_query_index.py fails here."""
+    import os
+    import re
+
+    from datacooker_dist_spark.suite import ORACLES, QUERIES
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                        "docs", "QUERIES.md")
+    with open(path) as fh:
+        head = fh.read(400)
+    m = re.search(r"(\d+) queries, (\d+) with exact DuckDB oracles", head)
+    assert m, "QUERIES.md header not found"
+    assert int(m.group(1)) == len(QUERIES)
+    assert int(m.group(2)) == len(ORACLES)
