@@ -57,3 +57,34 @@ def test_jdbc_columns_projection_on_write(spark, tmp_path):
     )
     assert [c.lower() for c in back.columns] == ["n_name", "n_nationkey"]
     assert back.count() == nation.count()
+
+
+def test_jdbc_filter_pushdown(spark, tmp_path):
+    """Predicates on a JDBC scan must push into the remote SELECT
+    (PushedFilters on the JDBCRelation) — at scale the database prunes
+    rows before they ever cross the wire, instead of Spark filtering
+    after a full-table fetch."""
+    url = f"jdbc:derby:{tmp_path}/dbp;create=true"
+    orders = (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+        .limit(200)
+    )
+    out = resolve_output("jdbcColumnar")().configure(
+        {"url": url, "batch_size": 100}
+    ).initialize(spark, "ORDERS_PD")
+    out.save("orders", DataStream("orders", orders, StreamType.COLUMNAR))
+
+    inp = resolve_input("jdbcColumnar")().configure({"url": url}).initialize(
+        spark, "ORDERS_PD"
+    )
+    [ds] = inp.load("back", part_count=2).values()
+    filtered = ds.df.filter(F.col("o_totalprice") > 100000)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = filtered._jdf.queryExecution().explainString(mode)
+    assert "PushedFilters" in plan
+    assert "GreaterThan(O_TOTALPRICE,100000" in plan.replace(
+        "o_totalprice", "O_TOTALPRICE"
+    )
