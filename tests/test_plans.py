@@ -372,3 +372,25 @@ def test_ngram_topk_is_take_ordered(spark):
     """Global top-k must plan as TakeOrderedAndProject (per-partition
     top-k + driver merge), never a full sort of the gram counts."""
     assert "TakeOrderedAndProject" in executed_plan(spark, "text_ngram_topk")
+
+
+def test_join_strategy_hints_honored(spark):
+    """The engine's join-strategy escape hatches (hints) must reach the
+    physical plan: merge → SortMergeJoin, shuffle_hash → ShuffledHashJoin,
+    broadcast → BroadcastHashJoin — the knobs a 100 TB operator reaches
+    for when AQE's default pick is wrong for a known workload."""
+    from pyspark.sql import functions as F
+
+    from datacooker_dist_spark.suite import table
+
+    li = table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+    o = table(spark, SF_SMALL, "orders").select("o_orderkey", "o_totalprice")
+    cases = [
+        ("merge", "SortMergeJoin"),
+        ("shuffle_hash", "ShuffledHashJoin"),
+        ("broadcast", "BroadcastHashJoin"),
+    ]
+    for hint, node in cases:
+        j = li.join(o.hint(hint), li.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert node in plan, f"hint {hint}: expected {node}"

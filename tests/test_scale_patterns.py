@@ -176,3 +176,28 @@ def test_bloom_filter_runtime_join_filter(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
         spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+
+
+def test_observe_metrics_in_flight(spark):
+    """Data-quality counters via DataFrame.observe ride the SAME job as
+    the real computation — no second pass over a 100 TB input to count
+    nulls/violations. The observed metrics must equal a direct
+    aggregation's answer."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    obs = Observation("quality")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("l_discount") > 0.1).cast("long")).alias("n_high_discount"),
+    )
+    result = observed.groupBy("l_returnflag").count()
+    result.collect()  # one action: aggregate runs AND metrics populate
+    direct = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("l_discount") > 0.1).cast("long")).alias("h"),
+    ).collect()[0]
+    assert obs.get["n_rows"] == direct["n"]
+    assert obs.get["n_high_discount"] == direct["h"]
