@@ -866,3 +866,45 @@ def set_except_all(spark, sf):
     r = li.filter(F.col("l_returnflag") == "R").select("l_partkey", "l_suppkey")
     a = li.filter(F.col("l_returnflag") == "A").select("l_partkey", "l_suppkey")
     return r.exceptAll(a)
+
+
+@query(
+    "window_trailing_days",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS spend_7d,
+           CAST(COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_7d
+    FROM orders
+    """,
+)
+def window_trailing_days(spark, sf):
+    """TIME-interval RANGE frame: each order's trailing-7-day spend and
+    order count for its customer — the rolling-window feature every
+    fraud/recency model starts from. Spark expresses interval frames by
+    ordering on epoch seconds with a numeric range (identical peer
+    semantics to the oracle's RANGE BETWEEN INTERVAL, since TIMESTAMP_NTZ
+    has no DST discontinuities); decimal accumulation keeps the
+    peer-group sums engine-exact. One shuffle on the partition key —
+    frame evaluation is a per-partition ordered scan."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-7 * 86400, Window.currentRow)
+    )
+    o = table(spark, sf, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(25,2)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_7d"),
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+    )

@@ -125,3 +125,45 @@ def geo_knn_join(spark, sf):
             (F.col("dist") / 100.0).alias("dist"),
         )
     )
+
+
+@query(
+    "geo_grid_density",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey, c_acctbal, {_XC.format(k="c_custkey")} AS x,
+             {_YC.format(k="c_custkey")} AS y
+      FROM customer)
+    SELECT x // 5000 AS cell_x, y // 5000 AS cell_y,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(25,2))) AS DOUBLE) AS sum_acctbal
+    FROM c GROUP BY 1, 2
+    """,
+)
+def geo_grid_density(spark, sf):
+    """Raster aggregation (spatial binning): point density + an exact
+    value sum per 50×50-unit grid cell — the heat-map / density-surface
+    pass every geospatial pipeline runs before choosing finer analysis.
+    ONE narrow projection (integer floor-div cell ids) + one hash
+    aggregate; output is bounded by the grid (20×20 cells), independent
+    of point count — the constant-size profile of a 100 TB point set.
+    Integer cell arithmetic matches the oracle exactly."""
+    c = table(spark, sf, "customer")
+    cell = 5000
+    return (
+        c.select(
+            F.col("c_acctbal"),
+            F.expr(_XC.format(k="c_custkey")).alias("x"),
+            F.expr(_YC.format(k="c_custkey")).alias("y"),
+        )
+        .groupBy(
+            F.expr(f"x div {cell}").alias("cell_x"),
+            F.expr(f"y div {cell}").alias("cell_y"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(F.col("c_acctbal").cast("decimal(25,2)"))
+            .cast("double")
+            .alias("sum_acctbal"),
+        )
+    )
