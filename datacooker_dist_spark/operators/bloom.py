@@ -39,6 +39,23 @@ _SEED_H1 = 0xB10F
 _SEED_H2 = 0x5EED
 
 
+def _canonical_key(df: DataFrame, key_col: str) -> Column:
+    """Hash-canonical form of the key: Spark's xxhash64 is TYPE-sensitive
+    (an int dim key and a bigint fact key with equal values hash
+    differently — silent false negatives that violate the superset
+    guarantee), so integral types widen to long and fractional types to
+    double before hashing. Build and probe both go through this, so any
+    numeric type mix is safe; other types (string, binary) hash as-is
+    and must match exactly across the two sides."""
+    dt = df.schema[key_col].dataType.simpleString()
+    c = F.col(key_col)
+    if dt in ("tinyint", "smallint", "int", "bigint"):
+        return c.cast("long")
+    if dt in ("float", "double"):
+        return c.cast("double")
+    return c
+
+
 def _coords(key: Column, i: int, num_bits: int) -> Column:
     """i-th probe position for a key: (h1 + i·h2) mod m, non-negative.
 
@@ -60,7 +77,7 @@ def bloom_build(
     explode), then a hash aggregate on word_idx — the only shuffle, and
     its output is at most m/64 rows regardless of key count.
     """
-    key = F.col(key_col)
+    key = _canonical_key(keys, key_col)
     pos = F.explode(
         F.array(*[_coords(key, i, num_bits) for i in range(k)])
     ).alias("pos")
@@ -87,7 +104,7 @@ def bloom_prefilter(
     k broadcast hash joins fetch the probed words; the conjunction of
     bit tests runs inside codegen. No fact-side shuffle, no Python.
     """
-    key = F.col(fact_key)
+    key = _canonical_key(fact, fact_key)
     out = fact
     for i in range(k):
         out = out.withColumn(f"_bp{i}", _coords(key, i, num_bits))

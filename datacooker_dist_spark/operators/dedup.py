@@ -460,6 +460,7 @@ def containment_pairs(
     threshold_den: int = 10,
     shingle_n: int = 3,
     shingles: DataFrame | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """Directional containment near-dup pairs: (id_a, id_b, containment)
     with |sh(A) ∩ sh(B)| / |sh(A)| ≥ num/den — catches sub/superset
@@ -489,7 +490,13 @@ def containment_pairs(
         if shingles is not None
         else shingle_rows(docs, id_col, text_col, shingle_n)
     )
+    # uniq feeds FOUR consumers (sizes, frequencies, the prefix join and
+    # the inverted-index side) and sets feeds two — persist both or each
+    # consumer re-runs the distinct/collect_set aggregate over the whole
+    # shingle pass. Released after the eager materialization below.
     uniq = rows.select(F.col(id_col).alias("_id"), "_sh").distinct()
+    if eager:
+        uniq = uniq.persist()
     sizes = uniq.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
     freq = uniq.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
     w = Window.partitionBy("_id").orderBy("_df", "_sh")
@@ -517,6 +524,8 @@ def containment_pairs(
         .distinct()
     )
     sets = shingle_table(docs, id_col, text_col, shingle_n, rows=rows)
+    if eager:
+        sets = sets.persist()
     verified = (
         cand.join(
             sets.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha")),
@@ -537,4 +546,11 @@ def containment_pairs(
             F.col("containment") >= F.lit(threshold_num) / F.lit(threshold_den)
         )
     )
+    if eager:
+        # Materialize now (the verified pair set is O(dups) — tiny) so
+        # the multi-consumed intermediates can be released immediately.
+        # ``eager=False`` keeps the full lazy plan for plan inspection.
+        verified = verified.localCheckpoint()
+        uniq.unpersist()
+        sets.unpersist()
     return verified

@@ -255,13 +255,19 @@ def ema_fixedpoint(
 
     def _ema(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col).reset_index(drop=True)
-        vals = [int(v) for v in pdf[value_col]]
         out = []
         prev = None
-        for x in vals:
+        for v in pdf[value_col]:
+            # NULL observations (pandas NaN/None) don't move the state and
+            # emit a NULL ema — the gap-tolerant convention, instead of
+            # crashing the task on int(NaN).
+            if pd.isna(v):
+                out.append(None)
+                continue
+            x = int(v)
             prev = x if prev is None else (a_num * x + (a_den - a_num) * prev) // a_den
             out.append(prev)
-        pdf[out_col] = pd.array(out, dtype="int64")
+        pdf[out_col] = pd.array(out, dtype="Int64")
         return pdf
 
     return df.groupBy(*keys).applyInPandas(_ema, schema=schema)

@@ -887,15 +887,17 @@ def window_trailing_days(spark, sf):
     """TIME-interval RANGE frame: each order's trailing-7-day spend and
     order count for its customer — the rolling-window feature every
     fraud/recency model starts from. Spark expresses interval frames by
-    ordering on epoch seconds with a numeric range (identical peer
-    semantics to the oracle's RANGE BETWEEN INTERVAL, since TIMESTAMP_NTZ
-    has no DST discontinuities); decimal accumulation keeps the
-    peer-group sums engine-exact. One shuffle on the partition key —
-    frame evaluation is a per-partition ordered scan."""
+    ordering on a NUMERIC day index (unix_date — timezone-free; an LTZ
+    cast's epoch deltas would shift ±3600 s across DST transitions under
+    a non-UTC session) with the equivalent numeric range; the order
+    values are date-granular, matching the oracle's RANGE BETWEEN
+    INTERVAL exactly. Decimal accumulation keeps the peer-group sums
+    engine-exact. One shuffle on the partition key — frame evaluation
+    is a per-partition ordered scan."""
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
-        .rangeBetween(-7 * 86400, Window.currentRow)
+        .orderBy(F.unix_date(F.col("o_orderdate").cast("date")))
+        .rangeBetween(-7, Window.currentRow)
     )
     o = table(spark, sf, "orders")
     return o.select(

@@ -66,25 +66,16 @@ def graph_pagerank(spark, sf):
     the same five integer-arithmetic rounds as chained CTEs."""
     from ..operators.graph import pagerank
 
-    li = table(spark, sf, "lineitem")
-    pairs = li.select(
-        F.col("l_partkey").alias("p"),
-        (F.col("l_suppkey") + 1000000).alias("s"),
-    ).distinct()
-    edges = pairs.select(
-        F.col("p").alias("src"), F.col("s").alias("dst")
-    ).unionAll(pairs.select(F.col("s").alias("src"), F.col("p").alias("dst")))
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with _scoped_partitions(spark):
         # eager: the loop executes NOW, while the scoped partition count
         # is in force (a lazy return would run under the caller's restored
         # conf), and the operator releases its cached adjacency.
         return pagerank(
-            edges, iterations=_ITERS, damping_ppb=_DAMP_PPB, eager=True
+            _trade_edges(spark, sf),
+            iterations=_ITERS,
+            damping_ppb=_DAMP_PPB,
+            eager=True,
         )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 from contextlib import contextmanager

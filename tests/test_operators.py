@@ -257,3 +257,48 @@ class TestBloom:
         assert set(range(500)) <= kept_ids  # no false negatives
         # false-positive rate for m=16384, n=500, k=3 is ~0.1%; allow 10x
         assert len(kept_ids) - 500 <= 45
+
+
+class TestBloomTypeCanonicalization:
+    def test_int_dim_vs_bigint_fact(self, spark):
+        """Equal key VALUES with different integer types must still meet
+        the no-false-negative guarantee (xxhash64 is type-sensitive;
+        the operator canonicalizes integral keys to long)."""
+        from pyspark.sql import functions as F
+
+        from datacooker_dist_spark.operators.bloom import (
+            bloom_build,
+            bloom_prefilter,
+        )
+
+        keys = spark.range(0, 300).select(F.col("id").cast("int").alias("k"))
+        words = bloom_build(keys, "k", num_bits=1 << 14, k=3)
+        probe = spark.range(0, 300).select(F.col("id").cast("bigint").alias("k"))
+        kept = {
+            r.k
+            for r in bloom_prefilter(
+                probe, "k", words, num_bits=1 << 14, k=3
+            ).collect()
+        }
+        assert kept == set(range(300))
+
+
+def test_ema_null_values_tolerated(spark):
+    """NULL observations must not crash the EMA loop: they emit NULL and
+    leave the state untouched."""
+    from datacooker_dist_spark.operators.timeseries import ema_fixedpoint
+
+    df = spark.createDataFrame(
+        [("a", 1, 100), ("a", 2, None), ("a", 3, 200)],
+        "k string, t int, v long",
+    )
+    rows = {
+        r["t"]: r["ema"]
+        for r in ema_fixedpoint(
+            df, keys=["k"], order_col="t", value_col="v",
+            alpha_num=1, alpha_den=2,
+        ).collect()
+    }
+    assert rows[1] == 100
+    assert rows[2] is None
+    assert rows[3] == (200 + 100) // 2

@@ -362,8 +362,14 @@ def test_bloom_prefilter_probes_broadcast(spark):
 
 def test_containment_no_cartesian(spark):
     """The prefix-filtered containment join must stay equi-join-only —
-    the all-pairs space belongs to the oracle, never the plan."""
-    plan = executed_plan(spark, "dedup_containment")
+    the all-pairs space belongs to the oracle, never the plan. Inspect
+    the operator's LAZY form (the suite query materializes eagerly, so
+    its executed plan is just a checkpoint scan)."""
+    from datacooker_dist_spark.operators.dedup import containment_pairs
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    df = containment_pairs(docs, eager=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 

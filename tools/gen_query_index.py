@@ -22,7 +22,8 @@ def first_line(fn) -> str:
     if not doc:
         return ""
     line = doc.split("\n", 1)[0].strip()
-    return line.rstrip(".")
+    # '|' inside a summary would split the markdown table cell.
+    return line.rstrip(".").replace("|", "\\|")
 
 
 def main() -> None:
