@@ -188,3 +188,144 @@ def dedup_exact(
     if tiebreak is None:
         return df.dropDuplicates(list(keys))
     return top_k_per_group(df, keys, tiebreak, 1)
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: Sequence[str | Column],
+    rank_col: str = "_grank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed exact global row rank (1-based, dense ordering by the
+    tiebroken ``order_cols``) WITHOUT a single-partition sort.
+
+    The naive spelling — ``row_number() OVER (ORDER BY ...)`` with no
+    PARTITION BY — collapses the whole input into one task; at 100 TB
+    that is the canonical scale-killer. This operator is the classic
+    two-pass distributed ranking instead:
+
+    1. ``repartitionByRange`` on the order columns (sampled range
+       boundaries, P balanced sorted partitions);
+    2. per-partition local ``row_number`` windowed BY
+       ``spark_partition_id`` — P independent in-partition sorts, no
+       collapse;
+    3. per-partition row counts (P rows) collect to the driver, turn
+       into prefix-sum offsets, and broadcast back — global rank =
+       offset[pid] + local rank.
+
+    The only driver round-trip is P integers. ``order_cols`` must be a
+    TOTAL order (add a unique key as the last column) or ranks within a
+    tie-group depend on partition placement.
+
+    The offset lookup inlines as a WHEN chain — fine for hundreds of
+    partitions; at many thousands switch it to a broadcast join on the
+    partition id. The internal range-partitioned cache lives until the
+    session releases the result (it holds only the projected columns).
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    parts = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    ranged = df.repartitionByRange(int(parts), *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # Persist: consumed by both the count pass and the rank pass; without
+    # it the range shuffle runs twice.
+    ranged = ranged.persist()
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, n in counts:
+        offsets[pid] = acc
+        acc += n
+    off_expr = F.coalesce(
+        *[
+            F.when(F.col("_pid") == pid, F.lit(off))
+            for pid, off in offsets.items()
+        ],
+        F.lit(0),
+    ) if offsets else F.lit(0)
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    out = ranged.withColumn(
+        rank_col, (F.row_number().over(w) + off_expr).cast("long")
+    ).drop("_pid")
+    return out
+
+
+def ntile_bucket(rank: Column, n_rows: Column, k: int) -> Column:
+    """NTILE bucket (1..k) from a 1-based global rank — the exact SQL
+    NTILE split: the first (n mod k) buckets get ⌈n/k⌉ rows, the rest
+    ⌊n/k⌋. Pure arithmetic on the distributed rank, so NTILE semantics
+    survive without the single-partition window NTILE itself requires.
+    The divisions round-trip through double — exact for n < 2^53, far
+    beyond any real row count."""
+    size_small = (n_rows / k).cast("long")  # floor(n/k) for positive n
+    n_big = n_rows - size_small * k  # n mod k
+    size_big = size_small + 1
+    in_big = rank <= n_big * size_big
+    return (
+        F.when(in_big, ((rank - 1) / size_big).cast("long") + 1)
+        .otherwise(n_big + ((rank - n_big * size_big - 1) / size_small).cast("long") + 1)
+        .cast("long")
+    )
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: Sequence[str | Column],
+    value: str | Column,
+    out_col: str = "_psum",
+    scale: int = 2,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed exact running sum in global ``order_cols`` order —
+    the scale-safe form of ``SUM(x) OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)``, which otherwise collapses into one task.
+
+    Same two-pass shape as :func:`global_rank`: range repartition on the
+    (tiebroken, total) order, per-partition running sums windowed by
+    ``spark_partition_id``, per-partition TOTALS (P decimals) to the
+    driver, prefix-summed and broadcast back as the partition offsets.
+    Accumulation is DECIMAL(25,scale) end-to-end: decimal addition is
+    associative, so the partition-split regrouping of the additions is
+    exactly the sequential running sum — a double-typed version would
+    drift from any sequential oracle by non-associativity. The output
+    column is DECIMAL(25,scale); cast it as needed downstream.
+    """
+    from decimal import Decimal
+
+    dec_t = f"decimal(25,{scale})"
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    val = (F.col(value) if isinstance(value, str) else value).cast(dec_t)
+    parts = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    ranged = df.repartitionByRange(int(parts), *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    ranged = ranged.persist()
+    totals = sorted(
+        (r["_pid"], r["s"])
+        for r in ranged.groupBy("_pid").agg(F.sum(val).alias("s")).collect()
+    )
+    offsets, acc = {}, Decimal(0)
+    for pid, s in totals:
+        offsets[pid] = acc
+        acc += s if s is not None else Decimal(0)
+    off_expr = F.coalesce(
+        *[
+            F.when(F.col("_pid") == pid, F.lit(str(off)).cast(dec_t))
+            for pid, off in offsets.items()
+        ],
+        F.lit("0").cast(dec_t),
+    ) if offsets else F.lit("0").cast(dec_t)
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ranged.withColumn(
+        out_col, (F.sum(val).over(w) + off_expr).cast(dec_t)
+    ).drop("_pid")

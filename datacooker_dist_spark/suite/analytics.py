@@ -543,29 +543,36 @@ def events_anomaly_zscore(spark, sf):
 )
 def rfm_segments(spark, sf):
     """RFM customer segmentation: one hash aggregate builds the
-    recency/frequency/monetary base, then three global NTILE(5) windows
-    (each tiebroken by custkey for a total order — NTILE on ties is
-    otherwise partitioning-dependent) produce the 1-5 scores and the
-    composite segment code. The windows are global single-partition
-    sorts over ONE ROW PER CUSTOMER — at 100 TB that's the aggregated
-    table (millions, not billions), and the standard rewrite if it ever
-    outgrows one task is percent_rank-based bucketing, which shuffles
-    normally."""
+    recency/frequency/monetary base, then three NTILE(5) scores (each
+    tiebroken by custkey for a total order — NTILE on ties is otherwise
+    partitioning-dependent) and the composite segment code. Each score
+    comes off the DISTRIBUTED ranking operator (:func:`..operators.
+    relational.global_rank` + exact NTILE arithmetic) — three range
+    shuffles over the per-customer aggregate instead of three
+    single-partition sort collapses, so the query survives a customer
+    dimension in the billions."""
+    from ..operators.relational import global_rank, ntile_bucket
+
     o = table(spark, sf, "orders")
     base = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(25,2)")).cast("double")
         .alias("monetary"),
-    )
-    wr = Window.orderBy("last_order", "o_custkey")
-    wf = Window.orderBy("frequency", "o_custkey")
-    wm = Window.orderBy("monetary", "o_custkey")
-    scored = base.select(
+    ).persist()
+    n_df = base.agg(F.count(F.lit(1)).alias("_n"))
+    scored = base
+    for rank_col, order in [
+        ("_rr", ["last_order", "o_custkey"]),
+        ("_rf", ["frequency", "o_custkey"]),
+        ("_rm", ["monetary", "o_custkey"]),
+    ]:
+        scored = global_rank(scored, order, rank_col=rank_col)
+    scored = scored.crossJoin(F.broadcast(n_df)).select(
         "o_custkey", "last_order", "frequency", "monetary",
-        F.ntile(5).over(wr).alias("r_score"),
-        F.ntile(5).over(wf).alias("f_score"),
-        F.ntile(5).over(wm).alias("m_score"),
+        ntile_bucket(F.col("_rr"), F.col("_n"), 5).cast("int").alias("r_score"),
+        ntile_bucket(F.col("_rf"), F.col("_n"), 5).cast("int").alias("f_score"),
+        ntile_bucket(F.col("_rm"), F.col("_n"), 5).cast("int").alias("m_score"),
     )
     return scored.withColumn(
         "rfm",
@@ -958,8 +965,9 @@ def session_stats(spark, sf):
                         AS DOUBLE) AS t FROM lineitem),
     ranked AS (
       SELECT l_partkey, revenue,
-             round(SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey
-                                      ROWS UNBOUNDED PRECEDING)
+             round(CAST(SUM(CAST(revenue AS DECIMAL(25,2)))
+                        OVER (ORDER BY revenue DESC, l_partkey
+                              ROWS UNBOUNDED PRECEDING) AS DOUBLE)
                    / (SELECT t FROM tot), 9) AS cum_share
       FROM pv)
     SELECT l_partkey, revenue, cum_share,
@@ -972,23 +980,32 @@ def session_stats(spark, sf):
 def pareto_abc(spark, sf):
     """Pareto / ABC classification: parts ranked by revenue with running
     cumulative share of total — class A carries the top 80% of revenue,
-    B the next 15%, C the tail. The global ordered window runs over the
-    one-row-per-part AGGREGATE (like rfm_segments: the sort input is the
-    part count, not fact volume). Decimal part revenues + one rounded
-    division per row keep the class boundaries engine-exact; the
+    B the next 15%, C the tail. The cumulative sum runs as the
+    DISTRIBUTED prefix sum (:func:`..operators.relational.
+    global_prefix_sum`: range repartition + per-partition running sums +
+    broadcast decimal offsets) — a bare global ordered window would
+    collapse the per-part aggregate into one task, and the part
+    dimension keeps growing with the catalog. Decimal accumulation makes
+    the partition-regrouped additions EQUAL the oracle's sequential
+    running sum (doubles would drift by non-associativity); the
     (revenue DESC, partkey) tiebreak totally orders the cumsum."""
+    from ..operators.relational import global_prefix_sum
+
     li = table(spark, sf, "lineitem")
     dec = F.col("l_extendedprice").cast("decimal(25,2)")
     pv = li.groupBy("l_partkey").agg(
         F.sum(dec).cast("double").alias("revenue")
     )
     tot = li.agg(F.sum(dec).cast("double").alias("t"))
-    w = Window.orderBy(F.col("revenue").desc(), F.col("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    cum = global_prefix_sum(
+        pv,
+        [F.col("revenue").desc(), F.col("l_partkey")],
+        "revenue",
+        out_col="_cum",
     )
-    ranked = pv.crossJoin(F.broadcast(tot)).select(
+    ranked = cum.crossJoin(F.broadcast(tot)).select(
         "l_partkey", "revenue",
-        F.round(F.sum("revenue").over(w) / F.col("t"), 9).alias("cum_share"),
+        F.round(F.col("_cum").cast("double") / F.col("t"), 9).alias("cum_share"),
     )
     return ranked.withColumn(
         "abc_class",
@@ -1451,17 +1468,25 @@ def agg_equidepth_histogram(spark, sf):
     """Equi-DEPTH histogram (decile buckets of equal row count) — the
     optimizer-statistics twin of the equi-width `agg_histogram`:
     boundaries adapt to the distribution, so heavy-tailed columns get
-    resolution where the mass is. Exact ntile needs a total order (one
-    range-partitioned sort; tiebroken on the key so bucket edges are
-    engine-stable); at 100 TB the production variant computes
-    approx_percentile boundaries first and buckets with width_bucket —
-    one pass, no sort — which `agg_approx_percentile` demonstrates.
-    This entry is the exact, oracle-checkable form."""
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    o = table(spark, sf, "orders")
+    resolution where the mass is. Exact NTILE needs a global total
+    order, but NOT the naive single-partition window (`ntile() OVER
+    (ORDER BY ...)` collapses the input into one task): this uses the
+    DISTRIBUTED ranking operator (:func:`..operators.relational.
+    global_rank` — range repartition + per-partition rank + broadcast
+    prefix offsets; the only driver round-trip is one integer per
+    partition) and derives the bucket with exact NTILE arithmetic.
+    The one-pass approximate variant (approx_percentile boundaries +
+    width_bucket) is demonstrated by `agg_approx_percentile`."""
+    from ..operators.relational import global_rank, ntile_bucket
+
+    o = table(spark, sf, "orders").select("o_totalprice", "o_orderkey")
+    ranked = global_rank(o, ["o_totalprice", "o_orderkey"], rank_col="_r")
+    n_df = o.agg(F.count(F.lit(1)).alias("_n"))
     return (
-        o.select(
-            "o_totalprice", F.ntile(10).over(w).cast("long").alias("bucket")
+        ranked.crossJoin(F.broadcast(n_df))
+        .select(
+            "o_totalprice",
+            ntile_bucket(F.col("_r"), F.col("_n"), 10).alias("bucket"),
         )
         .groupBy("bucket")
         .agg(

@@ -204,3 +204,18 @@ def test_ema_on_empty_series(spark):
     out = ema_fixedpoint(df, keys=["pri"], order_col="day", value_col="cents")
     assert out.count() == 0
     assert out.columns == ["pri", "day", "cents", "ema"]
+
+
+def test_global_rank_and_prefix_sum_on_empty(spark):
+    from datacooker_dist_spark.operators.relational import (
+        global_prefix_sum,
+        global_rank,
+    )
+
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize([], 1), "v double, uid int"
+    )
+    assert global_rank(df, ["v", "uid"], rank_col="r").count() == 0
+    out = global_prefix_sum(df, ["v", "uid"], "v", out_col="s")
+    assert out.count() == 0
+    assert "s" in out.columns

@@ -480,3 +480,81 @@ def test_containment_and_ema_partition_invariant(spark):
         if expected is None:
             expected = got
         assert got == expected, f"ema parts={parts}"
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(0, 50), min_size=1, max_size=60),
+    st.integers(1, 8),
+    st.integers(2, 10),
+)
+def test_global_rank_and_ntile_match_window(spark, values, parts, k):
+    """Distributed global_rank + ntile_bucket must equal the naive
+    single-partition window NTILE for any input, partitioning, and k —
+    same semantics, scale-safe plan."""
+    from pyspark.sql import Window
+
+    from datacooker_dist_spark.operators.relational import (
+        global_rank,
+        ntile_bucket,
+    )
+
+    rows = [(v, i) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "v int, uid int").repartition(parts)
+    ranked = global_rank(df, ["v", "uid"], rank_col="r", num_partitions=parts)
+    n_df = df.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    got = {
+        r["uid"]: (r["r"], r["b"])
+        for r in ranked.crossJoin(F.broadcast(n_df))
+        .select("uid", "r", ntile_bucket(F.col("r"), F.col("n"), k).alias("b"))
+        .collect()
+    }
+    w = Window.orderBy("v", "uid")
+    want = {
+        r["uid"]: (r["r"], r["b"])
+        for r in df.select(
+            "uid",
+            F.row_number().over(w).cast("long").alias("r"),
+            F.ntile(k).over(w).cast("long").alias("b"),
+        ).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.decimals(min_value=Decimal("-999.99"), max_value=Decimal("999.99"),
+                    places=2),
+        min_size=1, max_size=50,
+    ),
+    st.integers(1, 8),
+)
+def test_global_prefix_sum_matches_window(spark, values, parts):
+    """Distributed prefix sum must equal the sequential running-sum
+    window exactly (decimal associativity) for any values/partitioning."""
+    from datacooker_dist_spark.operators.relational import global_prefix_sum
+
+    rows = [(float(v), i) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "v double, uid int").repartition(parts)
+    got = {
+        r["uid"]: r["s"]
+        for r in global_prefix_sum(
+            df, ["v", "uid"], "v", out_col="s", num_partitions=parts
+        ).collect()
+    }
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy("v", "uid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r["uid"]: r["s"]
+        for r in df.select(
+            "uid",
+            F.sum(F.col("v").cast("decimal(25,2)")).over(w)
+            .cast("decimal(25,2)").alias("s"),
+        ).collect()
+    }
+    assert got == want

@@ -400,3 +400,15 @@ def test_join_strategy_hints_honored(spark):
         j = li.join(o.hint(hint), li.l_orderkey == o.o_orderkey)
         plan = j._jdf.queryExecution().executedPlan().toString()
         assert node in plan, f"hint {hint}: expected {node}"
+
+
+def test_equidepth_no_single_partition_window(spark):
+    """Exact NTILE must run on the distributed rank: the plan carries a
+    range-partitioned exchange, never the single-partition collapse a
+    bare ntile() OVER (ORDER BY ...) window would plan."""
+    plan = executed_plan(spark, "agg_equidepth_histogram")
+    # no ntile window (the arithmetic bucket replaces it); ranks come off
+    # a range-partitioned exchange. (A SinglePartition exchange still
+    # appears for the 1-row global COUNT — that's a scalar, not a sort.)
+    assert "ntile" not in plan
+    assert "rangepartitioning" in plan.lower()
