@@ -123,3 +123,63 @@ def running_value_stats(
             timeMode="None",
         )
     )
+
+
+def running_ema(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    value_col: str = "cents",
+    alpha_num: int = 1,
+    alpha_den: int = 8,
+) -> DataFrame:
+    """Streaming per-key fixed-point EMA — the stateful twin of the batch
+    :func:`...operators.timeseries.ema_fixedpoint`: the state store
+    carries each key's last smoothed value across micro-batches, so the
+    recurrence survives batch boundaries (within a batch rows sort by
+    ``order_col``; across batches arrival order IS the stream order —
+    the standard streaming-EMA contract). One shuffle on the key; state
+    is a single long per key. Emits one row per input row with the ema
+    after that observation — Python-int arithmetic, no overflow,
+    identical to the batch recurrence."""
+    key_type = stream.schema[key_col].dataType
+    order_type = stream.schema[order_col].dataType
+    out_schema = StructType(
+        [
+            StructField(key_col, key_type),
+            StructField(order_col, order_type),
+            StructField("ema_cents", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("ema", LongType())])
+    a_num, a_den = int(alpha_num), int(alpha_den)
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        prev = state.get[0] if state.exists else None
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(order_col).reset_index(drop=True)
+        out = []
+        for v in batch[value_col]:
+            x = int(v)
+            prev = (
+                x
+                if prev is None
+                else (a_num * x + (a_den - a_num) * prev) // a_den
+            )
+            out.append(prev)
+        state.update((prev,))
+        yield pd.DataFrame(
+            {
+                key_col: batch[key_col],
+                order_col: batch[order_col],
+                "ema_cents": pd.array(out, dtype="int64"),
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -162,9 +162,17 @@ def dedup_clusters(spark, sf):
     from . import shared_jaccard_pairs
 
     pairs = shared_jaccard_pairs(spark, sf)
-    return D.connected_components(pairs.select("id_a", "id_b")).select(
-        F.col("id_a").alias("doc_id"), "cluster_id"
-    )
+    # CC's per-round joins run over the tiny pair list — scope shuffle
+    # partitions to it (the rounds are eager via localCheckpoint, so the
+    # scoped conf is in force when they execute).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        return D.connected_components(pairs.select("id_a", "id_b")).select(
+            F.col("id_a").alias("doc_id"), "cluster_id"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 @query(
@@ -201,9 +209,14 @@ def dedup_embedding_clusters(spark, sf):
     from .llm import shared_embedding_pairs
 
     pairs = shared_embedding_pairs(spark, sf)
-    return D.connected_components(
-        pairs.select("id_a", "id_b")
-    ).select(F.col("id_a").alias("vec_id"), "cluster_id")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        return D.connected_components(
+            pairs.select("id_a", "id_b")
+        ).select(F.col("id_a").alias("vec_id"), "cluster_id")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 @query(

@@ -447,3 +447,50 @@ def stream_dedup_watermark(spark, sf):
         deduped.select("user_id", "event_type"), spark, output_mode="append"
     )
     return out
+
+
+@query(
+    "stream_ema",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT user_id, event_id,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events),
+    rec AS (
+      SELECT user_id, event_id, rn, cents, cents AS ema FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.user_id, b.event_id, b.rn, b.cents, (b.cents + 7 * r.ema) // 8
+      FROM rec r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+    SELECT user_id, event_id, CAST(ema AS BIGINT) AS ema_cents FROM rec
+    """,
+)
+def stream_ema(spark, sf):
+    """Streaming fixed-point EMA (α = 1/8) per user through the real
+    micro-batch engine: applyInPandasWithState carries each user's last
+    smoothed value in the state store across batches
+    (:func:`..streaming.stateful.running_ema`). Ordering is by event_id
+    — a representation-independent total order (ts would tie at the
+    micros/nanos boundary differently per engine). Draining the bounded
+    stream reproduces the batch recurrence exactly; the oracle replays
+    it as a per-user recursive CTE — the integer arithmetic is what
+    makes a STREAMING and a BATCH engine agree bit-for-bit, the
+    batch/stream parity property Kappa-architecture pipelines rely on."""
+    from ..streaming.pipeline import run_available_now
+    from ..streaming.stateful import running_ema
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = events_stream(spark, sf).select(
+            "user_id", "event_id",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        emitted = run_available_now(
+            running_ema(stream, "user_id", "event_id", "cents"),
+            spark,
+            output_mode="update",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return emitted.select("user_id", "event_id", "ema_cents")

@@ -171,3 +171,34 @@ def test_transform_with_state_requires_protobuf_or_runs(spark):
         .groupBy("user_id").count()
     )
     assert out.select("user_id").distinct().count() == batch.count()
+
+
+def test_streaming_ema_carries_state_across_batches(spark, tmp_path):
+    """The streaming EMA's state must seed the next batch's recurrence:
+    with α=1/2, values 100 then (new batch) 200 must give 100 then 150 —
+    and equal the batch-engine recurrence over the concatenated input."""
+    from datacooker_dist_spark.streaming.stateful import running_ema
+
+    src = str(tmp_path / "src")
+
+    def write(rows):
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1),
+            "user_id long, event_id long, cents long",
+        ).write.mode("append").parquet(src)
+
+    write([(1, 1, 100), (1, 2, 200)])   # file/batch 1
+    write([(1, 3, 200), (2, 4, 80)])    # file/batch 2
+    stream = file_stream(
+        spark, src, "user_id long, event_id long, cents long"
+    )
+    emitted = run_available_now(
+        running_ema(stream, "user_id", "event_id", "cents",
+                    alpha_num=1, alpha_den=2),
+        spark,
+        "update",
+    )
+    got = {r.event_id: r.ema_cents for r in emitted.collect()}
+    # batch 1: 100; (200+100)//2=150. batch 2 (state carries 150):
+    # (200+150)//2=175. user 2 starts fresh: 80.
+    assert got == {1: 100, 2: 150, 3: 175, 4: 80}
