@@ -487,5 +487,106 @@ class HadoopXmlOutput(_HadoopOutputBase):
         )
 
 
+@input_adapter("hadoopFixedWidth")
+class HadoopFixedWidthInput(_HadoopInputBase):
+    """Fixed-width text → columnar rows (engine extension of the A5
+    any-Hadoop-format base): the classic mainframe/ERP feed layout where
+    each field occupies a declared character span. ``widths`` and
+    ``schema_default`` must align positionally; ``_`` names skip their
+    span (A11 semantics). Values read back as trimmed strings — type
+    them downstream (the format carries no type information, exactly
+    like the reference's loose delimited schema, SURVEY §1.3). Parsing
+    is pure ``substring`` projection: narrow, codegen, no shuffle."""
+
+    stream_type = StreamType.COLUMNAR
+    PARAMS = S3_PARAMS + (
+        Param("widths", "list[int]", required=True,
+              doc="character width of each field, in order"),
+        Param("schema_default", "list[str]", required=True,
+              doc="field names, positionally matching widths; '_' skips"),
+        Param("trim", "bool", default=True,
+              doc="strip the pad characters from each value"),
+        Param("sub_dirs", "bool",
+              doc="split first-level subdirectories into sub-streams (A15)"),
+    )
+
+    def _read(self, uri: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        widths = [int(w) for w in self.params["widths"]]
+        names = list(self.params["schema_default"])
+        if len(widths) != len(names):
+            raise ValueError(
+                f"widths ({len(widths)}) and schema_default ({len(names)}) "
+                "must have the same length"
+            )
+        raw = self.spark.read.text(uri)
+        cols, off = [], 0
+        for name, width in zip(names, widths):
+            if name != "_":
+                c = F.substring("value", off + 1, width)
+                if self.params.get("trim", True):
+                    c = F.trim(c)
+                cols.append(c.alias(name))
+            off += width
+        return raw.select(*cols)
+
+
+@output_adapter("hadoopFixedWidth")
+class HadoopFixedWidthOutput(_HadoopOutputBase):
+    """Columnar → fixed-width text lines: each column cast to string and
+    right-padded (or truncated) to its declared width. A value longer
+    than its span raises by default (silent truncation corrupts adjacent
+    fields on read-back) unless ``truncate=true``."""
+
+    PARAMS = S3_PARAMS + (
+        COLUMNS_PARAM,
+        CODEC_PARAM,
+        CONTENT_TYPE_PARAM,
+        Param("widths", "list[int]", required=True,
+              doc="character width of each output field, in order"),
+        Param("truncate", "bool", default=False,
+              doc="silently truncate overlong values instead of failing"),
+    )
+
+    def save(self, name: str, stream: DataStream) -> None:
+        from pyspark.sql import functions as F
+
+        df = self._projected(stream)
+        widths = [int(w) for w in self.params["widths"]]
+        if len(widths) != len(df.columns):
+            raise ValueError(
+                f"widths ({len(widths)}) must match the projected column "
+                f"count ({len(df.columns)})"
+            )
+        parts = []
+        for col, width in zip(df.columns, widths):
+            sc = F.col(col).cast("string")
+            if self.params.get("truncate", False):
+                parts.append(F.rpad(sc, width, " "))
+            else:
+                # raise_error on overflow: a too-wide value shifting every
+                # later field is the classic fixed-width corruption.
+                parts.append(
+                    F.when(
+                        F.length(sc) > width,
+                        F.raise_error(
+                            F.concat(
+                                F.lit(
+                                    f"fixed-width overflow in '{col}' "
+                                    f"(width {width}): "
+                                ),
+                                sc,
+                            )
+                        ),
+                    ).otherwise(F.rpad(sc, width, " "))
+                )
+        out = df.select(F.concat(*parts).alias("value"))
+        codec = str(self.params.get("codec", "none")).lower()
+        out.write.mode("overwrite").option("compression", codec).text(
+            self._target(name)
+        )
+
+
 output_adapter("s3directText")(HadoopColumnarOutput)
 output_adapter("s3directParquet")(HadoopParquetOutput)

@@ -910,3 +910,50 @@ def window_trailing_days(spark, sf):
         .alias("spend_7d"),
         F.count(F.lit(1)).over(w).alias("n_7d"),
     )
+
+
+@query(
+    "adapter_fixedwidth_roundtrip",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey,
+           CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS s_acctbal
+    FROM supplier
+    """,
+)
+def adapter_fixedwidth_roundtrip(spark, sf):
+    """Fixed-width text round-trip through the adapter registry — the
+    mainframe/ERP feed layout: supplier flows out through the
+    hadoopFixedWidth OUTPUT adapter (each field right-padded to its
+    span; overflow RAISES rather than silently shifting later fields)
+    and back in through the INPUT adapter (substring projection +
+    trim, narrow/no-shuffle). The format is typeless, so the read-back
+    strings re-cast to the source types; acctbal pins 2-decimal money
+    formatting on the way out, so the double survives exactly — the
+    oracle is the source table under the same decimal pin."""
+    from ..model import DataStream, StreamType
+    from ..registry import resolve_input, resolve_output
+
+    base = scratch_dir("fw")
+    sup = table(spark, sf, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey",
+        F.col("s_acctbal").cast("decimal(12,2)").alias("s_acctbal"),
+    )
+    widths = [10, 26, 4, 12]
+    out = resolve_output("hadoopFixedWidth")().configure(
+        {"widths": widths}
+    ).initialize(spark, base)
+    out.save("supplier", DataStream("supplier", sup, StreamType.COLUMNAR))
+    inp = resolve_input("hadoopFixedWidth")().configure(
+        {
+            "widths": widths,
+            "schema_default": ["s_suppkey", "s_name", "s_nationkey",
+                               "s_acctbal"],
+        }
+    ).initialize(spark, base)
+    [ds] = inp.load("supplier").values()
+    return ds.df.select(
+        F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+        "s_name",
+        F.col("s_nationkey").cast("int").alias("s_nationkey"),
+        F.col("s_acctbal").cast("double").alias("s_acctbal"),
+    )

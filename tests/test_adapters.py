@@ -521,3 +521,27 @@ def test_query_index_doc_is_fresh():
     assert m, "QUERIES.md header not found"
     assert int(m.group(1)) == len(QUERIES)
     assert int(m.group(2)) == len(ORACLES)
+
+
+def test_fixedwidth_overflow_raises(spark, tmp_path):
+    """A value longer than its declared span must fail the write loudly —
+    silent truncation shifts every later field on read-back."""
+    from datacooker_dist_spark.model import DataStream, StreamType
+    from datacooker_dist_spark.registry import resolve_output
+
+    df = spark.createDataFrame([("toolongvalue", 1)], "a string, b int")
+    out = resolve_output("hadoopFixedWidth")().configure(
+        {"widths": [4, 4]}
+    ).initialize(spark, str(tmp_path / "fw"))
+    with pytest.raises(Exception, match="fixed-width overflow"):
+        out.save("t", DataStream("t", df, StreamType.COLUMNAR))
+
+
+def test_fixedwidth_widths_schema_mismatch_raises(spark, tmp_path):
+    from datacooker_dist_spark.registry import resolve_input
+
+    inp = resolve_input("hadoopFixedWidth")().configure(
+        {"widths": [4, 4], "schema_default": ["a"]}
+    ).initialize(spark, str(tmp_path / "nope"))
+    with pytest.raises(ValueError, match="same length"):
+        inp.load("t")
