@@ -957,3 +957,39 @@ def adapter_fixedwidth_roundtrip(spark, sf):
         F.col("s_nationkey").cast("int").alias("s_nationkey"),
         F.col("s_acctbal").cast("double").alias("s_acctbal"),
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark, sf):
+    """EXACT distinct counts via bitmap aggregation — the roaring-bitmap
+    pattern for dense integer key domains: each user_id maps to
+    (word = id div 64, bit = id mod 64), a first aggregate ORs the bits
+    per (group, word), a second sums the popcounts. Two hash aggregates
+    whose intermediate is one 64-bit word per (group, occupied-word) —
+    for dense domains far smaller than the distinct-expansion shuffle
+    COUNT(DISTINCT) plans (one row per (group, value)), and unlike
+    approx_count_distinct it is exact. The same bitmap words are
+    mergeable across partitions/days, which is what makes the pattern
+    the standard for incremental exact-uniques rollups."""
+    e = table(spark, sf, "events")
+    words = (
+        e.select(
+            "event_type",
+            F.expr("user_id div 64").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))"
+            ).alias("b"),
+        )
+        .groupBy("event_type", "w")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+    return words.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("n_users")
+    )
