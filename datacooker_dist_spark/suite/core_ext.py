@@ -993,3 +993,55 @@ def agg_bitmap_distinct(spark, sf):
     return words.groupBy("event_type").agg(
         F.sum(F.bit_count("bits")).cast("bigint").alias("n_users")
     )
+
+
+@query(
+    "incremental_bitmap_merge",
+    oracle="""
+    WITH monthly AS (
+      SELECT event_type, CAST(DATE_TRUNC('month', ts) AS DATE) AS month,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events GROUP BY 1, 2)
+    SELECT m.event_type, m.month, m.n_users, t.total_users
+    FROM monthly m
+    JOIN (SELECT event_type,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS total_users
+          FROM events GROUP BY event_type) t
+      ON t.event_type = m.event_type
+    """,
+)
+def incremental_bitmap_merge(spark, sf):
+    """EXACT mergeable-uniques rollup — the oracle-checkable twin of the
+    rows-only `agg_hll_union`: per-(type, month) bitmap words of
+    distinct users build once from raw events, then monthly uniques AND
+    the all-time total per type both come from RE-MERGING the words
+    (bit_or is associative/idempotent), never re-scanning raw events.
+    This is the incremental daily→monthly→total uniques maintenance
+    pattern with exact answers, where HLL trades exactness for constant
+    sketch size on sparse domains. The oracle recomputes both grains
+    with COUNT(DISTINCT) — merge ≡ recompute."""
+    e = table(spark, sf, "events")
+    words = (
+        e.select(
+            "event_type",
+            F.date_trunc("month", "ts").cast("date").alias("month"),
+            F.expr("user_id div 64").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))"
+            ).alias("b"),
+        )
+        .groupBy("event_type", "month", "w")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+    monthly = words.groupBy("event_type", "month").agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("n_users")
+    )
+    totals = (
+        words.groupBy("event_type", "w")
+        .agg(F.bit_or("bits").alias("bits"))
+        .groupBy("event_type")
+        .agg(F.sum(F.bit_count("bits")).cast("bigint").alias("total_users"))
+    )
+    return monthly.join(F.broadcast(totals), "event_type").select(
+        "event_type", "month", "n_users", "total_users"
+    )
