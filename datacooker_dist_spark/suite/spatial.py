@@ -167,3 +167,75 @@ def geo_grid_density(spark, sf):
             .alias("sum_acctbal"),
         )
     )
+
+
+@query(
+    "geo_cluster_radius",
+    oracle=f"""
+    WITH RECURSIVE c AS (
+      SELECT c_custkey, {_XC.format(k="c_custkey")} AS x,
+             {_YC.format(k="c_custkey")} AS y
+      FROM customer),
+    pairs AS (
+      SELECT a.c_custkey AS s, b.c_custkey AS t
+      FROM c a JOIN c b
+        ON a.c_custkey < b.c_custkey
+       AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+           <= 6250000),
+    edges AS (SELECT s, t FROM pairs UNION SELECT t, s FROM pairs),
+    reach AS (
+      SELECT s, t FROM edges
+      UNION
+      SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+      WHERE e.t <> r.s),
+    labels AS (SELECT s AS id, LEAST(s, MIN(t)) AS cluster_id
+               FROM reach GROUP BY s)
+    SELECT c.c_custkey,
+           COALESCE(l.cluster_id, c.c_custkey) AS cluster_id
+    FROM c LEFT JOIN labels l ON l.id = c.c_custkey
+    """,
+)
+def geo_cluster_radius(spark, sf):
+    """Single-linkage spatial clustering (DBSCAN with minPts=2, all
+    points core): customer sites within 25 planar units chain into one
+    cluster. Pairs come from the grid-bucketed radius SELF-join (linear
+    equi-join on cells, never all-pairs), components from the SAME
+    min-label-propagation operator the dedup families use — one CC
+    implementation serving text, embedding, and now spatial modalities.
+    Isolated points keep their own id as cluster_id (left join +
+    coalesce). The oracle brute-forces the pair space and closes it with
+    a recursive CTE; integer-exact geometry keeps both engines
+    bit-identical."""
+    from ..operators.dedup import connected_components
+    from ..operators.spatial import grid_radius_join
+
+    pts = table(spark, sf, "customer").select(
+        "c_custkey",
+        F.expr(_XC.format(k="c_custkey")).alias("x"),
+        F.expr(_YC.format(k="c_custkey")).alias("y"),
+    )
+    right = (
+        pts.withColumnRenamed("c_custkey", "b_key")
+    )
+    pairs = (
+        grid_radius_join(pts, right, radius=2500)
+        .filter(F.col("c_custkey") < F.col("b_key"))
+        .select(F.col("c_custkey").alias("id_a"), F.col("b_key").alias("id_b"))
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        labels = connected_components(pairs)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        pts.join(
+            labels.withColumnRenamed("id_a", "c_custkey"),
+            "c_custkey",
+            "left",
+        )
+        .select(
+            "c_custkey",
+            F.coalesce("cluster_id", "c_custkey").alias("cluster_id"),
+        )
+    )
