@@ -545,3 +545,18 @@ def test_fixedwidth_widths_schema_mismatch_raises(spark, tmp_path):
     ).initialize(spark, str(tmp_path / "nope"))
     with pytest.raises(ValueError, match="same length"):
         inp.load("t")
+
+
+def test_adapter_docs_are_fresh():
+    """docs/ADAPTERS.md is generated from the registry (--docgen);
+    adding or changing an adapter without regenerating fails here."""
+    import os
+
+    from datacooker_dist_spark import sources  # noqa: F401 — populate
+    from datacooker_dist_spark.registry import adapter_docs
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                        "docs", "ADAPTERS.md")
+    with open(path) as fh:
+        on_disk = fh.read()
+    assert on_disk.strip() == adapter_docs().strip()
