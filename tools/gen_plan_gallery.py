@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Generate docs/PLANS.md — formatted physical plans for representative
+queries, the evidence artifact behind the plan-discipline claims (filters
+reach the scan, dims broadcast, no cartesian products, top-k avoids global
+sorts, iterative loops stay range/hash-partitioned).
+
+Run: ``python tools/gen_plan_gallery.py`` (starts a local SparkSession,
+plans at sf0.001 — plan SHAPE is scale-invariant, which is the point).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+# (query, what the plan demonstrates)
+GALLERY = [
+    ("filter_predicate",
+     "predicate pushdown: `PushedFilters` on the parquet scan carries the "
+     "quantity/returnflag predicates; `ReadSchema` prunes to used columns"),
+    ("join_star",
+     "star join: every dimension side is a `BroadcastHashJoin` build — the "
+     "fact table never shuffles for the joins"),
+    ("multi_join_topn",
+     "top-n after joins plans `TakeOrderedAndProject` (per-partition heaps "
+     "+ driver merge), not Sort+Limit"),
+    ("join_bloom_prefilter",
+     "Bloom gate: the k word probes are `BroadcastHashJoin`s on the fact "
+     "side — zero fact shuffles before the exact semi-join"),
+    ("dedup_minhash_lsh",
+     "LSH candidates: a hash equi-join on (band, bucket-hash) — no "
+     "`CartesianProduct`/`BroadcastNestedLoopJoin` anywhere"),
+    ("agg_hash",
+     "aggregation: `partial_` functions before the exchange (map-side "
+     "combine), final aggregate after"),
+    ("agg_equidepth_histogram",
+     "distributed exact NTILE: `Exchange rangepartitioning` + per-partition "
+     "window keyed by partition id — no single-partition sort collapse"),
+    ("window_trailing_days",
+     "time-interval frame: ONE `Exchange hashpartitioning` on the series "
+     "key; frame evaluation is a per-partition ordered scan"),
+    ("join_asof",
+     "as-of join: union + ordered `last` carry window — a single "
+     "hash-partition exchange, no range-join row explosion"),
+    ("scan_partition_dpp",
+     "dynamic partition pruning: `dynamicpruningexpression` on the "
+     "partitioned scan, driven by the dimension filter"),
+]
+
+
+def main() -> None:
+    from datacooker_dist_spark.session import build_session
+    from datacooker_dist_spark.suite import QUERIES
+
+    spark = build_session(app_name="plan-gallery", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+
+    out = [
+        "# Plan gallery (generated — do not edit)",
+        "",
+        "`python tools/gen_plan_gallery.py` · formatted physical plans at "
+        "sf0.001 (plan SHAPE is scale-invariant; `tests/test_plans.py` "
+        "enforces these properties in CI).",
+        "",
+    ]
+    for name, note in GALLERY:
+        df = QUERIES[name](spark, SF)
+        plan = df._jdf.queryExecution().explainString(mode)
+        # Keep the node tree + the scan details; drop the long field lists.
+        head, _, details = plan.partition("\n\n")
+        evidence = [
+            line.strip()
+            for line in details.splitlines()
+            if any(
+                k in line
+                for k in ("PushedFilters: [", "ReadSchema", "PartitionFilters",
+                          "dynamicpruning")
+            )
+            and len(line) < 300
+        ]
+        out.append(f"## `{name}`")
+        out.append("")
+        out.append(note + ".")
+        out.append("")
+        out.append("```")
+        out.append(head.strip())
+        if evidence:
+            out.append("--- scan evidence ---")
+            out.extend(dict.fromkeys(evidence))  # dedup, keep order
+        out.append("```")
+        out.append("")
+    spark.stop()
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs",
+        "PLANS.md",
+    )
+    with open(path, "w") as fh:
+        fh.write("\n".join(out))
+    print(f"wrote {path}: {len(GALLERY)} plans")
+
+
+if __name__ == "__main__":
+    main()
