@@ -1203,3 +1203,89 @@ def text_ngram_topk(spark, sf):
         .orderBy(F.desc("doc_freq"), "gram")
         .limit(100)
     )
+
+
+@query(
+    "dedup_golden_record",
+    oracle="""
+    WITH RECURSIVE
+    sh AS (SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, greatest(len(regexp_split_to_array(lower(trim(text)),
+                                                           '\\s+')) - 2, 1) + 1),
+               i -> array_to_string((regexp_split_to_array(lower(trim(text)),
+                                                           '\\s+'))[i:i+2], ' ')))
+           AS s FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+    edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT s, t FROM edges
+      UNION
+      SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+      WHERE e.t <> r.s),
+    labels AS (SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster_id
+               FROM reach GROUP BY s),
+    members AS (
+      SELECT d.doc_id, d.text, d.n_chars, d.source,
+             COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                   ORDER BY n_chars DESC, doc_id) AS rn
+      FROM members)
+    SELECT m.cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(m.doc_id) AS golden_doc_id,
+           MAX(CASE WHEN m.rn = 1 THEN m.n_chars END) AS golden_chars,
+           CAST(SUM(m.n_chars) AS BIGINT) AS total_chars,
+           array_to_string(list_sort(list_distinct(list(m.source))), ',')
+             AS sources
+    FROM ranked m
+    GROUP BY m.cluster_id
+    """,
+)
+def dedup_golden_record(spark, sf):
+    """Golden-record SURVIVORSHIP merge — what record-linkage pipelines do
+    AFTER clustering: each near-dup cluster collapses to one canonical
+    row under explicit per-attribute rules (longest-text survivor with a
+    doc_id tiebreak, min id as the stable key, summed volume, the sorted
+    source provenance list). Reuses the session-memoized verified pairs
+    and the shared CC operator; singleton docs are their own cluster
+    (left join + coalesce). One extra shuffle on cluster_id past the
+    clustering itself. Survivor choice is a rank window with a TOTAL
+    order — 'pick any' survivorship is nondeterministic at any scale."""
+    from . import shared_jaccard_pairs
+
+    docs = table(spark, sf, "documents")
+    pairs = shared_jaccard_pairs(spark, sf)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        labels = D.connected_components(pairs.select("id_a", "id_b"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    members = (
+        docs.join(
+            labels.withColumnRenamed("id_a", "doc_id"), "doc_id", "left"
+        )
+        .select(
+            "doc_id", "text", "n_chars", "source",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    ranked = members.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("doc_id").alias("golden_doc_id"),
+        F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).alias("golden_chars"),
+        F.sum("n_chars").alias("total_chars"),
+        F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources"),
+    )
