@@ -215,7 +215,12 @@ def ivf_cells(
     scored = corpus.select(F.col(id_col), v.alias("_v")).join(
         F.broadcast(centroids)
     )
-    cos = cosine_expr(F.col("_v"), F.col("_cv"))
+    # Rank on the ROUNDED cosine (6 digits) with a cell-id tiebreak: the
+    # raw double differs in the last ulp across engines/FMA fusions, so
+    # the rounded ordering is what makes the assignment engine-stable
+    # (and SQL-oracle-checkable) — the suite's standard treatment of
+    # transcendental scores.
+    cos = F.round(cosine_expr(F.col("_v"), F.col("_cv")), 6)
     w2 = Window.partitionBy(id_col).orderBy(F.desc("_c"), F.col("cell"))
     assigned = (
         scored.select(id_col, "_v", "cell", cos.alias("_c"))

@@ -826,3 +826,46 @@ def udf_broadcast_dict(spark, sf):
     return table(spark, sf, "customer").select(
         "c_custkey", lookup("c_nationkey").alias("nation_name")
     )
+
+
+@query(
+    "similarity_index_cells",
+    oracle="""
+    WITH ids AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM embeddings),
+    cells AS (
+      SELECT vec_id AS cell FROM ids
+      WHERE (rn - 1) % greatest(CAST(FLOOR(n / 16) AS INT), 1) = 0
+      ORDER BY cell LIMIT 16),
+    cent AS (
+      SELECT c.cell, CAST(e.embedding AS DOUBLE[]) AS cv
+      FROM cells c JOIN embeddings e ON e.vec_id = c.cell),
+    scored AS (
+      SELECT v.vec_id, c.cell,
+             round(list_dot_product(CAST(v.embedding AS DOUBLE[]), c.cv)
+                   / (sqrt(list_dot_product(CAST(v.embedding AS DOUBLE[]),
+                                            CAST(v.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cos
+      FROM embeddings v CROSS JOIN cent c)
+    SELECT vec_id, cell FROM (
+      SELECT vec_id, cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, cell) AS rn
+      FROM scored)
+    WHERE rn = 1
+    """,
+)
+def similarity_index_cells(spark, sf):
+    """IVF index BUILD as an oracle-checked deliverable: every corpus
+    vector's cell assignment under the deterministic stride-sampled
+    centroids — the (vec_id → cell) inverted file that `similarity_
+    topk_ivf` probes. One broadcast of K centroids + a per-vector argmax
+    (rank on the 6-digit-rounded cosine with a cell tiebreak, the
+    engine-stable ordering); a written-out index turns every later
+    query into an equi-join on the cell id. The oracle replays the same
+    stride sample and rounded argmax."""
+    emb = table(spark, sf, "embeddings")
+    _, assigned = S.ivf_cells(emb, n_cells=16)
+    return assigned.select("vec_id", "cell")
