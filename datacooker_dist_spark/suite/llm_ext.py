@@ -1289,3 +1289,50 @@ def dedup_golden_record(spark, sf):
         F.sum("n_chars").alias("total_chars"),
         F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources"),
     )
+
+
+@query(
+    "dataset_mix_deterministic",
+    oracle="""
+    WITH w AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS ns,
+             1000 + 500 * (CAST(substr(source, 4) AS INT) % 4) AS wgt
+      FROM documents GROUP BY source),
+    b AS (SELECT MIN(ns * 10000 // wgt) AS bud FROM w),
+    p AS (
+      SELECT source, ns, wgt,
+             ((wgt * (SELECT bud FROM b)) // 10000) * 1000000 // ns AS thr
+      FROM w)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN p ON p.source = d.source
+    WHERE (d.doc_id * 2654435761) % 1000000 < p.thr
+    """,
+)
+def dataset_mix_deterministic(spark, sf):
+    """Deterministic DATASET MIXING — the training-mixture op: given
+    per-source target weights, downsample every source so the output
+    follows the weights, bounded by the scarcest source (budget =
+    min over sources of capacity/weight). Membership is a pure
+    multiplicative hash of the doc key against a per-source integer
+    threshold, so the mixture is reproducible across engines, partitionings
+    and re-ingests, and yesterday's rows keep yesterday's verdict under
+    incremental re-runs. ALL arithmetic is integer (scaled weights,
+    floor-div budgets and thresholds) — a float threshold would flip
+    boundary rows between engines. Plan: one per-source aggregate
+    (tiny), broadcast back, then a narrow hash filter riding the scan."""
+    docs = table(spark, sf, "documents")
+    w = docs.groupBy("source").agg(F.count(F.lit(1)).alias("ns")).select(
+        "source", "ns",
+        (1000 + 500 * (F.substring("source", 4, 10).cast("int") % 4))
+        .alias("wgt"),
+    )
+    bud = w.agg(F.min(F.expr("ns * 10000 div wgt")).alias("bud"))
+    p = w.crossJoin(F.broadcast(bud)).select(
+        "source",
+        F.expr("((wgt * bud) div 10000) * 1000000 div ns").alias("thr"),
+    )
+    return (
+        docs.join(F.broadcast(p), "source")
+        .filter((F.col("doc_id") * 2654435761) % 1000000 < F.col("thr"))
+        .select("doc_id", "source")
+    )
