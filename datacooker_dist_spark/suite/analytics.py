@@ -1495,3 +1495,75 @@ def agg_equidepth_histogram(spark, sf):
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+@query(
+    "audit_distribution_drift",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                       WHEN o_totalprice >= 600000 THEN 13
+                       ELSE FLOOR(12.0 * o_totalprice / 600000) + 1 END
+                  AS BIGINT) AS bucket,
+             (o_orderdate < TIMESTAMP '1998-01-01') AS is_base
+      FROM orders),
+    c AS (
+      SELECT bucket,
+             CAST(COUNT(*) FILTER (WHERE is_base) AS BIGINT) AS n_base,
+             CAST(COUNT(*) FILTER (WHERE NOT is_base) AS BIGINT) AS n_cur
+      FROM t GROUP BY bucket),
+    tot AS (SELECT CAST(SUM(n_base) AS DOUBLE) AS tb,
+                   CAST(SUM(n_cur) AS DOUBLE) AS tc FROM c),
+    s AS (
+      SELECT bucket, n_base, n_cur,
+             greatest(n_base / tb, 0.0001) AS p,
+             greatest(n_cur / tc, 0.0001) AS q
+      FROM c, tot)
+    SELECT bucket, n_base, n_cur,
+           round((p - q) * round(ln(p / q), 9), 6) AS psi_term
+    FROM s
+    """,
+)
+def audit_distribution_drift(spark, sf):
+    """Distribution-drift monitoring (PSI — population stability index):
+    the o_totalprice histogram of the pre-1998 baseline period vs the
+    current period, with the per-bucket drift term (p−q)·ln(p/q)
+    (zero-count buckets floored at 1e-4, the standard smoothing; terms
+    sum to the headline PSI, alert at ≳0.2). This is the ML-monitoring
+    gate that catches a shifted feature distribution before a model
+    silently degrades. ONE scan + one hash aggregate on the bucket id
+    (both periods counted via conditional aggregation, never two
+    scans); totals ride the plan as a broadcast scalar. The ln rounds
+    to 9 digits before the product, the term to 6 — the suite's
+    transcendental-exactness treatment."""
+    o = table(spark, sf, "orders")
+    bucket = (
+        F.width_bucket("o_totalprice", F.lit(0), F.lit(600000), F.lit(12))
+        .cast("long")
+        .alias("bucket")
+    )
+    is_base = F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    c = (
+        o.select(bucket, is_base.alias("is_base"))
+        .groupBy("bucket")
+        .agg(
+            F.count_if("is_base").alias("n_base"),
+            F.count_if(~F.col("is_base")).alias("n_cur"),
+        )
+    )
+    tot = c.agg(
+        F.sum("n_base").cast("double").alias("tb"),
+        F.sum("n_cur").cast("double").alias("tc"),
+    )
+    s = c.crossJoin(F.broadcast(tot)).select(
+        "bucket", "n_base", "n_cur",
+        F.greatest(F.col("n_base") / F.col("tb"), F.lit(0.0001)).alias("p"),
+        F.greatest(F.col("n_cur") / F.col("tc"), F.lit(0.0001)).alias("q"),
+    )
+    return s.select(
+        "bucket", "n_base", "n_cur",
+        F.round(
+            (F.col("p") - F.col("q")) * F.round(F.log(F.col("p") / F.col("q")), 9),
+            6,
+        ).alias("psi_term"),
+    )
