@@ -1567,3 +1567,48 @@ def audit_distribution_drift(spark, sf):
             6,
         ).alias("psi_term"),
     )
+
+
+@query(
+    "audit_benford_digits",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1),
+    c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM c)
+    SELECT digit, n,
+           round(n / t, 6) AS share,
+           round(log10(1 + 1.0 / digit), 6) AS benford,
+           round(n / t - round(log10(1 + 1.0 / digit), 6), 6) AS deviation
+    FROM c, tot
+    """,
+)
+def audit_benford_digits(spark, sf):
+    """Benford first-digit audit — the classic fraud/fabrication screen:
+    leading-digit shares of order values against the Benford expectation
+    log10(1 + 1/d). Natural multi-scale monetary data follows it;
+    invented numbers don't. One narrow digit projection + one 9-row
+    aggregate; the total rides the plan as a broadcast scalar. The
+    leading digit comes from the INTEGER part's string (values ≥ 1)
+    via an explicit FLOOR — double→int CASTs round in DuckDB but
+    truncate in Spark ANSI, flipping boundary values' digits; log10
+    terms round to 6."""
+    o = table(spark, sf, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.agg(F.sum("n").cast("double").alias("t"))
+    benford = F.round(F.log10(1 + 1.0 / F.col("digit")), 6)
+    return c.crossJoin(F.broadcast(tot)).select(
+        "digit", "n",
+        F.round(F.col("n") / F.col("t"), 6).alias("share"),
+        benford.alias("benford"),
+        F.round(F.col("n") / F.col("t") - benford, 6).alias("deviation"),
+    )

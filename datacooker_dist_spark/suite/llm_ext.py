@@ -1336,3 +1336,70 @@ def dataset_mix_deterministic(spark, sf):
         .filter((F.col("doc_id") * 2654435761) % 1000000 < F.col("thr"))
         .select("doc_id", "source")
     )
+
+
+@query(
+    "text_zipf_slope",
+    oracle="""
+    WITH tok AS (
+      SELECT UNNEST(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+      FROM documents),
+    tf AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+           WHERE t <> '' GROUP BY t),
+    r AS (SELECT tf, ROW_NUMBER() OVER (ORDER BY tf DESC, t) AS rnk FROM tf),
+    xy AS (SELECT round(ln(rnk), 9) AS x, round(ln(tf), 9) AS y FROM r),
+    m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(x AS DECIMAL(12,9))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(y AS DECIMAL(12,9))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(x AS DECIMAL(12,9))
+                          * CAST(y AS DECIMAL(12,9))) AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(x AS DECIMAL(12,9))
+                          * CAST(x AS DECIMAL(12,9))) AS DOUBLE) AS sxx
+          FROM xy)
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+    FROM m
+    """,
+)
+def text_zipf_slope(spark, sf):
+    """Zipf's-law fit of the corpus vocabulary: the log-log slope of
+    term frequency vs frequency rank (natural language ≈ −1; corrupted
+    or machine-generated corpora drift away — a cheap corpus-health
+    gate). Rank comes from the DISTRIBUTED global ranking operator (the
+    vocabulary is unbounded — a bare ORDER BY window would collapse it
+    into one task); the regression uses exact DECIMAL moments over
+    9-digit-rounded logs, finished with one fixed double expression —
+    the same engine-stable treatment as `agg_stats`, because built-in
+    regr_slope accumulates doubles in partition order and diverges."""
+    from ..operators.relational import global_rank
+
+    docs = table(spark, sf, "documents")
+    tf = (
+        docs.select(F.explode(D.tokens_col("text")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    ranked = global_rank(
+        tf, [F.col("tf").desc(), F.col("t")], rank_col="rnk"
+    )
+    dec = "decimal(12,9)"
+    xy = ranked.select(
+        F.round(F.log("rnk"), 9).alias("x"),
+        F.round(F.log("tf"), 9).alias("y"),
+    )
+    m = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x").cast(dec) * F.col("y").cast(dec))).cast("double").alias("sxy"),
+        F.sum((F.col("x").cast(dec) * F.col("x").cast(dec))).cast("double").alias("sxx"),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("zipf_slope"),
+    )
