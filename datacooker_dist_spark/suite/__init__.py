@@ -54,11 +54,12 @@ def shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
     if key not in _SHINGLE_CACHE:
         from ..operators import dedup as D
-        from ..session import default_parallelism
 
+        # No explicit repartition: the shingle window's own hash exchange
+        # on doc_id already distributes the pass (an up-front repartition
+        # just adds a second shuffle — A/B-measured ~3× slower cold).
         _SHINGLE_CACHE[key] = D.shingle_rows(
             table(spark, sf_dir, "documents"),
-            num_partitions=default_parallelism(spark),
             cache=True,
         )
     return _SHINGLE_CACHE[key]

@@ -119,10 +119,10 @@ def dedup_minhash_lsh(spark, sf):
 def dedup_simhash(spark, sf):
     """SimHash near-dup pairs (Hamming ≤ 3) with pigeonhole chunk blocking
     (4×16-bit chunks → 4 equi-joins, no cross join)."""
-    return D.simhash_near_pairs(
-        table(spark, sf, "documents"),
-        num_partitions=default_parallelism(spark),
-    )
+    # No up-front repartition — the 64-vote hash aggregate's own
+    # exchange on doc_id distributes the pass (same A/B finding as
+    # shared_shingles: a pre-shuffle just doubles the exchanges).
+    return D.simhash_near_pairs(table(spark, sf, "documents"))
 
 
 # ------------------------------------------------------------- similarity
@@ -237,10 +237,7 @@ def text_winnowing(spark, sf):
     """Winnowing document fingerprints (rolling min-hash over shingle
     windows): ~1/window the storage of full shingle sets with the shared-run
     detection guarantee."""
-    return T.winnowing_fingerprints(
-        table(spark, sf, "documents"),
-        num_partitions=default_parallelism(spark),
-    )
+    return T.winnowing_fingerprints(table(spark, sf, "documents"))
 
 
 @query(
