@@ -180,6 +180,7 @@ from . import (  # noqa: E402,F401
     llm_ext,
     relational_ext,
     relational_q4,
+    relational_q5,
     spatial,
     streaming,
     subqueries,
