@@ -412,3 +412,31 @@ def test_equidepth_no_single_partition_window(spark):
     # appears for the 1-row global COUNT — that's a scalar, not a sort.)
     assert "ntile" not in plan
     assert "rangepartitioning" in plan.lower()
+
+
+def test_q5_wave_plan_discipline(spark):
+    """Fifth TPC-H wave: top-k shapes run as TakeOrderedAndProject, dims
+    broadcast, and no shape falls into a cartesian/nested-loop plan."""
+    for name in [
+        "shipping_priority", "local_supplier_volume", "priority_line_counts",
+        "promo_revenue_share", "large_volume_customer",
+        "promo_supplier_candidates", "dormant_customer_balance",
+    ]:
+        plan = executed_plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    for name in ["shipping_priority", "large_volume_customer"]:
+        assert "TakeOrderedAndProject" in executed_plan(spark, name), name
+    assert "BroadcastHashJoin" in executed_plan(spark, "local_supplier_volume")
+
+
+def test_q6_shape_is_scan_plus_scalar_agg(spark):
+    """revenue_delta_forecast must stay a single scan feeding a two-phase
+    scalar aggregate: every predicate pushed to the scan, no join, and the
+    only exchange the 1-row final-aggregate gather."""
+    plan = formatted(spark, "revenue_delta_forecast")
+    assert "Join" not in plan
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual(l_shipdate" in plan
+    exec_plan = executed_plan(spark, "revenue_delta_forecast")
+    assert exec_plan.count("Exchange") == 1
