@@ -178,6 +178,7 @@ from . import (  # noqa: E402,F401
     graph,
     llm,
     llm_ext,
+    llm_quality,
     relational_ext,
     relational_q4,
     relational_q5,

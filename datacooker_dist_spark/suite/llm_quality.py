@@ -1,0 +1,255 @@
+"""Corpus-quality gate suite entries (LLM pre-training filters, wave 2).
+
+quality_gopher_rules     — multi-rule document gate in the style of the
+                           published Gopher/MassiveText heuristics: word
+                           count bounds, mean word length, alphabetic-word
+                           ratio, stopword presence. Per-rule flags so a
+                           pipeline can report WHY a document was dropped.
+quality_lexical_diversity— type/token ratio, hapax fraction, top-token
+                           concentration (repetition-collapse detector).
+dedup_segments           — sub-document dedup: fixed 8-token segments
+                           shared across documents → per-doc contamination
+                           fraction (the paragraph-level dedup analog for
+                           the whitespace word-soup corpus).
+
+Scale notes (100 TB): quality_gopher_rules is pure per-row higher-order
+array math — zero shuffles, whole-stage codegen, embarrassingly parallel.
+quality_lexical_diversity explodes to (doc, token) then aggregates twice on
+the same doc-keyed partitioning (partial aggregation bounds the wire at
+types-per-doc, AQE coalesces the two exchanges). dedup_segments shuffles
+(doc, segment) pairs once on the segment key — linear in corpus size, the
+same posture as the exact-dedup family; at real scale the segment string
+would be xxhash64-keyed before the shuffle (documented trade: the oracle
+compares raw strings, hashing is a drop-in once collision risk is accepted).
+
+Reference parity: the reference has no text operators at all (its surface
+is S3/JDBC copy adapters, README.md:1-3) — this is engine-extension
+surface per SURVEY.md §2.B's text_analysis / dedup_near rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import query, table
+from .llm import SQL_TOKENS
+
+_STOP = ("the", "and", "of", "a", "to", "in", "is")
+_STOP_SQL = "('" + "', '".join(_STOP) + "')"
+
+_GOPHER_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter({SQL_TOKENS}, t -> t <> '') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+           AS sum_len,
+         CAST(len(list_filter(toks, t -> regexp_matches(t, '^[a-z]+$')))
+              AS BIGINT) AS alpha_words,
+         CAST(len(list_filter(toks, t -> t IN {_STOP_SQL})) AS BIGINT)
+           AS stop_hits
+  FROM t
+)
+SELECT doc_id, n_words,
+       CAST(sum_len AS DOUBLE) / n_words AS mean_word_len,
+       CAST(alpha_words AS DOUBLE) / n_words AS alpha_word_frac,
+       stop_hits,
+       (n_words BETWEEN 50 AND 100000) AS word_count_ok,
+       (CAST(sum_len AS DOUBLE) / n_words BETWEEN 3 AND 10)
+         AS mean_word_len_ok,
+       (CAST(alpha_words AS DOUBLE) / n_words > 0.8) AS alpha_ratio_ok,
+       (stop_hits >= 2) AS stopword_ok,
+       ((n_words BETWEEN 50 AND 100000)
+        AND (CAST(sum_len AS DOUBLE) / n_words BETWEEN 3 AND 10)
+        AND (CAST(alpha_words AS DOUBLE) / n_words > 0.8)
+        AND stop_hits >= 2) AS gopher_keep
+FROM m
+"""
+
+
+@query("quality_gopher_rules", oracle=_GOPHER_ORACLE)
+def quality_gopher_rules(spark, sf):
+    """Gopher-style multi-rule document quality gate. All four rules are
+    higher-order functions over the token array of each row — the plan is
+    a single codegen'd projection with NO shuffle and no Python crossing;
+    at 100 TB the cost is exactly one decompress-and-scan of the text
+    column. Ratios divide int64 by int64 as doubles in identical
+    expression order on both engines, so the boolean gates are
+    bit-stable. Per-rule flags are kept (not just the AND) because a real
+    pipeline reports drop reasons for corpus audits."""
+    docs = table(spark, sf, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    d = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform("toks", lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_len"),
+        F.size(F.filter("toks", lambda t: t.rlike("^[a-z]+$")))
+        .cast("long").alias("alpha_words"),
+        F.size(F.filter("toks", lambda t: t.isin(*_STOP)))
+        .cast("long").alias("stop_hits"),
+    )
+    mean_len = F.col("sum_len").cast("double") / F.col("n_words")
+    alpha_frac = F.col("alpha_words").cast("double") / F.col("n_words")
+    word_ok = F.col("n_words").between(50, 100000)
+    len_ok = mean_len.between(3, 10)
+    alpha_ok = alpha_frac > 0.8
+    stop_ok = F.col("stop_hits") >= 2
+    return d.select(
+        "doc_id",
+        "n_words",
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        "stop_hits",
+        word_ok.alias("word_count_ok"),
+        len_ok.alias("mean_word_len_ok"),
+        alpha_ok.alias("alpha_ratio_ok"),
+        stop_ok.alias("stopword_ok"),
+        (word_ok & len_ok & alpha_ok & stop_ok).alias("gopher_keep"),
+    )
+
+
+_DIVERSITY_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST({SQL_TOKENS}) AS t FROM documents
+), tc AS (
+  SELECT doc_id, t, COUNT(*) AS c FROM tok WHERE t <> '' GROUP BY doc_id, t
+), agg AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         CAST(MAX(c) AS BIGINT) AS max_tc
+  FROM tc GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_types,
+       CAST(n_types AS DOUBLE) / n_tokens AS ttr,
+       CAST(n_hapax AS DOUBLE) / n_types AS hapax_frac,
+       CAST(max_tc AS DOUBLE) / n_tokens AS top_token_frac
+FROM agg
+"""
+
+
+@query("quality_lexical_diversity", oracle=_DIVERSITY_ORACLE)
+def quality_lexical_diversity(spark, sf):
+    """Lexical-diversity features: type/token ratio, hapax-legomenon
+    fraction, and top-token concentration — the standard detectors for
+    boilerplate and repetition-collapsed documents. Explodes to
+    (doc, token), counts per pair, then reduces per doc: both aggregates
+    hash-partition on keys that start with doc_id, so the second exchange
+    coalesces under AQE and partial aggregation bounds the shuffle at the
+    per-doc type count (vocab-bounded, not length-bounded)."""
+    docs = table(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("t"),
+    ).filter(F.col("t") != "")
+    tc = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    agg = tc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long").alias("n_hapax"),
+        F.max("c").cast("long").alias("max_tc"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        (F.col("n_types").cast("double") / F.col("n_tokens")).alias("ttr"),
+        (F.col("n_hapax").cast("double") / F.col("n_types"))
+        .alias("hapax_frac"),
+        (F.col("max_tc").cast("double") / F.col("n_tokens"))
+        .alias("top_token_frac"),
+    )
+
+
+_SEG = 8
+
+_SEGMENTS_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, list_filter({SQL_TOKENS}, t -> t <> '') AS toks
+  FROM documents
+), seg AS (
+  SELECT doc_id,
+         UNNEST(list_transform(
+           range(0, CAST(ceil(len(toks) / {_SEG}.0) AS INT)),
+           i -> array_to_string(toks[i * {_SEG} + 1 : i * {_SEG} + {_SEG}],
+                                ' '))) AS seg
+  FROM d
+), seg_ne AS (
+  SELECT doc_id, seg FROM seg WHERE seg <> ''
+), freq AS (
+  SELECT seg, COUNT(DISTINCT doc_id) AS ndocs FROM seg_ne GROUP BY seg
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segs,
+       CAST(SUM(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       CAST(SUM(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS shared_frac,
+       (CAST(SUM(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) >= 0.5) AS near_dup_seg
+FROM seg_ne s JOIN freq f ON s.seg = f.seg
+GROUP BY s.doc_id
+"""
+
+
+@query("dedup_segments", oracle=_SEGMENTS_ORACLE)
+def dedup_segments(spark, sf):
+    """Sub-document (segment-level) dedup: cut each document into fixed
+    8-token segments, count how many of a document's segments also occur
+    in at least one OTHER document, and flag documents that are
+    majority-shared. This is the paragraph-dedup analog for the
+    whitespace corpus — it catches partial/near-boilerplate overlap that
+    whole-document exact dedup misses. One shuffle keyed by segment for
+    the frequency count, one joined back and reduced per doc; both linear
+    in corpus size. At 100 TB the segment key would be xxhash64(seg)
+    (8-byte shuffle keys instead of strings) — kept raw here so the
+    DuckDB oracle compares the identical join key."""
+    docs = table(spark, sf, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    d = docs.select("doc_id", toks.alias("toks"))
+    idx = F.sequence(
+        F.lit(0),
+        F.greatest(
+            (F.ceil(F.size("toks") / F.lit(float(_SEG)))).cast("int")
+            - F.lit(1),
+            F.lit(0),
+        ),
+    )
+    segs = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice("toks", i * _SEG + 1, _SEG))
+    )
+    seg = (
+        d.select("doc_id", F.explode(segs).alias("seg"))
+        .filter(F.col("seg") != "")
+    )
+    freq = seg.groupBy("seg").agg(F.countDistinct("doc_id").alias("ndocs"))
+    shared = F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0))
+    out = (
+        seg.join(freq, "seg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segs"),
+            shared.cast("long").alias("n_shared"),
+        )
+    )
+    frac = F.col("n_shared").cast("double") / F.col("n_segs")
+    return out.select(
+        "doc_id",
+        "n_segs",
+        "n_shared",
+        frac.alias("shared_frac"),
+        (frac >= 0.5).alias("near_dup_seg"),
+    )

@@ -440,3 +440,20 @@ def test_q6_shape_is_scan_plus_scalar_agg(spark):
     assert "IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual(l_shipdate" in plan
     exec_plan = executed_plan(spark, "revenue_delta_forecast")
     assert exec_plan.count("Exchange") == 1
+
+
+def test_gopher_rules_no_shuffle(spark):
+    """The quality gate is per-row array math — the executed plan must
+    contain no exchange and no Python evaluation node."""
+    plan = executed_plan(spark, "quality_gopher_rules")
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_dedup_segments_equi_join(spark):
+    """Segment-level dedup joins back on the segment key — hash equi-join,
+    never a cartesian, with partial aggregation on the frequency count."""
+    plan = executed_plan(spark, "dedup_segments")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_" in plan
