@@ -324,60 +324,93 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 50,
 ) -> DataFrame:
-    """Connected components over an undirected pair list by iterative
-    min-label propagation: every node starts labeled with its own id; each
-    round takes the min of its own and its neighbors' labels; fixpoint in
-    O(graph diameter) rounds. Near-dup graphs are unions of small dense
-    cliques, so the diameter — and the round count — is tiny even at 100 TB;
-    each round is one shuffle join on the node id. ``localCheckpoint``
-    truncates the growing lineage so round N doesn't replay rounds 1..N-1.
+    """Connected components over an undirected pair list by DISTRIBUTED
+    UNION-FIND FILTERING (the MapReduce "filtering" CC family, cf.
+    Rastogi et al. / the GraphFrames big-star small-star lineage): each
+    partition runs an in-memory union-find over its edges and emits its
+    spanning forest as (node → partition-local root) star edges — at most
+    one edge per distinct node, so the edge set only shrinks. Partitions
+    are then coalesced (a NARROW dependency — co-location is all the
+    merge needs, no hash shuffle) and the pass repeats until one
+    partition holds the whole forest, whose roots are the final labels.
+
+    Why this beats iterative min-label propagation here: propagation
+    costs O(diameter) rounds of (join + aggregate + checkpoint + count)
+    jobs — a long-chained graph (single-linkage spatial clusters) took
+    ~20 driver-synchronized rounds; this plan is ONE Spark job with
+    log_fanin(P) Arrow-batched Python passes chained by narrow
+    coalesces, no shuffle, no checkpoint, no per-round count. Union-find
+    always roots the SMALLER id, so every pass propagates component
+    minima and the final root is exactly min(component) — deterministic
+    regardless of partition layout.
+
+    Scale posture (100 TB): pass K's input is at most one star edge per
+    distinct node in each coalesced group, so data shrinks geometrically
+    toward one (node, root) row per node; the final single-partition
+    pass must hold the distinct-node forest of the PAIR GRAPH in one
+    task (near-dup graphs: dup nodes only, a small fraction of the
+    corpus). For node sets beyond single-task memory, raise ``fanin``
+    and stop early — any intermediate pass's output is already a
+    connectivity-preserving contraction that a join-based fallback could
+    finish; the bench-scale path never needs it.
 
     Output: (``src`` node id, ``cluster_id`` = min node id in component).
     """
-    # Materialize the pair list once BEFORE mirroring it: the union scans its
-    # input twice, and un-materialized that replays the whole upstream pair
-    # pipeline (LSH + verification) twice in one job. Then materialize the
-    # mirrored edge list too — every propagation round joins against it.
-    p = pairs.select(F.col(src).alias("s"), F.col(dst).alias("t")).localCheckpoint()
-    edges = (
-        p.unionByName(p.select(F.col("t").alias("s"), F.col("s").alias("t")))
-        .distinct()
-        .localCheckpoint()
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("s", LongType(), False),
+            StructField("t", LongType(), False),
+        ]
     )
-    labels = (
-        edges.select(F.col("s").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint()
-    )
-    for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels, edges["t"] == labels["id"])
-            .groupBy("s")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        # Carry a changed flag through the checkpoint so convergence is read
-        # off the materialized result — no extra join job per round.
-        new_labels = (
-            labels.join(nbr_min, labels["id"] == nbr_min["s"], "left")
-            .select(
-                labels["id"],
-                F.least(
-                    labels["label"], F.coalesce("nbr_label", labels["label"])
-                ).alias("label"),
-                (F.coalesce("nbr_label", labels["label"]) < labels["label"]).alias(
-                    "_changed"
-                ),
+
+    def uf_pass(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for a, b in zip(pdf["s"].values, pdf["t"].values):
+                ra, rb = find(int(a)), find(int(b))
+                if ra == rb:
+                    continue
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        nodes = set(parent)
+        nodes.update(parent.values())
+        if nodes:
+            ns = sorted(nodes)
+            yield pd.DataFrame(
+                {"s": ns, "t": [find(n) for n in ns]}
             )
-            .localCheckpoint()
-        )
-        changed = new_labels.filter("_changed").count()
-        labels = new_labels.drop("_changed")
-        if changed == 0:
-            break
-    return labels.select(
-        F.col("id").alias(src), F.col("label").alias("cluster_id")
+
+    df = pairs.select(
+        F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("t")
     )
+    # Cap the first pass's partition count: union-find is O(alpha) per
+    # edge, so fewer, larger partitions amortize the per-pass Python
+    # worker round-trip without risking task memory (star edges are one
+    # row per distinct node).
+    parts = min(df.rdd.getNumPartitions(), 64)
+    fanin = 8
+    df = df.coalesce(parts)
+    while True:
+        df = df.mapInPandas(uf_pass, out_schema)
+        if parts == 1:
+            break
+        parts = max(1, parts // fanin)
+        df = df.coalesce(parts)
+    return df.select(F.col("s").alias(src), F.col("t").alias("cluster_id"))
 
 
 def char_trigrams(col):
