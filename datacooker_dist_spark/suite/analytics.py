@@ -1612,3 +1612,56 @@ def audit_benford_digits(spark, sf):
         benford.alias("benford"),
         F.round(F.col("n") / F.col("t") - benford, 6).alias("deviation"),
     )
+
+
+@query(
+    "timeseries_ohlc",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events)
+    SELECT event_type, bucket,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM r
+    GROUP BY event_type, bucket
+    """,
+)
+def timeseries_ohlc(spark, sf):
+    """OHLC resampling (the market-data / metrics downsample): per
+    (event_type, hour) the opening and closing observation plus the
+    high/low band. Open/close are picked by ranking inside the bucket on
+    the total order (ts, event_id) — deterministic under ties — and
+    collapsing with conditional aggregates, so the window and the final
+    aggregate share one (event_type, bucket)-keyed exchange (AQE
+    coalesces them); high/low/count ride the same partial aggregate.
+    Scales with bucket cardinality on the wire, not event count."""
+    ev = table(spark, sf, "events").withColumn(
+        "bucket", F.date_trunc("hour", F.col("ts"))
+    )
+    w = Window.partitionBy("event_type", "bucket")
+    r = ev.select(
+        "event_type", "bucket", "value",
+        F.row_number().over(
+            w.orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        ).alias("rn_a"),
+        F.row_number().over(
+            w.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        ).alias("rn_d"),
+    )
+    return r.groupBy("event_type", "bucket").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -925,3 +925,75 @@ def supplier_cnt_by_part(spark, sf):
         GROUP BY 1, 2, 3
         """
     )
+
+
+_FK_PAIRS = [
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    # Deliberate NON-key pair: p_size (1..50) vs n_nationkey (0..24) —
+    # partial inclusion, so the profiler's discrimination is visible.
+    ("part", "p_size", "nation", "n_nationkey"),
+]
+
+_FK_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{ct}.{ck}->{pt}.{pk}' AS rel,
+           CAST(COUNT(*) AS BIGINT) AS n_child_keys,
+           CAST(COUNT(p.k) AS BIGINT) AS n_matched,
+           CAST(COUNT(p.k) AS DOUBLE) / COUNT(*) AS inclusion_frac,
+           (COUNT(p.k) = COUNT(*)) AS is_fk_candidate
+    FROM (SELECT DISTINCT CAST({ck} AS BIGINT) AS k FROM {ct}) c
+    LEFT JOIN (SELECT DISTINCT CAST({pk} AS BIGINT) AS k FROM {pt}) p
+      USING (k)
+    """
+    for ct, ck, pt, pk in _FK_PAIRS
+)
+
+
+@query("fk_inclusion_profile", oracle=_FK_ORACLE)
+def fk_inclusion_profile(spark, sf):
+    """Foreign-key DISCOVERY profiling (schema inference over unknown
+    data): for each candidate (child column → parent column) edge, the
+    inclusion coefficient |distinct(child) ∩ distinct(parent)| /
+    |distinct(child)| — 1.0 flags a containment-valid FK candidate,
+    fractional values rule pairs out (a deliberate non-key pair is
+    included to show discrimination). Complements
+    ``audit_referential_integrity``, which counts row-level orphans on
+    KNOWN edges. Each pair reduces to its distinct key sets before the
+    probe join, so the wire cost is key cardinality, not row count; the
+    parent side's distinct set broadcasts when small. The five 1-row
+    aggregates union into one result — no driver-side loop over
+    collect()ed values."""
+    out = None
+    for ct, ck, pt, pk in _FK_PAIRS:
+        child = (
+            table(spark, sf, ct)
+            .select(F.col(ck).cast("long").alias("k"))
+            .distinct()
+        )
+        parent = (
+            table(spark, sf, pt)
+            .select(F.col(pk).cast("long").alias("k"))
+            .distinct()
+            .withColumn("_m", F.lit(1))
+        )
+        stats = (
+            child.join(parent, "k", "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_child_keys"),
+                F.count("_m").alias("n_matched"),
+            )
+            .select(
+                F.lit(f"{ct}.{ck}->{pt}.{pk}").alias("rel"),
+                "n_child_keys",
+                "n_matched",
+                (F.col("n_matched").cast("double") / F.col("n_child_keys"))
+                .alias("inclusion_frac"),
+                (F.col("n_matched") == F.col("n_child_keys"))
+                .alias("is_fk_candidate"),
+            )
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out
