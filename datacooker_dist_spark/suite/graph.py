@@ -237,5 +237,10 @@ def graph_bfs_hops(spark, sf):
         .select(F.col("p_partkey").alias("node"))
     )
     with _scoped_partitions(spark):
-        # eager: every BFS round localCheckpoints its frontier inside.
-        return bfs_hops(_trade_edges(spark, sf), seeds, max_hops=_BFS_HOPS)
+        # K=3 is small and fixed → the unrolled single-job strategy
+        # (no per-round driver sync); the frontier loop remains the
+        # unbounded-depth path.
+        return bfs_hops(
+            _trade_edges(spark, sf), seeds, max_hops=_BFS_HOPS,
+            strategy="unrolled",
+        )

@@ -439,6 +439,14 @@ def test_bfs_matches_brute_force(spark, edges, seeds, max_hops):
             break
     assert got == set(dist.items())
 
+    unrolled = {
+        (r["node"], r["hops"])
+        for r in bfs_hops(
+            edf, sdf, max_hops=max_hops, strategy="unrolled"
+        ).collect()
+    }
+    assert unrolled == set(dist.items())
+
 
 def test_containment_and_ema_partition_invariant(spark):
     """Prefix-filtered containment and the sequential EMA must produce
