@@ -997,3 +997,52 @@ def fk_inclusion_profile(spark, sf):
         )
         out = stats if out is None else out.unionByName(stats)
     return out
+
+
+@query(
+    "window_moving_median",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, ts, event_id, value,
+             list_sort(list(value) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS vals
+      FROM events)
+    SELECT event_type, ts, event_id, value,
+           CASE WHEN len(vals) % 2 = 1 THEN vals[(len(vals) + 1) // 2]
+                ELSE (vals[len(vals) // 2] + vals[len(vals) // 2 + 1]) / 2.0
+           END AS moving_median
+    FROM r
+    """,
+)
+def window_moving_median(spark, sf):
+    """Trailing 5-observation moving MEDIAN per event type — the robust
+    smoother that survives outliers a moving average folds in. Spark has
+    no MEDIAN() OVER, so the window collects its 5-row frame into an
+    array (bounded: frame size, not partition size), sorts it, and picks
+    the middle element — even-length frames average the two middles with
+    the SAME explicit (a+b)/2 arithmetic the oracle uses, so the result
+    is bit-identical across engines. One (event_type)-keyed exchange for
+    the window sort; per-row state is O(frame), safe at any scale."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    vals = F.sort_array(F.collect_list("value").over(w))
+    n = F.size(vals)
+    med = F.when(
+        n % 2 == 1, F.element_at(vals, ((n + 1) / 2).cast("int"))
+    ).otherwise(
+        (
+            F.element_at(vals, (n / 2).cast("int"))
+            + F.element_at(vals, (n / 2).cast("int") + 1)
+        )
+        / 2.0
+    )
+    return e.select(
+        "event_type", "ts", "event_id", "value", med.alias("moving_median")
+    )

@@ -201,3 +201,24 @@ def test_observe_metrics_in_flight(spark):
     ).collect()[0]
     assert obs.get["n_rows"] == direct["n"]
     assert obs.get["n_high_discount"] == direct["h"]
+
+
+def test_connected_components_single_job_no_shuffle(spark):
+    """Union-find filtering CC must stay one narrow-dependency plan:
+    mapInPandas passes chained by coalesce, with NO Exchange — the whole
+    point of the rewrite away from per-round join/checkpoint loops."""
+    from pyspark.sql import functions as F
+
+    from datacooker_dist_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    out = connected_components(pairs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Coalesce" in plan or "mapInPandas" in plan.lower()
+    got = {(r.id_a, r.cluster_id) for r in out.collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
+                   (20, 20), (21, 20), (22, 20)}
