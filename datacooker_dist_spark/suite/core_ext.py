@@ -1045,3 +1045,40 @@ def incremental_bitmap_merge(spark, sf):
     return monthly.join(F.broadcast(totals), "event_type").select(
         "event_type", "month", "n_users", "total_users"
     )
+
+
+@query("agg_hll_intersect_estimate")  # rows-only: sketch estimates are engine-specific
+def agg_hll_intersect_estimate(spark, sf):
+    """Sketch SET ALGEBRA — estimated audience overlap between event
+    types via inclusion-exclusion over HLL sketches: |A ∩ B| ≈ |A| + |B|
+    − |A ∪ B|, all three terms read off per-type user sketches built in
+    ONE scan of events. HLL supports union natively but not
+    intersection; inclusion-exclusion is the standard two-set workaround
+    (error grows with |union|/|intersection| — documented trade). The
+    per-type sketches cross-pair via a small self-join (type cardinality
+    squared, data-independent), so at 100 TB the raw-event scan still
+    happens exactly once. Estimates are implementation-specific →
+    rows-only; deterministic for a fixed input."""
+    ev = table(spark, sf, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a")
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b")
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    est_a = F.hll_sketch_estimate("sk_a")
+    est_b = F.hll_sketch_estimate("sk_b")
+    est_u = F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+    return pairs.select(
+        "type_a", "type_b",
+        est_a.alias("users_a"),
+        est_b.alias("users_b"),
+        est_u.alias("users_union"),
+        F.greatest(est_a + est_b - est_u, F.lit(0)).alias(
+            "users_overlap_est"
+        ),
+    )
