@@ -866,3 +866,53 @@ def similarity_index_cells(spark, sf):
     emb = table(spark, sf, "embeddings")
     _, assigned = S.ivf_cells(emb, n_cells=16)
     return assigned.select("vec_id", "cell")
+
+
+@query("similarity_recall_report")  # rows-only: audits approximate indexes
+def similarity_recall_report(spark, sf):
+    """ANN index QUALITY GATE — measured recall@5 of the LSH and IVF
+    approximate top-k paths against exact brute force, per method. This
+    is the report a production vector pipeline runs before switching an
+    index variant on: the approximate paths are only useful if their
+    recall at the deployed parameters is known, not assumed. All three
+    top-k runs share the same bounded query set; recall is
+    |approx ∩ exact| / k averaged over queries — integer overlap counts
+    and one final division, deterministic for fixed seeds (hyperplanes
+    and centroid strides are seed-pinned). Corpus cost: one exact pass
+    (query-side broadcast) + the two pruned passes already benched."""
+    emb = table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    k = 5
+    exact = S.cosine_topk(emb, queries, k=k).select(
+        "query_id", F.col("neighbor_id").alias("exact_nb")
+    )
+    approx = {
+        "lsh": S.cosine_topk_lsh(
+            emb, queries, dim=64, k=k, planes=6, tables=8
+        ),
+        "ivf": S.cosine_topk_ivf(emb, queries, k=k, n_cells=16, nprobe=4),
+    }
+    out = None
+    for method, df in approx.items():
+        hits = (
+            exact.join(
+                df.select(
+                    "query_id", F.col("neighbor_id").alias("approx_nb")
+                ),
+                on=[
+                    exact["query_id"] == df["query_id"],
+                    F.col("exact_nb") == F.col("approx_nb"),
+                ],
+                how="left",
+            )
+            .groupBy(exact["query_id"].alias("qid"))
+            .agg(F.count("approx_nb").alias("n_hit"))
+        )
+        rep = hits.agg(
+            F.lit(method).alias("method"),
+            F.count(F.lit(1)).alias("n_queries"),
+            (F.sum("n_hit").cast("double") / (F.count(F.lit(1)) * k))
+            .alias("mean_recall"),
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out
