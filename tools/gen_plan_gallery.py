@@ -49,6 +49,15 @@ GALLERY = [
     ("scan_partition_dpp",
      "dynamic partition pruning: `dynamicpruningexpression` on the "
      "partitioned scan, driven by the dimension filter"),
+    ("revenue_delta_forecast",
+     "Q6 shape: single pushed-down scan feeding a two-phase scalar "
+     "aggregate — one exchange total, no join"),
+    ("quality_gopher_rules",
+     "per-row quality gate: higher-order array functions only — zero "
+     "exchanges, zero Python nodes, pure codegen projection"),
+    ("dedup_segments",
+     "segment-level dedup: one segment-keyed hash equi-join with partial "
+     "aggregation — linear, never a cartesian"),
 ]
 
 
