@@ -1665,3 +1665,38 @@ def timeseries_ohlc(spark, sf):
         F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "privacy_k_anonymity",
+    oracle="""
+    WITH cls AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             COUNT(*) AS class_size
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal / 1000) AS BIGINT)
+    )
+    SELECT c_nationkey, c_mktsegment, bal_band,
+           CAST(class_size AS BIGINT) AS class_size
+    FROM cls WHERE class_size < 5
+    """,
+)
+def privacy_k_anonymity(spark, sf):
+    """k-anonymity audit (privacy governance gate): group rows by their
+    quasi-identifier tuple (nation, market segment, account-balance band)
+    and report every equivalence class smaller than k=5 — the classes
+    whose members a linkage attack could single out. Run before any
+    customer-grain extract leaves the warehouse; an empty result means
+    the generalization (here: balance banded to 1000s) is sufficient.
+    One hash aggregate keyed by the QI tuple (map-side partial, wire
+    bounded by class count), then a size filter — scales with class
+    cardinality, not row count."""
+    c = table(spark, sf, "customer")
+    cls = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    return cls.filter(F.col("class_size") < 5)
