@@ -1082,3 +1082,35 @@ def agg_hll_intersect_estimate(spark, sf):
             "users_overlap_est"
         ),
     )
+
+
+@query(
+    "agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(25,4)))
+                AS DOUBLE)
+           / CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE)
+             AS wavg_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE)
+             AS total_weight
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_avg(spark, sf):
+    """Quantity-weighted mean price per return flag — the weighted
+    average every pricing/metrics layer needs, done as Σ(w·x)/Σw with
+    BOTH sums accumulated as DECIMAL in one partial aggregate and a
+    single double division in identical expression order on both
+    engines. A naive AVG of doubles is partition-order dependent; this
+    is bit-stable under any partitioning."""
+    li = table(spark, sf, "lineitem")
+    num = F.sum(
+        (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(25,4)")
+    ).cast("double")
+    den = F.sum(F.col("l_quantity").cast("decimal(25,2)")).cast("double")
+    return li.groupBy("l_returnflag").agg(
+        (num / den).alias("wavg_price"),
+        den.alias("total_weight"),
+    )

@@ -566,3 +566,44 @@ def test_global_prefix_sum_matches_window(spark, values, parts):
         ).collect()
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=0,
+        max_size=60,
+    ),
+    st.integers(1, 6),
+)
+def test_connected_components_match_brute_force(spark, edges, n_parts):
+    """Union-find filtering CC must label every node with its component's
+    minimum id, for any graph and any input partitioning."""
+    from datacooker_dist_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        edges or [(None, None)], "id_a long, id_b long"
+    ).filter(F.col("id_a").isNotNull()).repartition(n_parts)
+    got = {
+        (r.id_a, r.cluster_id)
+        for r in connected_components(pairs).collect()
+    }
+
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    nodes = {n for e in edges for n in e}
+    want = {(n, find(n)) for n in nodes}
+    # brute-force roots are already component minima (smaller-id rooting)
+    assert got == want
