@@ -323,6 +323,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 50,
+    final_stage: str = "local",
 ) -> DataFrame:
     """Connected components over an undirected pair list by DISTRIBUTED
     UNION-FIND FILTERING (the MapReduce "filtering" CC family, cf.
@@ -346,13 +347,17 @@ def connected_components(
 
     Scale posture (100 TB): pass K's input is at most one star edge per
     distinct node in each coalesced group, so data shrinks geometrically
-    toward one (node, root) row per node; the final single-partition
-    pass must hold the distinct-node forest of the PAIR GRAPH in one
-    task (near-dup graphs: dup nodes only, a small fraction of the
-    corpus). For node sets beyond single-task memory, raise ``fanin``
-    and stop early — any intermediate pass's output is already a
-    connectivity-preserving contraction that a join-based fallback could
-    finish; the bench-scale path never needs it.
+    toward one (node, root) row per node. With the default
+    ``final_stage="local"`` the last pass holds the distinct-node forest
+    of the PAIR GRAPH in one task (near-dup graphs: dup nodes only, a
+    small fraction of the corpus) — the fast path whenever that forest
+    fits task memory. For node sets beyond a single task, pass
+    ``final_stage="distributed"``: filtering stops while still parallel
+    (several partitions) and the remaining star forest — already a
+    connectivity-preserving contraction with depth-1 stars, so a
+    few-hop diameter — is closed by min-label propagation joins, which
+    stay fully distributed and converge in a handful of rounds on the
+    contracted graph. Same labels either way (property-tested).
 
     Output: (``src`` node id, ``cluster_id`` = min node id in component).
     """
@@ -403,14 +408,65 @@ def connected_components(
     # row per distinct node).
     parts = min(df.rdd.getNumPartitions(), 64)
     fanin = 8
+    stop_parts = 1 if final_stage == "local" else fanin
     df = df.coalesce(parts)
     while True:
         df = df.mapInPandas(uf_pass, out_schema)
-        if parts == 1:
+        if parts <= stop_parts:
             break
-        parts = max(1, parts // fanin)
+        parts = max(stop_parts, parts // fanin)
         df = df.coalesce(parts)
+    if final_stage != "local" and parts > 1:
+        return _labelprop_components(df, max_iter=max_iter).select(
+            F.col("s").alias(src), F.col("label").alias("cluster_id")
+        )
     return df.select(F.col("s").alias(src), F.col("t").alias("cluster_id"))
+
+
+def _labelprop_components(star_edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Distributed finisher for :func:`connected_components`: min-label
+    propagation over an already-CONTRACTED (node, local-root) star
+    forest. Each round is one equi-join shuffle + aggregate; rounds are
+    bounded by the contracted graph's diameter — a few hops, because
+    every input edge already points at a partition-level minimum. Kept
+    join-based (never collects) so the node set can exceed any single
+    task's memory. Output: (s = node id, label = component min id)."""
+    p = star_edges.localCheckpoint()
+    edges = (
+        p.unionByName(p.select(F.col("t").alias("s"), F.col("s").alias("t")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["t"] == labels["id"])
+            .groupBy("s")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["s"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["label"], F.coalesce("nbr_label", labels["label"])
+                ).alias("label"),
+                (
+                    F.coalesce("nbr_label", labels["label"]) < labels["label"]
+                ).alias("_changed"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter("_changed").count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("s"), "label")
 
 
 def char_trigrams(col):

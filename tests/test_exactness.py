@@ -607,3 +607,11 @@ def test_connected_components_match_brute_force(spark, edges, n_parts):
     want = {(n, find(n)) for n in nodes}
     # brute-force roots are already component minima (smaller-id rooting)
     assert got == want
+
+    distributed = {
+        (r.id_a, r.cluster_id)
+        for r in connected_components(
+            pairs, final_stage="distributed"
+        ).collect()
+    }
+    assert distributed == want
