@@ -916,3 +916,92 @@ def similarity_recall_report(spark, sf):
         )
         out = rep if out is None else out.unionByName(rep)
     return out
+
+
+_COV_ORACLE = """
+WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pr AS (
+  SELECT CAST(i.i AS INT) AS i, CAST(j.j AS INT) AS j,
+         SUM(CAST(e.v[CAST(i.i AS INT)] * e.v[CAST(j.j AS INT)]
+                  AS DECIMAL(30,15))) AS s_ij
+  FROM e,
+       (SELECT UNNEST(range(1, 9)) AS i) i,
+       (SELECT UNNEST(range(1, 9)) AS j) j
+  WHERE i.i <= j.j
+  GROUP BY 1, 2),
+dm AS (
+  SELECT CAST(i.i AS INT) AS i,
+         SUM(CAST(e.v[CAST(i.i AS INT)] AS DECIMAL(30,15))) AS s_i,
+         COUNT(*) AS n
+  FROM e, (SELECT UNNEST(range(1, 9)) AS i) i
+  GROUP BY 1)
+SELECT pr.i, pr.j,
+       round(CAST(pr.s_ij AS DOUBLE) / a.n
+             - (CAST(a.s_i AS DOUBLE) / a.n)
+               * (CAST(b.s_i AS DOUBLE) / b.n), 12) AS cov
+FROM pr JOIN dm a ON a.i = pr.i JOIN dm b ON b.i = pr.j
+"""
+
+
+@query("embedding_covariance_block", oracle=_COV_ORACLE)
+def embedding_covariance_block(spark, sf):
+    """Exact covariance matrix over the first 8 embedding dimensions —
+    the distributed-ML statistics primitive behind PCA/whitening/feature
+    audits. All 36 upper-triangle products are built IN-ROW as one array
+    of structs (narrow, no self-join) and exploded once; cross-products
+    of float32 values are exact in double (24-bit mantissas), accumulate
+    as DECIMAL(30,15) in a partial aggregate, and the centering formula
+    S_ij/n − (S_i/n)(S_j/n) runs in identical expression order on both
+    engines, rounded to 12 decimals because DuckDB fuses the
+    multiply-subtract (FMA) and diverges in the final ulp (~1e-18 —
+    six orders below the rounding grain). Wire cost is 36·partitions rows — independent of corpus
+    size; the full 64×64 Gram is the same plan with 2080 pairs."""
+    emb = table(spark, sf, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    pairs = [(i, j) for i in range(1, 9) for j in range(i, 9)]
+    pair_arr = F.array(*[
+        F.struct(
+            F.lit(i).alias("i"),
+            F.lit(j).alias("j"),
+            (F.element_at("v", i) * F.element_at("v", j))
+            .cast("decimal(30,15)").alias("p"),
+        )
+        for i, j in pairs
+    ])
+    pr = (
+        emb.select(F.explode(pair_arr).alias("x"))
+        .select("x.i", "x.j", "x.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("s_ij"))
+    )
+    dim_arr = F.array(*[
+        F.struct(
+            F.lit(i).alias("i"),
+            F.element_at("v", i).cast("decimal(30,15)").alias("x"),
+        )
+        for i in range(1, 9)
+    ])
+    dm = (
+        emb.select(F.explode(dim_arr).alias("d"))
+        .select("d.i", "d.x")
+        .groupBy("i")
+        .agg(F.sum("x").alias("s_i"), F.count(F.lit(1)).alias("n"))
+    )
+    a = dm.select(F.col("i").alias("_ai"), F.col("s_i").alias("_as"),
+                  F.col("n").alias("_an"))
+    b = dm.select(F.col("i").alias("_bi"), F.col("s_i").alias("_bs"),
+                  F.col("n").alias("_bn"))
+    return (
+        pr.join(a, pr["i"] == a["_ai"]) 
+        .join(b, pr["j"] == b["_bi"]) 
+        .select(
+            "i", "j",
+            F.round(
+                F.col("s_ij").cast("double") / F.col("_an")
+                - (F.col("_as").cast("double") / F.col("_an"))
+                * (F.col("_bs").cast("double") / F.col("_bn")),
+                12,
+            ).alias("cov"),
+        )
+    )
