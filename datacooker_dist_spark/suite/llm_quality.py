@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from . import query, table
-from .llm import SQL_TOKENS
+from .llm import SQL_SHINGLES, SQL_TOKENS, _LANG_SCORE_SQL
 
 _STOP = ("the", "and", "of", "a", "to", "in", "is")
 _STOP_SQL = "('" + "', '".join(_STOP) + "')"
@@ -252,4 +252,136 @@ def dedup_segments(spark, sf):
         "n_shared",
         frac.alias("shared_frac"),
         (frac >= 0.5).alias("near_dup_seg"),
+    )
+
+
+_ATTRITION_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, lang, text,
+         list_filter({SQL_TOKENS}, t -> t <> '') AS toks,
+         {_LANG_SCORE_SQL['en']} AS s_en,
+         {_LANG_SCORE_SQL['de']} AS s_de,
+         {_LANG_SCORE_SQL['fr']} AS s_fr
+  FROM documents),
+flags AS (
+  SELECT doc_id, lang, text,
+         (len(toks) BETWEEN 50 AND 100000
+          AND CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+              / len(toks) BETWEEN 3 AND 10
+          AND CAST(len(list_filter(toks, t -> regexp_matches(t, '^[a-z]+$')))
+                   AS DOUBLE) / len(toks) > 0.8
+          AND len(list_filter(toks, t -> t IN {_STOP_SQL})) >= 2) AS q_ok,
+         (CASE WHEN greatest(s_en, s_de, s_fr) = 0 THEN 'und'
+               WHEN s_de = greatest(s_en, s_de, s_fr) THEN 'de'
+               WHEN s_en = greatest(s_en, s_de, s_fr) THEN 'en'
+               ELSE 'fr' END) = lang AS lang_ok
+  FROM base),
+s3 AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (
+      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+      ORDER BY doc_id) AS rn
+    FROM flags WHERE q_ok AND lang_ok)
+  WHERE rn = 1),
+sh AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM documents),
+drop4 AS (
+  SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE a.doc_id IN (SELECT doc_id FROM s3)
+    AND b.doc_id IN (SELECT doc_id FROM s3)
+    AND len(list_intersect(a.s, b.s))
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8)
+SELECT '0_ingest' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+UNION ALL
+SELECT '1_quality', CAST(SUM(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT)
+FROM flags
+UNION ALL
+SELECT '2_language',
+       CAST(SUM(CASE WHEN q_ok AND lang_ok THEN 1 ELSE 0 END) AS BIGINT)
+FROM flags
+UNION ALL
+SELECT '3_exact_dedup', CAST(COUNT(*) AS BIGINT) FROM s3
+UNION ALL
+SELECT '4_near_dedup', CAST(COUNT(*) AS BIGINT)
+FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM drop4)
+"""
+
+
+@query("pipeline_quality_attrition", oracle=_ATTRITION_ORACLE)
+def pipeline_quality_attrition(spark, sf):
+    """The data-card ATTRITION FUNNEL: how many documents survive each
+    corpus-prep stage — Gopher quality gate → language confirmation →
+    exact dedup (min-id survivor per fingerprint) → near-dup drop
+    (verified Jaccard ≥ 0.8 pairs among survivors, deterministic
+    drop-the-larger-id rule). Every real pretraining pipeline publishes
+    this table; it is the first thing reviewed when a corpus shrinks
+    unexpectedly. One scan computes the per-row gates (array HOFs, no
+    Python); the dedup stages reuse the session-shared verified-pair
+    memo, so the funnel adds two semi/anti joins over O(dups) rows —
+    NOT a re-run of the LSH pipeline. Five 1-row aggregates union into
+    the report."""
+    from pyspark.sql import Window
+
+    from ..operators import text as T
+    from . import shared_jaccard_pairs
+
+    docs = table(spark, sf, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$")))
+    stops = F.size(F.filter(toks, lambda t: t.isin(*_STOP)))
+    q_ok = (
+        n_words.between(50, 100000)
+        & (sum_len.cast("double") / n_words).between(3, 10)
+        & ((alpha.cast("double") / n_words) > 0.8)
+        & (stops >= 2)
+    )
+    lang_ok = T.lang_id("text") == F.col("lang")
+    flags = docs.select(
+        "doc_id", "text", q_ok.alias("q_ok"), lang_ok.alias("lang_ok")
+    )
+
+    w = Window.partitionBy(T.fingerprint("text")).orderBy("doc_id")
+    s3 = (
+        flags.filter(F.col("q_ok") & F.col("lang_ok"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+    )
+    pairs = shared_jaccard_pairs(spark, sf)
+    live_pairs = (
+        pairs.join(s3.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi")
+        .join(s3.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
+    )
+    s4 = s3.join(
+        live_pairs.select(F.col("id_b").alias("doc_id")), "doc_id",
+        "left_anti",
+    )
+
+    def row(stage, df_count):
+        return df_count.select(
+            F.lit(stage).alias("stage"), F.col("n").alias("n_docs")
+        )
+
+    return (
+        row("0_ingest", docs.agg(F.count(F.lit(1)).alias("n")))
+        .unionByName(row(
+            "1_quality",
+            flags.agg(F.sum(F.col("q_ok").cast("long")).alias("n")),
+        ))
+        .unionByName(row(
+            "2_language",
+            flags.agg(
+                F.sum((F.col("q_ok") & F.col("lang_ok")).cast("long"))
+                .alias("n")
+            ),
+        ))
+        .unionByName(row("3_exact_dedup", s3.agg(F.count(F.lit(1)).alias("n"))))
+        .unionByName(row("4_near_dedup", s4.agg(F.count(F.lit(1)).alias("n"))))
     )
