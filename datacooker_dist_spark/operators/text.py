@@ -123,3 +123,70 @@ def fingerprint(text_col: str = "text") -> Column:
     text. Engine-portable (DuckDB md5() computes the identical digest) and
     exactly what exact-dedup blocks on."""
     return F.md5(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "))
+
+
+def bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    rounds: int = 5,
+) -> list[tuple[int, str, str, int]]:
+    """Train the first ``rounds`` byte-pair-encoding merges over a corpus,
+    distributively — the core inner loop of tokenizer training. Each round:
+    (1) explode every token into adjacent symbol pairs and count them
+    (one hash aggregate, map-side partial — the only shuffle), (2) take
+    the argmax pair with a deterministic (count DESC, left, right)
+    tiebreak via TakeOrdered (a 1-row driver fetch, the same
+    config-scale scalar read as pagerank's node count), (3) fold the
+    merge into every token with an ``aggregate`` HOF (greedy
+    left-to-right, the canonical BPE merge order) — narrow, no shuffle.
+    Token arrays are localCheckpointed per round so round K does not
+    replay rounds 1..K-1's folds.
+
+    Returns [(rank, left, right, pair_count), ...] — the merge table a
+    tokenizer would persist. Wire cost per round is the distinct-pair
+    count (vocab²-bounded), not corpus size; the driver sees exactly one
+    row per round.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    words = df.select(F.explode(toks).alias("w")).filter(F.col("w") != "")
+    chars = F.filter(F.split("w", "(?!^)"), lambda x: x != "")
+    syms = words.select(chars.alias("s")).localCheckpoint()
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, rounds + 1):
+        # NB: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty —
+        # single-symbol tokens must be filtered out, not relied on to
+        # produce an empty index range.
+        pair_arr = F.transform(
+            F.sequence(F.lit(1), F.size("s") - 1),
+            lambda i: F.struct(
+                F.element_at("s", i).alias("l"),
+                F.element_at("s", i + 1).alias("r"),
+            ),
+        )
+        best = (
+            syms.filter(F.size("s") >= 2)
+            .select(F.explode(pair_arr).alias("p"))
+            .groupBy("p.l", "p.r")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, n = best[0]["l"], best[0]["r"], int(best[0]["n"])
+        merges.append((rank, l, r, n))
+        ll, rl, ml = F.lit(l), F.lit(r), F.lit(l + r)
+        fold = F.aggregate(
+            "s",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.try_element_at(acc, F.lit(-1)) == ll) & (x == rl),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(ml)
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        syms = syms.select(fold.alias("s")).localCheckpoint()
+    return merges

@@ -385,3 +385,23 @@ def pipeline_quality_attrition(spark, sf):
         .unionByName(row("3_exact_dedup", s3.agg(F.count(F.lit(1)).alias("n"))))
         .unionByName(row("4_near_dedup", s4.agg(F.count(F.lit(1)).alias("n"))))
     )
+
+
+@query("tokenizer_bpe_merges")  # rows-only: merges depend on argmax per round
+def tokenizer_bpe_merges(spark, sf):
+    """Tokenizer training inner loop: the first 5 BPE merges learned from
+    the corpus (operators/text.py::bpe_merges). Each round is one
+    pair-count aggregate (wire = distinct-pair cardinality, not corpus
+    size), a 1-row argmax fetch with deterministic ties, and a narrow
+    greedy merge fold — the same plan trains a full vocabulary by
+    raising ``rounds``. Adaptive per-round argmax is not expressible as
+    one SQL statement → rows-only; deterministic for a fixed corpus
+    (tiebreak pinned), which the determinism suite enforces. Bounded to
+    a corpus slice here purely to keep the bench round light."""
+    docs = table(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    from ..operators.text import bpe_merges
+
+    rows = bpe_merges(docs, rounds=5)
+    return spark.createDataFrame(
+        rows, "merge_rank int, left string, right string, pair_count long"
+    )
