@@ -17,10 +17,10 @@ array math — zero shuffles, whole-stage codegen, embarrassingly parallel.
 quality_lexical_diversity explodes to (doc, token) then aggregates twice on
 the same doc-keyed partitioning (partial aggregation bounds the wire at
 types-per-doc, AQE coalesces the two exchanges). dedup_segments shuffles
-(doc, segment) pairs once on the segment key — linear in corpus size, the
-same posture as the exact-dedup family; at real scale the segment string
-would be xxhash64-keyed before the shuffle (documented trade: the oracle
-compares raw strings, hashing is a drop-in once collision risk is accepted).
+(doc, segment-hash) pairs once — linear in corpus size, the same posture
+as the exact-dedup family; the join key is xxhash64(segment) (8-byte wire
+format, ~1.8× faster than strings at sf0.1, collision odds negligible —
+see the query docstring).
 
 Reference parity: the reference has no text operators at all (its surface
 is S3/JDBC copy adapters, README.md:1-3) — this is engine-extension
@@ -210,11 +210,14 @@ def dedup_segments(spark, sf):
     in at least one OTHER document, and flag documents that are
     majority-shared. This is the paragraph-dedup analog for the
     whitespace corpus — it catches partial/near-boilerplate overlap that
-    whole-document exact dedup misses. One shuffle keyed by segment for
-    the frequency count, one joined back and reduced per doc; both linear
-    in corpus size. At 100 TB the segment key would be xxhash64(seg)
-    (8-byte shuffle keys instead of strings) — kept raw here so the
-    DuckDB oracle compares the identical join key."""
+    whole-document exact dedup misses. One shuffle keyed by the SEGMENT
+    HASH for the frequency count, one joined back and reduced per doc;
+    both linear in corpus size. The join key is xxhash64(segment) —
+    8-byte shuffle keys instead of strings, A/B-measured ~1.8× faster
+    at sf0.1 and the only sane wire format at 100 TB; the oracle groups
+    the raw strings, which yields identical COUNTS barring a 64-bit
+    collision (probability ~segments²/2⁶⁴ — negligible, and the
+    documented trade of every hash-keyed dedup in this engine)."""
     docs = table(spark, sf, "documents")
     toks = F.filter(
         F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
@@ -234,11 +237,12 @@ def dedup_segments(spark, sf):
     seg = (
         d.select("doc_id", F.explode(segs).alias("seg"))
         .filter(F.col("seg") != "")
+        .select("doc_id", F.xxhash64("seg").alias("segh"))
     )
-    freq = seg.groupBy("seg").agg(F.countDistinct("doc_id").alias("ndocs"))
+    freq = seg.groupBy("segh").agg(F.countDistinct("doc_id").alias("ndocs"))
     shared = F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0))
     out = (
-        seg.join(freq, "seg")
+        seg.join(freq, "segh")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_segs"),
