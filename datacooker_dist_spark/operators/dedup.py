@@ -332,15 +332,17 @@ def connected_components(
     spanning forest as (node → partition-local root) star edges — at most
     one edge per distinct node, so the edge set only shrinks. Partitions
     are then coalesced (a NARROW dependency — co-location is all the
-    merge needs, no hash shuffle) and the pass repeats until one
-    partition holds the whole forest, whose roots are the final labels.
+    merge needs, no hash shuffle — a localCheckpoint between passes cuts
+    the stage so each pass keeps its own parallelism) and the pass
+    repeats until one partition holds the whole forest, whose roots are
+    the final labels.
 
     Why this beats iterative min-label propagation here: propagation
     costs O(diameter) rounds of (join + aggregate + checkpoint + count)
     jobs — a long-chained graph (single-linkage spatial clusters) took
-    ~20 driver-synchronized rounds; this plan is ONE Spark job with
-    log_fanin(P) Arrow-batched Python passes chained by narrow
-    coalesces, no shuffle, no checkpoint, no per-round count. Union-find
+    ~20 driver-synchronized rounds; this plan is log_fanin(P)
+    Arrow-batched Python passes (one short job each) chained by narrow
+    coalesces — no shuffle and no per-round convergence count. Union-find
     always roots the SMALLER id, so every pass propagates component
     minima and the final root is exactly min(component) — deterministic
     regardless of partition layout.
@@ -383,16 +385,18 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
+        nodes: set = set()
         for pdf in batches:
             for a, b in zip(pdf["s"].values, pdf["t"].values):
-                ra, rb = find(int(a)), find(int(b))
+                a, b = int(a), int(b)
+                nodes.add(a)
+                nodes.add(b)
+                ra, rb = find(a), find(b)
                 if ra == rb:
                     continue
                 if rb < ra:
                     ra, rb = rb, ra
                 parent[rb] = ra
-        nodes = set(parent)
-        nodes.update(parent.values())
         if nodes:
             ns = sorted(nodes)
             yield pd.DataFrame(
@@ -414,6 +418,13 @@ def connected_components(
         df = df.mapInPandas(uf_pass, out_schema)
         if parts <= stop_parts:
             break
+        # Materialize each pass: coalesce is narrow, so WITHOUT a stage
+        # boundary the whole chain would collapse into stop_parts tasks
+        # (the classic coalesce(1) pitfall) and every "parallel" pass
+        # would run serially inside the final task. localCheckpoint cuts
+        # a job per pass — pass K runs with K's own parallelism, and
+        # only the already-contracted star edges carry forward.
+        df = df.localCheckpoint()
         parts = max(stop_parts, parts // fanin)
         df = df.coalesce(parts)
     if final_stage != "local" and parts > 1:

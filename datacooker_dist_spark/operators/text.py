@@ -140,15 +140,18 @@ def bpe_merges(
     merge into every token with an ``aggregate`` HOF (greedy
     left-to-right, the canonical BPE merge order) — narrow, no shuffle.
     Token arrays are localCheckpointed per round so round K does not
-    replay rounds 1..K-1's folds.
+    replay rounds 1..K-1's folds, and the previous round's blocks are
+    released as soon as the new generation materializes — storage holds
+    at most two corpus copies no matter how many rounds run.
 
     Returns [(rank, left, right, pair_count), ...] — the merge table a
     tokenizer would persist. Wire cost per round is the distinct-pair
     count (vocab²-bounded), not corpus size; the driver sees exactly one
     row per round.
     """
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    words = df.select(F.explode(toks).alias("w")).filter(F.col("w") != "")
+    words = df.select(
+        F.explode(tokens_col(text_col)).alias("w")
+    ).filter(F.col("w") != "")
     chars = F.filter(F.split("w", "(?!^)"), lambda x: x != "")
     syms = words.select(chars.alias("s")).localCheckpoint()
 
@@ -188,5 +191,10 @@ def bpe_merges(
                 ),
             ).otherwise(F.concat(acc, F.array(x))),
         )
+        prev = syms
         syms = syms.select(fold.alias("s")).localCheckpoint()
+        # Release the previous generation's checkpoint blocks so storage
+        # holds at most two corpus copies regardless of ``rounds`` (the
+        # same discipline as pagerank's cached-adjacency release).
+        prev.rdd.unpersist(False)
     return merges

@@ -236,11 +236,13 @@ def graph_bfs_hops(spark, sf):
         .filter(F.col("p_size") == 50)
         .select(F.col("p_partkey").alias("node"))
     )
-    with _scoped_partitions(spark):
-        # K=3 is small and fixed → the unrolled single-job strategy
-        # (no per-round driver sync); the frontier loop remains the
-        # unbounded-depth path.
-        return bfs_hops(
-            _trade_edges(spark, sf), seeds, max_hops=_BFS_HOPS,
-            strategy="unrolled",
-        )
+    # K=3 is small and fixed → the unrolled single-job strategy (no
+    # per-round driver sync); the frontier loop remains the
+    # unbounded-depth path. No _scoped_partitions here: the unrolled
+    # plan is fully LAZY, so a scoped conf would be restored before
+    # execution (silent no-op) — the level shuffles are small and AQE
+    # coalesces them at runtime instead.
+    return bfs_hops(
+        _trade_edges(spark, sf), seeds, max_hops=_BFS_HOPS,
+        strategy="unrolled",
+    )

@@ -31,11 +31,46 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..operators.dedup import tokens_col
+from ..operators.text import STOPWORDS as _STOP
 from . import query, table
 from .llm import SQL_SHINGLES, SQL_TOKENS, _LANG_SCORE_SQL
 
-_STOP = ("the", "and", "of", "a", "to", "in", "is")
 _STOP_SQL = "('" + "', '".join(_STOP) + "')"
+
+# Gopher-gate thresholds — single-sourced: the per-document report
+# (quality_gopher_rules) and the funnel (pipeline_quality_attrition)
+# interpolate these same constants into BOTH their Spark builders and
+# their SQL oracles, so a tuning edit cannot de-synchronize them.
+_W_MIN, _W_MAX = 50, 100000
+_LEN_MIN, _LEN_MAX = 3, 10
+_ALPHA_MIN = 0.8
+_STOP_MIN = 2
+
+
+def _clean_tokens():
+    """Non-empty engine-convention tokens (operators.dedup.tokens_col)."""
+    return F.filter(tokens_col("text"), lambda t: t != "")
+
+
+def _gopher_parts():
+    """The four Gopher-rule raw measures over ``toks`` plus the combined
+    keep predicate — shared by the report and the attrition funnel."""
+    n_words = F.size("toks")
+    sum_len = F.aggregate(
+        F.transform("toks", lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    alpha = F.size(F.filter("toks", lambda t: t.rlike("^[a-z]+$")))
+    stops = F.size(F.filter("toks", lambda t: t.isin(*_STOP)))
+    q_ok = (
+        n_words.between(_W_MIN, _W_MAX)
+        & (sum_len.cast("double") / n_words).between(_LEN_MIN, _LEN_MAX)
+        & ((alpha.cast("double") / n_words) > _ALPHA_MIN)
+        & (stops >= _STOP_MIN)
+    )
+    return n_words, sum_len, alpha, stops, q_ok
 
 _GOPHER_ORACLE = f"""
 WITH t AS (
@@ -57,15 +92,15 @@ SELECT doc_id, n_words,
        CAST(sum_len AS DOUBLE) / n_words AS mean_word_len,
        CAST(alpha_words AS DOUBLE) / n_words AS alpha_word_frac,
        stop_hits,
-       (n_words BETWEEN 50 AND 100000) AS word_count_ok,
-       (CAST(sum_len AS DOUBLE) / n_words BETWEEN 3 AND 10)
+       (n_words BETWEEN {_W_MIN} AND {_W_MAX}) AS word_count_ok,
+       (CAST(sum_len AS DOUBLE) / n_words BETWEEN {_LEN_MIN} AND {_LEN_MAX})
          AS mean_word_len_ok,
-       (CAST(alpha_words AS DOUBLE) / n_words > 0.8) AS alpha_ratio_ok,
-       (stop_hits >= 2) AS stopword_ok,
-       ((n_words BETWEEN 50 AND 100000)
-        AND (CAST(sum_len AS DOUBLE) / n_words BETWEEN 3 AND 10)
-        AND (CAST(alpha_words AS DOUBLE) / n_words > 0.8)
-        AND stop_hits >= 2) AS gopher_keep
+       (CAST(alpha_words AS DOUBLE) / n_words > {_ALPHA_MIN}) AS alpha_ratio_ok,
+       (stop_hits >= {_STOP_MIN}) AS stopword_ok,
+       ((n_words BETWEEN {_W_MIN} AND {_W_MAX})
+        AND (CAST(sum_len AS DOUBLE) / n_words BETWEEN {_LEN_MIN} AND {_LEN_MAX})
+        AND (CAST(alpha_words AS DOUBLE) / n_words > {_ALPHA_MIN})
+        AND stop_hits >= {_STOP_MIN}) AS gopher_keep
 FROM m
 """
 
@@ -81,28 +116,20 @@ def quality_gopher_rules(spark, sf):
     bit-stable. Per-rule flags are kept (not just the AND) because a real
     pipeline reports drop reasons for corpus audits."""
     docs = table(spark, sf, "documents")
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
-    )
-    d = docs.select("doc_id", toks.alias("toks")).select(
+    n_words, sum_len, alpha, stops, _ = _gopher_parts()
+    d = docs.select("doc_id", _clean_tokens().alias("toks")).select(
         "doc_id",
-        F.size("toks").cast("long").alias("n_words"),
-        F.aggregate(
-            F.transform("toks", lambda t: F.length(t).cast("long")),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("sum_len"),
-        F.size(F.filter("toks", lambda t: t.rlike("^[a-z]+$")))
-        .cast("long").alias("alpha_words"),
-        F.size(F.filter("toks", lambda t: t.isin(*_STOP)))
-        .cast("long").alias("stop_hits"),
+        n_words.cast("long").alias("n_words"),
+        sum_len.alias("sum_len"),
+        alpha.cast("long").alias("alpha_words"),
+        stops.cast("long").alias("stop_hits"),
     )
     mean_len = F.col("sum_len").cast("double") / F.col("n_words")
     alpha_frac = F.col("alpha_words").cast("double") / F.col("n_words")
-    word_ok = F.col("n_words").between(50, 100000)
-    len_ok = mean_len.between(3, 10)
-    alpha_ok = alpha_frac > 0.8
-    stop_ok = F.col("stop_hits") >= 2
+    word_ok = F.col("n_words").between(_W_MIN, _W_MAX)
+    len_ok = mean_len.between(_LEN_MIN, _LEN_MAX)
+    alpha_ok = alpha_frac > _ALPHA_MIN
+    stop_ok = F.col("stop_hits") >= _STOP_MIN
     return d.select(
         "doc_id",
         "n_words",
@@ -149,8 +176,7 @@ def quality_lexical_diversity(spark, sf):
     per-doc type count (vocab-bounded, not length-bounded)."""
     docs = table(spark, sf, "documents")
     tok = docs.select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("t"),
+        "doc_id", F.explode(tokens_col("text")).alias("t")
     ).filter(F.col("t") != "")
     tc = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
     agg = tc.groupBy("doc_id").agg(
@@ -219,10 +245,7 @@ def dedup_segments(spark, sf):
     collision (probability ~segments²/2⁶⁴ — negligible, and the
     documented trade of every hash-keyed dedup in this engine)."""
     docs = table(spark, sf, "documents")
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
-    )
-    d = docs.select("doc_id", toks.alias("toks"))
+    d = docs.select("doc_id", _clean_tokens().alias("toks"))
     idx = F.sequence(
         F.lit(0),
         F.greatest(
@@ -269,12 +292,12 @@ WITH base AS (
   FROM documents),
 flags AS (
   SELECT doc_id, lang, text,
-         (len(toks) BETWEEN 50 AND 100000
+         (len(toks) BETWEEN {_W_MIN} AND {_W_MAX}
           AND CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
-              / len(toks) BETWEEN 3 AND 10
+              / len(toks) BETWEEN {_LEN_MIN} AND {_LEN_MAX}
           AND CAST(len(list_filter(toks, t -> regexp_matches(t, '^[a-z]+$')))
-                   AS DOUBLE) / len(toks) > 0.8
-          AND len(list_filter(toks, t -> t IN {_STOP_SQL})) >= 2) AS q_ok,
+                   AS DOUBLE) / len(toks) > {_ALPHA_MIN}
+          AND len(list_filter(toks, t -> t IN {_STOP_SQL})) >= {_STOP_MIN}) AS q_ok,
          (CASE WHEN greatest(s_en, s_de, s_fr) = 0 THEN 'und'
                WHEN s_de = greatest(s_en, s_de, s_fr) THEN 'de'
                WHEN s_en = greatest(s_en, s_de, s_fr) THEN 'en'
@@ -329,25 +352,9 @@ def pipeline_quality_attrition(spark, sf):
     from . import shared_jaccard_pairs
 
     docs = table(spark, sf, "documents")
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
-    )
-    n_words = F.size(toks)
-    sum_len = F.aggregate(
-        F.transform(toks, lambda t: F.length(t).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    alpha = F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$")))
-    stops = F.size(F.filter(toks, lambda t: t.isin(*_STOP)))
-    q_ok = (
-        n_words.between(50, 100000)
-        & (sum_len.cast("double") / n_words).between(3, 10)
-        & ((alpha.cast("double") / n_words) > 0.8)
-        & (stops >= 2)
-    )
+    _, _, _, _, q_ok = _gopher_parts()
     lang_ok = T.lang_id("text") == F.col("lang")
-    flags = docs.select(
+    flags = docs.withColumn("toks", _clean_tokens()).select(
         "doc_id", "text", q_ok.alias("q_ok"), lang_ok.alias("lang_ok")
     )
 
