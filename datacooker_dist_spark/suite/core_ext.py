@@ -1114,3 +1114,73 @@ def agg_weighted_avg(spark, sf):
         (num / den).alias("wavg_price"),
         den.alias("total_weight"),
     )
+
+
+_MOMENTS_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(25,4))) AS DOUBLE)
+           AS s2,
+         CAST(SUM(CAST(l_quantity * l_quantity * l_quantity
+                  AS DECIMAL(25,6))) AS DOUBLE) AS s3,
+         CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity
+                  AS DECIMAL(25,8))) AS DOUBLE) AS s4
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       round(s1 / n, 9) AS mean,
+       round(s2 / n - (s1 / n) * (s1 / n), 9) AS variance,
+       round((s3 / n - 3 * (s1 / n) * (s2 / n)
+              + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+             / ((s2 / n - (s1 / n) * (s1 / n))
+                * sqrt(s2 / n - (s1 / n) * (s1 / n))), 9) AS skewness,
+       round((s4 / n - 4 * (s1 / n) * (s3 / n)
+              + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+              - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+             / ((s2 / n - (s1 / n) * (s1 / n))
+                * (s2 / n - (s1 / n) * (s1 / n))) - 3, 9) AS excess_kurtosis
+FROM m
+"""
+
+
+@query("agg_higher_moments", oracle=_MOMENTS_ORACLE)
+def agg_higher_moments(spark, sf):
+    """Population skewness and excess kurtosis per return flag — the
+    distribution-shape audit behind outlier policies and normality
+    checks. The four raw power sums accumulate as DECIMAL in ONE partial
+    aggregate (quantity ≤ 50, so even the 4th power fits comfortably);
+    the moment formulas then run in double with IDENTICAL expression
+    order on both engines — sqrt is the only non-arithmetic op and is
+    correctly rounded, and the 9-digit rounding absorbs any residual
+    last-ulp divergence. One scan, one exchange of 5 rows per partition;
+    the built-in skewness/kurtosis aggregates are avoided because their
+    float accumulation is partition-order dependent."""
+    li = table(spark, sf, "lineitem")
+    q = F.col("l_quantity")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q.cast("decimal(25,2)")).cast("double").alias("s1"),
+        F.sum((q * q).cast("decimal(25,4)")).cast("double").alias("s2"),
+        F.sum((q * q * q).cast("decimal(25,6)")).cast("double").alias("s3"),
+        F.sum((q * q * q * q).cast("decimal(25,8)")).cast("double")
+        .alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - mu * mu
+    m3 = F.col("s3") / n - 3 * mu * (F.col("s2") / n) + 2 * mu * mu * mu
+    m4 = (
+        F.col("s4") / n
+        - 4 * mu * (F.col("s3") / n)
+        + 6 * mu * mu * (F.col("s2") / n)
+        - 3 * mu * mu * mu * mu
+    )
+    return m.select(
+        "l_returnflag",
+        n.alias("n"),
+        F.round(mu, 9).alias("mean"),
+        F.round(m2, 9).alias("variance"),
+        F.round(m3 / (m2 * F.sqrt(m2)), 9).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3, 9).alias("excess_kurtosis"),
+    )
