@@ -457,3 +457,23 @@ def test_dedup_segments_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_" in plan
+
+
+def test_continuation_wave_plan_discipline(spark):
+    """Newest wave: no shape falls into a cartesian/nested-loop plan, the
+    aggregates keep their map-side partial phase, and the OHLC window
+    shares its bucket keying with the final aggregate (≤ 2 hash
+    exchanges: the window's plus at most one AQE-uncoalesced agg)."""
+    for name in [
+        "timeseries_ohlc", "fk_inclusion_profile", "agg_weighted_avg",
+        "embedding_covariance_block", "privacy_k_anonymity",
+        "window_moving_median", "agg_higher_moments",
+        "pipeline_quality_attrition",
+    ]:
+        plan = executed_plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+    for name in ["agg_weighted_avg", "privacy_k_anonymity",
+                 "agg_higher_moments"]:
+        assert "partial_" in executed_plan(spark, name), name
+    ohlc = executed_plan(spark, "timeseries_ohlc")
+    assert ohlc.count("Exchange hashpartitioning") <= 2
