@@ -1274,56 +1274,77 @@ def interval_sweep_open_orders(spark, sf):
     )
 
 
-@query(
-    "quality_audit_columns",
-    oracle="""
+_AUDIT_ORACLE = """
     SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows,
-           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
            COUNT(DISTINCT o_custkey) AS n_distinct,
-           CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
-           CAST(MAX(o_custkey) AS VARCHAR) AS max_value
+           CAST(MIN(o_custkey) AS DOUBLE) AS min_num,
+           CAST(MAX(o_custkey) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
     FROM orders
     UNION ALL
     SELECT 'o_orderkey', COUNT(*),
-           SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT o_orderkey),
-           CAST(MIN(o_orderkey) AS VARCHAR), CAST(MAX(o_orderkey) AS VARCHAR)
+           CAST(MIN(o_orderkey) AS DOUBLE), CAST(MAX(o_orderkey) AS DOUBLE),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
     FROM orders
     UNION ALL
     SELECT 'o_orderstatus', COUNT(*),
-           SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
            COUNT(DISTINCT o_orderstatus),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
            MIN(o_orderstatus), MAX(o_orderstatus)
     FROM orders
     UNION ALL
     SELECT 'o_totalprice', COUNT(*),
-           SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
            COUNT(DISTINCT o_totalprice),
-           CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
-           CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+           CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
     FROM orders
-    """,
-)
+    """
+
+_AUDIT_COLS = [
+    ("o_custkey", "bigint"),
+    ("o_orderkey", "bigint"),
+    ("o_orderstatus", "string"),
+    ("o_totalprice", "double"),
+]
+
+
+@query("quality_audit_columns", oracle=_AUDIT_ORACLE)
 def quality_audit_columns(spark, sf):
     """Column-profile data-quality audit (the Deequ/Great-Expectations
     shape): completeness (null count), exact cardinality, and min/max per
     audited column, all in ONE scan — the multi-distinct aggregate plans
     as a single Expand, so a 100 TB table is read once however many
-    columns are audited (exact distincts are the audit-grade choice for
-    key columns; swap approx_count_distinct for free-text ones). Output is
-    one row per column for dashboarding; numeric min/max normalize
-    through decimal(18,2) so the report is engine-stable."""
+    columns are audited. Min/max are TYPED columns (min_num/max_num
+    double, min_str/max_str string), never engine-rendered decimal
+    strings, so the report survives any driver canonicalization
+    (VERDICT r02 task 1). Exact distincts are the audit-grade choice for
+    key columns; the approx twin below is the free-text/100 TB mode."""
     from ..operators.audit import profile_columns
 
-    return profile_columns(
-        table(spark, sf, "orders"),
-        [
-            ("o_custkey", "bigint"),
-            ("o_orderkey", "bigint"),
-            ("o_orderstatus", "string"),
-            ("o_totalprice", "double"),
-        ],
-    )
+    return profile_columns(table(spark, sf, "orders"), _AUDIT_COLS)
+
+
+@query("quality_audit_columns_approx")
+def quality_audit_columns_approx(spark, sf):
+    """HLL-sketch variant of the column audit (rows-only: approximate
+    cardinalities have no exact oracle): approx_count_distinct per column
+    means NO Expand — partial aggregation stays map-side and one ordinary
+    1-row shuffle finishes, vs the exact mode's (cols+1)× row expansion
+    and whole-table distinct shuffle on near-unique keys. This is the
+    audit mode for free-text / high-cardinality columns at 100 TB
+    (VERDICT r02 task 8)."""
+    from ..operators.audit import profile_columns
+
+    return profile_columns(table(spark, sf, "orders"), _AUDIT_COLS,
+                           approx=True)
 
 
 @query(
@@ -1336,7 +1357,7 @@ def quality_audit_columns(spark, sf):
                - epoch_us(ts) AS d
       FROM events),
     g AS (
-      SELECT user_id, SUM(d) AS span_us,
+      SELECT user_id, CAST(SUM(d) AS BIGINT) AS span_us,
              CAST(SUM(CAST(value * d AS DECIMAL(25,6))) AS DOUBLE) AS wsum
       FROM s WHERE d IS NOT NULL GROUP BY user_id)
     SELECT user_id, span_us, round(wsum / span_us, 6) AS twap

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from decimal import Decimal
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -615,3 +616,45 @@ def test_connected_components_match_brute_force(spark, edges, n_parts):
         ).collect()
     }
     assert distributed == want
+
+
+def test_fixed_hash_queries_have_no_type_skew(spark):
+    """The two r02 driver hash failures were engine type-skew the value
+    compare couldn't see (DuckDB HUGEINT sums, decimal-rendered strings).
+    Pin those queries' oracle/engine type alignment forever (VERDICT r02
+    tasks 1-2)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from sweep_oracle_types import sweep_query
+    from test_oracle_parity import duck_connection
+    from conftest import SF_SMALL
+    from datacooker_dist_spark.suite import ORACLES, QUERIES
+
+    con = duck_connection(SF_SMALL)
+    for name in ("quality_audit_columns", "timeseries_twap",
+                 "skew_profile_keys", "agg_weighted_avg"):
+        flags = sweep_query(
+            con, QUERIES[name](spark, SF_SMALL).schema, ORACLES[name]
+        )
+        assert not flags, f"{name}: {flags}"
+
+
+@pytest.mark.sf_medium
+def test_no_type_skew_in_any_oracled_output(spark):
+    """Full-suite guard (runs in the verify loop): every oracled query's
+    DuckDB output types must class-match the Spark schema — no HUGEINT
+    sums, no decimal-vs-double skew, no engine-rendered decimal strings.
+    A driver-side comparator/DuckDB version bump must not be able to
+    redden arbitrary rows (VERDICT r02 task 2)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from sweep_oracle_types import sweep_all
+    from test_oracle_parity import duck_connection
+    from conftest import SF_SMALL
+    from datacooker_dist_spark.suite import ORACLES, QUERIES
+
+    con = duck_connection(SF_SMALL)
+    flags = sweep_all(spark, con, QUERIES, ORACLES, SF_SMALL)
+    assert not flags, flags

@@ -234,10 +234,32 @@ def test_profile_columns_counts_nulls_and_distincts(spark):
     assert rows["k"]["n_rows"] == 4
     assert rows["k"]["n_nulls"] == 1
     assert rows["k"]["n_distinct"] == 3
-    assert rows["k"]["min_value"] == "1" and rows["k"]["max_value"] == "3"
+    assert rows["k"]["min_num"] == 1.0 and rows["k"]["max_num"] == 3.0
+    assert rows["k"]["min_str"] is None and rows["k"]["max_str"] is None
     assert rows["s"]["n_nulls"] == 1 and rows["s"]["n_distinct"] == 2
+    assert rows["s"]["min_str"] == "x" and rows["s"]["max_str"] == "y"
+    assert rows["s"]["min_num"] is None
     assert rows["v"]["n_nulls"] == 1
-    assert rows["v"]["min_value"] == "1.50" and rows["v"]["max_value"] == "2.50"
+    assert rows["v"]["min_num"] == 1.5 and rows["v"]["max_num"] == 2.5
+
+
+def test_profile_columns_approx_mode_no_expand(spark):
+    """approx=True must avoid the Expand row-multiplication entirely and
+    keep cardinalities within HLL tolerance."""
+    from datacooker_dist_spark.operators.audit import profile_columns
+
+    df = spark.range(0, 2000).selectExpr(
+        "id AS k", "CAST(id % 7 AS STRING) AS s", "CAST(id AS DOUBLE) / 3 AS v"
+    )
+    out = profile_columns(
+        df, [("k", "bigint"), ("s", "string"), ("v", "double")], approx=True
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    rows = {r["col_name"]: r for r in out.collect()}
+    assert rows["s"]["n_distinct"] == 7  # tiny cardinality: HLL is exact
+    assert abs(rows["k"]["n_distinct"] - 2000) / 2000 < 0.15
+    assert rows["k"]["min_num"] == 0.0 and rows["k"]["max_num"] == 1999.0
 
 
 class TestBloom:
