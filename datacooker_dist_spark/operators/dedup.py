@@ -323,7 +323,8 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 50,
-    final_stage: str = "local",
+    final_stage: str = "auto",
+    auto_node_limit: int = 10_000_000,
 ) -> DataFrame:
     """Connected components over an undirected pair list by DISTRIBUTED
     UNION-FIND FILTERING (the MapReduce "filtering" CC family, cf.
@@ -349,17 +350,22 @@ def connected_components(
 
     Scale posture (100 TB): pass K's input is at most one star edge per
     distinct node in each coalesced group, so data shrinks geometrically
-    toward one (node, root) row per node. With the default
-    ``final_stage="local"`` the last pass holds the distinct-node forest
-    of the PAIR GRAPH in one task (near-dup graphs: dup nodes only, a
-    small fraction of the corpus) — the fast path whenever that forest
-    fits task memory. For node sets beyond a single task, pass
-    ``final_stage="distributed"``: filtering stops while still parallel
-    (several partitions) and the remaining star forest — already a
-    connectivity-preserving contraction with depth-1 stars, so a
-    few-hop diameter — is closed by min-label propagation joins, which
-    stay fully distributed and converge in a handful of rounds on the
-    contracted graph. Same labels either way (property-tested).
+    toward one (node, root) row per node. ``final_stage="local"`` runs the
+    last pass with the whole distinct-node forest of the PAIR GRAPH in one
+    task (near-dup graphs: dup nodes only, a small fraction of the
+    corpus) — the fast path whenever that forest fits task memory.
+    ``final_stage="distributed"`` stops filtering while still parallel
+    (several partitions) and closes the remaining star forest — already a
+    connectivity-preserving contraction with depth-1 stars, so a few-hop
+    diameter — by min-label propagation joins, which stay fully
+    distributed and converge in a handful of rounds on the contracted
+    graph. The default ``"auto"`` reads the EXACT distinct-node count off
+    the first materialized pass (star edges = one row per node, already
+    checkpointed — the count is a cached scan, never a re-execution of
+    the caller's pair plan) and picks local below ``auto_node_limit``
+    (10M (node, root) longs ≈ 160 MB, comfortably one task), distributed
+    above — so the default never silently concentrates an oversized
+    forest in one task. Same labels every way (property-tested).
 
     Output: (``src`` node id, ``cluster_id`` = min node id in component).
     """
@@ -403,6 +409,22 @@ def connected_components(
                 {"s": ns, "t": [find(n) for n in ns]}
             )
 
+    # Node-id contract: integral ids only. The union-find workers key on
+    # int64; a silent cast of string/float ids would null out and fail
+    # deep inside the Python pass with an opaque error — refuse up front
+    # with a clear message instead (map non-numeric ids through xxhash64
+    # or a dense-rank dictionary before calling).
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    integral = (ByteType, ShortType, IntegerType, LongType)
+    schema = {f.name: f.dataType for f in pairs.schema.fields}
+    for c in (src, dst):
+        if not isinstance(schema[c], integral):
+            raise TypeError(
+                f"connected_components requires integral node ids; column "
+                f"{c!r} is {schema[c].simpleString()} — hash or "
+                f"dictionary-encode ids to long first"
+            )
     df = pairs.select(
         F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("t")
     )
@@ -410,10 +432,15 @@ def connected_components(
     # edge, so fewer, larger partitions amortize the per-pass Python
     # worker round-trip without risking task memory (star edges are one
     # row per distinct node).
+    from ..functions.checkpoints import CheckpointChain
+
+    chain = CheckpointChain()
     parts = min(df.rdd.getNumPartitions(), 64)
     fanin = 8
-    stop_parts = 1 if final_stage == "local" else fanin
+    stage = final_stage
+    stop_parts = fanin if stage == "distributed" else 1
     df = df.coalesce(parts)
+    first_pass = True
     while True:
         df = df.mapInPandas(uf_pass, out_schema)
         if parts <= stop_parts:
@@ -421,13 +448,25 @@ def connected_components(
         # Materialize each pass: coalesce is narrow, so WITHOUT a stage
         # boundary the whole chain would collapse into stop_parts tasks
         # (the classic coalesce(1) pitfall) and every "parallel" pass
-        # would run serially inside the final task. localCheckpoint cuts
-        # a job per pass — pass K runs with K's own parallelism, and
-        # only the already-contracted star edges carry forward.
-        df = df.localCheckpoint()
+        # would run serially inside the final task. The checkpoint cuts
+        # a short job per pass — pass K runs with K's own parallelism,
+        # only the contracted star edges carry forward, and the chain
+        # releases pass K-1's blocks as soon as K materializes.
+        df = chain.checkpoint(df)
+        if first_pass and stage == "auto":
+            # Star edges = exactly one row per distinct node: the cheap
+            # cached count that decides whether the final forest is safe
+            # to concentrate in a single task.
+            nodes = df.count()
+            if nodes > auto_node_limit:
+                stage = "distributed"
+                stop_parts = fanin
+            else:
+                stage = "local"
+            first_pass = False
         parts = max(stop_parts, parts // fanin)
         df = df.coalesce(parts)
-    if final_stage != "local" and parts > 1:
+    if stage == "distributed" and parts > 1:
         return _labelprop_components(df, max_iter=max_iter).select(
             F.col("s").alias(src), F.col("label").alias("cluster_id")
         )
@@ -436,12 +475,21 @@ def connected_components(
 
 def _labelprop_components(star_edges: DataFrame, max_iter: int = 50) -> DataFrame:
     """Distributed finisher for :func:`connected_components`: min-label
-    propagation over an already-CONTRACTED (node, local-root) star
-    forest. Each round is one equi-join shuffle + aggregate; rounds are
-    bounded by the contracted graph's diameter — a few hops, because
-    every input edge already points at a partition-level minimum. Kept
-    join-based (never collects) so the node set can exceed any single
-    task's memory. Output: (s = node id, label = component min id)."""
+    propagation WITH POINTER DOUBLING over the contracted (node,
+    local-root) star forest. Plain neighbor-min moves the component
+    minimum ONE contracted hop per round — O(diameter) driver rounds,
+    which silently under-converged on long chains when filtering stopped
+    early (caught by the r03 chain test: a 500-node path left 442 wrong
+    labels at max_iter=50). Each round here therefore also shortcuts the
+    label-pointer graph twice — label(x) <- min(label(x), label(label(x)))
+    — the classic pointer-jumping step, so the covered distance roughly
+    quadruples per round and convergence is O(log diameter) (~10 rounds
+    for a million-supernode chain). Every step is an equi-join shuffle +
+    aggregate; never collects, so the node set can exceed any single
+    task's memory; raises instead of returning wrong labels if max_iter
+    is ever exhausted. Output: (s = node id, label = component min id)."""
+    from ..functions.checkpoints import CheckpointChain
+
     p = star_edges.localCheckpoint()
     edges = (
         p.unionByName(p.select(F.col("t").alias("s"), F.col("s").alias("t")))
@@ -454,29 +502,44 @@ def _labelprop_components(star_edges: DataFrame, max_iter: int = 50) -> DataFram
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    chain = CheckpointChain()  # label generations only; edges stay pinned
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["t"] == labels["id"])
             .groupBy("s")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(nbr_min, labels["id"] == nbr_min["s"], "left")
-            .select(
-                labels["id"],
-                F.least(
-                    labels["label"], F.coalesce("nbr_label", labels["label"])
-                ).alias("label"),
-                (
-                    F.coalesce("nbr_label", labels["label"]) < labels["label"]
-                ).alias("_changed"),
-            )
-            .localCheckpoint()
+        cand = labels.join(nbr_min, labels["id"] == nbr_min["s"], "left").select(
+            labels["id"],
+            F.least(
+                labels["label"], F.coalesce("nbr_label", labels["label"])
+            ).alias("label"),
+            labels["label"].alias("_old"),
         )
-        changed = new_labels.filter("_changed").count()
-        labels = new_labels.drop("_changed")
+        for _jump in range(2):
+            ptr = cand.select(
+                F.col("id").alias("_pid"), F.col("label").alias("_plabel")
+            )
+            cand = (
+                cand.join(ptr, cand["label"] == ptr["_pid"], "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"), F.coalesce("_plabel", F.col("label"))
+                    ).alias("label"),
+                    "_old",
+                )
+            )
+        cand = chain.checkpoint(cand)
+        changed = cand.filter("label < _old").count()
+        labels = cand.drop("_old")
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components distributed finisher did not converge "
+            f"in {max_iter} rounds — raise max_iter"
+        )
     return labels.select(F.col("id").alias("s"), "label")
 
 

@@ -139,21 +139,26 @@ def bpe_merges(
     config-scale scalar read as pagerank's node count), (3) fold the
     merge into every token with an ``aggregate`` HOF (greedy
     left-to-right, the canonical BPE merge order) — narrow, no shuffle.
-    Token arrays are localCheckpointed per round so round K does not
-    replay rounds 1..K-1's folds, and the previous round's blocks are
-    released as soon as the new generation materializes — storage holds
-    at most two corpus copies no matter how many rounds run.
+    Token arrays are localCheckpointed per round (via CheckpointChain,
+    which releases the previous generation's blocks THROUGH the JVM RDD
+    handle — a bare ``df.rdd.unpersist`` only detaches a derived RDD) so
+    round K neither replays rounds 1..K-1's folds nor pins their storage:
+    at most two corpus copies are alive at any point, however many rounds
+    run.
 
     Returns [(rank, left, right, pair_count), ...] — the merge table a
     tokenizer would persist. Wire cost per round is the distinct-pair
     count (vocab²-bounded), not corpus size; the driver sees exactly one
     row per round.
     """
+    from ..functions.checkpoints import CheckpointChain
+
+    chain = CheckpointChain()
     words = df.select(
         F.explode(tokens_col(text_col)).alias("w")
     ).filter(F.col("w") != "")
     chars = F.filter(F.split("w", "(?!^)"), lambda x: x != "")
-    syms = words.select(chars.alias("s")).localCheckpoint()
+    syms = chain.checkpoint(words.select(chars.alias("s")))
 
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, rounds + 1):
@@ -191,10 +196,6 @@ def bpe_merges(
                 ),
             ).otherwise(F.concat(acc, F.array(x))),
         )
-        prev = syms
-        syms = syms.select(fold.alias("s")).localCheckpoint()
-        # Release the previous generation's checkpoint blocks so storage
-        # holds at most two corpus copies regardless of ``rounds`` (the
-        # same discipline as pagerank's cached-adjacency release).
-        prev.rdd.unpersist(False)
+        syms = chain.checkpoint(syms.select(fold.alias("s")))
+    chain.release(df)
     return merges

@@ -324,3 +324,77 @@ def test_ema_null_values_tolerated(spark):
     assert rows[1] == 100
     assert rows[2] is None
     assert rows[3] == (200 + 100) // 2
+
+
+def test_checkpoint_chain_releases_previous_generations(spark):
+    """CheckpointChain must ACTUALLY drop the previous generation's
+    localCheckpoint blocks (ADVICE r02: df.rdd.unpersist only detached a
+    derived RDD, leaving every generation pinned)."""
+    from pyspark.sql import functions as F
+
+    from datacooker_dist_spark.functions.checkpoints import (
+        CheckpointChain,
+        _persistent_ids,
+    )
+
+    sc = spark.sparkContext
+    base = _persistent_ids(sc)
+    chain = CheckpointChain()
+    df = spark.range(1000).select(F.col("id").alias("x"))
+    for _ in range(5):
+        df = chain.checkpoint(df.select((F.col("x") + 1).alias("x")))
+    held = _persistent_ids(sc) - base
+    assert len(held) == 1, f"expected 1 live generation, found {len(held)}"
+    assert df.agg(F.sum("x")).collect()[0][0] == sum(range(5, 1005))
+    chain.release(spark)
+    assert not (_persistent_ids(sc) - base)
+
+
+def test_bpe_merges_storage_bounded(spark):
+    """After bpe_merges returns, no generation blocks remain pinned —
+    storage is bounded however many rounds run (ADVICE r02 medium)."""
+    from datacooker_dist_spark.functions.checkpoints import _persistent_ids
+    from datacooker_dist_spark.operators.text import bpe_merges
+
+    sc = spark.sparkContext
+    base = _persistent_ids(sc)
+    docs = spark.createDataFrame(
+        [("the theme thesis there",), ("other theory the the",)] * 5,
+        "text string",
+    )
+    merges = bpe_merges(docs, rounds=6)
+    assert len(merges) >= 3
+    # 'he' and 'th' tie on count; (count DESC, l, r) tiebreak picks 'he'
+    assert merges[0][1:3] == ("h", "e")
+    assert not (_persistent_ids(sc) - base), "generations left pinned"
+
+
+def test_connected_components_rejects_non_integral_ids(spark):
+    import pytest as _pytest
+
+    from datacooker_dist_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
+    with _pytest.raises(TypeError, match="integral node ids"):
+        connected_components(pairs)
+
+
+def test_connected_components_auto_switches_to_distributed(spark):
+    """auto mode must pick the distributed finisher past auto_node_limit
+    and produce identical labels."""
+    from pyspark.sql import functions as F
+
+    from datacooker_dist_spark.operators.dedup import connected_components
+
+    edges = spark.range(0, 500).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    ).repartition(16)  # one 501-node chain
+    low = {
+        tuple(r)
+        for r in connected_components(edges, auto_node_limit=10).collect()
+    }
+    want = {(i, 0) for i in range(501)}
+    assert low == want
+    assert {
+        tuple(r) for r in connected_components(edges).collect()
+    } == want
