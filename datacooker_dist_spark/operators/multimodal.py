@@ -67,15 +67,77 @@ def _fake_decode(payload: bytes) -> tuple[int, int]:
     return (n % 640) + 1, (n % 480) + 1
 
 
-def decode_media(payload: bytes, media_type: str, fake: bool = False):
-    """Decode one media payload. STUB: real decoding needs PIL/librosa/ffmpeg
-    which are not installed here; the Spark plumbing around this call is real."""
-    if not fake:
-        raise NotImplementedError(
-            "media decode requires imaging/audio libraries not present in "
-            "this environment; pass fake=True for the deterministic stub"
+def _parse_image_dims(payload: bytes) -> tuple[int, int] | None:
+    """Pure-Python image dimension parse from format headers — PNG, GIF,
+    BMP, JPEG. No imaging library needed: dimension extraction (the only
+    feature the suite's schema carries) reads fixed header offsets /
+    JPEG SOF segments. Returns None for unrecognized payloads."""
+    p = payload
+    if len(p) >= 24 and p[:8] == b"\x89PNG\r\n\x1a\n":
+        return (
+            int.from_bytes(p[16:20], "big"),
+            int.from_bytes(p[20:24], "big"),
         )
-    return _fake_decode(payload)
+    if len(p) >= 10 and p[:6] in (b"GIF87a", b"GIF89a"):
+        return (
+            int.from_bytes(p[6:8], "little"),
+            int.from_bytes(p[8:10], "little"),
+        )
+    if len(p) >= 26 and p[:2] == b"BM":
+        return (
+            int.from_bytes(p[18:22], "little", signed=True),
+            abs(int.from_bytes(p[22:26], "little", signed=True)),
+        )
+    if len(p) >= 4 and p[:2] == b"\xff\xd8":  # JPEG: walk to an SOF marker
+        i = 2
+        while i + 9 < len(p):
+            if p[i] != 0xFF:
+                return None
+            marker = p[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = int.from_bytes(p[i + 2 : i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return (
+                    int.from_bytes(p[i + 7 : i + 9], "big"),
+                    int.from_bytes(p[i + 5 : i + 7], "big"),
+                )
+            i += 2 + seg_len
+    return None
+
+
+def decode_media(payload: bytes, media_type: str, fake: bool = False):
+    """Decode one media payload to (width, height).
+
+    Real path (``fake=False``, VERDICT r02 task 7): Pillow when it is
+    installed (optional extra — any format PIL reads, full decode), else
+    a dependency-free header parse for PNG/GIF/BMP/JPEG dimensions. A
+    cluster with the imaging libs gets real decodes without code changes;
+    this container (no PIL) still really parses image headers.
+    Unrecognized formats / non-image media raise NotImplementedError.
+    ``fake=True`` keeps the deterministic length-derived stub the suite
+    oracles replay.
+    """
+    if fake:
+        return _fake_decode(payload)
+    try:
+        import io
+
+        from PIL import Image  # optional extra
+
+        with Image.open(io.BytesIO(payload)) as im:
+            return im.size
+    except ImportError:
+        pass
+    dims = _parse_image_dims(payload)
+    if dims is not None:
+        return dims
+    raise NotImplementedError(
+        f"cannot decode media_type={media_type!r}: payload is not a "
+        "recognized PNG/GIF/BMP/JPEG header and no imaging library "
+        "(pillow) is installed; pass fake=True for the deterministic stub"
+    )
 
 
 def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:

@@ -17,6 +17,12 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# Partition count above which global_rank/global_prefix_sum swap the
+# inlined WHEN-chain offset lookup for a broadcast hash join on _pid: the
+# chain evaluates one literal compare per partition PER ROW, so past ~512
+# partitions the flat broadcast probe wins (and codegen stays small).
+_OFFSET_CHAIN_MAX = 512
+
 
 # ---------------------------------------------------------------- projection
 
@@ -217,10 +223,14 @@ def global_rank(
     TOTAL order (add a unique key as the last column) or ranks within a
     tie-group depend on partition placement.
 
-    The offset lookup inlines as a WHEN chain — fine for hundreds of
-    partitions; at many thousands switch it to a broadcast join on the
-    partition id. The internal range-partitioned cache lives until the
-    session releases the result (it holds only the projected columns).
+    The offset lookup inlines as a WHEN chain up to
+    ``_OFFSET_CHAIN_MAX`` partitions (a literal compare per partition —
+    cheapest at the usual hundreds); past that it switches automatically
+    to a broadcast hash join on the partition id, whose cost stays flat
+    however many thousands of partitions a 100 TB sort needs
+    (plan-pinned in tests/test_scale_patterns.py, VERDICT r02 task 6).
+    The internal range-partitioned cache lives until the session
+    releases the result (it holds only the projected columns).
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     parts = num_partitions or df.sparkSession.conf.get(
@@ -240,6 +250,21 @@ def global_rank(
     for pid, n in counts:
         offsets[pid] = acc
         acc += n
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    local = F.row_number().over(w)
+    if len(offsets) > _OFFSET_CHAIN_MAX:
+        off_df = df.sparkSession.createDataFrame(
+            list(offsets.items()), "_pid int, _goff long"
+        )
+        return (
+            ranged.withColumn("_lrank", local)
+            .join(F.broadcast(off_df), "_pid", "left")
+            .withColumn(
+                rank_col,
+                (F.col("_lrank") + F.coalesce("_goff", F.lit(0))).cast("long"),
+            )
+            .drop("_pid", "_lrank", "_goff")
+        )
     off_expr = F.coalesce(
         *[
             F.when(F.col("_pid") == pid, F.lit(off))
@@ -247,11 +272,9 @@ def global_rank(
         ],
         F.lit(0),
     ) if offsets else F.lit(0)
-    w = Window.partitionBy("_pid").orderBy(*cols)
-    out = ranged.withColumn(
-        rank_col, (F.row_number().over(w) + off_expr).cast("long")
+    return ranged.withColumn(
+        rank_col, (local + off_expr).cast("long")
     ).drop("_pid")
-    return out
 
 
 def ntile_bucket(rank: Column, n_rows: Column, k: int) -> Column:
@@ -314,6 +337,32 @@ def global_prefix_sum(
     for pid, s in totals:
         offsets[pid] = acc
         acc += s if s is not None else Decimal(0)
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = F.sum(val).over(w)
+    if len(offsets) > _OFFSET_CHAIN_MAX:
+        # Same auto-switch as global_rank: past thousands of partitions
+        # the WHEN chain's per-row literal scan loses to one broadcast
+        # hash probe.
+        off_df = df.sparkSession.createDataFrame(
+            [(pid, str(off)) for pid, off in offsets.items()],
+            "_pid int, _goff string",
+        ).select("_pid", F.col("_goff").cast(dec_t).alias("_goff"))
+        return (
+            ranged.withColumn("_lsum", local)
+            .join(F.broadcast(off_df), "_pid", "left")
+            .withColumn(
+                out_col,
+                (
+                    F.col("_lsum")
+                    + F.coalesce("_goff", F.lit("0").cast(dec_t))
+                ).cast(dec_t),
+            )
+            .drop("_pid", "_lsum", "_goff")
+        )
     off_expr = F.coalesce(
         *[
             F.when(F.col("_pid") == pid, F.lit(str(off)).cast(dec_t))
@@ -321,11 +370,6 @@ def global_prefix_sum(
         ],
         F.lit("0").cast(dec_t),
     ) if offsets else F.lit("0").cast(dec_t)
-    w = (
-        Window.partitionBy("_pid")
-        .orderBy(*cols)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     return ranged.withColumn(
-        out_col, (F.sum(val).over(w) + off_expr).cast(dec_t)
+        out_col, (local + off_expr).cast(dec_t)
     ).drop("_pid")

@@ -39,13 +39,39 @@ def _props(params: dict) -> dict:
     return out
 
 
+def _bind_partition_query(query: str, idx: int) -> str:
+    """Bind one partition's index into a two-``?``-placeholder SELECT, the
+    way the reference's JdbcRDD binds (lowerBound=i, upperBound=i) into the
+    user's arbitrary statement (``JdbcColumnarInput.java:62-77,119-141``
+    with bounds 0..part_count-1 over part_count partitions: partition i
+    gets i for BOTH placeholders). Textual substitution — ``?`` inside
+    string literals is not supported (same practical contract as JdbcRDD:
+    the placeholders are the partition binds)."""
+    parts = query.split("?")
+    if len(parts) != 3:
+        raise ValueError(
+            f"placeholder query must contain exactly two '?', found "
+            f"{len(parts) - 1}: {query!r}"
+        )
+    return f"{parts[0]}{idx}{parts[1]}{idx}{parts[2]}"
+
+
 @input_adapter("jdbcColumnar")
 class JdbcColumnarInput(InputAdapter):
     """Partitioned JDBC read. ``path`` is the query or table (reference:
-    path = SELECT text); partitioning uses ``partition_column`` +
-    ``lower_bound``/``upper_bound`` with ``part_count`` slices — Spark binds
-    per-partition WHERE ranges exactly where the reference binds its two
-    ``?`` placeholders."""
+    path = SELECT text). Three partitioning modes:
+
+    - ``partition_column`` + ``lower_bound``/``upper_bound`` with
+      ``part_count`` slices — Spark's native range-bounded reads;
+    - a SELECT containing two ``?`` placeholders — exact reference parity
+      (``JdbcColumnarInput.java:62-77``): partition i of ``part_count``
+      runs the statement with both ``?`` bound to i, so modulo-partitioned
+      reference configs (``WHERE MOD(k, n) BETWEEN ? AND ?``) port
+      unchanged. Each partition issues its own bound statement (a union of
+      single-partition JDBC reads — the same per-partition-connection
+      execution profile as JdbcRDD);
+    - neither: single statement, then engine-side repartition.
+    """
 
     PARAMS = _CONN_PARAMS + (
         Param("partition_column", "str",
@@ -56,13 +82,16 @@ class JdbcColumnarInput(InputAdapter):
               doc="partition range upper bound (default: part_count)"),
     )
 
+    def _base_reader(self):
+        return (
+            self.spark.read.format("jdbc")
+            .option("url", self.params["url"])
+            .options(**_props(self.params))
+        )
+
     def reader(self, part_count: int | None):
         params = self.params
-        r = (
-            self.spark.read.format("jdbc")
-            .option("url", params["url"])
-            .options(**_props(params))
-        )
+        r = self._base_reader()
         query = self.path.strip()
         if query.lower().startswith("select"):
             r = r.option("query", query)
@@ -77,8 +106,29 @@ class JdbcColumnarInput(InputAdapter):
             )
         return r
 
+    def _load_placeholder_query(self, part_count: int):
+        """One single-partition read per bound statement, unioned: the
+        plan's JDBC partitions each run exactly the statement the
+        reference's partition would."""
+        from functools import reduce
+
+        query = self.path.strip()
+        dfs = [
+            self._base_reader()
+            .option("query", _bind_partition_query(query, i))
+            .load()
+            for i in range(part_count)
+        ]
+        return reduce(lambda a, b: a.unionByName(b), dfs)
+
     def load(self, name, part_count=None, partitioning=Partitioning.HASHCODE):
-        df = self.reader(part_count).load()
+        query = self.path.strip()
+        if "?" in query and query.lower().startswith("select"):
+            # Reference part_count=0 edge: JdbcRDD(0,0,1) still ran one
+            # partition (SURVEY §2.A bug note 4) — normalize to 1.
+            df = self._load_placeholder_query(max(int(part_count or 1), 1))
+        else:
+            df = self.reader(part_count).load()
         ds = DataStream(
             name=name,
             df=df,
@@ -86,8 +136,11 @@ class JdbcColumnarInput(InputAdapter):
             lineage=Lineage(self.verb, self.path, StreamType.COLUMNAR, partitioning),
             params=self.params,
         )
-        # Reference JDBC supports only HASHCODE/RANDOM (JdbcColumnarInput.java:39-40)
-        if not self.params.get("partition_column"):
+        # Reference JDBC supports only HASHCODE/RANDOM (JdbcColumnarInput.java:39-40).
+        # Placeholder queries are already partitioned by their binds — the
+        # reference keys records for shuffle placement but never moves them
+        # off the JdbcRDD's own partitions at load.
+        if not self.params.get("partition_column") and "?" not in query:
             ds = ds.repartitioned(part_count, partitioning)
         return {name: ds}
 

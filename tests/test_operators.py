@@ -398,3 +398,51 @@ def test_connected_components_auto_switches_to_distributed(spark):
     assert {
         tuple(r) for r in connected_components(edges).collect()
     } == want
+
+
+def test_decode_media_real_path_parses_image_headers(spark):
+    """The real (fake=False) decode path must work without PIL: PNG, GIF,
+    BMP, and JPEG dimensions parse straight from the format headers
+    through the full mapInPandas plumbing (VERDICT r02 task 7)."""
+    import pytest as _pytest
+
+    from datacooker_dist_spark.operators.multimodal import (
+        FEATURE_SCHEMA,
+        decode_media,
+        extract_features,
+    )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+        + (320).to_bytes(4, "big") + (240).to_bytes(4, "big") + b"\x08\x02"
+    )
+    gif = b"GIF89a" + (64).to_bytes(2, "little") + (48).to_bytes(2, "little")
+    bmp = (
+        b"BM" + b"\x00" * 16
+        + (100).to_bytes(4, "little", signed=True)
+        + (-200).to_bytes(4, "little", signed=True)  # top-down BMP: |h|
+    )
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + (480).to_bytes(2, "big") + (640).to_bytes(2, "big") + b"\x00" * 10
+    )
+    assert decode_media(png, "image") == (320, 240)
+    assert decode_media(gif, "image") == (64, 48)
+    assert decode_media(bmp, "image") == (100, 200)
+    assert decode_media(jpeg, "image") == (640, 480)
+    with _pytest.raises(NotImplementedError, match="not a recognized"):
+        decode_media(b"not an image", "audio")
+
+    media = spark.createDataFrame(
+        [(1, bytearray(png), "image", "s", len(png)),
+         (2, bytearray(jpeg), "image", "s", len(jpeg))],
+        "media_id long, payload binary, media_type string, "
+        "meta_source string, meta_bytes long",
+    )
+    rows = {r["media_id"]: r for r in
+            extract_features(media, fake_decode=False).collect()}
+    assert (rows[1]["width"], rows[1]["height"]) == (320, 240)
+    assert (rows[2]["width"], rows[2]["height"]) == (640, 480)
+    assert extract_features(media, fake_decode=False).schema == FEATURE_SCHEMA
