@@ -23,8 +23,31 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import pandas as pd  # noqa: E402
+from pyspark.sql.functions import pandas_udf  # noqa: E402
+
 from datacooker_dist_spark.session import build_session  # noqa: E402
 from datacooker_dist_spark.suite import QUERIES  # noqa: E402
+
+
+def _python_path_warmup(spark) -> None:
+    """Warm the Python-worker daemon + Arrow serde on all three eval paths
+    (mapInPandas, mapInArrow, pandas UDF): the forks cost ~3-4 s once per
+    session and otherwise land on whichever pandas/Arrow query runs first
+    (the r02 'udf regressions' were exactly this attribution)."""
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    tiny = spark.range(0, 64, 1, 32)
+    tiny.mapInPandas(lambda it: it, "id long").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    tiny.mapInArrow(lambda it: it, "id long").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    tiny.select(_warm("id")).write.format("noop").mode("overwrite").save()
 
 
 def main() -> None:
@@ -41,6 +64,11 @@ def main() -> None:
     # JVM/codegen warmup on a trivial job so the first query isn't charged
     # session startup.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    # r03 A/B: the r02 "udf_broadcast_dict 0.25→2.45 s regression" was the
+    # session's Python-worker startup cost mis-attributed (warm per-query
+    # times are 0.24-0.47 s); charge it to warmup, not to a query.
+    _python_path_warmup(spark)
 
     timings: dict[str, float] = {}
     for name in names:

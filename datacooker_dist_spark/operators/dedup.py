@@ -136,7 +136,7 @@ def minhash_signature_table(
     )
 
 
-def minhash_lsh_candidates(
+def lsh_band_index(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -144,20 +144,21 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_n: int = 3,
     num_partitions: int | None = None,
-    shingles: DataFrame | None = None,  # shingle_rows form: (id, _sh) rows
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash LSH.
-
-    rows/bands: each doc explodes into ``bands`` rows keyed by
-    (band_id, xxhash64(band's min-hashes)); a self-equi-join on that key
-    yields only bucket-mates. Shuffle volume is bands×docs rows — linear,
-    never quadratic.
-    """
+    """The banded MinHash LSH INDEX of a corpus: (id, band, bhash) rows —
+    each document explodes into ``bands`` rows keyed by (band_id,
+    xxhash64(band's min-hashes)). This is the persistable artifact of the
+    dedup family: write it as a parquet table once and every later batch
+    probes it (see :func:`incremental_near_dup_pairs`) instead of
+    re-signaturing the whole corpus. Deterministic given the fixed
+    xxhash64 seed family, so an index built by any engine/partitioning
+    vintage stays probe-compatible."""
     rows_per_band = num_hashes // bands
     sig = minhash_signature_table(
         docs, id_col, text_col, num_hashes, shingle_n, num_partitions, shingles
     )
-    banded = sig.select(
+    return sig.select(
         id_col,
         F.explode(
             F.array(
@@ -173,6 +174,26 @@ def minhash_lsh_candidates(
             )
         ).alias("_b"),
     ).select(id_col, F.col("_b.band").alias("band"), F.col("_b.bhash").alias("bhash"))
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    num_partitions: int | None = None,
+    shingles: DataFrame | None = None,  # shingle_rows form: (id, _sh) rows
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash LSH:
+    a self-equi-join of :func:`lsh_band_index` on (band, bhash) yields only
+    bucket-mates. Shuffle volume is bands×docs rows — linear, never
+    quadratic."""
+    banded = lsh_band_index(
+        docs, id_col, text_col, num_hashes, bands, shingle_n,
+        num_partitions, shingles,
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -188,6 +209,81 @@ def minhash_lsh_candidates(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
         .distinct()
+    )
+
+
+def incremental_near_dup_pairs(
+    base_docs: DataFrame,
+    new_docs: DataFrame,
+    base_index: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental near-dedup: probe a NEW batch of documents against an
+    EXISTING corpus's LSH index — the operational shape at 100 TB, where
+    re-signaturing the whole corpus per ingest batch is the real cost.
+
+    ``base_index`` is a previously materialized :func:`lsh_band_index`
+    table (pass None to derive it from ``base_docs`` — correct but pays
+    the full-index build this call). Only the new batch is signatured;
+    candidates come from an equi-join of the new batch's band rows
+    against the index on (band, bhash), so shuffle volume is
+    O(bands×new + matched index rows) — independent of corpus size when
+    the index join is bucket-pruned/broadcast by the planner. Exact
+    3-gram Jaccard verification then touches only candidate documents on
+    the base side (semi-join-restricted shingle build), never the corpus.
+
+    Output: (id_new, id_base, jaccard ≥ threshold) — new docs that
+    near-duplicate something already in the corpus (the drop/link list).
+    New-vs-new duplicates are out of scope here by design: dedup the
+    batch itself first, then probe.
+    """
+    if base_index is None:
+        base_index = lsh_band_index(
+            base_docs, id_col, text_col, num_hashes, bands, shingle_n
+        )
+    probe = lsh_band_index(
+        new_docs, id_col, text_col, num_hashes, bands, shingle_n
+    )
+    cand = (
+        probe.alias("n")
+        .join(
+            base_index.alias("b"),
+            on=[
+                F.col("n.band") == F.col("b.band"),
+                F.col("n.bhash") == F.col("b.bhash"),
+                # a doc present in both vintages is not its own near-dup
+                F.col(f"n.{id_col}") != F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("id_new"),
+            F.col(f"b.{id_col}").alias("id_base"),
+        )
+        .distinct()
+    )
+    new_sets = shingle_table(new_docs, id_col, text_col, shingle_n).select(
+        F.col(id_col).alias("id_new"), F.col("_sh").alias("_shn")
+    )
+    # Base-side shingles only for candidate docs: the semi join keeps the
+    # verification scan proportional to candidates, not corpus size.
+    base_hit = base_docs.join(
+        cand.select(F.col("id_base").alias(id_col)).distinct(), id_col, "left_semi"
+    )
+    base_sets = shingle_table(base_hit, id_col, text_col, shingle_n).select(
+        F.col(id_col).alias("id_base"), F.col("_sh").alias("_shb")
+    )
+    inter = F.size(F.array_intersect("_shn", "_shb"))
+    union = F.size(F.array_union("_shn", "_shb"))
+    return (
+        cand.join(new_sets, "id_new")
+        .join(base_sets, "id_base")
+        .select("id_new", "id_base", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )
 
 

@@ -106,6 +106,32 @@ def dedup_ngram_jaccard(spark, sf):
     return shared_jaccard_pairs(spark, sf)
 
 
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM documents)
+    SELECT n.doc_id AS id_new, b.doc_id AS id_base,
+           len(list_intersect(n.s, b.s))
+             / (len(n.s) + len(b.s) - len(list_intersect(n.s, b.s))) AS jaccard
+    FROM sh n JOIN sh b ON n.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+    WHERE len(list_intersect(n.s, b.s))
+            / (len(n.s) + len(b.s) - len(list_intersect(n.s, b.s))) >= 0.8
+    """,
+)
+def dedup_incremental(spark, sf):
+    """Incremental near-dedup — the operational 100 TB ingest shape: only
+    the NEW batch (here: doc_id % 5 = 0) is MinHash-signatured and its
+    band rows probe the EXISTING corpus's persistable LSH index
+    (lsh_band_index of the rest); exact Jaccard verification touches only
+    candidate base docs via a semi join. The corpus is never
+    re-signatured per batch. Oracle brute-forces the new×base pair space;
+    at engine scale only the index probe runs."""
+    docs = table(spark, sf, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    return D.incremental_near_dup_pairs(base, new, threshold=0.8)
+
+
 @query("dedup_minhash_lsh")  # rows-only: banded-LSH candidate set
 def dedup_minhash_lsh(spark, sf):
     """Raw LSH candidate pairs (pre-verification). Deterministic given the

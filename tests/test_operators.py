@@ -446,3 +446,49 @@ def test_decode_media_real_path_parses_image_headers(spark):
     assert (rows[1]["width"], rows[1]["height"]) == (320, 240)
     assert (rows[2]["width"], rows[2]["height"]) == (640, 480)
     assert extract_features(media, fake_decode=False).schema == FEATURE_SCHEMA
+
+
+def test_incremental_near_dup_matches_brute_force(spark, tmp_path):
+    """Probing new docs against a materialized base LSH index must find
+    exactly the brute-force new-vs-base pairs at threshold, and the
+    written-to-parquet index must behave identically to the derived one
+    (the persistable-index contract)."""
+    from datacooker_dist_spark.operators.dedup import (
+        incremental_near_dup_pairs,
+        lsh_band_index,
+        ngram_jaccard_pairs,
+    )
+
+    rows = []
+    for i in range(40):
+        text = f"alpha beta gamma delta epsilon zeta eta theta iota kappa v{i}"
+        rows.append((i, text))
+    # plant near-dups of base docs 3 and 7 in the new batch (ids % 5 == 0)
+    rows[10] = (10, rows[3][1])
+    rows[25] = (25, rows[7][1] + " tail")
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+
+    got = {
+        (r.id_new, r.id_base)
+        for r in incremental_near_dup_pairs(base, new, threshold=0.8).collect()
+    }
+    brute = ngram_jaccard_pairs(docs, None, threshold=0.8)
+    want = {
+        (a, b) if a % 5 == 0 else (b, a)
+        for a, b in ((r.id_a, r.id_b) for r in brute.collect())
+        if (a % 5 == 0) != (b % 5 == 0)
+    }
+    assert (10, 3) in want  # the planted exact copy survives thresholding
+    assert got == want
+
+    idx_path = str(tmp_path / "lsh_index")
+    lsh_band_index(base).write.parquet(idx_path)
+    from_idx = {
+        (r.id_new, r.id_base)
+        for r in incremental_near_dup_pairs(
+            base, new, base_index=spark.read.parquet(idx_path), threshold=0.8
+        ).collect()
+    }
+    assert from_idx == got
