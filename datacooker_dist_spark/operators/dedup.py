@@ -176,6 +176,29 @@ def lsh_band_index(
     ).select(id_col, F.col("_b.band").alias("band"), F.col("_b.bhash").alias("bhash"))
 
 
+def cap_bucket_size(
+    banded: DataFrame,
+    max_bucket: int,
+    keys: tuple[str, str] = ("band", "bhash"),
+) -> DataFrame:
+    """Drop LSH buckets with more than ``max_bucket`` members — the
+    standard stop-bucket mitigation for candidate-pair skew: a degenerate
+    bucket of B members (boilerplate, empty strings, template text)
+    contributes B² pairs to the bucket self-join, which is THE way a
+    linear LSH plan goes quadratic at 100 TB. Members of an oversized
+    bucket are so common that they pair far beyond any useful dup set;
+    dropping the bucket trades that recall tail (docs agreeing ONLY in
+    stop-buckets) for a hard per-bucket pair bound of max_bucket². One
+    extra hash aggregate + semi join on the bucket key."""
+    sizes = (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_bucket)
+        .select(*keys)
+    )
+    return banded.join(sizes, list(keys), "left_semi")
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -185,15 +208,20 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     num_partitions: int | None = None,
     shingles: DataFrame | None = None,  # shingle_rows form: (id, _sh) rows
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash LSH:
     a self-equi-join of :func:`lsh_band_index` on (band, bhash) yields only
     bucket-mates. Shuffle volume is bands×docs rows — linear, never
-    quadratic."""
+    quadratic. ``max_bucket`` (recommended at corpus scale) drops
+    degenerate stop-buckets via :func:`cap_bucket_size`, bounding any
+    bucket's pair contribution at max_bucket²."""
     banded = lsh_band_index(
         docs, id_col, text_col, num_hashes, bands, shingle_n,
         num_partitions, shingles,
     )
+    if max_bucket is not None:
+        banded = cap_bucket_size(banded, max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -222,10 +250,14 @@ def incremental_near_dup_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Incremental near-dedup: probe a NEW batch of documents against an
     EXISTING corpus's LSH index — the operational shape at 100 TB, where
     re-signaturing the whole corpus per ingest batch is the real cost.
+    ``max_bucket`` caps INDEX-side bucket sizes (stop-bucket skew guard,
+    :func:`cap_bucket_size`) so one degenerate bucket can't fan a probe
+    row out corpus-wide.
 
     ``base_index`` is a previously materialized :func:`lsh_band_index`
     table (pass None to derive it from ``base_docs`` — correct but pays
@@ -246,6 +278,8 @@ def incremental_near_dup_pairs(
         base_index = lsh_band_index(
             base_docs, id_col, text_col, num_hashes, bands, shingle_n
         )
+    if max_bucket is not None:
+        base_index = cap_bucket_size(base_index, max_bucket)
     probe = lsh_band_index(
         new_docs, id_col, text_col, num_hashes, bands, shingle_n
     )

@@ -58,6 +58,13 @@ GALLERY = [
     ("dedup_segments",
      "segment-level dedup: one segment-keyed hash equi-join with partial "
      "aggregation — linear, never a cartesian"),
+    ("dedup_incremental",
+     "incremental near-dedup: the new batch's band rows equi-join the "
+     "corpus LSH index; base-side verification scan is semi-join-"
+     "restricted to candidates — the corpus is never re-signatured"),
+    ("quality_audit_columns_approx",
+     "HLL column audit: approx_count_distinct per column — one ordinary "
+     "partial/final aggregate, NO Expand row multiplication"),
 ]
 
 
