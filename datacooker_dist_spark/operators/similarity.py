@@ -411,3 +411,208 @@ def cosine_pairs(
         .select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks: split every vector into ``m``
+    subvectors of dim/m components and learn ``k`` centroids per
+    subspace. Centroids are a deterministic stride sample of the corpus's
+    subvectors (the suite's stand-in for a k-means fit, same policy as
+    :func:`ivf_cells` — the encode/ADC machinery is what PQ is about, and
+    it is identical under any codebook source). Output: (sub, code,
+    _cb: array<double>) — m·k rows, broadcast-sized by construction
+    (dim·k doubles total, independent of corpus size).
+    """
+    from pyspark.sql import Window
+
+    sub_dim = dim // m
+    w = Window.orderBy(id_col)
+    sampled = (
+        corpus.select(id_col, as_double_array(vec_col).alias("_v"))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy()))
+        .filter(
+            ((F.col("_rn") - 1)
+             % F.greatest((F.col("_n") / k).cast("int"), F.lit(1))) == 0
+        )
+        .limit(k)
+        .withColumn(
+            "code", F.row_number().over(Window.orderBy(id_col)) - 1
+        )
+    )
+    subs = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice("_v", s * sub_dim + 1, sub_dim).alias("_cb"),
+            )
+            for s in range(m)
+        ])
+    )
+    return sampled.select("code", subs.alias("_s")).select(
+        F.col("_s.sub").alias("sub"), "code", F.col("_s._cb").alias("_cb")
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-encode a corpus: each vector compresses to ``m`` codebook codes
+    — at (m=8, k=16) that is 8 nibbles ≈ 4 bytes per vector versus
+    dim·4 bytes of float32, the ~64× memory cut that lets a 100 TB
+    vector corpus's index live hot.
+
+    Plan: explode each vector into its m subvectors (narrow), join the
+    broadcast codebooks on sub (k-way fanout, still narrow), score by
+    negative L2 distance, and keep the argmin code per (id, sub) via a
+    max_by aggregate — partial aggregation reduces map-side to m rows
+    per vector before the single exchange. Distances compare as
+    ROUNDED integers (1e-6 grid) with a code tiebreak, so the encoding
+    is deterministic across engines and partitionings.
+    Output: (id, codes: array<int>, _norm: double).
+    """
+    sub_dim = dim // m
+    v = as_double_array(vec_col)
+    subs = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice(v, s * sub_dim + 1, sub_dim).alias("_sv"),
+            )
+            for s in range(m)
+        ])
+    )
+    exploded = corpus.select(
+        F.col(id_col), _norm(v).alias("_norm"), subs.alias("_s")
+    ).select(
+        id_col, "_norm", F.col("_s.sub").alias("sub"), F.col("_s._sv").alias("_sv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("_sv", "_cb", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = exploded.join(F.broadcast(codebooks), "sub").select(
+        id_col, "_norm", "sub", "code",
+        F.round(d2 * 1e6).cast("long").alias("_d"),
+    )
+    best = scored.groupBy(id_col, "sub").agg(
+        F.first("_norm").alias("_norm"),
+        F.min(F.struct("_d", "code")).getField("code").alias("code"),
+    )
+    return (
+        best.groupBy(id_col)
+        .agg(
+            F.first("_norm").alias("_norm"),
+            F.array_sort(
+                F.collect_list(F.struct("sub", "code"))
+            ).alias("_sc"),
+        )
+        .select(
+            id_col,
+            F.transform("_sc", lambda s: s["code"]).alias("codes"),
+            "_norm",
+        )
+    )
+
+
+def cosine_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) approximate top-k: the query stays
+    full-precision; every corpus vector is scored from its m codes via a
+    per-query lookup table of subvector dot products — dot(q, x) ≈
+    Σ_sub table[sub][codes[sub]], normalized by the stored corpus norm
+    for cosine. The scan touches only the 4-byte codes (+1 norm), never
+    the vectors: that is the PQ trade — IVF/LSH prune WHICH vectors are
+    scored, PQ shrinks WHAT a score costs, and production systems stack
+    them (IVF-PQ).
+
+    Plan: codes explode to m rows per corpus vector; the (query × sub ×
+    code) dot table (|Q|·m·k rows) broadcasts; one partial-aggregated sum
+    per (query, id) rebuilds the approximate dot. Lookup dots accumulate
+    as 1e-6-grid longs, so scores are exact integer sums — ranking is
+    deterministic under any partitioning (neighbor_id tiebreak).
+    Output: (query_id, neighbor_id, pq_cosine, rnk ≤ k).
+    """
+    from pyspark.sql import Window
+
+    cb = pq_codebooks(corpus, dim, m, n_codes, id_col, vec_col)
+    enc = pq_encode(corpus, cb, dim, m, id_col, vec_col)
+
+    sub_dim = dim // m
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("_qv")
+    )
+    qsubs = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice("_qv", s * sub_dim + 1, sub_dim).alias("_qs"),
+            )
+            for s in range(m)
+        ])
+    )
+    qdot = F.aggregate(
+        F.zip_with("_qs", "_cb", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # |Q|·m·k rows: the ADC lookup table, broadcast to every code row.
+    table = (
+        qv.select("query_id", _norm("_qv").alias("_qnorm"), qsubs.alias("_s"))
+        .select(
+            "query_id", "_qnorm",
+            F.col("_s.sub").alias("sub"), F.col("_s._qs").alias("_qs"),
+        )
+        .join(F.broadcast(cb), "sub")
+        .select(
+            "query_id", "_qnorm", "sub", "code",
+            F.round(qdot * 1e6).cast("long").alias("_qd"),
+        )
+    )
+    code_rows = enc.select(
+        F.col(id_col).alias("neighbor_id"), "_norm",
+        F.posexplode("codes").alias("sub", "code"),
+    )
+    scored = (
+        code_rows.join(F.broadcast(table), ["sub", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.first("_norm").alias("_norm"),
+            F.first("_qnorm").alias("_qnorm"),
+            F.sum("_qd").alias("_adot"),
+        )
+        .select(
+            "query_id", "neighbor_id",
+            F.round(
+                F.col("_adot") / 1e6 / (F.col("_norm") * F.col("_qnorm")), 6
+            ).alias("pq_cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )

@@ -364,6 +364,68 @@ def stream_upsert_sink(spark, sf):
 
 
 @query(
+    "stream_dedup_near",
+    oracle="""
+    WITH tok AS (SELECT doc_id,
+                        regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                 FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(list_transform(
+                    range(1, greatest(len(t) - 2, 1) + 1),
+                    i -> array_to_string(t[i:i+2], ' '))) AS s
+           FROM tok)
+    SELECT n.doc_id AS id_new, b.doc_id AS id_base,
+           len(list_intersect(n.s, b.s))
+             / (len(n.s) + len(b.s) - len(list_intersect(n.s, b.s))) AS jaccard
+    FROM sh n JOIN sh b ON n.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+    WHERE len(list_intersect(n.s, b.s))
+            / (len(n.s) + len(b.s) - len(list_intersect(n.s, b.s))) >= 0.8
+    """,
+)
+def stream_dedup_near(spark, sf):
+    """Streaming near-dedup against a standing corpus — the ingest-time
+    twin of ``dedup_incremental``: documents arrive as a stream; each
+    micro-batch's new docs (doc_id % 5 = 0) are MinHash-signatured and
+    probed (via foreachBatch) against the STATIC corpus LSH index built
+    once before the stream starts; verified (id_new, id_base, jaccard)
+    pairs append to the sink. Per-batch cost is O(batch), never
+    O(corpus); exactly-once from availableNow + checkpoint. The drained
+    sink equals the batch incremental answer — the oracle."""
+    from ..operators import dedup as D
+    from . import table
+
+    docs = table(spark, sf, "documents")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    # Build + materialize the standing index once, before the stream.
+    base_index = D.lsh_band_index(base).localCheckpoint()
+
+    base_dir = scratch_dir("sdn")
+    target, ckpt = f"{base_dir}/pairs", f"{base_dir}/ckpt"
+
+    doc_schema = (
+        "doc_id bigint, text string, lang string, "
+        "source string, n_chars bigint"
+    )
+    stream = file_stream(spark, f"{sf}/documents.parquet", doc_schema)
+
+    def probe(batch_df, batch_id):
+        new = batch_df.filter(F.col("doc_id") % 5 == 0)
+        pairs = D.incremental_near_dup_pairs(
+            base, new, base_index=base_index, threshold=0.8
+        )
+        pairs.write.mode("append").parquet(target)
+
+    q = (
+        stream.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(target)
+
+
+@query(
     "stream_stream_join",
     oracle="""
     SELECT v.event_id AS view_id, p.event_id AS purchase_id,

@@ -492,3 +492,42 @@ def test_incremental_near_dup_matches_brute_force(spark, tmp_path):
         ).collect()
     }
     assert from_idx == got
+
+
+def test_pq_encode_and_adc_properties(spark):
+    """PQ properties: (1) codebook is m*k broadcast-sized rows; (2) every
+    vector encodes to exactly m codes in [0, k); (3) a vector that IS a
+    codebook centroid source reconstructs its own subvector codes, so its
+    ADC self-similarity ranks it first when queried; (4) encoding is
+    partition-invariant."""
+    from datacooker_dist_spark.operators.similarity import (
+        cosine_topk_pq,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    dim, m, k = 16, 4, 4
+    emb = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: ((F.col("id") * 31 + i * 17) % 97).cast("double") / 97,
+        ).alias("embedding"),
+    )
+    cb = pq_codebooks(emb, dim, m, k)
+    rows = cb.collect()
+    assert len(rows) == m * k
+    assert all(len(r["_cb"]) == dim // m for r in rows)
+
+    enc_a = pq_encode(emb.repartition(3), cb, dim, m)
+    enc_b = pq_encode(emb.repartition(11), cb, dim, m)
+    a = sorted((r["vec_id"], tuple(r["codes"])) for r in enc_a.collect())
+    b = sorted((r["vec_id"], tuple(r["codes"])) for r in enc_b.collect())
+    assert a == b
+    assert all(len(c) == m and all(0 <= x < k for x in c) for _, c in a)
+
+    top = cosine_topk_pq(
+        emb, emb.filter(F.col("vec_id") < 3), dim, k=5, m=m, n_codes=k
+    )
+    got = {r["query_id"]: r["neighbor_id"] for r in top.filter("rnk = 1").collect()}
+    assert set(got) == {0, 1, 2}
