@@ -616,3 +616,112 @@ def cosine_topk_pq(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= k
     )
+
+
+def cosine_topk_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the production ANN stack — IVF prunes WHICH vectors are
+    scored (nprobe/n_cells of the corpus per query), PQ shrinks WHAT a
+    score costs (codes + lookup table, never the vectors). The index is
+    cell assignment + PQ codes: at (m=8, k=16) that is ~5 bytes/vector
+    hot, so a 100 TB float32 corpus's searchable index fits in ~2 TB of
+    executor memory across a cluster.
+
+    Plan: one IVF assignment pass + one PQ encode pass build the index
+    (both linear, broadcast-joined); per query, the nprobe cell probes
+    equi-join the code table on cell id and ADC-score the survivors —
+    shuffle is bounded by |corpus|·nprobe/n_cells code rows, each m
+    ints wide. Integer-grid score sums keep ranking deterministic.
+    Output: (query_id, neighbor_id, pq_cosine, rnk ≤ k).
+    """
+    from pyspark.sql import Window
+
+    centroids, assigned = ivf_cells(corpus, n_cells, id_col, vec_col)
+    cb = pq_codebooks(corpus, dim, m, n_codes, id_col, vec_col)
+    enc = pq_encode(corpus, cb, dim, m, id_col, vec_col)
+    # The searchable index: (id, cell, codes, norm) — no raw vectors.
+    index = assigned.select(id_col, "cell").join(enc, id_col)
+
+    sub_dim = dim // m
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("_qv")
+    )
+    # IVF probe: nprobe nearest cells per query (broadcast centroids).
+    qc = qv.join(F.broadcast(centroids))
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6)),
+        F.col("cell"),
+    )
+    probes = (
+        qc.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "cell")
+    )
+    # ADC lookup table, |Q|·m·k rows (broadcast).
+    qsubs = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice("_qv", s * sub_dim + 1, sub_dim).alias("_qs"),
+            )
+            for s in range(m)
+        ])
+    )
+    qdot = F.aggregate(
+        F.zip_with("_qs", "_cb", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    table = (
+        qv.select("query_id", _norm("_qv").alias("_qnorm"), qsubs.alias("_s"))
+        .select(
+            "query_id", "_qnorm",
+            F.col("_s.sub").alias("sub"), F.col("_s._qs").alias("_qs"),
+        )
+        .join(F.broadcast(cb), "sub")
+        .select(
+            "query_id", "_qnorm", "sub", "code",
+            F.round(qdot * 1e6).cast("long").alias("_qd"),
+        )
+    )
+    cand_codes = (
+        probes.join(index, "cell")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id", F.col(id_col).alias("neighbor_id"), "_norm",
+            F.posexplode("codes").alias("sub", "code"),
+        )
+    )
+    scored = (
+        cand_codes.join(
+            F.broadcast(table), ["query_id", "sub", "code"]
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.first("_norm").alias("_norm"),
+            F.first("_qnorm").alias("_qnorm"),
+            F.sum("_qd").alias("_adot"),
+        )
+        .select(
+            "query_id", "neighbor_id",
+            F.round(
+                F.col("_adot") / 1e6 / (F.col("_norm") * F.col("_qnorm")), 6
+            ).alias("pq_cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )

@@ -199,3 +199,41 @@ def bpe_merges(
         syms = chain.checkpoint(syms.select(fold.alias("s")))
     chain.release(df)
     return merges
+
+
+def intradoc_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """WITHIN-document repeated-segment removal — the in-doc cleanup the
+    cross-doc dedup family doesn't touch (C4/MassiveText drop repeated
+    spans inside a page: navigation chrome, duplicated paragraphs,
+    crawler echo). Tokens split into fixed non-overlapping ``window``-word
+    segments; only each segment's FIRST occurrence survives; the text is
+    reassembled from survivors in order.
+
+    Entirely per-row array higher-order functions: zero shuffles, zero
+    Python — the plan is a codegen projection, so cost is one narrow scan
+    at any corpus size. Output: (id, n_segments, n_kept, dedup_ratio,
+    text_dedup).
+    """
+    toks = F.filter(tokens_col(text_col), lambda t: t != "")
+    n_chunks = F.greatest(F.ceil(F.size(toks) / window), F.lit(1)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * window + 1, window), " "),
+    )
+    docs = docs.withColumn("_chunks", chunks)
+    kept = F.filter(
+        F.col("_chunks"),
+        lambda x, i: F.array_position(F.col("_chunks"), x) == i + 1,
+    )
+    return docs.select(
+        id_col,
+        F.size("_chunks").cast("long").alias("n_segments"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.round(F.size(kept) / F.size("_chunks"), 6).alias("dedup_ratio"),
+        F.array_join(kept, " ").alias("text_dedup"),
+    )

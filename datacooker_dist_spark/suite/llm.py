@@ -234,6 +234,25 @@ def similarity_topk_pq(spark, sf):
     )
 
 
+@query("similarity_topk_ivfpq")  # rows-only: approximate (recall < 1)
+def similarity_topk_ivfpq(spark, sf):
+    """IVF-PQ stack — the production ANN layout: IVF cells prune which
+    vectors are scored (nprobe/n_cells of the corpus), PQ codes shrink
+    what a score costs (~5-20 bytes/vector hot, no raw vectors in the
+    search path). Both index passes are linear broadcast joins; recall
+    composes multiplicatively with the parts measured in
+    similarity_recall_report."""
+    emb = table(spark, sf, "embeddings")
+    out = S.cosine_topk_ivfpq(
+        emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5,
+        n_cells=16, nprobe=8, m=32, n_codes=32,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "pq_cosine",
+        F.col("rnk").cast("long").alias("rnk"),
+    )
+
+
 @query(
     "vector_norms",
     oracle="""

@@ -416,3 +416,40 @@ def tokenizer_bpe_merges(spark, sf):
     return spark.createDataFrame(
         rows, "merge_rank int, left string, right string, pair_count long"
     )
+
+
+@query(
+    "text_intradoc_dedup",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, list_filter({SQL_TOKENS}, t -> t <> '') AS t
+      FROM documents),
+    ch AS (
+      SELECT doc_id,
+             list_transform(
+               range(0, greatest(CAST(ceil(len(t) / 8.0) AS INT), 1)),
+               i -> array_to_string(t[i*8+1:i*8+8], ' ')) AS c
+      FROM tok),
+    kd AS (
+      SELECT doc_id, c,
+             list_filter(c, (x, i) -> list_position(c, x) = i) AS k
+      FROM ch)
+    SELECT doc_id,
+           CAST(len(c) AS BIGINT) AS n_segments,
+           CAST(len(k) AS BIGINT) AS n_kept,
+           round(len(k) / len(c), 6) AS dedup_ratio,
+           array_to_string(k, ' ') AS text_dedup
+    FROM kd
+    """,
+)
+def text_intradoc_dedup(spark, sf):
+    """WITHIN-document repeated-segment removal (the C4/MassiveText in-page
+    cleanup: navigation chrome, duplicated paragraphs, crawler echo) —
+    the dedup the cross-doc family structurally can't do. Fixed 8-word
+    segments; each segment's first occurrence survives; text reassembled
+    in order. Pure per-row array HOFs: zero shuffles, zero Python — a
+    codegen projection at any corpus size (operators/text.py::
+    intradoc_dedup)."""
+    from ..operators.text import intradoc_dedup
+
+    return intradoc_dedup(table(spark, sf, "documents"), window=8)

@@ -531,3 +531,20 @@ def test_pq_encode_and_adc_properties(spark):
     )
     got = {r["query_id"]: r["neighbor_id"] for r in top.filter("rnk = 1").collect()}
     assert set(got) == {0, 1, 2}
+
+
+def test_intradoc_dedup_removes_repeats_and_stays_narrow(spark):
+    from datacooker_dist_spark.operators.text import intradoc_dedup
+
+    seg = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [(1, f"{seg} {seg} nine ten"), (2, "unique words only here")],
+        "doc_id long, text string",
+    )
+    out = intradoc_dedup(docs, window=8)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["n_segments"] == 3 and rows[1]["n_kept"] == 2
+    assert rows[1]["text_dedup"] == f"{seg} nine ten"
+    assert rows[2]["n_kept"] == rows[2]["n_segments"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure narrow projection
