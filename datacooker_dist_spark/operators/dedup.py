@@ -251,10 +251,15 @@ def incremental_near_dup_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
     max_bucket: int | None = None,
+    base_shingles: DataFrame | None = None,
+    new_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dedup: probe a NEW batch of documents against an
     EXISTING corpus's LSH index — the operational shape at 100 TB, where
     re-signaturing the whole corpus per ingest batch is the real cost.
+    ``base_shingles``/``new_shingles`` (shingle_rows form) let callers
+    reuse an already-materialized shingle pass for the index build and
+    verification instead of re-tokenizing.
     ``max_bucket`` caps INDEX-side bucket sizes (stop-bucket skew guard,
     :func:`cap_bucket_size`) so one degenerate bucket can't fan a probe
     row out corpus-wide.
@@ -276,12 +281,14 @@ def incremental_near_dup_pairs(
     """
     if base_index is None:
         base_index = lsh_band_index(
-            base_docs, id_col, text_col, num_hashes, bands, shingle_n
+            base_docs, id_col, text_col, num_hashes, bands, shingle_n,
+            shingles=base_shingles,
         )
     if max_bucket is not None:
         base_index = cap_bucket_size(base_index, max_bucket)
     probe = lsh_band_index(
-        new_docs, id_col, text_col, num_hashes, bands, shingle_n
+        new_docs, id_col, text_col, num_hashes, bands, shingle_n,
+        shingles=new_shingles,
     )
     cand = (
         probe.alias("n")
@@ -300,17 +307,22 @@ def incremental_near_dup_pairs(
         )
         .distinct()
     )
-    new_sets = shingle_table(new_docs, id_col, text_col, shingle_n).select(
-        F.col(id_col).alias("id_new"), F.col("_sh").alias("_shn")
-    )
+    new_sets = shingle_table(
+        new_docs, id_col, text_col, shingle_n, rows=new_shingles
+    ).select(F.col(id_col).alias("id_new"), F.col("_sh").alias("_shn"))
     # Base-side shingles only for candidate docs: the semi join keeps the
     # verification scan proportional to candidates, not corpus size.
-    base_hit = base_docs.join(
-        cand.select(F.col("id_base").alias(id_col)).distinct(), id_col, "left_semi"
-    )
-    base_sets = shingle_table(base_hit, id_col, text_col, shingle_n).select(
-        F.col(id_col).alias("id_base"), F.col("_sh").alias("_shb")
-    )
+    hit_ids = cand.select(F.col("id_base").alias(id_col)).distinct()
+    if base_shingles is not None:
+        base_rows = base_shingles.join(hit_ids, id_col, "left_semi")
+        base_sets = shingle_table(
+            base_docs, id_col, text_col, shingle_n, rows=base_rows
+        ).select(F.col(id_col).alias("id_base"), F.col("_sh").alias("_shb"))
+    else:
+        base_hit = base_docs.join(hit_ids, id_col, "left_semi")
+        base_sets = shingle_table(
+            base_hit, id_col, text_col, shingle_n
+        ).select(F.col(id_col).alias("id_base"), F.col("_sh").alias("_shb"))
     inter = F.size(F.array_intersect("_shn", "_shb"))
     union = F.size(F.array_union("_shn", "_shb"))
     return (

@@ -537,6 +537,8 @@ def cosine_topk_pq(
     n_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebooks: DataFrame | None = None,
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """PQ asymmetric-distance (ADC) approximate top-k: the query stays
     full-precision; every corpus vector is scored from its m codes via a
@@ -556,8 +558,16 @@ def cosine_topk_pq(
     """
     from pyspark.sql import Window
 
-    cb = pq_codebooks(corpus, dim, m, n_codes, id_col, vec_col)
-    enc = pq_encode(corpus, cb, dim, m, id_col, vec_col)
+    cb = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks(corpus, dim, m, n_codes, id_col, vec_col)
+    )
+    enc = (
+        encoded
+        if encoded is not None
+        else pq_encode(corpus, cb, dim, m, id_col, vec_col)
+    )
 
     sub_dim = dim // m
     qv = queries.select(
@@ -629,6 +639,8 @@ def cosine_topk_ivfpq(
     n_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebooks: DataFrame | None = None,
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: the production ANN stack — IVF prunes WHICH vectors are
     scored (nprobe/n_cells of the corpus per query), PQ shrinks WHAT a
@@ -647,8 +659,16 @@ def cosine_topk_ivfpq(
     from pyspark.sql import Window
 
     centroids, assigned = ivf_cells(corpus, n_cells, id_col, vec_col)
-    cb = pq_codebooks(corpus, dim, m, n_codes, id_col, vec_col)
-    enc = pq_encode(corpus, cb, dim, m, id_col, vec_col)
+    cb = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks(corpus, dim, m, n_codes, id_col, vec_col)
+    )
+    enc = (
+        encoded
+        if encoded is not None
+        else pq_encode(corpus, cb, dim, m, id_col, vec_col)
+    )
     # The searchable index: (id, cell, codes, norm) — no raw vectors.
     index = assigned.select(id_col, "cell").join(enc, id_col)
 

@@ -37,6 +37,21 @@ SQL_SHINGLES = f"""
 
 
 _EMB_PAIR_CACHE: dict = {}
+_PQ_INDEX_CACHE: dict = {}
+
+
+def shared_pq_index(spark, sf, dim=64, m=32, n_codes=32):
+    """Session-memoized PQ index (codebooks + encoded corpus) — the PQ and
+    IVF-PQ top-k queries score from the identical code table, so the
+    (explode × broadcast-codebook × argmin) encode pass runs once per
+    session; the code table is corpus-rows × ~20 bytes, checkpoint-cheap."""
+    key = (id(spark), sf, m, n_codes)
+    if key not in _PQ_INDEX_CACHE:
+        emb = table(spark, sf, "embeddings")
+        cb = S.pq_codebooks(emb, dim, m, n_codes).localCheckpoint()
+        enc = S.pq_encode(emb, cb, dim, m).localCheckpoint()
+        _PQ_INDEX_CACHE[key] = (cb, enc)
+    return _PQ_INDEX_CACHE[key]
 
 
 def shared_embedding_pairs(spark, sf):
@@ -126,10 +141,17 @@ def dedup_incremental(spark, sf):
     candidate base docs via a semi join. The corpus is never
     re-signatured per batch. Oracle brute-forces the new×base pair space;
     at engine scale only the index probe runs."""
+    from . import shared_shingles
+
     docs = table(spark, sf, "documents")
     new = docs.filter(F.col("doc_id") % 5 == 0)
     base = docs.filter(F.col("doc_id") % 5 != 0)
-    return D.incremental_near_dup_pairs(base, new, threshold=0.8)
+    sh = shared_shingles(spark, sf)
+    return D.incremental_near_dup_pairs(
+        base, new, threshold=0.8,
+        base_shingles=sh.filter(F.col("doc_id") % 5 != 0),
+        new_shingles=sh.filter(F.col("doc_id") % 5 == 0),
+    )
 
 
 @query("dedup_minhash_lsh")  # rows-only: banded-LSH candidate set
@@ -225,8 +247,10 @@ def similarity_topk_pq(spark, sf):
     worst case, so real corpora do better. Stacks under IVF/LSH pruning in
     production (IVF-PQ); recall tracked by similarity_recall_report."""
     emb = table(spark, sf, "embeddings")
+    cb, enc = shared_pq_index(spark, sf)
     out = S.cosine_topk_pq(
-        emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, m=32, n_codes=32
+        emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, m=32, n_codes=32,
+        codebooks=cb, encoded=enc,
     )
     return out.select(
         "query_id", "neighbor_id", "pq_cosine",
@@ -243,9 +267,11 @@ def similarity_topk_ivfpq(spark, sf):
     composes multiplicatively with the parts measured in
     similarity_recall_report."""
     emb = table(spark, sf, "embeddings")
+    cb, enc = shared_pq_index(spark, sf)
     out = S.cosine_topk_ivfpq(
         emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5,
         n_cells=16, nprobe=8, m=32, n_codes=32,
+        codebooks=cb, encoded=enc,
     )
     return out.select(
         "query_id", "neighbor_id", "pq_cosine",
@@ -995,7 +1021,11 @@ def similarity_recall_report(spark, sf):
             emb, queries, dim=64, k=k, planes=6, tables=8
         ),
         "ivf": S.cosine_topk_ivf(emb, queries, k=k, n_cells=16, nprobe=4),
-        "pq": S.cosine_topk_pq(emb, queries, dim=64, k=k, m=32, n_codes=32)
+        "pq": S.cosine_topk_pq(
+            emb, queries, dim=64, k=k, m=32, n_codes=32,
+            codebooks=shared_pq_index(spark, sf)[0],
+            encoded=shared_pq_index(spark, sf)[1],
+        )
         .withColumnRenamed("pq_cosine", "cosine"),
     }
     out = None
