@@ -1184,3 +1184,49 @@ def agg_higher_moments(spark, sf):
         F.round(m3 / (m2 * F.sqrt(m2)), 9).alias("skewness"),
         F.round(m4 / (m2 * m2) - 3, 9).alias("excess_kurtosis"),
     )
+
+
+@query(
+    "backfill_partition_overwrite",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderpriority = '1-URGENT'
+                THEN o_totalprice + 1000.0 ELSE o_totalprice END
+             AS o_totalprice,
+           o_orderpriority
+    FROM orders
+    """,
+)
+def backfill_partition_overwrite(spark, sf):
+    """Partition backfill — the lake-maintenance correction pass: rewrite
+    ONE hive partition of a partitioned table in place without touching
+    the others. The write uses dynamic partition-overwrite mode
+    (partitionOverwriteMode=dynamic), which replaces exactly the
+    partitions present in the written data — the idempotent reprocessing
+    primitive behind every backfill/restatement job; static mode would
+    silently drop every other partition, THE classic lake data-loss
+    footgun. Only the corrected slice is recomputed and written; all
+    other partitions' files are untouched (no read, no rewrite). The
+    oracle is the expected final table state."""
+    base = scratch_dir("bf")
+    target = f"{base}/orders_by_priority"
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    orders = table(spark, sf, "orders").select(*cols)
+    # Initial load: full table, hive-partitioned by priority.
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(
+        target
+    )
+    # Backfill: recompute ONE partition's rows (a correction) and
+    # dynamic-overwrite just that partition.
+    corrected = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    (
+        corrected.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderpriority")
+        .parquet(target)
+    )
+    return spark.read.parquet(target).select(*cols)

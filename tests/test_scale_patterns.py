@@ -288,3 +288,38 @@ def test_lsh_stop_bucket_cap_prunes_degenerate_bucket(spark):
     plan = capped._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dynamic_partition_overwrite_touches_one_partition(spark, tmp_path):
+    """The backfill write must replace ONLY the partitions present in the
+    written data: other partitions' files stay byte-identical (same
+    names), and the corrected partition's content changes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, float(i), "p1" if i % 2 else "p2") for i in range(100)],
+        "k long, v double, p string",
+    )
+    df.write.mode("overwrite").partitionBy("p").parquet(target)
+
+    def files(part):
+        d = f"{target}/p={part}"
+        return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+
+    p1_before, p2_before = files("p1"), files("p2")
+    corrected = df.filter("p = 'p1'").withColumn("v", F.col("v") + 1000.0)
+    (
+        corrected.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("p")
+        .parquet(target)
+    )
+    assert files("p2") == p2_before  # untouched partition: same files
+    assert files("p1") != p1_before  # backfilled partition: rewritten
+    back = spark.read.parquet(target)
+    assert back.filter("p = 'p2' AND v >= 1000").count() == 0
+    assert back.filter("p = 'p1' AND v < 1000").count() == 0
+    assert back.count() == 100
