@@ -1403,3 +1403,58 @@ def text_zipf_slope(spark, sf):
             6,
         ).alias("zipf_slope"),
     )
+
+
+@query(
+    "dataset_mix_temperature",
+    oracle="""
+    WITH w AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS ns,
+             CAST(floor(sqrt(CAST(ns * 10000 AS DOUBLE))) AS BIGINT) AS wgt
+      FROM documents GROUP BY source),
+    b AS (SELECT MIN(ns * 10000 // wgt) AS bud FROM w),
+    p AS (
+      SELECT source, ns, wgt,
+             ((wgt * (SELECT bud FROM b)) // 10000) * 1000000 // ns AS thr
+      FROM w)
+    SELECT d.source, p.ns, p.wgt,
+           CAST(SUM(CASE WHEN (d.doc_id * 2654435761) % 1000000 < p.thr
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents d JOIN p ON p.source = d.source
+    GROUP BY d.source, p.ns, p.wgt
+    """,
+)
+def dataset_mix_temperature(spark, sf):
+    """TEMPERATURE-rebalanced dataset mixing (T = 0.5): per-source sample
+    budgets ∝ sqrt(source size) instead of fixed weights — the standard
+    multilingual/multi-source rebalancing that upweights rare sources
+    relative to proportional sampling without letting any source dominate.
+    sqrt is IEEE-correctly-rounded in both engines, so floor(sqrt(·)) is
+    the one transcendental-free way to put a fractional power in an exact
+    oracle; everything downstream is the same integer-hash threshold
+    machinery as dataset_mix_deterministic (reproducible across engines,
+    partitionings, and incremental re-runs). Output: per-source size,
+    weight, and kept count. Plan: one tiny per-source aggregate broadcast
+    back over one scan."""
+    docs = table(spark, sf, "documents")
+    w = docs.groupBy("source").agg(F.count(F.lit(1)).alias("ns")).select(
+        "source", "ns",
+        F.floor(F.sqrt((F.col("ns") * 10000).cast("double")))
+        .cast("bigint").alias("wgt"),
+    )
+    bud = w.agg(F.min(F.expr("ns * 10000 div wgt")).alias("bud"))
+    p = w.crossJoin(F.broadcast(bud)).select(
+        "source", "ns", "wgt",
+        F.expr("((wgt * bud) div 10000) * 1000000 div ns").alias("thr"),
+    )
+    return (
+        docs.join(F.broadcast(p), "source")
+        .groupBy("source", "ns", "wgt")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("doc_id") * 2654435761) % 1000000 < F.col("thr"), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_kept")
+        )
+    )
