@@ -477,3 +477,30 @@ def test_continuation_wave_plan_discipline(spark):
         assert "partial_" in executed_plan(spark, name), name
     ohlc = executed_plan(spark, "timeseries_ohlc")
     assert ohlc.count("Exchange hashpartitioning") <= 2
+
+
+def test_incremental_dedup_is_index_probe_equi_join(spark):
+    """dedup_incremental must plan as equi-joins end to end: the probe is
+    a hash join of the new batch's band rows against the index, never a
+    cartesian, and verification stays candidate-driven."""
+    plan = executed_plan(spark, "dedup_incremental")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_paths_no_cartesian_and_broadcast_tables(spark):
+    """PQ and IVF-PQ scoring must broadcast the per-query lookup table
+    (never shuffle it against the codes) and contain no cartesian."""
+    for name in ("similarity_topk_pq", "similarity_topk_ivfpq"):
+        plan = executed_plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_temperature_mix_single_scan_broadcast_thresholds(spark):
+    """The mixing thresholds are a tiny per-source table broadcast back
+    over the scan — no shuffle of the documents beyond the final small
+    aggregate."""
+    plan = executed_plan(spark, "dataset_mix_temperature")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
