@@ -501,10 +501,10 @@ def connected_components(
     connectivity-preserving contraction with depth-1 stars, so a few-hop
     diameter — by min-label propagation joins, which stay fully
     distributed and converge in a handful of rounds on the contracted
-    graph. The default ``"auto"`` reads the EXACT distinct-node count off
-    the first materialized pass (star edges = one row per node, already
-    checkpointed — the count is a cached scan, never a re-execution of
-    the caller's pair plan) and picks local below ``auto_node_limit``
+    graph. The default ``"auto"`` reads the exact distinct-node count off
+    the first materialized pass (one distinct-aggregate over the already
+    checkpointed star rows — never a re-execution of the caller's pair
+    plan) and picks local below ``auto_node_limit``
     (10M (node, root) longs ≈ 160 MB, comfortably one task), distributed
     above — so the default never silently concentrates an oversized
     forest in one task. Same labels every way (property-tested).
@@ -596,10 +596,12 @@ def connected_components(
         # releases pass K-1's blocks as soon as K materializes.
         df = chain.checkpoint(df)
         if first_pass and stage == "auto":
-            # Star edges = exactly one row per distinct node: the cheap
-            # cached count that decides whether the final forest is safe
-            # to concentrate in a single task.
-            nodes = df.count()
+            # Distinct-node count off the cached first pass (a node that
+            # spans partitions emits one star row per partition, so a raw
+            # row count would overestimate by up to the partition count) —
+            # one partial-aggregated pass over checkpointed blocks decides
+            # whether the final forest is safe in a single task.
+            nodes = df.select("s").distinct().count()
             if nodes > auto_node_limit:
                 stage = "distributed"
                 stop_parts = fanin
@@ -632,19 +634,22 @@ def _labelprop_components(star_edges: DataFrame, max_iter: int = 50) -> DataFram
     is ever exhausted. Output: (s = node id, label = component min id)."""
     from ..functions.checkpoints import CheckpointChain
 
-    p = star_edges.localCheckpoint()
-    edges = (
+    # Setup blocks (p, symmetrized edges, initial labels) chain through
+    # their own releaser so they drop when this function returns — the
+    # final labels are an independent chained checkpoint, so nothing the
+    # caller holds depends on these.
+    setup = CheckpointChain(keep=3)
+    p = setup.checkpoint(star_edges)
+    edges = setup.checkpoint(
         p.unionByName(p.select(F.col("t").alias("s"), F.col("s").alias("t")))
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
+    labels = setup.checkpoint(
         edges.select(F.col("s").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
     )
-    chain = CheckpointChain()  # label generations only; edges stay pinned
+    chain = CheckpointChain()  # label generations; edges pinned via setup
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["t"] == labels["id"])
@@ -682,6 +687,9 @@ def _labelprop_components(star_edges: DataFrame, max_iter: int = 50) -> DataFram
             f"connected_components distributed finisher did not converge "
             f"in {max_iter} rounds — raise max_iter"
         )
+    # The converged labels are their own checkpoint; the setup blocks
+    # (star rows, symmetrized edges, initial labels) are now dead weight.
+    setup.release(star_edges)
     return labels.select(F.col("id").alias("s"), "label")
 
 

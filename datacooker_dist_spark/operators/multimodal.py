@@ -94,6 +94,9 @@ def _parse_image_dims(payload: bytes) -> tuple[int, int] | None:
             if p[i] != 0xFF:
                 return None
             marker = p[i + 1]
+            if marker == 0xFF:  # spec-legal fill byte between segments
+                i += 1
+                continue
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2
                 continue
@@ -129,6 +132,13 @@ def decode_media(payload: bytes, media_type: str, fake: bool = False):
         with Image.open(io.BytesIO(payload)) as im:
             return im.size
     except ImportError:
+        pass
+    except Exception:
+        # PIL present but the payload isn't a fully-valid image it can
+        # parse (truncated body, header-only synthetic fixtures): fall
+        # through to the header parser rather than crash the task — the
+        # contract is dimensions-or-NotImplementedError, not PIL's
+        # exception zoo.
         pass
     dims = _parse_image_dims(payload)
     if dims is not None:

@@ -416,20 +416,32 @@ def test_content_type_param_accepted(spark, nation, tmp_path):
     assert spark.read.text(p).count() == nation.count()
 
 
-def test_content_type_sets_s3a_create_header(spark, nation):
+def test_content_type_sets_s3a_create_header_scoped(spark, nation):
     """On an s3a target the param must land in Hadoop 3.4's documented
     custom-header conf (`fs.s3a.create.header.Content-Type`) — the key the
-    s3a writers attach to every created object's upload. (The old
-    `fs.s3a.object.content.type` was not a real Hadoop property: silent
-    no-op, VERDICT r02 task 5.) Conf-level assertion only: no s3
+    s3a writers attach to every created object's upload — FOR THE WRITE
+    ONLY: the previous conf value is restored afterwards, so one output's
+    content type never contaminates later s3a writes in the session.
+    (The old `fs.s3a.object.content.type` was not a real Hadoop property:
+    silent no-op, VERDICT r02 task 5.) Conf-level assertion only: no s3
     endpoint nor hadoop-aws jar exists offline."""
+    hc = spark.sparkContext._jsc.hadoopConfiguration()
+    key = "fs.s3a.create.header.Content-Type"
     out = resolve_output("hadoopText")().configure(
         {"content_type": "text/csv"}
     ).initialize(spark, "s3a://bucket/prefix")
-    out._target("nation")
-    hc = spark.sparkContext._jsc.hadoopConfiguration()
-    assert hc.get("fs.s3a.create.header.Content-Type") == "text/csv"
-    hc.unset("fs.s3a.create.header.Content-Type")
+    cleanup = out._apply_content_type()
+    assert hc.get(key) == "text/csv"
+    cleanup()
+    assert hc.get(key) is None  # restored: no session leak
+
+    # nested/previous value round-trips too
+    hc.set(key, "application/json")
+    cleanup = out._apply_content_type()
+    assert hc.get(key) == "text/csv"
+    cleanup()
+    assert hc.get(key) == "application/json"
+    hc.unset(key)
 
 
 def test_config_partitioning_plumb_through(spark, nation, tmp_path):
