@@ -38,20 +38,50 @@ SQL_SHINGLES = f"""
 
 _EMB_PAIR_CACHE: dict = {}
 _PQ_INDEX_CACHE: dict = {}
+_IVF_INDEX_CACHE: dict = {}
+
+# Lloyd iterations for the suite's shared ANN indexes (VERDICT r03 task
+# 2): measured recall@5 at sf0.01 vs the stride-sample seeds — ivf
+# 0.56→0.64, pq 0.62→0.76, ivfpq 0.52→0.66.
+ANN_REFINE_ITERS = 3
 
 
 def shared_pq_index(spark, sf, dim=64, m=32, n_codes=32):
     """Session-memoized PQ index (codebooks + encoded corpus) — the PQ and
     IVF-PQ top-k queries score from the identical code table, so the
     (explode × broadcast-codebook × argmin) encode pass runs once per
-    session; the code table is corpus-rows × ~20 bytes, checkpoint-cheap."""
-    key = (id(spark), sf, m, n_codes)
+    session; the code table is corpus-rows × ~20 bytes, checkpoint-cheap.
+    Codebooks are k-means-refined (``ANN_REFINE_ITERS`` distributed L2
+    Lloyd passes per subspace). The memo key includes ``dim`` (ADVICE
+    r03): same (m, n_codes) at a different dimensionality is a different
+    index."""
+    key = (id(spark), sf, dim, m, n_codes)
     if key not in _PQ_INDEX_CACHE:
         emb = table(spark, sf, "embeddings")
-        cb = S.pq_codebooks(emb, dim, m, n_codes).localCheckpoint()
+        cb = S.pq_codebooks(
+            emb, dim, m, n_codes, refine_iters=ANN_REFINE_ITERS
+        ).localCheckpoint()
         enc = S.pq_encode(emb, cb, dim, m).localCheckpoint()
         _PQ_INDEX_CACHE[key] = (cb, enc)
     return _PQ_INDEX_CACHE[key]
+
+
+def shared_ivf_index(spark, sf, n_cells=16):
+    """Session-memoized IVF index: k-means-refined centroids + the full
+    cell assignment, both checkpointed so the iterative centroid lineage
+    (``ANN_REFINE_ITERS`` Lloyd passes) executes once per session instead
+    of once per consumer (the IVF top-k, the IVF-PQ stack, and the recall
+    report all probe the same cells)."""
+    key = (id(spark), sf, n_cells)
+    if key not in _IVF_INDEX_CACHE:
+        emb = table(spark, sf, "embeddings")
+        centroids, assigned = S.ivf_cells(
+            emb, n_cells=n_cells, refine_iters=ANN_REFINE_ITERS
+        )
+        _IVF_INDEX_CACHE[key] = (
+            centroids.localCheckpoint(), assigned.localCheckpoint()
+        )
+    return _IVF_INDEX_CACHE[key]
 
 
 def shared_embedding_pairs(spark, sf):
@@ -224,12 +254,13 @@ def similarity_topk_lsh(spark, sf):
 
 @query("similarity_topk_ivf")  # rows-only: approximate (recall < 1)
 def similarity_topk_ivf(spark, sf):
-    """IVF scale path: stride-sampled centroids, broadcast assignment, probe
-    nprobe nearest cells per query (candidate list bounded at
-    |corpus|·nprobe/n_cells)."""
+    """IVF scale path: k-means-refined centroids (3 distributed Lloyd
+    passes over stride seeds), broadcast assignment, probe nprobe nearest
+    cells per query (candidate list bounded at |corpus|·nprobe/n_cells)."""
     emb = table(spark, sf, "embeddings")
     out = S.cosine_topk_ivf(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, n_cells=16, nprobe=4
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_cells=16, nprobe=4,
+        cells=shared_ivf_index(spark, sf),
     )
     return out.select(
         "query_id", "neighbor_id", "cosine", F.col("rnk").cast("long").alias("rnk")
@@ -242,8 +273,9 @@ def similarity_topk_pq(spark, sf):
     vectors compress to m=32 codebook codes (20 bytes vs 256 of float32),
     queries stay full-precision, and scores rebuild from a broadcast
     per-query lookup table — the scan never touches the original vectors.
-    (m=32, k=32) measured recall@5 = 0.66 on this synthetic corpus vs 0.30
-    for the LSH path — unclustered random embeddings are quantization's
+    (m=32, k=32) with 3 Lloyd refinement passes: measured recall@5 = 0.76
+    on this synthetic corpus (0.62 under raw stride seeds, vs 0.30 for
+    the LSH path) — unclustered random embeddings are quantization's
     worst case, so real corpora do better. Stacks under IVF/LSH pruning in
     production (IVF-PQ); recall tracked by similarity_recall_report."""
     emb = table(spark, sf, "embeddings")
@@ -271,7 +303,7 @@ def similarity_topk_ivfpq(spark, sf):
     out = S.cosine_topk_ivfpq(
         emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5,
         n_cells=16, nprobe=8, m=32, n_codes=32,
-        codebooks=cb, encoded=enc,
+        codebooks=cb, encoded=enc, cells=shared_ivf_index(spark, sf),
     )
     return out.select(
         "query_id", "neighbor_id", "pq_cosine",
@@ -1020,7 +1052,10 @@ def similarity_recall_report(spark, sf):
         "lsh": S.cosine_topk_lsh(
             emb, queries, dim=64, k=k, planes=6, tables=8
         ),
-        "ivf": S.cosine_topk_ivf(emb, queries, k=k, n_cells=16, nprobe=4),
+        "ivf": S.cosine_topk_ivf(
+            emb, queries, k=k, n_cells=16, nprobe=4,
+            cells=shared_ivf_index(spark, sf),
+        ),
         "pq": S.cosine_topk_pq(
             emb, queries, dim=64, k=k, m=32, n_codes=32,
             codebooks=shared_pq_index(spark, sf)[0],

@@ -504,3 +504,107 @@ def test_temperature_mix_single_scan_broadcast_thresholds(spark):
     plan = executed_plan(spark, "dataset_mix_temperature")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+# --------------------------------------------------- global-window sweep
+
+
+def _plan_nodes(p):
+    stack = [p]
+    while stack:
+        n = stack.pop()
+        sn = n.getClass().getSimpleName()
+        # AQE wrappers hide their subtree from children(): unwrap the
+        # adaptive root and materialized query stages explicitly, else the
+        # sweep silently traverses nothing.
+        if sn == "AdaptiveSparkPlanExec":
+            stack.append(n.executedPlan())
+            continue
+        if sn.endswith("QueryStageExec"):
+            stack.append(n.plan())
+            continue
+        yield n
+        ch = n.children()
+        for i in range(ch.length()):
+            stack.append(ch.apply(i))
+
+
+def _unbounded_global_windows(df) -> list[str]:
+    """Physical-plan nodes that move unbounded data through one task: a
+    Window with an empty partition spec (Exchange SinglePartition) whose
+    input subtree is NOT already bounded by a limit/TakeOrdered or a
+    global (grouping-less, hence 1-row) aggregate. This is the r03
+    scale-killer class (pq_codebooks funneled the whole corpus through a
+    global row_number before its .limit) generalized into a sweep —
+    VERDICT r03 task 8."""
+
+    def bounded(win) -> bool:
+        ch = win.children()
+        for i in range(ch.length()):
+            for d in _plan_nodes(ch.apply(i)):
+                sn = d.getClass().getSimpleName()
+                if "Limit" in sn or "TakeOrdered" in sn:
+                    return True
+                if sn in (
+                    "HashAggregateExec",
+                    "ObjectHashAggregateExec",
+                    "SortAggregateExec",
+                ) and d.groupingExpressions().isEmpty():
+                    return True
+        return False
+
+    bad = []
+    for n in _plan_nodes(df._jdf.queryExecution().executedPlan()):
+        sn = n.getClass().getSimpleName()
+        if sn in (
+            "WindowExec", "WindowInPandasExec", "WindowGroupLimitExec"
+        ) and n.partitionSpec().isEmpty() and not bounded(n):
+            bad.append(sn)
+    return bad
+
+
+def test_sweep_detects_unbounded_global_window(spark):
+    """Negative control: the sweep must flag the exact shape it exists
+    for — a global row_number over an unbounded scan (the pre-fix
+    pq_codebooks plan) — and must NOT flag the bounded form."""
+    from pyspark.sql import Window, functions as F
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    unbounded = li.withColumn(
+        "rn", F.row_number().over(Window.orderBy("l_orderkey"))
+    ).filter("rn % 100 = 1").limit(16)
+    assert _unbounded_global_windows(unbounded)
+
+    capped = (
+        li.select("l_orderkey").orderBy("l_orderkey").limit(1000)
+        .withColumn("rn", F.row_number().over(Window.orderBy("l_orderkey")))
+        .filter("rn % 100 = 1")
+    )
+    assert not _unbounded_global_windows(capped)
+
+
+# Audited exceptions: global windows that run AFTER a grouped aggregate
+# whose key domain is the CALENDAR (one row per week / per day), so the
+# single-partition stage sees time-bounded rows regardless of fact
+# volume — the sweep can't see key-domain bounds in the physical plan,
+# so these are justified by name (docstrings carry the argument). Any
+# new query that trips the sweep must either fix its plan or earn an
+# entry here.
+_CALENDAR_BOUNDED_GLOBAL_WINDOW = {
+    "growth_wow",               # LAG over one-row-per-week revenue
+    "interval_sweep_open_orders",  # running sum over one-row-per-day deltas
+}
+
+
+def test_sweep_no_unbounded_global_window_in_any_query(spark):
+    """Suite-wide guard: no shipped (non-streaming) query plan contains a
+    single-partition global-window Exchange over unbounded input."""
+    flagged = {}
+    for name in sorted(QUERIES):
+        if name.startswith("stream_") or name in _CALENDAR_BOUNDED_GLOBAL_WINDOW:
+            continue
+        df = QUERIES[name](spark, SF_SMALL)
+        bad = _unbounded_global_windows(df)
+        if bad:
+            flagged[name] = bad
+    assert not flagged, f"unbounded global windows: {flagged}"
