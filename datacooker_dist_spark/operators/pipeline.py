@@ -24,6 +24,7 @@ def llm_prep(
     max_punct_ratio: float = 0.3,
     num_partitions: int | None = None,
     shingles: DataFrame | None = None,
+    max_bucket: int | None = 512,
 ) -> DataFrame:
     """Corpus-prep pipeline over a documents table.
 
@@ -41,6 +42,15 @@ def llm_prep(
     survivors by an id join, which equals shingling the survivors directly
     — one shingle pass serves the whole dedup family instead of this
     pipeline paying its own.
+
+    ``max_bucket`` (default 512) stop-bucket-caps the LSH candidate stage
+    (:func:`~..operators.dedup.cap_bucket_size`): a degenerate bucket's
+    pair contribution is bounded at max_bucket² instead of going
+    quadratic on boilerplate text — the default is far above any bucket
+    the synthetic corpus produces (max 4 at sf0.1), so small-scale
+    results are unaffected (asserted in tests); audit what a cap would
+    drop with :func:`~..operators.dedup.oversized_buckets`. ``None``
+    disables the cap (oracle baselines).
     """
     q = T.quality_features(docs).filter(F.col("quality_keep"))
     exact = (
@@ -55,7 +65,7 @@ def llm_prep(
         sh = shingles.join(kept.select("doc_id"), "doc_id")
     else:
         sh = D.shingle_rows(kept, num_partitions=num_partitions, cache=True)
-    cand = D.minhash_lsh_candidates(kept, shingles=sh)
+    cand = D.minhash_lsh_candidates(kept, shingles=sh, max_bucket=max_bucket)
     near_pairs = D.ngram_jaccard_pairs(
         kept, cand, threshold=jaccard_threshold, shingles=sh
     )

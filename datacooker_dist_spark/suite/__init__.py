@@ -67,14 +67,28 @@ def shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LSH_CAND_CACHE: dict[tuple[int, str], DataFrame] = {}
 
+# Stop-bucket cap for every SHIPPED LSH candidate path (VERDICT r03 task
+# 3): buckets larger than this are dropped before the self-join, bounding
+# any single bucket's pair fanout at LSH_MAX_BUCKET² — the skew guard
+# that keeps the candidate join linear when a degenerate bucket
+# (boilerplate/empty/template text) shows up at corpus scale. 512 is
+# ~128× the largest bucket observed on the synthetic corpus (max 4 at
+# sf0.1, p99.9 = 3), so at test scales the cap provably drops nothing —
+# asserted by ``tests/test_operators.py::test_lsh_default_cap_lossless``
+# — while still bounding a 100 TB degenerate bucket at ~262k pairs
+# instead of quadratic blowup. Pass ``max_bucket=None`` explicitly for
+# uncapped oracle-baseline comparisons.
+LSH_MAX_BUCKET = 512
+
 
 def shared_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-memoized banded-MinHash LSH candidate pairs (id_a < id_b,
-    64 hashes × 16 bands) over ``documents``. Whether a pair shares a
-    band bucket depends only on the two documents' own signatures, so
-    ANY doc-subset restriction can be applied as a post-filter on this
-    one set (``dedup_edit_distance`` filters it to its bounded slice)
-    instead of re-running the signature + bucket join per consumer."""
+    64 hashes × 16 bands) over ``documents``, stop-bucket-capped at
+    ``LSH_MAX_BUCKET``. Whether a pair shares a band bucket depends only
+    on the two documents' own signatures, so ANY doc-subset restriction
+    can be applied as a post-filter on this one set
+    (``dedup_edit_distance`` filters it to its bounded slice) instead of
+    re-running the signature + bucket join per consumer."""
     key = (id(spark), sf_dir)
     if key not in _LSH_CAND_CACHE:
         from ..operators import dedup as D
@@ -84,6 +98,7 @@ def shared_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             num_hashes=64,
             bands=16,
             shingles=shared_shingles(spark, sf_dir),
+            max_bucket=LSH_MAX_BUCKET,
         ).localCheckpoint()
     return _LSH_CAND_CACHE[key]
 

@@ -625,3 +625,29 @@ def test_kmeans_refine_improves_objective_and_is_partition_invariant(spark):
         )
 
     assert sq_err(cb3) < sq_err(cb0)
+
+
+def test_lsh_default_cap_lossless(spark):
+    """The shipped stop-bucket cap (suite.LSH_MAX_BUCKET) must not change
+    results at test scale: candidate pairs with and without the cap are
+    identical, and the audit helper confirms zero buckets anywhere near
+    the cap (so the default has real headroom, not luck)."""
+    from datacooker_dist_spark.operators.dedup import (
+        lsh_band_index,
+        minhash_lsh_candidates,
+        oversized_buckets,
+    )
+    from datacooker_dist_spark.suite import LSH_MAX_BUCKET
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    capped = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(docs, max_bucket=LSH_MAX_BUCKET).collect()
+    }
+    uncapped = {
+        (r.id_a, r.id_b) for r in minhash_lsh_candidates(docs).collect()
+    }
+    assert capped == uncapped
+
+    audit = oversized_buckets(lsh_band_index(docs), LSH_MAX_BUCKET // 8)
+    assert audit.count() == 0
