@@ -184,6 +184,57 @@ def dedup_incremental(spark, sf):
     )
 
 
+@query(
+    "dedup_index_roundtrip",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM documents)
+    SELECT n.doc_id AS id_new, b.doc_id AS id_base,
+           len(list_intersect(n.s, b.s))
+             / (len(n.s) + len(b.s) - len(list_intersect(n.s, b.s))) AS jaccard
+    FROM sh n JOIN sh b ON n.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+    WHERE len(list_intersect(n.s, b.s))
+            / (len(n.s) + len(b.s) - len(list_intersect(n.s, b.s))) >= 0.8
+    """,
+)
+def dedup_index_roundtrip(spark, sf):
+    """MATERIALIZED-index incremental near-dedup (VERDICT r03 task 4):
+    the corpus's LSH band index is written to parquet through the
+    engine's own hadoopParquet OUTPUT adapter, read back through the
+    INPUT adapter (a cold, lineage-free table — exactly what a later
+    ingest session sees), and the new batch probes THAT. This is the
+    operational 100 TB shape end-to-end: the index is built/persisted
+    once, each ingest pays only its own signatures + the probe equi-join.
+    The oracle is the same brute-forced new×base Jaccard answer as
+    ``dedup_incremental`` — equality proves the persisted index is
+    probe-compatible across sessions (deterministic xxhash64 seed
+    family), not just within one plan."""
+    from ..model import DataStream, StreamType
+    from ..registry import resolve_input, resolve_output
+    from . import scratch_dir, shared_shingles
+
+    docs = table(spark, sf, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    sh = shared_shingles(spark, sf)
+    idx = D.lsh_band_index(
+        base, shingles=sh.filter(F.col("doc_id") % 5 != 0)
+    )
+    base_dir = scratch_dir("lshidx")
+    out = resolve_output("hadoopParquet")().configure({}).initialize(
+        spark, base_dir
+    )
+    out.save("lsh_index", DataStream("lsh_index", idx, StreamType.COLUMNAR))
+    inp = resolve_input("hadoopColumnar")().configure(
+        {"parquet": True}
+    ).initialize(spark, base_dir)
+    [ds] = inp.load("lsh_index").values()
+    return D.incremental_near_dup_pairs(
+        base, new, base_index=ds.df, threshold=0.8,
+        base_shingles=sh.filter(F.col("doc_id") % 5 != 0),
+        new_shingles=sh.filter(F.col("doc_id") % 5 == 0),
+    )
+
+
 @query("dedup_minhash_lsh")  # rows-only: banded-LSH candidate set
 def dedup_minhash_lsh(spark, sf):
     """Raw LSH candidate pairs (pre-verification). Deterministic given the
@@ -308,6 +359,67 @@ def similarity_topk_ivfpq(spark, sf):
     return out.select(
         "query_id", "neighbor_id", "pq_cosine",
         F.col("rnk").cast("long").alias("rnk"),
+    )
+
+
+@query(
+    "similarity_pq_index_roundtrip",
+    oracle="SELECT CAST(0 AS BIGINT) AS mismatches, TRUE AS nonempty",
+)
+def similarity_pq_index_roundtrip(spark, sf):
+    """PQ index PERSISTENCE proof (VERDICT r03 task 4): the session's
+    codebooks + encoded code table are written to parquet through the
+    hadoopParquet OUTPUT adapter, read back cold through the INPUT
+    adapter, and the ADC top-k runs against the read-back index; the
+    result is diffed (symmetric exceptAll) against the same top-k from
+    the in-session index. mismatches = 0 is the exact oracle — PQ scores
+    are integer-grid sums over the codes, so a persisted index must
+    reproduce the in-memory ranking bit-for-bit; ``nonempty`` guards
+    against a vacuously-empty pass. At 100 TB this is the contract that
+    lets the ~5 byte/vector index be built once and probed by every
+    later search session."""
+    from ..model import DataStream, StreamType
+    from ..registry import resolve_input, resolve_output
+    from . import scratch_dir
+
+    emb = table(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    cb, enc = shared_pq_index(spark, sf)
+
+    base_dir = scratch_dir("pqidx")
+    for name, df in (("codebooks", cb), ("encoded", enc)):
+        out = resolve_output("hadoopParquet")().configure({}).initialize(
+            spark, f"{base_dir}/{name}"
+        )
+        out.save(name, DataStream(name, df, StreamType.COLUMNAR))
+    back = {}
+    for name in ("codebooks", "encoded"):
+        inp = resolve_input("hadoopColumnar")().configure(
+            {"parquet": True}
+        ).initialize(spark, f"{base_dir}/{name}")
+        [ds] = inp.load(name).values()
+        back[name] = ds.df
+
+    def topk(codebooks, encoded):
+        return S.cosine_topk_pq(
+            emb, queries_df, dim=64, k=5, m=32, n_codes=32,
+            codebooks=codebooks, encoded=encoded,
+        ).select("query_id", "neighbor_id", "pq_cosine", "rnk")
+
+    mem = topk(cb, enc)
+    cold = topk(
+        back["codebooks"],
+        back["encoded"].select(
+            "vec_id",
+            F.col("codes").cast("array<int>").alias("codes"),
+            "_norm",
+        ),
+    )
+    diff = mem.exceptAll(cold).unionAll(cold.exceptAll(mem))
+    return diff.agg(
+        F.count(F.lit(1)).alias("mismatches")
+    ).crossJoin(
+        F.broadcast(mem.agg((F.count(F.lit(1)) > 0).alias("nonempty")))
     )
 
 
