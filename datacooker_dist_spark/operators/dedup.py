@@ -484,7 +484,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 50,
     final_stage: str = "auto",
-    auto_node_limit: int = 10_000_000,
+    auto_node_limit: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over an undirected pair list by DISTRIBUTED
     UNION-FIND FILTERING (the MapReduce "filtering" CC family, cf.
@@ -522,10 +522,14 @@ def connected_components(
     graph. The default ``"auto"`` reads the exact distinct-node count off
     the first materialized pass (one distinct-aggregate over the already
     checkpointed star rows — never a re-execution of the caller's pair
-    plan) and picks local below ``auto_node_limit``
-    (10M (node, root) longs ≈ 160 MB, comfortably one task), distributed
-    above — so the default never silently concentrates an oversized
-    forest in one task. Same labels every way (property-tested).
+    plan) and picks local below ``auto_node_limit``, distributed above —
+    so the default never silently concentrates an oversized forest in
+    one task. The limit is sized for what the local pass actually
+    BUILDS, not raw longs: the final task materializes a Python dict
+    union-find plus pandas frames, ~100-150 bytes per node (boxed ints +
+    dict slots), so 2M nodes ≈ 200-300 MB in one task — safe under
+    default executor memory; 10M would be multi-GB (ADVICE r03). Same
+    labels every way (property-tested).
 
     Output: (``src`` node id, ``cluster_id`` = min node id in component).
     """

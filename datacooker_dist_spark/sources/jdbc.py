@@ -39,21 +39,44 @@ def _props(params: dict) -> dict:
     return out
 
 
-def _bind_partition_query(query: str, idx: int) -> str:
-    """Bind one partition's index into a two-``?``-placeholder SELECT, the
-    way the reference's JdbcRDD binds (lowerBound=i, upperBound=i) into the
-    user's arbitrary statement (``JdbcColumnarInput.java:62-77,119-141``
-    with bounds 0..part_count-1 over part_count partitions: partition i
-    gets i for BOTH placeholders). Textual substitution — ``?`` inside
-    string literals is not supported (same practical contract as JdbcRDD:
-    the placeholders are the partition binds)."""
+def _jdbc_partition_bounds(part_count: int) -> list[tuple[int, int]]:
+    """Per-partition (lower, upper) binds, reproducing Spark JdbcRDD's
+    range split EXACTLY as the reference invokes it
+    (``JdbcColumnarInput.java:66-73``: JdbcRDD(…, 0, max(partCount, 0),
+    max(partCount, 1), …)). JdbcRDD splits the INCLUSIVE range
+    [lowerBound, upperBound] — length = 1 + upper - lower — so partition
+    i of n gets start = i·length/n, end = (i+1)·length/n − 1 (integer
+    division). With upper = partCount that makes every partition bind
+    (i, i) EXCEPT the last, which binds (n−1, n): the reference's
+    configs therefore also read rows whose partition expression equals
+    part_count itself (ADVICE r03 — a real JdbcRDD quirk, reproduced
+    here rather than papered over, since a ported ``BETWEEN ? AND ?``
+    config must see identical rows). The part_count=0 edge keeps the
+    reference's upper = 0 over 1 partition → a single (0, 0) bind."""
+    upper = max(part_count, 0)
+    n = max(part_count, 1)
+    length = 1 + upper - 0
+    return [
+        (i * length // n, (i + 1) * length // n - 1)
+        for i in range(n)
+    ]
+
+
+def _bind_partition_query(query: str, lo: int, hi: int) -> str:
+    """Bind one partition's (lower, upper) pair into a
+    two-``?``-placeholder SELECT, the way the reference's JdbcRDD binds
+    its computed range into the user's arbitrary statement
+    (``JdbcColumnarInput.java:62-77,119-141``; bounds from
+    :func:`_jdbc_partition_bounds`). Textual substitution — ``?`` inside
+    string literals is not supported (same practical contract as
+    JdbcRDD: the placeholders are the partition binds)."""
     parts = query.split("?")
     if len(parts) != 3:
         raise ValueError(
             f"placeholder query must contain exactly two '?', found "
             f"{len(parts) - 1}: {query!r}"
         )
-    return f"{parts[0]}{idx}{parts[1]}{idx}{parts[2]}"
+    return f"{parts[0]}{lo}{parts[1]}{hi}{parts[2]}"
 
 
 @input_adapter("jdbcColumnar")
@@ -65,11 +88,15 @@ class JdbcColumnarInput(InputAdapter):
       ``part_count`` slices — Spark's native range-bounded reads;
     - a SELECT containing two ``?`` placeholders — exact reference parity
       (``JdbcColumnarInput.java:62-77``): partition i of ``part_count``
-      runs the statement with both ``?`` bound to i, so modulo-partitioned
-      reference configs (``WHERE MOD(k, n) BETWEEN ? AND ?``) port
-      unchanged. Each partition issues its own bound statement (a union of
-      single-partition JDBC reads — the same per-partition-connection
-      execution profile as JdbcRDD);
+      runs the statement with the (lower, upper) pair JdbcRDD's range
+      split computes — (i, i) for every partition except the last, which
+      binds (n-1, n) (see :func:`_jdbc_partition_bounds`) — so
+      modulo-partitioned reference configs (``WHERE MOD(k, n) BETWEEN ?
+      AND ?``) port unchanged, including the reference's quirky inclusion
+      of a partition-expression value equal to part_count. Each partition
+      issues its own bound statement (a union of single-partition JDBC
+      reads — the same per-partition-connection execution profile as
+      JdbcRDD);
     - neither: single statement, then engine-side repartition.
     """
 
@@ -115,18 +142,19 @@ class JdbcColumnarInput(InputAdapter):
         query = self.path.strip()
         dfs = [
             self._base_reader()
-            .option("query", _bind_partition_query(query, i))
+            .option("query", _bind_partition_query(query, lo, hi))
             .load()
-            for i in range(part_count)
+            for lo, hi in _jdbc_partition_bounds(part_count)
         ]
         return reduce(lambda a, b: a.unionByName(b), dfs)
 
     def load(self, name, part_count=None, partitioning=Partitioning.HASHCODE):
         query = self.path.strip()
         if "?" in query and query.lower().startswith("select"):
-            # Reference part_count=0 edge: JdbcRDD(0,0,1) still ran one
-            # partition (SURVEY §2.A bug note 4) — normalize to 1.
-            df = self._load_placeholder_query(max(int(part_count or 1), 1))
+            # Bounds math (incl. the part_count=0 edge, where JdbcRDD(0,0,1)
+            # still ran one partition — SURVEY §2.A bug note 4) lives in
+            # _jdbc_partition_bounds, which mirrors JdbcRDD exactly.
+            df = self._load_placeholder_query(int(part_count or 0))
         else:
             df = self.reader(part_count).load()
         ds = DataStream(

@@ -388,9 +388,14 @@ def stream_dedup_near(spark, sf):
     micro-batch's new docs (doc_id % 5 = 0) are MinHash-signatured and
     probed (via foreachBatch) against the STATIC corpus LSH index built
     once before the stream starts; verified (id_new, id_base, jaccard)
-    pairs append to the sink. Per-batch cost is O(batch), never
-    O(corpus); exactly-once from availableNow + checkpoint. The drained
-    sink equals the batch incremental answer — the oracle."""
+    pairs land in the sink. Per-batch cost is O(batch), never O(corpus).
+    Exactly-once holds because the sink is batch-id idempotent (ADVICE
+    r03): each micro-batch OVERWRITES its own ``b<batch_id>``
+    subdirectory, so a replay after a mid-write failure rewrites the
+    same directory instead of appending duplicates — the same epoch-dir
+    discipline Spark's own file sink gets from its transaction log,
+    without needing the log. The drained sink equals the batch
+    incremental answer — the oracle."""
     from ..operators import dedup as D
     from . import table
 
@@ -413,7 +418,7 @@ def stream_dedup_near(spark, sf):
         pairs = D.incremental_near_dup_pairs(
             base, new, base_index=base_index, threshold=0.8
         )
-        pairs.write.mode("append").parquet(target)
+        pairs.write.mode("overwrite").parquet(f"{target}/b{batch_id}")
 
     q = (
         stream.writeStream.foreachBatch(probe)
@@ -422,7 +427,11 @@ def stream_dedup_near(spark, sf):
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(target)
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .schema("id_new bigint, id_base bigint, jaccard double")
+        .parquet(target)
+    )
 
 
 @query(

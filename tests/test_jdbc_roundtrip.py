@@ -128,13 +128,24 @@ def test_jdbc_placeholder_query_partition_binding(spark, tmp_path):
 
 
 def test_jdbc_placeholder_query_validation(spark):
-    from datacooker_dist_spark.sources.jdbc import _bind_partition_query
+    from datacooker_dist_spark.sources.jdbc import (
+        _bind_partition_query,
+        _jdbc_partition_bounds,
+    )
 
     assert (
-        _bind_partition_query("SELECT * FROM t WHERE x >= ? AND x <= ?", 3)
+        _bind_partition_query("SELECT * FROM t WHERE x >= ? AND x <= ?", 3, 3)
         == "SELECT * FROM t WHERE x >= 3 AND x <= 3"
     )
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="exactly two"):
-        _bind_partition_query("SELECT * FROM t WHERE x = ?", 0)
+        _bind_partition_query("SELECT * FROM t WHERE x = ?", 0, 0)
+
+    # Exact JdbcRDD range math (ADVICE r03): inclusive [0, part_count]
+    # split over part_count partitions — every partition binds (i, i)
+    # except the LAST, which binds (n-1, n); the reference's quirky
+    # inclusion of value n is reproduced, not papered over.
+    assert _jdbc_partition_bounds(4) == [(0, 0), (1, 1), (2, 2), (3, 4)]
+    assert _jdbc_partition_bounds(1) == [(0, 1)]
+    assert _jdbc_partition_bounds(0) == [(0, 0)]  # JdbcRDD(0, 0, 1) edge
