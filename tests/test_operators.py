@@ -651,3 +651,49 @@ def test_lsh_default_cap_lossless(spark):
 
     audit = oversized_buckets(lsh_band_index(docs), LSH_MAX_BUCKET // 8)
     assert audit.count() == 0
+
+
+def test_av_meta_header_parse_dependency_free():
+    """Planted RIFF/WAVE and RIFF/AVI byte strings parse without any media
+    library (VERDICT r03 task 6 — mirrors the planted-PNG approach), and
+    unrecognized payloads raise the documented NotImplementedError naming
+    the optional extras."""
+    import struct
+
+    import pytest as _pytest
+
+    from datacooker_dist_spark.operators.multimodal import (
+        decode_av_meta,
+        decode_media,
+    )
+
+    fmt = struct.pack("<HHIIHH", 1, 2, 16000, 64000, 4, 16)
+    data = bytes(2 * 2 * 250)  # 250 stereo 16-bit samples
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    m = decode_av_meta(wav, "audio/wav")
+    assert m["sample_rate"] == 16000 and m["channels"] == 2
+    assert m["bits"] == 16 and m["n_samples"] == 250
+    assert m["duration_ms"] == 250 * 1000 // 16000
+
+    avih = struct.pack("<IIIIIIIIII", 40000, 0, 0, 0, 75, 0, 1, 0, 640, 480)
+    avih += bytes(16)
+    hdrl = (
+        b"LIST" + struct.pack("<I", 4 + 8 + len(avih))
+        + b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    )
+    avi = b"RIFF" + struct.pack("<I", 4 + len(hdrl)) + b"AVI " + hdrl
+    v = decode_av_meta(avi, "video/avi")
+    assert (v["width"], v["height"], v["n_frames"]) == (640, 480, 75)
+    assert v["us_per_frame"] == 40000
+    assert v["duration_ms"] == 75 * 40000 // 1000
+    # AVI headers also serve the dimension-oriented image API
+    assert decode_media(avi, "video/avi") == (640, 480)
+
+    with _pytest.raises(NotImplementedError, match="soundfile"):
+        decode_av_meta(b"\x00not-a-riff-payload", "audio/mp3")
+    with _pytest.raises(NotImplementedError, match="av"):
+        decode_av_meta(b"\x00not-a-riff-payload", "video/mp4")
