@@ -129,27 +129,52 @@ def bpe_merges(
     df: DataFrame,
     text_col: str = "text",
     rounds: int = 5,
+    batch: int = 1,
+    stats: dict | None = None,
 ) -> list[tuple[int, str, str, int]]:
     """Train the first ``rounds`` byte-pair-encoding merges over a corpus,
-    distributively — the core inner loop of tokenizer training. Each round:
-    (1) explode every token into adjacent symbol pairs and count them
-    (one hash aggregate, map-side partial — the only shuffle), (2) take
-    the argmax pair with a deterministic (count DESC, left, right)
-    tiebreak via TakeOrdered (a 1-row driver fetch, the same
-    config-scale scalar read as pagerank's node count), (3) fold the
-    merge into every token with an ``aggregate`` HOF (greedy
-    left-to-right, the canonical BPE merge order) — narrow, no shuffle.
-    Token arrays are localCheckpointed per round (via CheckpointChain,
-    which releases the previous generation's blocks THROUGH the JVM RDD
-    handle — a bare ``df.rdd.unpersist`` only detaches a derived RDD) so
-    round K neither replays rounds 1..K-1's folds nor pins their storage:
-    at most two corpus copies are alive at any point, however many rounds
-    run.
+    distributively — the core inner loop of tokenizer training. Each
+    driver round: (1) explode every token into adjacent symbol pairs and
+    count them (one hash aggregate, map-side partial — the only
+    shuffle), (2) fetch the top candidates with a deterministic (count
+    DESC, left, right) tiebreak via TakeOrdered (a bounded driver fetch,
+    the same config-scale scalar read as pagerank's node count),
+    (3) fold the accepted merge(s) into every token with an
+    ``aggregate`` HOF (greedy left-to-right, the canonical BPE merge
+    order) — narrow, no shuffle. Token arrays are localCheckpointed per
+    round (via CheckpointChain, which releases the previous generation's
+    blocks THROUGH the JVM RDD handle — a bare ``df.rdd.unpersist`` only
+    detaches a derived RDD) so round K neither replays earlier rounds'
+    folds nor pins their storage: at most two corpus copies are alive at
+    any point, however many rounds run.
+
+    ``batch`` > 1 applies the standard batched-BPE trick (VERDICT r03
+    task 7): from one count pass, greedily accept up to ``batch``
+    top-ranked candidates that are pairwise CROSS-SIDE disjoint —
+    l_j ≠ r_i and r_j ≠ l_i for every accepted pair i. That is the exact
+    invariance condition: an occurrence of pair j can only be consumed
+    by merge i if one of j's symbols sits in an (l_i, r_i) adjacency,
+    which cross-side disjointness rules out, while SAME-side sharing
+    (e.g. (e,r) and (o,r)) is provably safe — the shared symbol's
+    neighbor in a j-occurrence is j's other symbol, never i's
+    counterpart. Accepted merges therefore keep exact counts and one
+    combined fold pass (the per-position conditions are mutually
+    exclusive) equals applying them sequentially — a real 32k-merge
+    vocabulary then costs ~32k/batch driver round-trips instead of 32k.
+    The one divergence from strict 1-per-round BPE: a pair newly CREATED
+    by an earlier batch member (count ≤ that member's count) could in
+    principle outrank a later member; top counts in natural-language
+    corpora are far-separated, so modest batches produce the identical
+    merge table (asserted batch=4 ≡ batch=1 on the test corpus) — keep
+    ``batch=1`` when bit-exact classic ordering is required.
+
+    ``stats``, when a dict is passed, receives ``driver_rounds`` — the
+    number of count-fetch-fold round-trips actually executed.
 
     Returns [(rank, left, right, pair_count), ...] — the merge table a
     tokenizer would persist. Wire cost per round is the distinct-pair
-    count (vocab²-bounded), not corpus size; the driver sees exactly one
-    row per round.
+    count (vocab²-bounded), not corpus size; the driver sees at most
+    8·batch rows per round.
     """
     from ..functions.checkpoints import CheckpointChain
 
@@ -161,7 +186,8 @@ def bpe_merges(
     syms = chain.checkpoint(words.select(chars.alias("s")))
 
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(1, rounds + 1):
+    driver_rounds = 0
+    while len(merges) < rounds:
         # NB: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty —
         # single-symbol tokens must be filtered out, not relied on to
         # produce an empty index range.
@@ -172,32 +198,57 @@ def bpe_merges(
                 F.element_at("s", i + 1).alias("r"),
             ),
         )
-        best = (
+        want = min(batch, rounds - len(merges))
+        top = (
             syms.filter(F.size("s") >= 2)
             .select(F.explode(pair_arr).alias("p"))
             .groupBy("p.l", "p.r")
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.desc("n"), "l", "r")
-            .limit(1)
+            .limit(max(8 * want, 8))
             .collect()
         )
-        if not best:
+        driver_rounds += 1
+        if not top:
             break
-        l, r, n = best[0]["l"], best[0]["r"], int(best[0]["n"])
-        merges.append((rank, l, r, n))
-        ll, rl, ml = F.lit(l), F.lit(r), F.lit(l + r)
-        fold = F.aggregate(
-            "s",
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.try_element_at(acc, F.lit(-1)) == ll) & (x == rl),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(ml)
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
+        # Greedy cross-side-disjoint selection in rank order: candidate
+        # (l, r) joins the batch only if no accepted (l_i, r_i) has
+        # l == r_i or r == l_i — the exact condition under which counts
+        # stay valid and the combined fold equals sequential application.
+        accepted: list[tuple[str, str, int]] = []
+        lefts: set[str] = set()
+        rights: set[str] = set()
+        for row in top:
+            l, r, n = row["l"], row["r"], int(row["n"])
+            if len(accepted) >= want:
+                break
+            if l in rights or r in lefts:
+                continue
+            accepted.append((l, r, n))
+            lefts.add(l)
+            rights.add(r)
+        for l, r, n in accepted:
+            merges.append((len(merges) + 1, l, r, n))
+
+        def fold_step(acc, x):
+            out = F.concat(acc, F.array(x))
+            for l, r, _n in accepted:
+                cond = (
+                    F.try_element_at(acc, F.lit(-1)) == F.lit(l)
+                ) & (x == F.lit(r))
+                out = F.when(
+                    cond,
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(l + r))
+                    ),
+                ).otherwise(out)
+            return out
+
+        fold = F.aggregate("s", F.array().cast("array<string>"), fold_step)
         syms = chain.checkpoint(syms.select(fold.alias("s")))
     chain.release(df)
+    if stats is not None:
+        stats["driver_rounds"] = driver_rounds
     return merges
 
 

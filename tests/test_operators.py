@@ -697,3 +697,32 @@ def test_av_meta_header_parse_dependency_free():
         decode_av_meta(b"\x00not-a-riff-payload", "audio/mp3")
     with _pytest.raises(NotImplementedError, match="av"):
         decode_av_meta(b"\x00not-a-riff-payload", "video/mp4")
+
+
+def test_bpe_batched_rounds_match_sequential(spark):
+    """Batched BPE (cross-side-disjoint selection) must emit the identical
+    merge table as classic 1-per-round BPE on the test corpus while
+    cutting driver round-trips ~batch× (VERDICT r03 task 7) — on both
+    the real documents slice the suite query uses and a synthetic
+    corpus exercising same-side symbol sharing (the case the refined
+    compatibility rule admits)."""
+    from datacooker_dist_spark.operators.text import bpe_merges
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    s1, s4 = {}, {}
+    m1 = bpe_merges(docs, rounds=5, batch=1, stats=s1)
+    m4 = bpe_merges(docs, rounds=5, batch=4, stats=s4)
+    assert m1 == m4
+    assert s1["driver_rounds"] == 5
+    assert s4["driver_rounds"] <= 2
+
+    # same-side sharing: (e,r) and (o,r) may share 'r' and still batch;
+    # cross-side sharing (r as left of another pair) must not.
+    synth = spark.createDataFrame(
+        [("er er er or or ow ow st st st",)] * 4, "text string"
+    )
+    b1 = bpe_merges(synth, rounds=4, batch=1)
+    b4 = bpe_merges(synth, rounds=4, batch=4)
+    assert b1 == b4
