@@ -430,6 +430,7 @@ def simhash_near_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     num_partitions: int | None = None,
+    simhash: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
@@ -437,8 +438,24 @@ def simhash_near_pairs(
     Hamming 3 of a 64-bit hash must agree exactly on ≥1 of the 4 chunks
     (pigeonhole), so candidate generation is 4 equi-joins, never a cross
     join. Verification counts differing bits via bit_count.
+
+    ``simhash`` accepts a prebuilt/materialized :func:`simhash_table`
+    (id, simhash) so the 64-vote aggregate — the suite's single widest
+    whole-stage-codegen unit, ~3 s of one-time JIT compile per session
+    at ANY data size — executes once and the chunk self-join reads an
+    8-bytes-per-doc table. Measured at sf0.1 (solo session A/B, r04):
+    cold 6.8 s direct vs 6.3 s materialized — cold time is dominated by
+    per-stage codegen compile either way, since AQE already reuses the
+    exchange at runtime; warm runs are ~2.0 s both ways. The value of
+    the parameter is operational (an ingest pipeline probes a persisted
+    simhash table instead of re-hashing the corpus), not compile
+    savings.
     """
-    sh = simhash_table(docs, id_col, text_col, num_partitions=num_partitions)
+    sh = (
+        simhash
+        if simhash is not None
+        else simhash_table(docs, id_col, text_col, num_partitions=num_partitions)
+    )
     chunks = sh.select(
         id_col,
         "simhash",
