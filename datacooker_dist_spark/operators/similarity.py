@@ -250,7 +250,19 @@ def kmeans_refine(
         means = (
             best.select(*group_cols, code_col, F.posexplode("_pv").alias("pos", "val"))
             .groupBy(*(group_cols + [code_col, "pos"]))
-            .agg(F.round(F.avg("val"), round_digits).alias("val"))
+            # Decimal-exact mean (the suite's dsum pattern, scale 15 for
+            # unit-magnitude components): the sum is order-independent,
+            # so refined centroids are bit-identical under any
+            # partitioning AND replayable by a DECIMAL(30,15) SQL oracle
+            # — a double avg would drift in the last ulp with partition
+            # count.
+            .agg(
+                F.round(
+                    F.sum(F.col("val").cast("decimal(30,15)")).cast("double")
+                    / F.count(F.lit(1)),
+                    round_digits,
+                ).alias("val")
+            )
             .groupBy(*(group_cols + [code_col]))
             .agg(
                 F.transform(

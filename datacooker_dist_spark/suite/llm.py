@@ -1239,6 +1239,79 @@ def similarity_index_cells(spark, sf):
     return assigned.select("vec_id", "cell")
 
 
+def _kmeans_iter_sql(k: int, prev: str) -> str:
+    """One unrolled Lloyd iteration as DuckDB CTEs: assign every vector to
+    its argmax-rounded-cosine centroid (cell-id tiebreak), then recompute
+    each cell's componentwise mean with the DECIMAL(30,15)-exact sum the
+    engine uses, keeping the previous centroid for any emptied cell."""
+    return f"""
+    a{k} AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.v, c.cv)
+                       / (sqrt(list_dot_product(e.v, e.v))
+                          * sqrt(list_dot_product(c.cv, c.cv))), 6)
+                 DESC, c.cell) AS rk
+        FROM e CROSS JOIN {prev} c) WHERE rk = 1),
+    m{k} AS (
+      SELECT a{k}.cell, u.i AS pos,
+             round(CAST(SUM(CAST(e.v[CAST(u.i AS INT)]
+                                 AS DECIMAL(30,15))) AS DOUBLE)
+                   / COUNT(*), 6) AS val
+      FROM a{k} JOIN e USING (vec_id),
+           (SELECT UNNEST(range(1, 65)) AS i) u
+      GROUP BY a{k}.cell, u.i),
+    g{k} AS (SELECT cell, list(val ORDER BY pos) AS nv
+             FROM m{k} GROUP BY cell),
+    c{k} AS (SELECT p.cell, COALESCE(g{k}.nv, p.cv) AS cv
+             FROM {prev} p LEFT JOIN g{k} USING (cell))"""
+
+
+@query(
+    "similarity_index_cells_kmeans",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    ids AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM embeddings),
+    cells AS (
+      SELECT vec_id AS cell FROM ids
+      WHERE (rn - 1) % greatest(CAST(FLOOR(n / 16) AS INT), 1) = 0
+      ORDER BY cell LIMIT 16),
+    c0 AS (
+      SELECT c.cell, e.v AS cv
+      FROM cells c JOIN e ON e.vec_id = c.cell),
+    {_kmeans_iter_sql(1, "c0")},
+    {_kmeans_iter_sql(2, "c1")}
+    SELECT vec_id, cell FROM (
+      SELECT e.vec_id, c.cell,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.v, c.cv)
+                     / (sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(c.cv, c.cv))), 6)
+               DESC, c.cell) AS rn
+      FROM e CROSS JOIN c2 c)
+    WHERE rn = 1
+    """,
+)
+def similarity_index_cells_kmeans(spark, sf):
+    """The k-means-REFINED IVF assignment, exactly oracled (r04): two
+    distributed Lloyd iterations — broadcast-assign by rounded-cosine
+    argmax with a cell tiebreak, decimal-exact componentwise means,
+    empty-cell fallback — unrolled as SQL CTEs the oracle replays
+    bit-for-bit. This pins the actual k-means math (`kmeans_refine`),
+    not just its recall effect: every step is integer-grid or
+    decimal-exact, so the refined centroids (and hence every cell
+    assignment) are engine-identical. The shipped ANN indexes run the
+    same code at ``ANN_REFINE_ITERS`` iterations."""
+    emb = table(spark, sf, "embeddings")
+    _, assigned = S.ivf_cells(emb, n_cells=16, refine_iters=2)
+    return assigned.select("vec_id", "cell")
+
+
 @query("similarity_recall_report")  # rows-only: audits approximate indexes
 def similarity_recall_report(spark, sf):
     """ANN index QUALITY GATE — measured recall@5 of the LSH and IVF
