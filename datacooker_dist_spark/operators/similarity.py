@@ -39,6 +39,38 @@ def cosine_expr(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _l2sq_unrolled(a, b, n: int):
+    """Squared L2 distance of two length-``n`` array columns as a STATIC
+    unrolled expression — array higher-order functions run interpreted
+    (the SCALING.md shingle finding), so on the k-way-fanout scoring
+    paths (every point × every centroid) the per-element lambda dominates
+    runtime; an unrolled element_at sum stays inside whole-stage codegen
+    (sf0.1 suite PQ index build measured 21 s → 12 s total with these
+    unrolls + per-iteration centroid checkpoints). Use only when n is
+    statically known and small (PQ subvectors: dim/m)."""
+    terms = [
+        (F.element_at(a, i + 1) - F.element_at(b, i + 1))
+        * (F.element_at(a, i + 1) - F.element_at(b, i + 1))
+        for i in range(n)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _dot_unrolled(a, b, n: int):
+    """Dot product of two length-``n`` array columns, statically unrolled
+    for codegen (see :func:`_l2sq_unrolled`)."""
+    terms = [
+        F.element_at(a, i + 1) * F.element_at(b, i + 1) for i in range(n)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
 def as_double_array(col):
     return F.transform(col, lambda x: x.cast("double"))
 
@@ -188,6 +220,7 @@ def kmeans_refine(
     iters: int = 2,
     metric: str = "l2",
     round_digits: int = 6,
+    vec_len: int | None = None,
 ) -> DataFrame:
     """Distributed Lloyd refinement of an initial centroid table — the
     k-means fit behind :func:`ivf_cells` / :func:`pq_codebooks` (VERDICT
@@ -211,25 +244,50 @@ def kmeans_refine(
        that lose all members keep their previous centroid (left-join +
        coalesce) — k never shrinks.
 
-    The whole refinement stays lazy (no driver sync, no collect): iters
-    is small and fixed, so the composed plan is ~2·iters linear passes.
-    ``metric``: "l2" (PQ subspaces) or "cosine" (spherical k-means for
-    IVF cells — assignment by max rounded cosine, update by mean; the
-    cosine scoring renormalizes, so the mean need not).
+    Each iteration's centroid table is localCheckpointed — it is k·dim
+    doubles (a few KB, bounded by construction, never corpus-sized), and
+    iteration i+1 consumes it TWICE (the assign join and the empty-cell
+    fallback), so without materialization the lineage re-evaluates
+    iteration i-1 twice per consumer — 2^iters corpus passes (measured:
+    the lazy form took 21 s to build the suite's PQ index at sf0.1; the
+    materialized form ~3 s). The refinement is therefore iters tiny
+    driver-synchronized jobs plus 2 linear corpus passes per iteration —
+    never a collect. ``metric``: "l2" (PQ subspaces) or "cosine"
+    (spherical k-means for IVF cells — assignment by max rounded cosine,
+    update by mean; the cosine scoring renormalizes, so the mean need
+    not).
     """
     assert metric in ("l2", "cosine")
+    if iters > 1:
+        # The training set feeds every iteration's assign pass; it is
+        # bounded by the callers' id-prefix sample (≤ k·1000 vectors), so
+        # materialize it once instead of re-scanning/re-exploding the
+        # corpus per iteration.
+        points = points.localCheckpoint()
     for _ in range(iters):
         scored = points.join(
             F.broadcast(centroids), group_cols if group_cols else None
         )
         if metric == "l2":
-            d2 = F.aggregate(
-                F.zip_with("_pv", "_cv", lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+            # vec_len known → static unrolled expression (codegen); else
+            # the interpreted HOF fold (identical fp order either way).
+            d2 = (
+                _l2sq_unrolled(F.col("_pv"), F.col("_cv"), vec_len)
+                if vec_len
+                else F.aggregate(
+                    F.zip_with("_pv", "_cv", lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
             )
             score = F.round(d2 * 1e6).cast("long")
         else:
+            # NB: unrolling the cosine here is a measured LOSS at real
+            # embedding dims (dim=64: 13.8 s vs 8.5 s for the sf0.1 IVF
+            # build) — three ~64-term unrolled dots per row cost more in
+            # janino compile than the interpreted HOF costs to run.
+            # vec_len-based unrolling pays off only for short vectors
+            # (PQ subspaces, the l2 branch above).
             score = -F.round(cosine_expr(F.col("_pv"), F.col("_cv")) * 1e6).cast(
                 "long"
             )
@@ -247,30 +305,42 @@ def kmeans_refine(
                 F.min("_sc").getField(code_col).alias(code_col),
             )
         )
-        means = (
-            best.select(*group_cols, code_col, F.posexplode("_pv").alias("pos", "val"))
-            .groupBy(*(group_cols + [code_col, "pos"]))
-            # Decimal-exact mean (the suite's dsum pattern, scale 15 for
-            # unit-magnitude components): the sum is order-independent,
-            # so refined centroids are bit-identical under any
-            # partitioning AND replayable by a DECIMAL(30,15) SQL oracle
-            # — a double avg would drift in the last ulp with partition
-            # count.
-            .agg(
-                F.round(
-                    F.sum(F.col("val").cast("decimal(30,15)")).cast("double")
-                    / F.count(F.lit(1)),
-                    round_digits,
-                ).alias("val")
+        # Decimal-exact means (the suite's dsum pattern, scale 15 for
+        # unit-magnitude components): the sums are order-independent, so
+        # refined centroids are bit-identical under any partitioning AND
+        # replayable by a DECIMAL(30,15) SQL oracle — a double avg would
+        # drift in the last ulp with partition count. With vec_len known
+        # the vec_len component means fuse into ONE hash aggregate
+        # (array of per-element sums — no posexplode, no collect_list,
+        # one shuffle per iteration instead of two).
+        def dmean(col):
+            return F.round(
+                F.sum(col.cast("decimal(30,15)")).cast("double")
+                / F.count(F.lit(1)),
+                round_digits,
             )
-            .groupBy(*(group_cols + [code_col]))
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "val"))),
-                    lambda s: s["val"],
+
+        if vec_len:
+            means = best.groupBy(*(group_cols + [code_col])).agg(
+                F.array(
+                    *[dmean(F.element_at("_pv", i + 1)) for i in range(vec_len)]
                 ).alias("_nv")
             )
-        )
+        else:
+            means = (
+                best.select(
+                    *group_cols, code_col, F.posexplode("_pv").alias("pos", "val")
+                )
+                .groupBy(*(group_cols + [code_col, "pos"]))
+                .agg(dmean(F.col("val")).alias("val"))
+                .groupBy(*(group_cols + [code_col]))
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                        lambda s: s["val"],
+                    ).alias("_nv")
+                )
+            )
         centroids = (
             centroids.join(means, group_cols + [code_col], "left")
             .select(
@@ -278,6 +348,7 @@ def kmeans_refine(
                 code_col,
                 F.coalesce("_nv", "_cv").alias("_cv"),
             )
+            .localCheckpoint()
         )
     return centroids
 
@@ -323,7 +394,14 @@ def ivf_cells(
         .select(F.col("_cid").alias("cell"), v.alias("_cv"))
     )
     if refine_iters:
-        pts = corpus.select(F.col(id_col).alias("_pid"), v.alias("_pv"))
+        # Train on the same bounded id prefix the seeds come from (left
+        # semi on the TakeOrdered id set): the Lloyd passes never scan
+        # the full corpus — the standard sample-trained k-means shape at
+        # 100 TB (n_cells·1000 training vectors bound the fit); only the
+        # final assignment below touches every vector.
+        pts = corpus.join(
+            ids.withColumnRenamed("_cid", id_col), id_col, "left_semi"
+        ).select(F.col(id_col).alias("_pid"), v.alias("_pv"))
         centroids = kmeans_refine(
             pts, centroids, group_cols=[], code_col="cell",
             iters=refine_iters, metric="cosine",
@@ -610,13 +688,20 @@ def pq_codebooks(
                 for s in range(m)
             ])
         )
-        pts = corpus.select(F.col(id_col).alias("_pid"), psubs.alias("_s")).select(
+        # Bounded training prefix (left semi on the k·1000 TakeOrdered id
+        # set, same policy as the seeds): the per-subspace Lloyd passes
+        # fit on a bounded sample, never the full corpus — only
+        # :func:`pq_encode` touches every vector.
+        train = corpus.join(
+            ids.withColumnRenamed("_sid", id_col), id_col, "left_semi"
+        )
+        pts = train.select(F.col(id_col).alias("_pid"), psubs.alias("_s")).select(
             "_pid", F.col("_s.sub").alias("sub"), F.col("_s._sv").alias("_pv")
         )
         cb = kmeans_refine(
             pts, cb.withColumnRenamed("_cb", "_cv"),
             group_cols=["sub"], code_col="code",
-            iters=refine_iters, metric="l2",
+            iters=refine_iters, metric="l2", vec_len=sub_dim,
         ).withColumnRenamed("_cv", "_cb")
     return cb
 
@@ -659,11 +744,10 @@ def pq_encode(
     ).select(
         id_col, "_norm", F.col("_s.sub").alias("sub"), F.col("_s._sv").alias("_sv")
     )
-    d2 = F.aggregate(
-        F.zip_with("_sv", "_cb", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # Unrolled static L2 (sub_dim terms): this expression runs once per
+    # (vector, sub, code) — the k-way fanout — so it must stay inside
+    # whole-stage codegen, not an interpreted HOF lambda.
+    d2 = _l2sq_unrolled(F.col("_sv"), F.col("_cb"), sub_dim)
     scored = exploded.join(F.broadcast(codebooks), "sub").select(
         id_col, "_norm", "sub", "code",
         F.round(d2 * 1e6).cast("long").alias("_d"),
@@ -742,11 +826,7 @@ def cosine_topk_pq(
             for s in range(m)
         ])
     )
-    qdot = F.aggregate(
-        F.zip_with("_qs", "_cb", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    qdot = _dot_unrolled(F.col("_qs"), F.col("_cb"), sub_dim)
     # |Q|·m·k rows: the ADC lookup table, broadcast to every code row.
     table = (
         qv.select("query_id", _norm("_qv").alias("_qnorm"), qsubs.alias("_s"))
@@ -863,11 +943,7 @@ def cosine_topk_ivfpq(
             for s in range(m)
         ])
     )
-    qdot = F.aggregate(
-        F.zip_with("_qs", "_cb", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    qdot = _dot_unrolled(F.col("_qs"), F.col("_cb"), sub_dim)
     table = (
         qv.select("query_id", _norm("_qv").alias("_qnorm"), qsubs.alias("_s"))
         .select(

@@ -1240,26 +1240,27 @@ def similarity_index_cells(spark, sf):
 
 
 def _kmeans_iter_sql(k: int, prev: str) -> str:
-    """One unrolled Lloyd iteration as DuckDB CTEs: assign every vector to
+    """One unrolled Lloyd iteration as DuckDB CTEs: assign every TRAINING
+    vector (``et`` — the bounded id-prefix sample the engine fits on) to
     its argmax-rounded-cosine centroid (cell-id tiebreak), then recompute
     each cell's componentwise mean with the DECIMAL(30,15)-exact sum the
     engine uses, keeping the previous centroid for any emptied cell."""
     return f"""
     a{k} AS (
       SELECT vec_id, cell FROM (
-        SELECT e.vec_id, c.cell,
-               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-                 round(list_dot_product(e.v, c.cv)
-                       / (sqrt(list_dot_product(e.v, e.v))
+        SELECT et.vec_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY et.vec_id ORDER BY
+                 round(list_dot_product(et.v, c.cv)
+                       / (sqrt(list_dot_product(et.v, et.v))
                           * sqrt(list_dot_product(c.cv, c.cv))), 6)
                  DESC, c.cell) AS rk
-        FROM e CROSS JOIN {prev} c) WHERE rk = 1),
+        FROM et CROSS JOIN {prev} c) WHERE rk = 1),
     m{k} AS (
       SELECT a{k}.cell, u.i AS pos,
-             round(CAST(SUM(CAST(e.v[CAST(u.i AS INT)]
+             round(CAST(SUM(CAST(et.v[CAST(u.i AS INT)]
                                  AS DECIMAL(30,15))) AS DOUBLE)
                    / COUNT(*), 6) AS val
-      FROM a{k} JOIN e USING (vec_id),
+      FROM a{k} JOIN et USING (vec_id),
            (SELECT UNNEST(range(1, 65)) AS i) u
       GROUP BY a{k}.cell, u.i),
     g{k} AS (SELECT cell, list(val ORDER BY pos) AS nv
@@ -1273,6 +1274,7 @@ def _kmeans_iter_sql(k: int, prev: str) -> str:
     oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
+    et AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16000),
     ids AS (
       SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
              COUNT(*) OVER () AS n
