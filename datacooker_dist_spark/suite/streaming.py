@@ -565,3 +565,65 @@ def stream_ema(spark, sf):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return emitted.select("user_id", "event_id", "ema_cents")
+
+
+@query(
+    "stream_similarity_topk",
+    oracle="SELECT CAST(0 AS BIGINT) AS mismatches, TRUE AS nonempty",
+)
+def stream_similarity_topk(spark, sf):
+    """Streaming ANN search against a standing PQ index — the vector twin
+    of ``stream_dedup_near`` and the ingest-time shape of a 100 TB
+    retrieval pipeline: query vectors arrive as a stream; each
+    micro-batch ADC-scores its queries against the session's persisted
+    codebooks + code table via foreachBatch (per-batch cost bounded by
+    the batch's lookup table — the corpus code scan is the same linear
+    pass batch search pays, and the raw vectors are never touched). The
+    sink is batch-id idempotent (per-``b<batch_id>`` overwrite). The
+    drained sink is diffed against the BATCH PQ answer for the same
+    query set — integer-grid ADC sums make the two bit-equal, which is
+    the oracle: 0 mismatches, non-vacuously."""
+    from ..operators import similarity as S
+    from . import table
+    from .llm import shared_pq_index
+
+    emb = table(spark, sf, "embeddings")
+    cb, enc = shared_pq_index(spark, sf)
+
+    base_dir = scratch_dir("sst")
+    target, ckpt = f"{base_dir}/topk", f"{base_dir}/ckpt"
+    stream = file_stream(
+        spark, f"{sf}/embeddings.parquet",
+        "vec_id bigint, embedding array<float>, label int",
+    )
+
+    def probe(batch_df, batch_id):
+        queries = batch_df.filter(F.col("vec_id") < 10)
+        out = S.cosine_topk_pq(
+            emb, queries, dim=64, k=5, m=32, n_codes=32,
+            codebooks=cb, encoded=enc,
+        )
+        out.write.mode("overwrite").parquet(f"{target}/b{batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = (
+        spark.read.option("recursiveFileLookup", "true")
+        .schema(
+            "query_id bigint, neighbor_id bigint, pq_cosine double, rnk int"
+        )
+        .parquet(target)
+    )
+    batch = S.cosine_topk_pq(
+        emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, m=32, n_codes=32,
+        codebooks=cb, encoded=enc,
+    ).select("query_id", "neighbor_id", "pq_cosine", "rnk")
+    diff = drained.exceptAll(batch).unionAll(batch.exceptAll(drained))
+    return diff.agg(F.count(F.lit(1)).alias("mismatches")).crossJoin(
+        F.broadcast(drained.agg((F.count(F.lit(1)) > 0).alias("nonempty")))
+    )
