@@ -65,6 +65,17 @@ GALLERY = [
     ("quality_audit_columns_approx",
      "HLL column audit: approx_count_distinct per column — one ordinary "
      "partial/final aggregate, NO Expand row multiplication"),
+    ("similarity_index_cells_kmeans",
+     "distributed k-means (r04): the Lloyd refinement's windows are all "
+     "bounded (seed sample behind a TakeOrdered limit), assignment is a "
+     "broadcast of the centroid table — the corpus side never shuffles "
+     "for the fit, and no single-partition global-window Exchange "
+     "appears (the suite-wide sweep enforces this everywhere)"),
+    ("similarity_topk_pq",
+     "PQ ADC search: codes explode against a BROADCAST per-query lookup "
+     "table (BroadcastHashJoin) with partial aggregation rebuilding the "
+     "dots — the scan touches 4-byte codes, never the vectors, and no "
+     "cartesian appears"),
 ]
 
 
