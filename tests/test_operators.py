@@ -726,3 +726,64 @@ def test_bpe_batched_rounds_match_sequential(spark):
     b1 = bpe_merges(synth, rounds=4, batch=1)
     b4 = bpe_merges(synth, rounds=4, batch=4)
     assert b1 == b4
+
+
+def test_av_meta_truncated_and_malformed_payloads():
+    """Robustness of the RIFF parsers: truncated chunks, short avih, and
+    declared-size overruns must degrade to the documented raise, never an
+    IndexError inside a task."""
+    import struct
+
+    import pytest as _pytest
+
+    from datacooker_dist_spark.operators.multimodal import (
+        _parse_avi_meta,
+        _parse_wav_meta,
+        decode_av_meta,
+    )
+
+    # fmt chunk whose declared size overruns the payload: chunk walk stops,
+    # no fmt parsed -> None
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    trunc = b"RIFF" + struct.pack("<I", 100) + b"WAVE" + b"fmt " + struct.pack("<I", 200) + fmt[:8]
+    assert _parse_wav_meta(trunc) is None
+    # data chunk but no fmt -> None (insufficient metadata)
+    nofmt = b"RIFF" + struct.pack("<I", 16) + b"WAVE" + b"data" + struct.pack("<I", 4) + b"\0\0\0\0"
+    assert _parse_wav_meta(nofmt) is None
+    # avih present but header area shorter than the 40 fixed bytes -> None
+    shortavi = b"RIFF" + struct.pack("<I", 20) + b"AVI " + b"avih" + struct.pack("<I", 40) + b"\0" * 10
+    assert _parse_avi_meta(shortavi) is None
+    for payload, mt in ((trunc, "audio/wav"), (shortavi, "video/avi")):
+        with _pytest.raises(NotImplementedError):
+            decode_av_meta(payload, mt)
+
+    # WAV without a data chunk still yields format metadata (n_samples None)
+    hdr_only = b"RIFF" + struct.pack("<I", 28) + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    m = _parse_wav_meta(hdr_only)
+    assert m["sample_rate"] == 8000 and m["n_samples"] is None
+
+
+def test_kmeans_refine_empty_and_degenerate_inputs(spark):
+    """kmeans_refine edge shapes: an empty point set leaves the seed
+    centroids unchanged (empty-cell fallback everywhere); a single-point
+    corpus converges to that point."""
+    from datacooker_dist_spark.operators.similarity import kmeans_refine
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cell long, _cv array<double>"
+    )
+    empty = spark.createDataFrame([], "_pid long, _pv array<double>")
+    out = {r["cell"]: list(r["_cv"]) for r in kmeans_refine(
+        empty, cents, group_cols=[], code_col="cell", iters=2, metric="l2",
+        vec_len=2,
+    ).collect()}
+    assert out == {0: [1.0, 0.0], 1: [0.0, 1.0]}
+
+    one = spark.createDataFrame([(7, [3.0, 4.0])], "_pid long, _pv array<double>")
+    out1 = {r["cell"]: list(r["_cv"]) for r in kmeans_refine(
+        one, cents, group_cols=[], code_col="cell", iters=2, metric="l2",
+        vec_len=2,
+    ).collect()}
+    # the point joins its nearest seed; that centroid moves to the point,
+    # the other keeps its seed
+    assert out1[1] == [3.0, 4.0] and out1[0] == [1.0, 0.0]
