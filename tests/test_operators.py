@@ -787,3 +787,29 @@ def test_kmeans_refine_empty_and_degenerate_inputs(spark):
     # the point joins its nearest seed; that centroid moves to the point,
     # the other keeps its seed
     assert out1[1] == [3.0, 4.0] and out1[0] == [1.0, 0.0]
+
+
+def test_ivfpq_rerank_never_hurts_recall(spark):
+    """The refine stage re-orders a superset of the ADC top-k by exact
+    cosine, so measured recall against brute force must be >= the
+    ADC-only path on the same index and probes."""
+    from datacooker_dist_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    k = 5
+    exact = {(r.query_id, r.neighbor_id)
+             for r in S.cosine_topk(emb, q, k=k).collect()}
+    cb = S.pq_codebooks(emb, 64, m=32, k=32, refine_iters=2).localCheckpoint()
+    enc = S.pq_encode(emb, cb, 64, m=32).localCheckpoint()
+    cells = S.ivf_cells(emb, n_cells=8, refine_iters=2)
+    cells = (cells[0].localCheckpoint(), cells[1].localCheckpoint())
+
+    def recall(rr):
+        got = {(r.query_id, r.neighbor_id) for r in S.cosine_topk_ivfpq(
+            emb, q, 64, k=k, n_cells=8, nprobe=4, m=32, n_codes=32,
+            codebooks=cb, encoded=enc, cells=cells, rerank=rr,
+        ).collect()}
+        return len(got & exact) / len(exact)
+
+    assert recall(20) >= recall(0)

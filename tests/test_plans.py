@@ -491,7 +491,10 @@ def test_incremental_dedup_is_index_probe_equi_join(spark):
 def test_pq_paths_no_cartesian_and_broadcast_tables(spark):
     """PQ and IVF-PQ scoring must broadcast the per-query lookup table
     (never shuffle it against the codes) and contain no cartesian."""
-    for name in ("similarity_topk_pq", "similarity_topk_ivfpq"):
+    for name in (
+        "similarity_topk_pq", "similarity_topk_ivfpq",
+        "similarity_topk_ivfpq_rerank",
+    ):
         plan = executed_plan(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastHashJoin" in plan, name
