@@ -373,6 +373,45 @@ def similarity_topk_ivfpq(spark, sf):
     )
 
 
+@query(
+    "similarity_index_build",
+    oracle="""
+    SELECT CAST(1024 AS BIGINT) AS n_codebook_rows,
+           (SELECT COUNT(*) FROM embeddings) AS n_encoded,
+           CAST(16 AS BIGINT) AS n_cells,
+           (SELECT COUNT(*) FROM embeddings) AS n_assigned,
+           TRUE AS codes_in_range
+    """,
+)
+def similarity_index_build(spark, sf):
+    """The session's shared ANN index build as a NAMED deliverable:
+    materializes both the PQ index (k-means codebooks + encoded code
+    table) and the IVF index (refined centroids + cell assignment) and
+    returns their shape invariants — m·k codebook rows, one code row and
+    one cell per corpus vector, every code inside [0, k). Exists partly
+    for honest bench attribution: this query sorts before every other
+    similarity consumer, so the one-time index build cost appears under
+    its own name instead of inflating whichever search query happens to
+    run first (the r03/r04 attribution lesson). The oracle pins the
+    structural contract exactly."""
+    cb, enc = shared_pq_index(spark, sf)
+    centroids, assigned = shared_ivf_index(spark, sf)
+    codes_ok = enc.select(
+        F.min(F.forall("codes", lambda c: (c >= 0) & (c < 32))).alias("ok")
+    )
+    return (
+        cb.agg(F.count(F.lit(1)).alias("n_codebook_rows"))
+        .crossJoin(F.broadcast(enc.agg(F.count(F.lit(1)).alias("n_encoded"))))
+        .crossJoin(
+            F.broadcast(centroids.agg(F.count(F.lit(1)).alias("n_cells")))
+        )
+        .crossJoin(
+            F.broadcast(assigned.agg(F.count(F.lit(1)).alias("n_assigned")))
+        )
+        .crossJoin(F.broadcast(codes_ok.select(F.col("ok").alias("codes_in_range"))))
+    )
+
+
 @query("similarity_topk_ivfpq_rerank")  # rows-only: approximate (recall < 1)
 def similarity_topk_ivfpq_rerank(spark, sf):
     """IVF-PQ with the FAISS-style REFINE stage (r04): the top-20 ADC
