@@ -906,3 +906,65 @@ def containment_pairs(
         uniq.unpersist()
         sets.unpersist()
     return verified
+
+
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    shingles: DataFrame | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood near-dedup (r04) — the third blocking family
+    beside MinHash-LSH and SimHash chunks: documents sort by their
+    normalized text (the exact-dedup normalization, whitespace-collapsed
+    lowercase) with an id tiebreak, and each document is compared only
+    to its ``window`` successors in sort order; survivors verify by
+    exact n-gram Jaccard. Catches the near-dup mode LSH is weakest on —
+    shared-prefix boilerplate with a divergent tail — at O(n·window)
+    candidate pairs.
+
+    Scale shape: the global sort rank comes from
+    :func:`~.relational.global_rank` (repartitionByRange + per-partition
+    windows + a P-integer offset broadcast — NEVER a single-partition
+    sort); candidate generation is ``window`` narrow rank-shift
+    equi-joins via one explode (rn_b = rn_a + d, d ∈ 1..window), so
+    shuffle is window·n id-rank rows; verification reuses the standard
+    candidate-driven Jaccard join. Every stage is linear in n for fixed
+    window. The oracle replays the same (normalized key, id) total order
+    with ROW_NUMBER — binary string collation matches between engines.
+    Output: (id_a, id_b, jaccard ≥ threshold), id_a < id_b.
+    """
+    from .relational import global_rank
+    from .text import fingerprint  # noqa: F401  (normalization twin lives there)
+
+    key = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    ranked = global_rank(
+        docs.select(F.col(id_col), key.alias("_key")),
+        ["_key", id_col],
+        rank_col="_rn",
+        num_partitions=num_partitions,
+    ).select(id_col, "_rn")
+    probe = ranked.select(
+        F.col(id_col).alias("_ida"),
+        F.col("_rn"),
+        F.explode(F.sequence(F.lit(1), F.lit(window))).alias("_d"),
+    ).select("_ida", (F.col("_rn") + F.col("_d")).alias("_rnb"))
+    cand = (
+        probe.join(
+            ranked.select(F.col(id_col).alias("_idb"), F.col("_rn").alias("_rnb")),
+            "_rnb",
+        )
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+        )
+        .distinct()
+    )
+    return ngram_jaccard_pairs(
+        docs, cand, id_col, text_col, shingle_n, threshold,
+        shingles=shingles,
+    )

@@ -235,6 +235,48 @@ def dedup_index_roundtrip(spark, sf):
     )
 
 
+@query(
+    "dedup_sorted_neighborhood",
+    oracle=f"""
+    WITH k AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS key
+      FROM documents),
+    r AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY key, doc_id) AS rn
+      FROM k),
+    cand AS (
+      SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+             GREATEST(a.doc_id, b.doc_id) AS id_b
+      FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4
+      GROUP BY 1, 2),
+    sh AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM documents)
+    SELECT c.id_a, c.id_b,
+           len(list_intersect(x.s, y.s))
+             / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))
+             AS jaccard
+    FROM cand c JOIN sh x ON x.doc_id = c.id_a
+                JOIN sh y ON y.doc_id = c.id_b
+    WHERE len(list_intersect(x.s, y.s))
+            / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.8
+    """,
+)
+def dedup_sorted_neighborhood(spark, sf):
+    """Sorted-neighborhood near-dedup (r04) — the third blocking family
+    beside MinHash-LSH buckets and SimHash chunks: docs sort globally by
+    normalized text (distributed two-pass rank, never a single-partition
+    sort), each doc compares only to its 4 successors, survivors verify
+    by exact Jaccard. The oracle replays the identical (key, id) total
+    order with ROW_NUMBER — proving the distributed rank machinery
+    produces the exact classic-algorithm answer."""
+    from . import shared_shingles
+
+    return D.sorted_neighborhood_pairs(
+        table(spark, sf, "documents"), window=4, threshold=0.8,
+        shingles=shared_shingles(spark, sf),
+    )
+
+
 @query("dedup_minhash_lsh")  # rows-only: banded-LSH candidate set
 def dedup_minhash_lsh(spark, sf):
     """Raw LSH candidate pairs (pre-verification). Deterministic given the
