@@ -1458,3 +1458,65 @@ def dataset_mix_temperature(spark, sf):
             ).cast("bigint").alias("n_kept")
         )
     )
+
+
+@query(
+    "dataset_shard_manifest",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+             len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+               AS n_tokens,
+             strlen(text) AS n_chars
+      FROM documents),
+    s AS (
+      SELECT CAST(CAST(concat('0x', substr(fp, 1, 8)) AS BIGINT) % 16
+                  AS BIGINT) AS shard,
+             doc_id, n_tokens, n_chars
+      FROM f)
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM s GROUP BY shard
+    """,
+)
+def dataset_shard_manifest(spark, sf):
+    """Deterministic training-shard assignment + manifest (r04): every
+    document lands in shard = first-32-bits(md5 content fingerprint) mod
+    16 — keyed on CONTENT, so re-ingesting the same corpus under
+    different ids reproduces identical shard membership, and exact
+    duplicates always co-locate (dedup survivorship composes). The
+    manifest (docs / tokens / chars / id range per shard) is what a
+    training loader checks before consuming; balance follows from the
+    hash. One fingerprint projection + one 16-group aggregate — the
+    shard WRITE is `partitionBy("shard")` on the same column (the
+    adapter layer's partitioned sink, proven in
+    adapter_partitioned_roundtrip). The md5-hex → integer mapping is
+    engine-portable (Spark conv(hex,16,10) ≡ DuckDB '0x'-cast), so the
+    whole assignment is exactly oracled, unlike xxhash-style splits."""
+    from ..operators import text as T
+
+    docs = table(spark, sf, "documents")
+    shard = (
+        F.conv(F.substring(T.fingerprint("text"), 1, 8), 16, 10)
+        .cast("long") % 16
+    )
+    return (
+        docs.select(
+            shard.alias("shard"),
+            F.col("doc_id"),
+            T.token_count("text").cast("long").alias("n_tokens"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
