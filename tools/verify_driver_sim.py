@@ -1,12 +1,17 @@
 """Driver-sim verify: vanilla session, full oracle comparator (the /verify
-skill entry point). Usage: python tools/verify_driver_sim.py [sf_dir]."""
+skill entry point). Usage: python tools/verify_driver_sim.py [sf_dir].
+Env: DDS_SIM_CPUS / DDS_SIM_SHUFFLE override the session shape — e.g.
+DDS_SIM_CPUS=4 DDS_SIM_SHUFFLE=5 runs the odd-partitioning mirror that
+shakes out partition-count-dependent results."""
 import sys, os, traceback
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tests")
 import duckdb
 from pyspark.sql import SparkSession
-spark = (SparkSession.builder.master("local[8]")
-         .config("spark.sql.shuffle.partitions", "8")
+_cpus = os.environ.get("DDS_SIM_CPUS", "8")
+_shuf = os.environ.get("DDS_SIM_SHUFFLE", "8")
+spark = (SparkSession.builder.master(f"local[{_cpus}]")
+         .config("spark.sql.shuffle.partitions", _shuf)
          .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 import __spark_entry__ as E
