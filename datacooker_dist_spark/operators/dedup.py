@@ -968,3 +968,146 @@ def sorted_neighborhood_pairs(
         docs, cand, id_col, text_col, shingle_n, threshold,
         shingles=shingles,
     )
+
+
+def kgram_occurrence_rows(
+    docs: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, _pos, _gh) — one row per FULL k-token window occurrence, with
+    ``_gh`` = xxhash64 of the space-joined gram. Docs shorter than ``k``
+    tokens yield no rows (strict windows — unlike :func:`shingle_rows`,
+    whose single partial gram is the right semantics for set-Jaccard but
+    not for positional span matching). Same codegen pipeline as
+    :func:`shingle_rows` (posexplode + window leads beat interpreted
+    array HOFs ~6×); positions are 1-based to match SQL windows. Only the
+    8-byte hash leaves this pass — the gram strings never shuffle, the
+    scale posture for a corpus-wide inverted index (hash collisions are
+    negligible at 2^-64-per-pair and the downstream verification joins
+    are hash-keyed exactly like the production systems this mirrors)."""
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.col(id_col), F.posexplode(tokens_col(text_col)).alias("_p0", "_t")
+    )
+    w = Window.partitionBy(id_col).orderBy("_p0")
+    leads = [F.lead("_t", i).over(w) for i in range(1, k)]
+    size = F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    return (
+        tok.select(
+            F.col(id_col),
+            (F.col("_p0") + 1).alias("_pos"),
+            F.concat_ws(" ", F.col("_t"), *leads).alias("_g"),
+            size.alias("_sz"),
+        )
+        .filter(F.col("_pos") <= F.col("_sz") - k + 1)
+        .select(id_col, "_pos", F.xxhash64("_g").alias("_gh"))
+    )
+
+
+def substring_span_pairs(
+    docs: DataFrame,
+    k: int = 10,
+    max_df: int | None = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    grams: DataFrame | None = None,
+) -> DataFrame:
+    """Cross-document repeated-substring spans — exact-substring dedup in
+    the style of suffix-array training-data dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): find
+    every ordered doc pair sharing ≥1 exact k-token window and merge the
+    matched windows into maximal consecutive runs. Where the Jaccard
+    family measures whole-document set overlap, this catches a long
+    verbatim passage pasted into an otherwise-unrelated document — the
+    boilerplate/license/quote signal set-similarity dilutes away.
+
+    Plan (all equi-joins, linear in corpus token count):
+    1. one narrow pass emits (id, pos, gram-hash) window occurrences
+       (:func:`kgram_occurrence_rows`);
+    2. gram doc-frequency aggregate keeps hashes seen in ≥2 docs and —
+       the stop-gram guard, same role as the LSH stop-bucket cap — drops
+       hashes in more than ``max_df`` docs, bounding any single gram's
+       pair fanout at max_df² (a ubiquitous boilerplate sentence at
+       100 TB would otherwise go quadratic);
+    3. the surviving occurrences self-join on the hash (id_a < id_b) and
+       dedup to (id_a, id_b, pos_a);
+    4. per-pair gap-and-island merge: grp = pos_a − row_number() over the
+       (id_a, id_b) partition — bounded by a doc's window count, never a
+       global window — then runs roll up to the pair report.
+    Output: (id_a, id_b, n_shared_windows, longest_span_tokens) where
+    longest_span_tokens = longest run + k − 1.
+    """
+    from pyspark.sql import Window
+
+    g = grams if grams is not None else kgram_occurrence_rows(
+        docs, k, id_col, text_col
+    )
+    dfreq = g.groupBy("_gh").agg(
+        F.countDistinct(id_col).alias("_ddf")
+    ).filter(
+        (F.col("_ddf") >= 2)
+        & ((F.col("_ddf") <= max_df) if max_df is not None else F.lit(True))
+    )
+    gk = g.join(dfreq.select("_gh"), "_gh", "left_semi")
+    a = gk.select(
+        F.col("_gh"), F.col(id_col).alias("id_a"), F.col("_pos").alias("pos_a")
+    )
+    b = gk.select(F.col("_gh"), F.col(id_col).alias("id_b"))
+    matched = (
+        a.join(b, "_gh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pos_a")
+        .distinct()
+    )
+    w = Window.partitionBy("id_a", "id_b").orderBy("pos_a")
+    runs = (
+        matched.withColumn("_grp", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", "_grp")
+        .agg(F.count(F.lit(1)).alias("_run"))
+    )
+    return runs.groupBy("id_a", "id_b").agg(
+        F.sum("_run").alias("n_shared_windows"),
+        (F.max("_run") + F.lit(k - 1)).cast("long").alias("longest_span_tokens"),
+    )
+
+
+def duplicated_window_fraction(
+    docs: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    grams: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document duplicated-text fraction: the share of a doc's k-token
+    windows whose gram occurs in ≥2 distinct documents corpus-wide — the
+    per-doc score the substring-dedup literature reports (and the gate a
+    pipeline filters on before the heavier span merge). One gram-hash
+    doc-frequency aggregate + one hash-keyed join back to the occurrence
+    rows + one per-doc rollup — linear, no pair space at all. Docs with
+    zero duplicated windows are omitted (the interesting tail is the
+    duplicated one; the full corpus count lives in n_windows of the
+    survivors). Output: (doc_id, n_windows, n_dup_windows,
+    dup_fraction)."""
+    g = grams if grams is not None else kgram_occurrence_rows(
+        docs, k, id_col, text_col
+    )
+    dfreq = g.groupBy("_gh").agg(F.countDistinct(id_col).alias("_ddf"))
+    flagged = g.join(dfreq, "_gh").select(
+        id_col, (F.col("_ddf") >= 2).cast("int").alias("_dup")
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum("_dup").alias("n_dup_windows"),
+        )
+        .filter(F.col("n_dup_windows") > 0)
+        .select(
+            id_col, "n_windows", "n_dup_windows",
+            F.round(F.col("n_dup_windows") / F.col("n_windows"), 6)
+            .alias("dup_fraction"),
+        )
+    )

@@ -84,6 +84,24 @@ def shared_ivf_index(spark, sf, n_cells=16):
     return _IVF_INDEX_CACHE[key]
 
 
+_KGRAM_CACHE: dict = {}
+
+
+def shared_kgram_rows(spark, sf, k=10):
+    """Session-memoized strict k-token window occurrences (id, pos,
+    gram-hash) over ``documents`` — the substring-span pair merge and the
+    per-doc duplicated-fraction report consume the identical inverted
+    index, so the tokenize/window/hash pass runs once per session."""
+    key = (id(spark), sf, k)
+    if key not in _KGRAM_CACHE:
+        from pyspark import StorageLevel
+
+        _KGRAM_CACHE[key] = D.kgram_occurrence_rows(
+            table(spark, sf, "documents"), k=k
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    return _KGRAM_CACHE[key]
+
+
 def shared_embedding_pairs(spark, sf):
     """Session-memoized exact-cosine near-dup pairs (≥ 0.45 on the bounded
     slice) from the LSH candidate pipeline — `dedup_embedding` and
@@ -105,6 +123,57 @@ def shared_embedding_pairs(spark, sf):
 
 
 # ----------------------------------------------------------------- dedup
+
+
+@query(
+    "candidate_pairs_build",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.s, b.s))
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+               AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+            >= 0.8)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+            FROM (SELECT id_a AS doc_id FROM pairs
+                  UNION ALL SELECT id_b FROM pairs)) AS n_dup_docs,
+           round(MIN(jaccard), 6) AS min_jaccard
+    FROM pairs
+    """,
+)
+def candidate_pairs_build(spark, sf):
+    """The session's shared near-dup pair pipeline as a NAMED deliverable
+    (the ANN twin is ``similarity_index_build``): materializes the
+    shingle pass → banded-MinHash LSH candidates (stop-bucket-capped) →
+    exact-Jaccard verification chain every dedup-family consumer probes,
+    and reports its invariants — verified pair count, distinct docs
+    involved, and the minimum surviving Jaccard (≥ the 0.8 gate by
+    construction). Exists partly for honest bench attribution: this
+    query sorts before every other shared-pass consumer
+    (``corpus_dup_rate_by_source`` was silently paying the ~5 s
+    first-touch), and partly as the operational artifact a 100 TB
+    pipeline would persist. The oracle brute-forces the full pair space
+    — equality proves the capped LSH candidate path loses nothing at
+    this scale."""
+    from . import shared_jaccard_pairs
+
+    pairs = shared_jaccard_pairs(spark, sf)
+    ids = pairs.select(F.col("id_a").alias("doc_id")).unionByName(
+        pairs.select(F.col("id_b").alias("doc_id"))
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.min("jaccard"), 6).alias("min_jaccard"),
+    ).crossJoin(
+        F.broadcast(
+            ids.agg(F.countDistinct("doc_id").alias("n_dup_docs"))
+        )
+    ).select("n_pairs", "n_dup_docs", "min_jaccard")
 
 
 @query(
@@ -232,6 +301,80 @@ def dedup_index_roundtrip(spark, sf):
         base, new, base_index=ds.df, threshold=0.8,
         base_shingles=sh.filter(F.col("doc_id") % 5 != 0),
         new_shingles=sh.filter(F.col("doc_id") % 5 == 0),
+    )
+
+
+_SQL_KGRAMS = """
+    WITH t AS (SELECT doc_id,
+                      regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+               FROM documents),
+    g AS (SELECT doc_id, u.i AS pos,
+                 array_to_string(toks[u.i:u.i+9], ' ') AS gram
+          FROM t, unnest(range(1, greatest(len(toks) - 9, 0) + 1)) AS u(i))
+"""
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    {_SQL_KGRAMS},
+    keep AS (SELECT gram FROM g GROUP BY gram
+             HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 64),
+    m AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a
+          FROM g a JOIN g b USING (gram)
+          WHERE a.doc_id < b.doc_id AND gram IN (SELECT gram FROM keep)),
+    isl AS (SELECT id_a, id_b, pos_a,
+                   pos_a - ROW_NUMBER() OVER (PARTITION BY id_a, id_b
+                                              ORDER BY pos_a) AS grp
+            FROM m),
+    runs AS (SELECT id_a, id_b, COUNT(*) AS run
+             FROM isl GROUP BY id_a, id_b, grp)
+    SELECT id_a, id_b, CAST(SUM(run) AS BIGINT) AS n_shared_windows,
+           CAST(MAX(run) + 9 AS BIGINT) AS longest_span_tokens
+    FROM runs GROUP BY id_a, id_b
+    """,
+)
+def dedup_substring_spans(spark, sf):
+    """EXACT-substring dedup (suffix-array-style, Lee et al. 2022): doc
+    pairs sharing verbatim 10-token windows, matched windows merged into
+    maximal consecutive spans — catches a long passage pasted into an
+    otherwise-unrelated document, which whole-doc set-Jaccard dilutes
+    away. Inverted k-gram-hash index + doc-frequency stop-gram cap
+    (≤64 docs — provably lossless here, the skew guard at corpus scale)
+    + per-pair gap-and-island run merge; every join hash-keyed, the pair
+    window bounded by a doc's own window count. The oracle replays the
+    identical pipeline on the gram STRINGS — equality also witnesses
+    that the engine's hash-only shuffle loses nothing."""
+    docs = table(spark, sf, "documents")
+    return D.substring_span_pairs(
+        docs, k=10, max_df=64, grams=shared_kgram_rows(spark, sf)
+    )
+
+
+@query(
+    "text_duplicated_window_fraction",
+    oracle=f"""
+    {_SQL_KGRAMS},
+    df AS (SELECT gram, COUNT(DISTINCT doc_id) AS ddf FROM g GROUP BY gram)
+    SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN df.ddf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows,
+           round(SUM(CASE WHEN df.ddf >= 2 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS dup_fraction
+    FROM g JOIN df USING (gram) GROUP BY g.doc_id
+    HAVING SUM(CASE WHEN df.ddf >= 2 THEN 1 ELSE 0 END) > 0
+    """,
+)
+def text_duplicated_window_fraction(spark, sf):
+    """Per-document duplicated-text fraction: share of a doc's 10-token
+    windows appearing verbatim in ≥2 documents corpus-wide — the per-doc
+    score substring-dedup pipelines gate on before the heavier span
+    merge. One doc-frequency aggregate over the shared inverted k-gram
+    index + one hash join back + a per-doc rollup; linear, no pair
+    space."""
+    docs = table(spark, sf, "documents")
+    return D.duplicated_window_fraction(
+        docs, k=10, grams=shared_kgram_rows(spark, sf)
     )
 
 
@@ -531,11 +674,26 @@ def similarity_pq_index_roundtrip(spark, sf):
             "_norm",
         ),
     )
-    diff = mem.exceptAll(cold).unionAll(cold.exceptAll(mem))
-    return diff.agg(
-        F.count(F.lit(1)).alias("mismatches")
-    ).crossJoin(
-        F.broadcast(mem.agg((F.count(F.lit(1)) > 0).alias("nonempty")))
+    # Multiset symmetric difference as Σ|count_mem − count_cold| over a
+    # full outer join of per-row counts — identical to
+    # |mem EXCEPT ALL cold| + |cold EXCEPT ALL mem| but each side's top-k
+    # plan executes ONCE (the exceptAll-both-ways form re-evaluated each
+    # side twice plus a fifth pass for the nonempty guard — measured 12 s
+    # vs ~5 s at sf0.1). The equi-join keys include pq_cosine, which is
+    # safe: ADC scores are integer-grid sums, bit-identical across the
+    # persisted and in-memory index by the contract under test.
+    cols = ["query_id", "neighbor_id", "pq_cosine", "rnk"]
+    mem_c = mem.groupBy(cols).agg(F.count(F.lit(1)).alias("_n_mem"))
+    cold_c = cold.groupBy(cols).agg(F.count(F.lit(1)).alias("_n_cold"))
+    j = mem_c.join(cold_c, cols, "full_outer").select(
+        F.abs(
+            F.coalesce("_n_mem", F.lit(0)) - F.coalesce("_n_cold", F.lit(0))
+        ).alias("_d"),
+        F.coalesce("_n_mem", F.lit(0)).alias("_n_mem"),
+    )
+    return j.agg(
+        F.sum("_d").alias("mismatches"),
+        (F.sum("_n_mem") > 0).alias("nonempty"),
     )
 
 

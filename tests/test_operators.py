@@ -813,3 +813,86 @@ def test_ivfpq_rerank_never_hurts_recall(spark):
         return len(got & exact) / len(exact)
 
     assert recall(20) >= recall(0)
+
+
+def test_substring_spans_merge_semantics(spark):
+    """Planted corpus: one 12-token verbatim passage shared between docs
+    1↔2 must merge to a single maximal run (3 windows of 10, longest
+    span 12); two disjoint shared 10-token spans between docs 3↔4 stay
+    two runs of one window each; docs under 10 tokens yield nothing."""
+    from datacooker_dist_spark.operators import dedup as D
+
+    passage = " ".join(f"c{i}" for i in range(12))
+    span1 = " ".join(f"s{i}" for i in range(10))
+    span2 = " ".join(f"u{i}" for i in range(10))
+    mk = lambda pre, n: " ".join(f"{pre}{i}" for i in range(n))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{mk('a', 10)} {passage} {mk('b', 10)}"),
+            (2, f"{mk('d', 10)} {passage} {mk('e', 10)}"),
+            (3, f"{span1} {mk('f', 5)} {span2}"),
+            (4, f"{span1} {mk('g', 7)} {span2}"),
+            (5, "tiny doc under ten tokens here now ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.id_a, r.id_b): (r.n_shared_windows, r.longest_span_tokens)
+        for r in D.substring_span_pairs(docs, k=10).collect()
+    }
+    assert out[(1, 2)] == (3, 12)
+    assert out[(3, 4)] == (2, 10)
+    assert set(out) == {(1, 2), (3, 4)}
+
+
+def test_substring_stop_gram_cap_drops_ubiquitous(spark):
+    """A gram in more docs than max_df is excluded from pair generation —
+    the quadratic-fanout guard; the same corpus with the cap above the
+    df keeps the pairs."""
+    from datacooker_dist_spark.operators import dedup as D
+
+    boiler = " ".join(f"x{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(i, f"{boiler} tail{i} " + " ".join(f"t{i}_{j}" for j in range(9)))
+         for i in range(5)],
+        "doc_id long, text string",
+    )
+    capped = D.substring_span_pairs(docs, k=10, max_df=4).collect()
+    assert capped == []
+    uncapped = D.substring_span_pairs(docs, k=10, max_df=None).collect()
+    assert len(uncapped) == 10  # C(5,2) pairs on the shared boilerplate
+
+
+def test_duplicated_window_fraction_counts(spark):
+    """Fraction = duplicated windows / total windows per doc; docs with
+    zero duplicated windows are omitted."""
+    from datacooker_dist_spark.operators import dedup as D
+
+    passage = " ".join(f"c{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{passage} " + " ".join(f"a{i}" for i in range(8))),
+            (2, f"{passage} " + " ".join(f"b{i}" for i in range(8))),
+            (3, " ".join(f"z{i}" for i in range(20))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_windows, r.n_dup_windows, r.dup_fraction)
+           for r in D.duplicated_window_fraction(docs, k=10).collect()}
+    # 20 tokens → 11 windows; the 12-token passage yields 3 duplicated.
+    assert out[1] == (11, 3, round(3 / 11, 6))
+    assert out[2] == (11, 3, round(3 / 11, 6))
+    assert 3 not in out
+
+
+def test_substring_spans_plan_discipline(spark):
+    """No CartesianProduct; the island window is partitioned (pair-bounded,
+    never a single-partition global window)."""
+    from datacooker_dist_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    plan = D.substring_span_pairs(docs, k=10)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
