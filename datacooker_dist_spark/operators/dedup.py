@@ -1111,3 +1111,60 @@ def duplicated_window_fraction(
             .alias("dup_fraction"),
         )
     )
+
+
+def incremental_substring_spans(
+    base: DataFrame,
+    new: DataFrame,
+    k: int = 10,
+    max_df: int | None = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    base_grams: DataFrame | None = None,
+    new_grams: DataFrame | None = None,
+) -> DataFrame:
+    """Ingest-time exact-substring probe — the incremental twin of
+    :func:`substring_span_pairs` (as :func:`incremental_near_dup_pairs`
+    is to the Jaccard family): only the NEW batch is tokenized and
+    windowed; its gram hashes equi-join the standing corpus gram index
+    (gh → base doc id — a persistable (8B, id) parquet artifact, built
+    once per corpus, never re-derived per ingest), and matched windows
+    merge to maximal spans per (new, base) pair. A single base match
+    makes a window duplicated (no ≥2-doc gate — the base IS the prior
+    corpus); ``max_df`` caps a gram's BASE doc fanout (the stop-gram
+    guard — boilerplate present in more than max_df corpus docs is
+    dropped before the probe join). Shuffle is O(batch windows + hits).
+    Output: (id_new, id_base, n_shared_windows, longest_span_tokens).
+    """
+    from pyspark.sql import Window
+
+    gb = base_grams if base_grams is not None else kgram_occurrence_rows(
+        base, k, id_col, text_col
+    )
+    gn = new_grams if new_grams is not None else kgram_occurrence_rows(
+        new, k, id_col, text_col
+    )
+    idx = gb.select("_gh", F.col(id_col).alias("id_base")).distinct()
+    if max_df is not None:
+        keep = idx.groupBy("_gh").agg(
+            F.count(F.lit(1)).alias("_ddf")
+        ).filter(F.col("_ddf") <= max_df)
+        idx = idx.join(keep.select("_gh"), "_gh", "left_semi")
+    matched = (
+        gn.select(
+            "_gh", F.col(id_col).alias("id_new"), F.col("_pos").alias("pos_new")
+        )
+        .join(idx, "_gh")
+        .select("id_new", "id_base", "pos_new")
+        .distinct()
+    )
+    w = Window.partitionBy("id_new", "id_base").orderBy("pos_new")
+    runs = (
+        matched.withColumn("_grp", F.col("pos_new") - F.row_number().over(w))
+        .groupBy("id_new", "id_base", "_grp")
+        .agg(F.count(F.lit(1)).alias("_run"))
+    )
+    return runs.groupBy("id_new", "id_base").agg(
+        F.sum("_run").alias("n_shared_windows"),
+        (F.max("_run") + F.lit(k - 1)).cast("long").alias("longest_span_tokens"),
+    )

@@ -27,14 +27,24 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+def session_key(spark: SparkSession) -> str:
+    """Stable identity for the suite's session-memo caches: the Spark
+    applicationId is unique per SparkContext (timestamped in local mode)
+    and — unlike ``id(spark)`` (ADVICE r03) — can never be recycled by a
+    later session after the first is stopped and GC'd, so a stale cache
+    entry can't be served to a fresh session that happens to reuse the
+    same CPython object address."""
+    return spark.sparkContext.applicationId
+
+
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read a synthetic table; the DataFrame (lazy plan root) is memoized
     per (session, path) so parquet footer/schema inference happens once per
     table instead of once per query."""
-    key = (id(spark), sf_dir, name)
+    key = (session_key(spark), sf_dir, name)
     if key not in _TABLE_CACHE:
         if name == "events":
             _TABLE_CACHE[key] = read_events(spark, sf_dir)
@@ -51,7 +61,7 @@ def shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     family (MinHash LSH, exact Jaccard, SimHash-adjacent, clustering) all
     consume the same (doc_id, _sh) pass, so shingling + its persist happen
     once per session instead of once per query."""
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key not in _SHINGLE_CACHE:
         from ..operators import dedup as D
 
@@ -89,7 +99,7 @@ def shared_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     can be applied as a post-filter on this one set
     (``dedup_edit_distance`` filters it to its bounded slice) instead of
     re-running the signature + bucket join per consumer."""
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key not in _LSH_CAND_CACHE:
         from ..operators import dedup as D
 
@@ -114,7 +124,7 @@ def shared_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     set, so it materializes once per session via localCheckpoint (the
     pair set is tiny — O(dups), not O(corpus)) instead of re-running
     the candidate join + verification per query."""
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key not in _JACCARD_PAIR_CACHE:
         from ..operators import dedup as D
 

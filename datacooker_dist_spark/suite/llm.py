@@ -24,7 +24,7 @@ from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..operators import text as T
 from ..session import default_parallelism
-from . import query, table
+from . import query, session_key, table
 
 # DuckDB twins of the engine's tokenization / shingling conventions
 # (operators.dedup.tokens_col / shingles_col).
@@ -55,7 +55,7 @@ def shared_pq_index(spark, sf, dim=64, m=32, n_codes=32):
     Lloyd passes per subspace). The memo key includes ``dim`` (ADVICE
     r03): same (m, n_codes) at a different dimensionality is a different
     index."""
-    key = (id(spark), sf, dim, m, n_codes)
+    key = (session_key(spark), sf, dim, m, n_codes)
     if key not in _PQ_INDEX_CACHE:
         emb = table(spark, sf, "embeddings")
         cb = S.pq_codebooks(
@@ -72,7 +72,7 @@ def shared_ivf_index(spark, sf, n_cells=16):
     (``ANN_REFINE_ITERS`` Lloyd passes) executes once per session instead
     of once per consumer (the IVF top-k, the IVF-PQ stack, and the recall
     report all probe the same cells)."""
-    key = (id(spark), sf, n_cells)
+    key = (session_key(spark), sf, n_cells)
     if key not in _IVF_INDEX_CACHE:
         emb = table(spark, sf, "embeddings")
         centroids, assigned = S.ivf_cells(
@@ -92,7 +92,7 @@ def shared_kgram_rows(spark, sf, k=10):
     gram-hash) over ``documents`` — the substring-span pair merge and the
     per-doc duplicated-fraction report consume the identical inverted
     index, so the tokenize/window/hash pass runs once per session."""
-    key = (id(spark), sf, k)
+    key = (session_key(spark), sf, k)
     if key not in _KGRAM_CACHE:
         from pyspark import StorageLevel
 
@@ -109,7 +109,7 @@ def shared_embedding_pairs(spark, sf):
     signature/join/verify pipeline runs once per session and the (tiny)
     verified pair list is checkpointed (same pattern as
     `shared_shingles`)."""
-    key = (id(spark), sf)
+    key = (session_key(spark), sf)
     if key not in _EMB_PAIR_CACHE:
         emb = table(spark, sf, "embeddings").filter(F.col("vec_id") < 500)
         pairs = S.cosine_candidate_pairs(
@@ -348,6 +348,44 @@ def dedup_substring_spans(spark, sf):
     docs = table(spark, sf, "documents")
     return D.substring_span_pairs(
         docs, k=10, max_df=64, grams=shared_kgram_rows(spark, sf)
+    )
+
+
+@query(
+    "dedup_substring_incremental",
+    oracle=f"""
+    {_SQL_KGRAMS},
+    keep AS (SELECT gram FROM g WHERE doc_id % 5 <> 0 GROUP BY gram
+             HAVING COUNT(DISTINCT doc_id) <= 64),
+    m AS (SELECT DISTINCT n.doc_id AS id_new, b.doc_id AS id_base,
+                 n.pos AS pos_new
+          FROM g n JOIN g b USING (gram)
+          WHERE n.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+            AND gram IN (SELECT gram FROM keep)),
+    isl AS (SELECT id_new, id_base, pos_new,
+                   pos_new - ROW_NUMBER() OVER (PARTITION BY id_new, id_base
+                                                ORDER BY pos_new) AS grp
+            FROM m),
+    runs AS (SELECT id_new, id_base, COUNT(*) AS run
+             FROM isl GROUP BY id_new, id_base, grp)
+    SELECT id_new, id_base, CAST(SUM(run) AS BIGINT) AS n_shared_windows,
+           CAST(MAX(run) + 9 AS BIGINT) AS longest_span_tokens
+    FROM runs GROUP BY id_new, id_base
+    """,
+)
+def dedup_substring_incremental(spark, sf):
+    """Ingest-time exact-substring probe: only the NEW batch (doc_id % 5
+    = 0) is windowed; its gram hashes probe the standing corpus gram
+    index (a persistable (hash, doc) artifact of the rest) and matched
+    windows merge to maximal spans per (new, base) pair — a single base
+    match counts (the base IS the prior corpus), base-doc fanout capped
+    at 64. The substring twin of ``dedup_incremental``: the corpus is
+    indexed once, each ingest pays its own windows + the probe join."""
+    g = shared_kgram_rows(spark, sf)
+    return D.incremental_substring_spans(
+        None, None, k=10, max_df=64,
+        base_grams=g.filter(F.col("doc_id") % 5 != 0),
+        new_grams=g.filter(F.col("doc_id") % 5 == 0),
     )
 
 

@@ -896,3 +896,35 @@ def test_substring_spans_plan_discipline(spark):
     )
     plan = D.substring_span_pairs(docs, k=10)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_substring_probe(spark):
+    """New-batch windows probing a base gram index: a passage shared with
+    one base doc is found (no ≥2-doc gate), base-only and new-only pairs
+    never appear, and the base-df cap drops boilerplate."""
+    from datacooker_dist_spark.operators import dedup as D
+
+    passage = " ".join(f"c{i}" for i in range(11))
+    boiler = " ".join(f"x{i}" for i in range(10))
+    base = spark.createDataFrame(
+        [(1, f"{passage} " + " ".join(f"a{i}" for i in range(9))),
+         (2, f"{boiler} " + " ".join(f"b{i}" for i in range(9))),
+         (3, f"{boiler} " + " ".join(f"d{i}" for i in range(9)))],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, f"{passage} {boiler}"),
+         (11, " ".join(f"n{i}" for i in range(15)))],
+        "doc_id long, text string",
+    )
+    out = {(r.id_new, r.id_base): (r.n_shared_windows, r.longest_span_tokens)
+           for r in D.incremental_substring_spans(base, new, k=10).collect()}
+    # passage (11 tokens → 2 windows) matches base doc 1; boiler matches 2 & 3
+    assert out[(10, 1)] == (2, 11)
+    assert out[(10, 2)] == (1, 10)
+    assert out[(10, 3)] == (1, 10)
+    assert set(out) == {(10, 1), (10, 2), (10, 3)}
+    capped = {(r.id_new, r.id_base)
+              for r in D.incremental_substring_spans(
+                  base, new, k=10, max_df=1).collect()}
+    assert capped == {(10, 1)}  # boiler df=2 > cap → dropped
