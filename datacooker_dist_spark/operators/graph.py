@@ -249,3 +249,67 @@ def triangle_participation(
     oriented.unpersist()
     und.unpersist()
     return counts
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly remove ALL
+    nodes whose degree in the current induced subgraph is < k, until a
+    fixpoint — the classic cohesion filter (spam/bot subgraph mining,
+    community cores, nucleus extraction) the rank-propagation family
+    doesn't cover. Expects a bidirectionalized edge set (every undirected
+    edge present in both orientations, as :func:`pagerank` documents).
+
+    Scale shape: each round is two semi-joins of the persisted adjacency
+    against the (shrinking) survivor set + one hash aggregate on the
+    node id — shuffle is O(surviving edges), and the survivor table the
+    round hands forward is O(nodes). Rounds are driver-synchronized on
+    the survivor count (the fixpoint test), with survivor tables run
+    through a :class:`~..functions.checkpoints.CheckpointChain` so the
+    loop holds at most two generations of blocks — the same bounded-
+    storage discipline as the CC finisher and BPE trainer. Peeling is
+    monotone (survivors only shrink), so it terminates in ≤ |V| rounds;
+    ``max_rounds`` is a loud backstop against a caller bug, not a
+    convergence knob. Simultaneous (not sequential) removal per round —
+    the standard parallel peeling semantics, which an unrolled SQL
+    oracle replays round-for-round.
+
+    Output: (node, core_deg) for nodes in the k-core, where core_deg is
+    the node's degree within the final induced subgraph (≥ k by
+    construction).
+    """
+    from ..functions.checkpoints import CheckpointChain
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    chain = CheckpointChain(keep=1)
+    surv = chain.checkpoint(e.select(F.col("src").alias("node")).distinct())
+    prev = surv.count()
+    for _ in range(max_rounds):
+        deg = (
+            e.join(surv.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(surv.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("core_deg"))
+            .filter(F.col("core_deg") >= k)
+        )
+        deg = chain.checkpoint(deg)
+        n = deg.count()
+        surv = deg.select(F.col("src").alias("node"))
+        if n == prev:
+            e.unpersist()
+            chain_out = deg.select(
+                F.col("src").alias("node"), F.col("core_deg")
+            )
+            return chain_out
+        prev = n
+    e.unpersist()
+    raise RuntimeError(
+        f"k_core did not reach a fixpoint within max_rounds={max_rounds} "
+        "(peeling is monotone, so this indicates a caller bug — e.g. a "
+        "non-deterministic edge source re-sampling per round)"
+    )

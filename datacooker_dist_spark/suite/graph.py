@@ -246,3 +246,83 @@ def graph_bfs_hops(spark, sf):
         _trade_edges(spark, sf), seeds, max_hops=_BFS_HOPS,
         strategy="unrolled",
     )
+
+
+_KCORE_K = 2
+_KCORE_UNROLL = 10
+
+_KCORE_PRELUDE = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+cpairs AS MATERIALIZED (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+cedges AS MATERIALIZED (SELECT a AS src, b AS dst FROM cpairs
+           UNION ALL SELECT b, a FROM cpairs),
+it0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM cedges)"""
+
+
+def _kcore_oracle(k: int, unroll: int) -> str:
+    # AS MATERIALIZED is load-bearing: each round references the previous
+    # round's CTE twice (both edge endpoints), so DuckDB's default inlining
+    # would re-evaluate the chain 2^unroll times (measured: >120 s vs
+    # 0.05 s at sf0.001 for unroll=10).
+    steps = []
+    for r in range(1, unroll + 1):
+        steps.append(f"""
+it{r} AS MATERIALIZED (
+  SELECT e.src AS node FROM cedges e
+  JOIN it{r - 1} a ON a.node = e.src
+  JOIN it{r - 1} b ON b.node = e.dst
+  GROUP BY e.src HAVING COUNT(*) >= {k})""")
+    return (
+        _KCORE_PRELUDE + "," + ",".join(steps)
+        + f"""
+    SELECT e.src AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+    FROM cedges e
+    JOIN it{unroll} a ON a.node = e.src
+    JOIN it{unroll} b ON b.node = e.dst
+    GROUP BY e.src"""
+    )
+
+
+@query("graph_kcore", oracle=_kcore_oracle(_KCORE_K, _KCORE_UNROLL))
+def graph_kcore(spark, sf):
+    """k-core decomposition (k=2) of the co-purchase graph (parts sharing
+    ≥2 orders — the same thresholded pair pass as ``graph_triangles``):
+    iteratively peel ALL nodes with induced degree < k until fixpoint,
+    report survivors with their core degree. The 2-core strips every
+    tree appendage, leaving only the cyclic trade structure — the
+    cohesion filter used for spam/bot subgraph mining. Engine peels with
+    driver-synchronized rounds over a CheckpointChain (two semi-joins +
+    one aggregate per round, shuffle O(surviving edges)); the oracle
+    unrolls 10 simultaneous-removal rounds as chained CTEs — peeling
+    converges in ≤4 rounds at the correctness SFs, and extra unrolled
+    rounds are exact no-ops at fixpoint, so the margin is free."""
+    from ..operators.graph import k_core
+
+    li = table(spark, sf, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.l_orderkey") == F.col("b.l_orderkey"),
+                F.col("a.l_partkey") < F.col("b.l_partkey"),
+            ],
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+    edges = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    with _scoped_partitions(spark):
+        # eager by construction: every peeling round localCheckpoints.
+        return k_core(edges, k=_KCORE_K)

@@ -658,3 +658,40 @@ def test_no_type_skew_in_any_oracled_output(spark):
     con = duck_connection(SF_SMALL)
     flags = sweep_all(spark, con, QUERIES, ORACLES, SF_SMALL)
     assert not flags, flags
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=0,
+        max_size=20,
+    ),
+    st.integers(2, 3),
+)
+def test_kcore_matches_brute_force_peeling(spark, raw_edges, k):
+    """k_core must equal brute-force simultaneous peeling (survivors with
+    their induced degree) for any undirected graph."""
+    from datacooker_dist_spark.operators.graph import k_core
+
+    # undirected simple graph, no self-loops
+    und = {(min(a, b), max(a, b)) for a, b in raw_edges if a != b}
+    bidir = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    edf = spark.createDataFrame(
+        bidir or [(None, None)], "src int, dst int"
+    ).filter(F.col("src").isNotNull())
+    got = {(r["node"], r["core_deg"]) for r in k_core(edf, k=k).collect()}
+
+    nodes = {n for e in und for n in e}
+    while True:
+        deg = {n: 0 for n in nodes}
+        for a, b in und:
+            if a in nodes and b in nodes:
+                deg[a] += 1
+                deg[b] += 1
+        drop = {n for n in nodes if deg[n] < k}
+        if not drop:
+            break
+        nodes -= drop
+    expect = {(n, deg[n]) for n in nodes} if nodes else set()
+    assert got == expect
