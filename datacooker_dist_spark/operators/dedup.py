@@ -1113,6 +1113,34 @@ def duplicated_window_fraction(
     )
 
 
+def substring_gram_index(
+    base: DataFrame | None,
+    k: int = 10,
+    max_df: int | None = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    grams: DataFrame | None = None,
+) -> DataFrame:
+    """The standing corpus gram index for incremental substring dedup:
+    distinct (_gh, id_base) rows — 8-byte gram hash → base doc id — with
+    the ``max_df`` stop-gram cap already applied (grams present in more
+    than max_df base docs are dropped at BUILD time, so every later
+    probe inherits the skew guard for free). This is the persistable
+    artifact: ~16 bytes/window as parquet, built once per corpus; each
+    ingest batch pays only its own windows + the probe equi-join
+    (:func:`incremental_substring_spans` with ``base_index=``)."""
+    g = grams if grams is not None else kgram_occurrence_rows(
+        base, k, id_col, text_col
+    )
+    idx = g.select("_gh", F.col(id_col).alias("id_base")).distinct()
+    if max_df is not None:
+        keep = idx.groupBy("_gh").agg(
+            F.count(F.lit(1)).alias("_ddf")
+        ).filter(F.col("_ddf") <= max_df)
+        idx = idx.join(keep.select("_gh"), "_gh", "left_semi")
+    return idx
+
+
 def incremental_substring_spans(
     base: DataFrame,
     new: DataFrame,
@@ -1122,6 +1150,7 @@ def incremental_substring_spans(
     text_col: str = "text",
     base_grams: DataFrame | None = None,
     new_grams: DataFrame | None = None,
+    base_index: DataFrame | None = None,
 ) -> DataFrame:
     """Ingest-time exact-substring probe — the incremental twin of
     :func:`substring_span_pairs` (as :func:`incremental_near_dup_pairs`
@@ -1134,22 +1163,28 @@ def incremental_substring_spans(
     corpus); ``max_df`` caps a gram's BASE doc fanout (the stop-gram
     guard — boilerplate present in more than max_df corpus docs is
     dropped before the probe join). Shuffle is O(batch windows + hits).
+    ``base_index`` short-circuits the index derivation with a prebuilt
+    (_gh, id_base) table — :func:`substring_gram_index`'s output, e.g.
+    read back from parquet or probed per micro-batch — in which case
+    ``base``/``base_grams``/``max_df`` are ignored (the cap was applied
+    at build time).
     Output: (id_new, id_base, n_shared_windows, longest_span_tokens).
     """
     from pyspark.sql import Window
 
-    gb = base_grams if base_grams is not None else kgram_occurrence_rows(
-        base, k, id_col, text_col
-    )
     gn = new_grams if new_grams is not None else kgram_occurrence_rows(
         new, k, id_col, text_col
     )
-    idx = gb.select("_gh", F.col(id_col).alias("id_base")).distinct()
-    if max_df is not None:
-        keep = idx.groupBy("_gh").agg(
-            F.count(F.lit(1)).alias("_ddf")
-        ).filter(F.col("_ddf") <= max_df)
-        idx = idx.join(keep.select("_gh"), "_gh", "left_semi")
+    if base_index is not None:
+        idx = base_index
+    else:
+        gb = base_grams if base_grams is not None else kgram_occurrence_rows(
+            base, k, id_col, text_col
+        )
+        idx = substring_gram_index(
+            None, k=k, max_df=max_df, id_col=id_col,
+            text_col=text_col, grams=gb,
+        )
     matched = (
         gn.select(
             "_gh", F.col(id_col).alias("id_new"), F.col("_pos").alias("pos_new")

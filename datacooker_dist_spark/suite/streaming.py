@@ -627,3 +627,84 @@ def stream_similarity_topk(spark, sf):
     return diff.agg(F.count(F.lit(1)).alias("mismatches")).crossJoin(
         F.broadcast(drained.agg((F.count(F.lit(1)) > 0).alias("nonempty")))
     )
+
+
+@query(
+    "stream_substring_dedup",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+               FROM documents),
+    g AS (SELECT doc_id, u.i AS pos,
+                 array_to_string(toks[u.i:u.i+9], ' ') AS gram
+          FROM t, unnest(range(1, greatest(len(toks) - 9, 0) + 1)) AS u(i)),
+    keep AS (SELECT gram FROM g WHERE doc_id % 5 <> 0 GROUP BY gram
+             HAVING COUNT(DISTINCT doc_id) <= 64),
+    m AS (SELECT DISTINCT n.doc_id AS id_new, b.doc_id AS id_base,
+                 n.pos AS pos_new
+          FROM g n JOIN g b USING (gram)
+          WHERE n.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+            AND gram IN (SELECT gram FROM keep)),
+    isl AS (SELECT id_new, id_base, pos_new,
+                   pos_new - ROW_NUMBER() OVER (PARTITION BY id_new, id_base
+                                                ORDER BY pos_new) AS grp
+            FROM m),
+    runs AS (SELECT id_new, id_base, COUNT(*) AS run
+             FROM isl GROUP BY id_new, id_base, grp)
+    SELECT id_new, id_base, CAST(SUM(run) AS BIGINT) AS n_shared_windows,
+           CAST(MAX(run) + 9 AS BIGINT) AS longest_span_tokens
+    FROM runs GROUP BY id_new, id_base
+    """,
+)
+def stream_substring_dedup(spark, sf):
+    """Streaming exact-substring dedup — the ingest-time twin of
+    ``dedup_substring_incremental`` (every dedup family now ships batch +
+    incremental + streaming forms): documents arrive as a stream; each
+    micro-batch's new docs (doc_id % 5 = 0) are windowed and their gram
+    hashes probe (via foreachBatch) the STATIC corpus gram index built
+    once before the stream starts (``substring_gram_index`` — the
+    stop-gram cap applied at build). Span merging is per (new, base)
+    pair and every new doc's windows arrive in its own row, so batch
+    boundaries can't split a span. Per-batch cost is O(batch windows +
+    hits), never O(corpus). Exactly-once via the batch-id-idempotent
+    per-``b<batch_id>`` overwrite sink (the ``stream_dedup_near``
+    discipline). The drained sink equals the batch incremental answer —
+    the oracle."""
+    from ..operators import dedup as D
+    from . import table
+
+    docs = table(spark, sf, "documents")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    base_index = D.substring_gram_index(base, k=10, max_df=64).localCheckpoint()
+
+    base_dir = scratch_dir("ssd")
+    target, ckpt = f"{base_dir}/spans", f"{base_dir}/ckpt"
+
+    doc_schema = (
+        "doc_id bigint, text string, lang string, "
+        "source string, n_chars bigint"
+    )
+    stream = file_stream(spark, f"{sf}/documents.parquet", doc_schema)
+
+    def probe(batch_df, batch_id):
+        new = batch_df.filter(F.col("doc_id") % 5 == 0)
+        spans = D.incremental_substring_spans(
+            None, new, k=10, base_index=base_index
+        )
+        spans.write.mode("overwrite").parquet(f"{target}/b{batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .schema(
+            "id_new bigint, id_base bigint, "
+            "n_shared_windows bigint, longest_span_tokens bigint"
+        )
+        .parquet(target)
+    )

@@ -219,3 +219,28 @@ def test_global_rank_and_prefix_sum_on_empty(spark):
     out = global_prefix_sum(df, ["v", "uid"], "v", out_col="s")
     assert out.count() == 0
     assert "s" in out.columns
+
+
+def test_kcore_on_empty_edges(spark):
+    from datacooker_dist_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert k_core(edges, k=2).collect() == []
+
+
+def test_substring_ops_on_empty_corpus(spark):
+    from datacooker_dist_spark.operators.dedup import (
+        duplicated_window_fraction,
+        incremental_substring_spans,
+        substring_span_pairs,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert substring_span_pairs(docs, k=10).collect() == []
+    assert duplicated_window_fraction(docs, k=10).collect() == []
+    some = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(12)))], "doc_id long, text string"
+    )
+    # empty base: nothing to probe; empty new: nothing probes
+    assert incremental_substring_spans(docs, some, k=10).collect() == []
+    assert incremental_substring_spans(some, docs, k=10).collect() == []
