@@ -390,6 +390,64 @@ def dedup_substring_incremental(spark, sf):
 
 
 @query(
+    "dedup_substring_index_roundtrip",
+    oracle=f"""
+    {_SQL_KGRAMS},
+    keep AS (SELECT gram FROM g WHERE doc_id % 5 <> 0 GROUP BY gram
+             HAVING COUNT(DISTINCT doc_id) <= 64),
+    m AS (SELECT DISTINCT n.doc_id AS id_new, b.doc_id AS id_base,
+                 n.pos AS pos_new
+          FROM g n JOIN g b USING (gram)
+          WHERE n.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+            AND gram IN (SELECT gram FROM keep)),
+    isl AS (SELECT id_new, id_base, pos_new,
+                   pos_new - ROW_NUMBER() OVER (PARTITION BY id_new, id_base
+                                                ORDER BY pos_new) AS grp
+            FROM m),
+    runs AS (SELECT id_new, id_base, COUNT(*) AS run
+             FROM isl GROUP BY id_new, id_base, grp)
+    SELECT id_new, id_base, CAST(SUM(run) AS BIGINT) AS n_shared_windows,
+           CAST(MAX(run) + 9 AS BIGINT) AS longest_span_tokens
+    FROM runs GROUP BY id_new, id_base
+    """,
+)
+def dedup_substring_index_roundtrip(spark, sf):
+    """MATERIALIZED substring-index probe: the corpus gram index
+    (``substring_gram_index`` — capped at build) is written to parquet
+    through the engine's own hadoopParquet OUTPUT adapter, read back
+    cold through the INPUT adapter, and the new batch probes THAT — the
+    same cross-session persistence contract ``dedup_index_roundtrip``
+    proves for the LSH band index. Equality with the brute-forced
+    oracle witnesses that the persisted 16-byte (hash, doc) rows are
+    probe-compatible across sessions (xxhash64 is deterministic and
+    parquet-exact for longs)."""
+    from ..model import DataStream, StreamType
+    from ..registry import resolve_input, resolve_output
+    from . import scratch_dir
+
+    docs = table(spark, sf, "documents")
+    g = shared_kgram_rows(spark, sf)
+    idx = D.substring_gram_index(
+        None, k=10, max_df=64,
+        grams=g.filter(F.col("doc_id") % 5 != 0),
+    )
+    base_dir = scratch_dir("ssidx")
+    out = resolve_output("hadoopParquet")().configure({}).initialize(
+        spark, base_dir
+    )
+    out.save("gram_index", DataStream("gram_index", idx, StreamType.COLUMNAR))
+    inp = resolve_input("hadoopColumnar")().configure(
+        {"parquet": True}
+    ).initialize(spark, base_dir)
+    [ds] = inp.load("gram_index").values()
+    return D.incremental_substring_spans(
+        None, None, k=10,
+        new_grams=g.filter(F.col("doc_id") % 5 == 0),
+        base_index=ds.df,
+    )
+
+
+@query(
     "text_duplicated_window_fraction",
     oracle=f"""
     {_SQL_KGRAMS},
