@@ -323,3 +323,56 @@ def test_dynamic_partition_overwrite_touches_one_partition(spark, tmp_path):
     assert back.filter("p = 'p2' AND v >= 1000").count() == 0
     assert back.filter("p = 'p1' AND v < 1000").count() == 0
     assert back.count() == 100
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The engine's default posture leans on AQE for runtime skew handling
+    (salting is the explicit opt-in for joins AQE can't see) — pin that
+    the escape hatch actually engages, AND the constraint that decides
+    when manual salting is still required: OptimizeSkewedJoin only
+    rewrites a sort-merge join whose children are both DIRECT shuffle
+    stages. (a) An independent probe side → the finalized plan marks the
+    join skew=true with an AQEShuffleRead skewed split of the hot
+    partition. (b) A dim derived by an aggregate on the join key reuses
+    the aggregate's output partitioning — no direct shuffle stage on that
+    side, so AQE can NOT split the identical skew; that is precisely the
+    shape where the engine's salted_join / stop-bucket caps are the scale
+    path (iterative loops, self-joins over pre-aggregated candidates)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        hot = spark.range(0, 200000).select(
+            F.when(F.col("id") % 100 < 99, 1).otherwise(F.col("id")).alias("k"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        dim = spark.range(0, 200000).select(
+            F.col("id").alias("k"), F.lit("x").alias("v")
+        )
+        joined = hot.join(dim, "k")
+        # Execute THIS DataFrame's queryExecution (a sink write would plan
+        # a separate execution and leave this one un-finalized).
+        joined.foreach(lambda _: None)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan and "AQEShuffleRead skewed" in plan
+
+        derived_dim = hot.select("k").distinct().withColumn("v", F.lit("x"))
+        joined2 = hot.join(derived_dim, "k")
+        joined2.foreach(lambda _: None)
+        plan2 = joined2._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan2
+        assert "skew=true" not in plan2  # AQE blind here → salting territory
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
