@@ -288,3 +288,73 @@ def intradoc_dedup(
         F.round(F.size(kept) / F.size("_chunks"), 6).alias("dedup_ratio"),
         F.array_join(kept, " ").alias("text_dedup"),
     )
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[tuple],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    preview: int = 8,
+) -> DataFrame:
+    """Encode documents with a TRAINED BPE merge table — the apply half of
+    the tokenizer story (:func:`bpe_merges` trains it): every word splits
+    to symbols and each merge folds in, in rank order, with the identical
+    greedy left-to-right ``aggregate`` fold the trainer used — so
+    applying the trainer's own table to its training corpus reproduces
+    the trainer's final symbol state exactly. Entirely JVM-side column
+    expressions (nested higher-order functions, no Python worker): the
+    merge table is compiled INTO the expression tree as literals — the
+    tokenizer-vocab analog of a broadcast dict, sized by the vocabulary
+    (expression depth = merge count; chunked folds keep codegen happy for
+    large tables — the driver holds the table either way, exactly like
+    every real tokenizer runtime).
+
+    ``merges``: rank-ordered rows shaped (rank, left, right[, count]) or
+    (left, right) — :func:`bpe_merges` output is accepted as-is.
+
+    Output: (id, n_words, n_symbols, n_bpe_tokens, tokens_preview) —
+    per-document word count, pre-merge symbol (char) count, post-merge
+    BPE token count, and the first 8 encoded tokens (the eyeball check).
+    """
+    pairs = [
+        (m[1], m[2]) if len(m) >= 3 else (m[0], m[1]) for m in merges
+    ]
+
+    def fold_one(sym, l, r):
+        def step(acc, x):
+            cond = (
+                F.try_element_at(acc, F.lit(-1)) == F.lit(l)
+            ) & (x == F.lit(r))
+            return F.when(
+                cond,
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(l + r))
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return F.aggregate(sym, F.array().cast("array<string>"), step)
+
+    def encode(w):
+        sym = F.filter(F.split(w, "(?!^)"), lambda x: x != "")
+        for l, r in pairs:
+            sym = fold_one(sym, l, r)
+        return sym
+
+    toks = F.filter(tokens_col(text_col), lambda w: w != "")
+    enc = F.transform(toks, encode)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform(toks, lambda w: F.length(w)),
+            F.lit(0),
+            lambda a, x: a + x,
+        ).cast("long").alias("n_symbols"),
+        F.aggregate(
+            F.transform(enc, lambda s: F.size(s)),
+            F.lit(0),
+            lambda a, x: a + x,
+        ).cast("long").alias("n_bpe_tokens"),
+        F.slice(F.flatten(enc), 1, preview).alias("tokens_preview"),
+    )

@@ -456,3 +456,38 @@ def text_intradoc_dedup(spark, sf):
     from ..operators.text import intradoc_dedup
 
     return intradoc_dedup(table(spark, sf, "documents"), window=8)
+
+
+@query("tokenizer_bpe_apply")  # rows-only: encodes with adaptively-trained merges
+def tokenizer_bpe_apply(spark, sf):
+    """The APPLY half of the tokenizer story: encode the corpus slice
+    with the merge table ``tokenizer_bpe_merges`` trains, and report
+    per-source token economics — word count, pre-merge symbol count,
+    post-merge BPE token count, and the compression ratio the learned
+    merges buy. Encoding is pure JVM column expressions (the merge
+    table compiles into the fold expression as literals — the
+    tokenizer-vocab analog of a broadcast dict); one narrow pass over
+    the docs + one small aggregate. Trainer-consistency is pinned by
+    unit test (applying the table to the training corpus reproduces the
+    trainer's final symbol state; encoding is lossless). Rows-only for
+    the same reason as the trainer: the per-round argmax is not one SQL
+    statement."""
+    from ..operators.text import bpe_apply, bpe_merges
+
+    docs = table(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    merges = bpe_merges(docs, rounds=5, batch=4)
+    enc = bpe_apply(docs, merges)
+    return (
+        enc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_symbols").alias("n_symbols"),
+            F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+        )
+        .select(
+            "source", "n_words", "n_symbols", "n_bpe_tokens",
+            F.round(F.col("n_bpe_tokens") / F.col("n_symbols"), 6)
+            .alias("compression_ratio"),
+        )
+    )

@@ -928,3 +928,41 @@ def test_incremental_substring_probe(spark):
               for r in D.incremental_substring_spans(
                   base, new, k=10, max_df=1).collect()}
     assert capped == {(10, 1)}  # boiler df=2 > cap → dropped
+
+
+def test_bpe_apply_matches_trainer_and_is_lossless(spark):
+    """Applying the trainer's merge table must (a) be lossless — the
+    encoded symbols concatenate back to the original words, (b) never
+    increase token count, monotonically compressing as merges are added,
+    (c) equal the char count with an empty table."""
+    from datacooker_dist_spark.operators.text import bpe_apply, bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "the theme there the other"), (2, "hello the world the the")],
+        "doc_id long, text string",
+    )
+    merges = bpe_merges(docs, rounds=4, batch=1)
+    assert len(merges) == 4
+
+    prev = None
+    for m in range(len(merges) + 1):
+        out = {r["doc_id"]: r for r in bpe_apply(
+            docs, merges[:m], preview=64).collect()}
+        for r in out.values():
+            assert r["n_bpe_tokens"] <= r["n_symbols"]
+            if m == 0:
+                assert r["n_bpe_tokens"] == r["n_symbols"]
+        if prev is not None:
+            for k in out:
+                assert out[k]["n_bpe_tokens"] <= prev[k]["n_bpe_tokens"]
+        prev = out
+
+    # losslessness at full table (preview covers every token here)
+    reconstructed = {
+        r["doc_id"]: "".join(r["tokens_preview"])
+        for r in bpe_apply(docs, merges, preview=64).collect()
+    }
+    assert reconstructed == {
+        1: "thethemetherethe" + "other",
+        2: "hellotheworldthethe",
+    }
