@@ -1230,3 +1230,49 @@ def backfill_partition_overwrite(spark, sf):
         .parquet(target)
     )
     return spark.read.parquet(target).select(*cols)
+
+
+@query(
+    "sketch_countmin_heavyhitters",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM documents),
+    cnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_n
+            FROM tok WHERE token <> '' GROUP BY token)
+    SELECT token, exact_n, TRUE AS cms_ge_exact
+    FROM cnt ORDER BY exact_n DESC, token LIMIT 10
+    """,
+)
+def sketch_countmin_heavyhitters(spark, sf):
+    """Count-min sketch over the corpus token stream, probed with the
+    exact top-10 tokens: the sketch family's counter member (HLL =
+    distinct, bitmap = exact distinct, freqItems = candidates, CMS =
+    point frequencies), mergeable by plain addition so per-day/source
+    sketches roll up without raw data. The build's exchange is bounded
+    at depth·width counter rows per map partition regardless of corpus
+    size; probes read depth broadcast rows each. The oracle pins the
+    exact counts AND the sketch's one-sided-error invariant — the
+    estimate can never under-count, so ``cms_ge_exact`` is provably
+    TRUE and the whole row is hash-checkable; the estimate's magnitude
+    is asserted separately by property tests (exact when width ≫
+    vocabulary, merge ≡ rebuild)."""
+    from ..operators.sketches import countmin_build, countmin_estimate
+    from ..operators.text import tokens_col
+
+    docs = table(spark, sf, "documents")
+    toks = docs.select(
+        F.explode(tokens_col("text")).alias("token")
+    ).filter(F.col("token") != "")
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "token")
+        .limit(10)
+    )
+    sketch = countmin_build(toks, "token", depth=4, width=2048)
+    est = countmin_estimate(sketch, exact, "token", depth=4, width=2048)
+    return est.select(
+        "token", "exact_n",
+        (F.col("cms_estimate") >= F.col("exact_n")).alias("cms_ge_exact"),
+    )

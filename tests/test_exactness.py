@@ -695,3 +695,52 @@ def test_kcore_matches_brute_force_peeling(spark, raw_edges, k):
         nodes -= drop
     expect = {(n, deg[n]) for n in nodes} if nodes else set()
     assert got == expect
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.sampled_from(["a", "b", "c", "dd", "ee", "f1"]),
+             min_size=1, max_size=60),
+)
+def test_countmin_one_sided_and_mergeable(spark, keys):
+    """Count-min invariants for any key stream: (a) estimates never
+    under-count; (b) with width ≫ vocabulary the estimate is EXACT;
+    (c) merging per-half sketches equals rebuilding over the union."""
+    from datacooker_dist_spark.operators.sketches import (
+        countmin_build,
+        countmin_estimate,
+        countmin_merge,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    exact = {}
+    for k in keys:
+        exact[k] = exact.get(k, 0) + 1
+    probes = df.select("k").distinct()
+
+    sk = countmin_build(df, "k", depth=3, width=512)
+    est = {
+        r["k"]: r["cms_estimate"]
+        for r in countmin_estimate(sk, probes, "k", depth=3, width=512).collect()
+    }
+    assert est == exact  # width 512 ≫ 6 distinct keys → collision-free
+
+    tiny = countmin_build(df, "k", depth=2, width=2)  # forced collisions
+    est_tiny = {
+        r["k"]: r["cms_estimate"]
+        for r in countmin_estimate(tiny, probes, "k", depth=2, width=2).collect()
+    }
+    assert all(est_tiny[k] >= n for k, n in exact.items())
+
+    half = len(keys) // 2
+    a = spark.createDataFrame([(k,) for k in keys[:half]] or [(None,)], "k string").filter(F.col("k").isNotNull())
+    b = spark.createDataFrame([(k,) for k in keys[half:]], "k string")
+    merged = countmin_merge(
+        countmin_build(a, "k", depth=3, width=512),
+        countmin_build(b, "k", depth=3, width=512),
+    )
+    est_m = {
+        r["k"]: r["cms_estimate"]
+        for r in countmin_estimate(merged, probes, "k", depth=3, width=512).collect()
+    }
+    assert est_m == exact
