@@ -93,3 +93,64 @@ def countmin_estimate(
         )
     )
 
+def _mg_absorb(counters: dict, batch_counts, k: int) -> dict:
+    """Mergeable-summaries MERGE of exact batch counts into a running
+    Misra-Gries summary: pointwise add, then (if over k entries) subtract
+    the (k+1)-th largest count from every entry and drop the non-positive
+    — the Agarwal et al. (SODA'12) merge, which preserves the invariant
+    ``true - n/(k+1) <= estimate <= true`` for the n items absorbed so
+    far. Batch counts are exact (a zero-error summary of any size), so
+    absorbing per-batch ``value_counts`` is both correct and vectorized —
+    the classic one-item-at-a-time decrement loop would be O(n·k) Python."""
+    for key, c in batch_counts.items():
+        counters[key] = counters.get(key, 0) + int(c)
+    if len(counters) > k:
+        kth = sorted(counters.values(), reverse=True)[k]
+        counters = {key: c - kth for key, c in counters.items() if c > kth}
+    return counters
+
+
+def misra_gries_summary(
+    df: DataFrame,
+    key_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Misra-Gries heavy-hitter summary over ``key_col`` occurrences: the
+    DETERMINISTIC-guarantee counterpart of the count-min sketch. Where
+    CMS over-counts w.h.p., MG under-counts with a HARD bound: summing
+    the per-partition summaries gives, for every key,
+    ``true - N/(k+1) <= estimate <= true`` (each partition's summary
+    under-counts by at most its row count /(k+1); the sums telescope and
+    absence reads as 0, itself within the bound) — so any key with true
+    frequency above N/(k+1) is guaranteed present. The bound holds under
+    ANY partitioning, which is what makes downstream invariants
+    engine-stable even though individual estimates are partition-dependent.
+
+    Plan shape: one linear ``mapInPandas`` pass (each task absorbs its
+    Arrow batches' exact ``value_counts`` into a ≤k-entry dict — the
+    mergeable-summaries merge, vectorized) emitting ≤k rows per
+    partition, then one hash aggregate over ≤ k·partitions rows. At
+    100 TB the exchange carries k rows per task regardless of corpus
+    size, same posture as :func:`countmin_build`; sketches persisted per
+    day/source combine by the same groupBy-sum.
+    Output: (key_col, mg_count) — at most k·partitions rows, typically ≪.
+    """
+    field = df.schema[key_col]
+    schema = StructType([field, StructField("_mg", LongType())])
+
+    def mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            counters = _mg_absorb(
+                counters, pdf[key_col].value_counts(), k
+            )
+        yield pd.DataFrame(
+            {key_col: list(counters.keys()), "_mg": list(counters.values())}
+        )
+
+    return (
+        df.select(key_col)
+        .mapInPandas(mg, schema)
+        .groupBy(key_col)
+        .agg(F.sum("_mg").alias("mg_count"))
+    )

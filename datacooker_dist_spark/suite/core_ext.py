@@ -1276,3 +1276,60 @@ def sketch_countmin_heavyhitters(spark, sf):
         "token", "exact_n",
         (F.col("cms_estimate") >= F.col("exact_n")).alias("cms_ge_exact"),
     )
+
+
+@query(
+    "sketch_misra_gries_heavyhitters",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM documents),
+    cnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_n
+            FROM tok WHERE token <> '' GROUP BY token)
+    SELECT token, exact_n, TRUE AS mg_within_bound
+    FROM cnt ORDER BY exact_n DESC, token LIMIT 10
+    """,
+)
+def sketch_misra_gries_heavyhitters(spark, sf):
+    """Misra-Gries heavy-hitter summary probed with the exact top-10
+    tokens — the deterministic-guarantee counterpart of
+    ``sketch_countmin_heavyhitters``: where CMS over-counts w.h.p., MG
+    under-counts with the HARD bound true − N/(k+1) ≤ estimate ≤ true
+    (absence reads as estimate 0, itself within the bound — so every
+    key more frequent than N/(k+1) is guaranteed PRESENT). The bound
+    holds under ANY partitioning even though individual estimates are
+    partition-dependent, so ``mg_within_bound`` is provably TRUE and
+    the row is hash-checkable; the comparison runs in exact integer
+    arithmetic ((exact−est)·(k+1) ≤ N, all longs). Estimate magnitudes
+    are pinned separately by property tests (exact when k ≥ vocabulary
+    under every partitioning; bound + guaranteed-presence at forced
+    small k). Build is one linear mapInPandas pass emitting ≤k rows per
+    partition + one ≤k·partitions-row hash aggregate."""
+    from ..operators.sketches import misra_gries_summary
+    from ..operators.text import tokens_col
+
+    k = 2048
+    docs = table(spark, sf, "documents")
+    toks = docs.select(
+        F.explode(tokens_col("text")).alias("token")
+    ).filter(F.col("token") != "")
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "token")
+        .limit(10)
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("_n"))
+    summary = misra_gries_summary(toks, "token", k=k)
+    est = F.coalesce(F.col("mg_count"), F.lit(0))
+    return (
+        exact.join(summary, "token", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token", "exact_n",
+            (
+                (est <= F.col("exact_n"))
+                & ((F.col("exact_n") - est) * (k + 1) <= F.col("_n"))
+            ).alias("mg_within_bound"),
+        )
+    )

@@ -744,3 +744,41 @@ def test_countmin_one_sided_and_mergeable(spark, keys):
         for r in countmin_estimate(merged, probes, "k", depth=3, width=512).collect()
     }
     assert est_m == exact
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.sampled_from(["a", "b", "c", "dd", "ee", "f1", "g", "h2"]),
+             min_size=1, max_size=80),
+    st.sampled_from([1, 3, 7]),
+)
+def test_misra_gries_bound_and_exactness(spark, keys, parts):
+    """Misra-Gries invariants under ANY partitioning: (a) k >= vocabulary
+    -> estimates are EXACT; (b) forced-small k -> every key satisfies
+    true - N/(k+1) <= est <= true (exact integer check) and every key
+    with true > N/(k+1) is PRESENT in the summary."""
+    from datacooker_dist_spark.operators.sketches import misra_gries_summary
+
+    df = spark.createDataFrame([(k,) for k in keys], "k string").repartition(parts)
+    exact = {}
+    for k in keys:
+        exact[k] = exact.get(k, 0) + 1
+    n = len(keys)
+
+    wide = {
+        r["k"]: r["mg_count"]
+        for r in misra_gries_summary(df, "k", k=64).collect()
+    }
+    assert wide == exact  # k=64 >= 8 distinct keys -> never decrements
+
+    small_k = 2
+    tiny = {
+        r["k"]: r["mg_count"]
+        for r in misra_gries_summary(df, "k", k=small_k).collect()
+    }
+    for key, true_n in exact.items():
+        est = tiny.get(key, 0)
+        assert est <= true_n, (key, est, true_n)
+        assert (true_n - est) * (small_k + 1) <= n, (key, est, true_n, n)
+        if true_n * (small_k + 1) > n:
+            assert key in tiny, (key, true_n, n, tiny)
