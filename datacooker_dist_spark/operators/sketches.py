@@ -114,6 +114,7 @@ def misra_gries_summary(
     df: DataFrame,
     key_col: str,
     k: int = 256,
+    trim: bool = True,
 ) -> DataFrame:
     """Misra-Gries heavy-hitter summary over ``key_col`` occurrences: the
     DETERMINISTIC-guarantee counterpart of the count-min sketch. Where
@@ -129,11 +130,21 @@ def misra_gries_summary(
     Plan shape: one linear ``mapInPandas`` pass (each task absorbs its
     Arrow batches' exact ``value_counts`` into a ≤k-entry dict — the
     mergeable-summaries merge, vectorized) emitting ≤k rows per
-    partition, then one hash aggregate over ≤ k·partitions rows. At
-    100 TB the exchange carries k rows per task regardless of corpus
-    size, same posture as :func:`countmin_build`; sketches persisted per
-    day/source combine by the same groupBy-sum.
-    Output: (key_col, mg_count) — at most k·partitions rows, typically ≪.
+    partition, then one hash aggregate over ≤ k·partitions rows, then
+    (``trim``, default) the mergeable-summaries TRIM — subtract the
+    (k+1)-th largest count from every entry and keep the positive — so
+    the OUTPUT is ≤k rows total: genuinely broadcastable and the
+    bounded artifact you persist. The trim preserves the bound by the
+    residual argument (err ≤ (N − mass)/(k+1) holds for the sum of
+    per-partition summaries; subtracting v from ≥k+1 entries lowers
+    mass by ≥(k+1)·v, absorbing the extra v of error), and it no-ops
+    when the summary already fits in k entries — so estimates stay
+    EXACT whenever k ≥ vocabulary. At 100 TB the exchange carries k
+    rows per task regardless of corpus size, same posture as
+    :func:`countmin_build`; sketches persisted per day/source combine
+    by the same groupBy-sum (+ optional re-trim).
+    Output: (key_col, mg_count) — ≤k rows (``trim=False``:
+    ≤k·partitions, exact partial sums for diagnostics/tests).
     """
     field = df.schema[key_col]
     schema = StructType([field, StructField("_mg", LongType())])
@@ -148,9 +159,106 @@ def misra_gries_summary(
             {key_col: list(counters.keys()), "_mg": list(counters.values())}
         )
 
-    return (
+    merged = (
         df.select(key_col)
         .mapInPandas(mg, schema)
         .groupBy(key_col)
         .agg(F.sum("_mg").alias("mg_count"))
+    )
+    if not trim:
+        return merged
+    # TakeOrdered(k+1) → 1-row stats: when more than k entries survive
+    # the merge, the (k+1)-th largest is the subtrahend; otherwise 0.
+    stats = (
+        merged.orderBy(F.desc("mg_count"), key_col)
+        .limit(k + 1)
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.min("mg_count").alias("_kth"),
+        )
+    )
+    return (
+        merged.crossJoin(F.broadcast(stats))
+        .select(
+            key_col,
+            (
+                F.col("mg_count")
+                - F.when(F.col("_c") > k, F.col("_kth")).otherwise(F.lit(0))
+            ).alias("mg_count"),
+        )
+        .filter(F.col("mg_count") > 0)
+    )
+
+
+def grid_histogram(
+    df: DataFrame,
+    val_col: str,
+    lo: float,
+    hi: float,
+    buckets: int = 4096,
+) -> DataFrame:
+    """Fixed-grid counting histogram — the quantile member of the
+    mergeable-sketch family (CMS = frequencies, MG = heavy hitters, HLL
+    = distinct, grid = quantiles): values bucket by
+    ``clamp(floor((v−lo)/width), 0, buckets−1)`` and the sketch is the
+    (bucket, cnt) table, ≤``buckets`` rows, mergeable by plain addition.
+    Unlike t-digest/KLL the grid is DETERMINISTIC — bucket assignment is
+    a pure arithmetic expression, so sketches built by any engine over
+    any partitioning are bit-identical (pick lo/hi/buckets so ``width``
+    is exactly representable, e.g. a power-of-two bucket count dividing
+    an integer range). Build is one hash aggregate with map-side partial
+    combine: the exchange carries ≤``buckets`` rows per map partition.
+    Quantile error from :func:`grid_quantiles` is ≤ one bucket width for
+    in-range values; out-of-range values clamp to the edge buckets
+    (document the range or widen it)."""
+    width = (hi - lo) / buckets
+    b = F.least(
+        F.greatest(
+            F.floor((F.col(val_col) - F.lit(lo)) / F.lit(width)),
+            F.lit(0),
+        ),
+        F.lit(buckets - 1),
+    )
+    return (
+        df.select(b.cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def grid_quantiles(
+    hist: DataFrame,
+    qs_pct: list[int],
+    lo: float,
+    hi: float,
+    buckets: int = 4096,
+) -> DataFrame:
+    """Quantile probe over a :func:`grid_histogram` sketch: for each
+    integer percentile q, the estimate is the UPPER EDGE of the first
+    bucket whose cumulative count reaches q% of the total — compared in
+    exact integer arithmetic (cum·100 ≥ q·N), so the answer is the same
+    on every engine. The cumulative window runs over the ≤``buckets``-row
+    sketch — sketch-sized by construction, the right single-task shape
+    for a probe (audited in the suite's global-window sweep). Output:
+    (q_pct, grid_quantile), one row per requested percentile."""
+    from pyspark.sql import Window
+
+    width = (hi - lo) / buckets
+    spark = hist.sparkSession
+    qdf = spark.createDataFrame([(int(q),) for q in qs_pct], "q_pct int")
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("bucket", F.sum("cnt").over(w).alias("cum"))
+    tot = hist.agg(F.sum("cnt").alias("_n"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(qdf),
+            F.col("cum") * 100 >= F.col("q_pct").cast("long") * F.col("_n"),
+        )
+        .groupBy("q_pct")
+        .agg(
+            (F.lit(lo) + (F.min("bucket") + 1) * F.lit(width)).alias(
+                "grid_quantile"
+            )
+        )
     )

@@ -1302,9 +1302,11 @@ def sketch_misra_gries_heavyhitters(spark, sf):
     the row is hash-checkable; the comparison runs in exact integer
     arithmetic ((exact−est)·(k+1) ≤ N, all longs). Estimate magnitudes
     are pinned separately by property tests (exact when k ≥ vocabulary
-    under every partitioning; bound + guaranteed-presence at forced
-    small k). Build is one linear mapInPandas pass emitting ≤k rows per
-    partition + one ≤k·partitions-row hash aggregate."""
+    under every partitioning; bound + ≤k size + guaranteed-presence at
+    forced small k). Build is one linear mapInPandas pass emitting ≤k
+    rows per partition, one ≤k·partitions-row hash aggregate, and the
+    mergeable-summaries final trim — so the probed artifact is ≤k rows,
+    broadcast-sized by construction."""
     from ..operators.sketches import misra_gries_summary
     from ..operators.text import tokens_col
 
@@ -1333,3 +1335,44 @@ def sketch_misra_gries_heavyhitters(spark, sf):
             ).alias("mg_within_bound"),
         )
     )
+
+
+@query(
+    "sketch_quantile_grid",
+    oracle="""
+    WITH b AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR(o_totalprice / 150.0) AS BIGINT), 0),
+                   4095) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1),
+    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM b),
+    c AS (SELECT bucket, CAST(SUM(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum
+          FROM b)
+    SELECT q.q_pct,
+           CAST((MIN(c.bucket) + 1) * 150.0 AS DOUBLE) AS grid_quantile
+    FROM (VALUES (50), (90), (95), (99)) q(q_pct), c, t
+    WHERE c.cum * 100 >= q.q_pct * t.n
+    GROUP BY q.q_pct
+    """,
+)
+def sketch_quantile_grid(spark, sf):
+    """Fixed-grid quantile sketch over order totals — the quantile member
+    of the mergeable-sketch family (CMS = frequencies, MG = heavy
+    hitters, HLL = distinct, grid = quantiles): one linear pass buckets
+    every value on a 4096-cell grid (width 150 — exactly representable,
+    so bucket assignment is pure IEEE arithmetic and bit-identical on
+    every engine, unlike t-digest/KLL whose state is
+    construction-order-dependent); the sketch is the ≤4096-row (bucket,
+    cnt) table, mergeable by addition; the probe answers p50/p90/p95/p99
+    as the first bucket's upper edge whose cumulative count reaches q%
+    of N, compared in exact integer arithmetic. Error ≤ one bucket width
+    by construction. The exchange carries ≤4096 rows per map partition;
+    the probe's cumulative window runs over the sketch itself
+    (sketch-domain-bounded — audited in the global-window sweep)."""
+    from ..operators.sketches import grid_histogram, grid_quantiles
+
+    orders = table(spark, sf, "orders")
+    hist = grid_histogram(orders, "o_totalprice", lo=0.0, hi=614400.0,
+                          buckets=4096)
+    return grid_quantiles(hist, [50, 90, 95, 99], lo=0.0, hi=614400.0,
+                          buckets=4096)

@@ -708,3 +708,90 @@ def stream_substring_dedup(spark, sf):
         )
         .parquet(target)
     )
+
+
+@query(
+    "stream_heavy_hitters",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM documents),
+    cnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_n
+            FROM tok WHERE token <> '' GROUP BY token)
+    SELECT token, exact_n, TRUE AS mg_within_bound
+    FROM cnt ORDER BY exact_n DESC, token LIMIT 10
+    """,
+)
+def stream_heavy_hitters(spark, sf):
+    """Streaming heavy hitters — the ingest-time twin of
+    ``sketch_misra_gries_heavyhitters`` and the sketch family's answer
+    to "what do you KEEP at 100 TB": each micro-batch's token stream
+    reduces to its own ≤k-row Misra-Gries summary via foreachBatch, and
+    the summaries land as per-``b<batch_id>`` parquet artifacts (replay
+    OVERWRITES its own directory — batch-id idempotent, so exactly-once
+    without a transaction log). The standing answer is a groupBy-sum
+    MERGE of the batch sketches at read time — per-batch errors
+    telescope, so the drained merge still satisfies the hard MG bound
+    true − N/(k+1) ≤ estimate ≤ true over the WHOLE stream (Agarwal et
+    al.'s mergeability, the property that lets per-day sketches roll up
+    without raw data). The oracle probes the exact top-10 tokens and
+    pins the integer-exact bound invariant, TRUE under any partitioning
+    and any micro-batch split."""
+    from ..operators.sketches import misra_gries_summary
+    from ..operators.text import tokens_col
+    from . import table
+
+    k = 2048
+    base_dir = scratch_dir("shh")
+    target, ckpt = f"{base_dir}/sketches", f"{base_dir}/ckpt"
+    doc_schema = (
+        "doc_id bigint, text string, lang string, "
+        "source string, n_chars bigint"
+    )
+    stream = file_stream(spark, f"{sf}/documents.parquet", doc_schema)
+
+    def sketch_batch(batch_df, batch_id):
+        toks = batch_df.select(
+            F.explode(tokens_col("text")).alias("token")
+        ).filter(F.col("token") != "")
+        misra_gries_summary(toks, "token", k=k).write.mode(
+            "overwrite"
+        ).parquet(f"{target}/b{batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(sketch_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    merged = (
+        spark.read.option("recursiveFileLookup", "true")
+        .schema("token string, mg_count bigint")
+        .parquet(target)
+        .groupBy("token")
+        .agg(F.sum("mg_count").alias("mg_count"))
+    )
+    docs = table(spark, sf, "documents")
+    toks = docs.select(
+        F.explode(tokens_col("text")).alias("token")
+    ).filter(F.col("token") != "")
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "token")
+        .limit(10)
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("_n"))
+    est = F.coalesce(F.col("mg_count"), F.lit(0))
+    return (
+        exact.join(merged, "token", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token", "exact_n",
+            (
+                (est <= F.col("exact_n"))
+                & ((F.col("exact_n") - est) * (k + 1) <= F.col("_n"))
+            ).alias("mg_within_bound"),
+        )
+    )

@@ -776,9 +776,67 @@ def test_misra_gries_bound_and_exactness(spark, keys, parts):
         r["k"]: r["mg_count"]
         for r in misra_gries_summary(df, "k", k=small_k).collect()
     }
+    assert len(tiny) <= small_k  # final TRIM bounds the artifact at k rows
     for key, true_n in exact.items():
         est = tiny.get(key, 0)
         assert est <= true_n, (key, est, true_n)
         assert (true_n - est) * (small_k + 1) <= n, (key, est, true_n, n)
         if true_n * (small_k + 1) > n:
             assert key in tiny, (key, true_n, n, tiny)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.floats(min_value=0.0, max_value=99.5, allow_nan=False,
+                       width=32),
+             min_size=4, max_size=60),
+    st.sampled_from([1, 3, 7]),
+)
+def test_grid_quantile_error_bound_and_merge(spark, vals, parts):
+    """Grid-quantile invariants: (a) merging per-half histograms equals
+    rebuilding over the union (bit-exact — counts add); (b) the p50/p90
+    estimates are within one bucket width ABOVE the exact quantile value
+    (the estimate is the covering bucket's upper edge); (c) results are
+    identical under any partitioning."""
+    from datacooker_dist_spark.operators.sketches import (
+        grid_histogram,
+        grid_quantiles,
+    )
+
+    lo, hi, buckets = 0.0, 100.0, 64
+    width = (hi - lo) / buckets
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+
+    full = grid_histogram(df.repartition(parts), "v", lo, hi, buckets)
+    q = {
+        r["q_pct"]: r["grid_quantile"]
+        for r in grid_quantiles(full, [50, 90], lo, hi, buckets).collect()
+    }
+    svals = sorted(vals)
+    n = len(svals)
+    for pct in (50, 90):
+        # exact quantile: smallest value v with |{x <= v}| * 100 >= pct * n
+        import math
+        idx = math.ceil(pct * n / 100) - 1
+        exact_v = svals[idx]
+        assert q[pct] >= exact_v - 1e-9, (pct, q[pct], exact_v)
+        assert q[pct] <= exact_v + width + 1e-9, (pct, q[pct], exact_v)
+
+    half = max(len(vals) // 2, 1)
+    a = grid_histogram(
+        spark.createDataFrame([(float(v),) for v in vals[:half]], "v double"),
+        "v", lo, hi, buckets)
+    b_rows = vals[half:]
+    merged = a
+    if b_rows:
+        b = grid_histogram(
+            spark.createDataFrame([(float(v),) for v in b_rows], "v double"),
+            "v", lo, hi, buckets)
+        merged = (
+            a.unionByName(b).groupBy("bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    assert (
+        sorted((r["bucket"], r["cnt"]) for r in merged.collect())
+        == sorted((r["bucket"], r["cnt"]) for r in full.collect())
+    )

@@ -587,15 +587,16 @@ def test_sweep_detects_unbounded_global_window(spark):
 
 
 # Audited exceptions: global windows that run AFTER a grouped aggregate
-# whose key domain is the CALENDAR (one row per week / per day), so the
-# single-partition stage sees time-bounded rows regardless of fact
-# volume — the sweep can't see key-domain bounds in the physical plan,
-# so these are justified by name (docstrings carry the argument). Any
-# new query that trips the sweep must either fix its plan or earn an
-# entry here.
-_CALENDAR_BOUNDED_GLOBAL_WINDOW = {
+# whose KEY DOMAIN is bounded by construction (one row per calendar week/
+# day, one row per fixed sketch bucket), so the single-partition stage
+# sees domain-bounded rows regardless of fact volume — the sweep can't
+# see key-domain bounds in the physical plan, so these are justified by
+# name (docstrings carry the argument). Any new query that trips the
+# sweep must either fix its plan or earn an entry here.
+_DOMAIN_BOUNDED_GLOBAL_WINDOW = {
     "growth_wow",               # LAG over one-row-per-week revenue
     "interval_sweep_open_orders",  # running sum over one-row-per-day deltas
+    "sketch_quantile_grid",     # cumulative over the ≤4096-row grid sketch
 }
 
 
@@ -604,7 +605,7 @@ def test_sweep_no_unbounded_global_window_in_any_query(spark):
     single-partition global-window Exchange over unbounded input."""
     flagged = {}
     for name in sorted(QUERIES):
-        if name.startswith("stream_") or name in _CALENDAR_BOUNDED_GLOBAL_WINDOW:
+        if name.startswith("stream_") or name in _DOMAIN_BOUNDED_GLOBAL_WINDOW:
             continue
         df = QUERIES[name](spark, SF_SMALL)
         bad = _unbounded_global_windows(df)

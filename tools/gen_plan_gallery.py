@@ -76,6 +76,16 @@ GALLERY = [
      "table (BroadcastHashJoin) with partial aggregation rebuilding the "
      "dots — the scan touches 4-byte codes, never the vectors, and no "
      "cartesian appears"),
+    ("sketch_countmin_heavyhitters",
+     "count-min sketch (r04): the build is explode + `partial_count` hash "
+     "aggregate — the exchange carries at most depth·width counter rows "
+     "per map partition; the probe reads the sketch via a "
+     "`BroadcastHashJoin` on (row, slot)"),
+    ("sketch_misra_gries_heavyhitters",
+     "Misra-Gries (r04): one `MapInPandas` pass emits ≤k summary rows per "
+     "partition, merged by a bounded hash aggregate and trimmed to ≤k rows "
+     "total (1-row broadcast stats) — no corpus-sized exchange anywhere; "
+     "the bound check joins a 1-row broadcast total"),
 ]
 
 
