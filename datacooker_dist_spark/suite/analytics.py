@@ -1721,3 +1721,128 @@ def privacy_k_anonymity(spark, sf):
         F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
     ).agg(F.count(F.lit(1)).alias("class_size"))
     return cls.filter(F.col("class_size") < 5)
+
+
+@query(
+    "timeseries_resample_interp",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, DATE_TRUNC('hour', ts) AS hour,
+             CAST(SUM(CAST(value AS DECIMAL(25,2))) * 100 AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2),
+    b AS (SELECT DATE_TRUNC('hour', MIN(ts)) AS lo,
+                 DATE_TRUNC('hour', MAX(ts)) AS hi FROM events),
+    hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+              FROM b),
+    grid AS (SELECT t.event_type, h.hour
+             FROM (SELECT DISTINCT event_type FROM events) t, hours h),
+    j AS (SELECT g.event_type, g.hour, hh.cents,
+                 CAST(epoch(g.hour) AS BIGINT) AS es
+          FROM grid g LEFT JOIN hourly hh USING (event_type, hour)),
+    w AS (SELECT event_type, hour, cents, es,
+                 LAST_VALUE(cents IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc,
+                 LAST_VALUE(CASE WHEN cents IS NOT NULL THEN es END
+                            IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pe,
+                 FIRST_VALUE(cents IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc,
+                 FIRST_VALUE(CASE WHEN cents IS NOT NULL THEN es END
+                            IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ne
+          FROM j)
+    SELECT event_type, hour,
+           CASE
+             WHEN cents IS NOT NULL THEN ROUND(CAST(cents AS DOUBLE) / 100, 6)
+             WHEN pc IS NOT NULL AND nc IS NOT NULL THEN
+               ROUND(CAST(pc * (ne - pe) + (nc - pc) * (es - pe) AS DOUBLE)
+                     / CAST((ne - pe) * 100 AS DOUBLE), 6)
+             WHEN pc IS NOT NULL THEN ROUND(CAST(pc AS DOUBLE) / 100, 6)
+             ELSE ROUND(CAST(nc AS DOUBLE) / 100, 6)
+           END AS interp_value,
+           cents IS NULL AS is_interpolated
+    FROM w
+    """,
+)
+def timeseries_resample_interp(spark, sf):
+    """Regular-grid resampling with LINEAR interpolation — the lerp
+    counterpart of ``timeseries_gapfill``'s LOCF (gapfill carries the
+    last value; interp draws the line between the surrounding observed
+    hours — sensor-series resampling). The grid is span-hours ×
+    type-cardinality, independent of fact volume (both sides broadcast
+    at 100 TB); wide work is one hourly map-side-combined pre-aggregate
+    and two per-type ordered windows (prev/next observed carry).
+    Cross-engine exactness: hour sums land as integer CENTS, the lerp
+    numerator pc·(ne−pe) + (nc−pc)·(es−pe) and denominator (ne−pe)·100
+    stay in exact integer arithmetic, and ONE final correctly-rounded
+    double division (+ round 6) produces the value — the suite's
+    standard treatment for division-bearing oracled columns (a floating
+    lerp would drift under FMA fusion). Edges: before the first / after
+    the last observation fall back to the nearest observed value."""
+    ev = table(spark, sf, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(25,2)")) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour"
+        )
+    )
+    grid = ev.select("event_type").distinct().crossJoin(F.broadcast(hours))
+    j = grid.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type", "hour", "cents",
+        F.unix_timestamp(F.col("hour").cast("timestamp")).alias("es"),
+    )
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_es = F.when(F.col("cents").isNotNull(), F.col("es"))
+    w = j.select(
+        "event_type", "hour", "cents", "es",
+        F.last("cents", ignorenulls=True).over(back).alias("pc"),
+        F.last(obs_es, ignorenulls=True).over(back).alias("pe"),
+        F.first("cents", ignorenulls=True).over(fwd).alias("nc"),
+        F.first(obs_es, ignorenulls=True).over(fwd).alias("ne"),
+    )
+    lerp_num = (
+        F.col("pc") * (F.col("ne") - F.col("pe"))
+        + (F.col("nc") - F.col("pc")) * (F.col("es") - F.col("pe"))
+    ).cast("double")
+    lerp_den = ((F.col("ne") - F.col("pe")) * 100).cast("double")
+    return w.select(
+        "event_type", "hour",
+        F.when(
+            F.col("cents").isNotNull(),
+            F.round(F.col("cents").cast("double") / 100, 6),
+        )
+        .when(
+            F.col("pc").isNotNull() & F.col("nc").isNotNull(),
+            F.round(lerp_num / lerp_den, 6),
+        )
+        .when(
+            F.col("pc").isNotNull(),
+            F.round(F.col("pc").cast("double") / 100, 6),
+        )
+        .otherwise(F.round(F.col("nc").cast("double") / 100, 6))
+        .alias("interp_value"),
+        F.col("cents").isNull().alias("is_interpolated"),
+    )
