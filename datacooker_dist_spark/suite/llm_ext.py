@@ -1520,3 +1520,99 @@ def dataset_shard_manifest(spark, sf):
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+@query(
+    "search_bm25_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+      FROM documents),
+    tok2 AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+    tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok2 GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+           FROM tok2 GROUP BY 1),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+                     CAST(SUM(dl) AS DOUBLE) AS tt FROM dl),
+    q(qid, t) AS (VALUES (1, 'hash'), (1, 'join'), (2, 'vector'),
+                         (2, 'scan'), (3, 'merge'), (3, 'sort'),
+                         (3, 'batch')),
+    terms AS (SELECT DISTINCT t FROM q),
+    post AS (SELECT tf.* FROM tf JOIN terms USING (t)),
+    dft AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY 1),
+    ts AS (SELECT p.doc_id, p.t,
+                  round(round(ln((s.nd - d.df + 0.5) / (d.df + 0.5) + 1.0), 9)
+                        * (p.tf * 2.2)
+                        / round(p.tf + 1.2 * (0.25 + 0.75 * l.dl
+                                              / (s.tt / s.nd)), 9),
+                        9) AS tsc
+           FROM post p JOIN dft d USING (t) JOIN dl l USING (doc_id),
+                stats s),
+    sc AS (SELECT q.qid, ts.doc_id, round(SUM(tsc), 6) AS bm25
+           FROM ts JOIN q USING (t) GROUP BY 1, 2),
+    r AS (SELECT qid, doc_id, bm25,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY bm25 DESC, doc_id) AS rnk
+          FROM sc)
+    SELECT qid, doc_id, bm25, rnk FROM r WHERE rnk <= 5
+    """,
+)
+def search_bm25_topk(spark, sf):
+    """BM25 top-5 lexical retrieval via an inverted index — the SPARSE
+    complement of the dense ANN family (`similarity_topk_*`): production
+    retrieval is hybrid, and this is its lexical leg. Plan shape at
+    100 TB: the posting lists (doc, term, tf) are built once in one
+    linear aggregate; a query probes by EQUI-JOINING its terms (tiny,
+    broadcast) against the postings — cost is the matched posting rows,
+    never the corpus — then one partial-aggregated per-(query, doc) sum
+    and a per-query top-k window. Okapi parameters k1=1.2, b=0.75 with
+    the +1 idf form (never negative). Cross-engine exactness follows the
+    suite's transcendental discipline (text_unigram_logprob): per-term
+    idf and length-normalized denominators round to 9 digits, the
+    ≤7-term score sum rounds to 6 — and ranking tiebreaks on doc_id, so
+    the top-5 is engine-stable."""
+    docs = table(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(D.tokens_col("text")).alias("t")
+    ).filter(F.col("t") != "")
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.sum("dl").cast("double").alias("tt"),
+    )
+    qterms = spark.createDataFrame(
+        [(1, "hash"), (1, "join"), (2, "vector"), (2, "scan"),
+         (3, "merge"), (3, "sort"), (3, "batch")],
+        "qid int, t string",
+    )
+    terms = qterms.select("t").distinct()
+    post = tf.join(F.broadcast(terms), "t")
+    dft = post.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.round(
+        F.log((F.col("nd") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+        9,
+    )
+    denom = F.round(
+        F.col("tf")
+        + 1.2 * (0.25 + 0.75 * F.col("dl") / (F.col("tt") / F.col("nd"))),
+        9,
+    )
+    tsc = F.round(idf * (F.col("tf") * 2.2) / denom, 9)
+    scored = (
+        post.join(F.broadcast(dft), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "t", tsc.alias("_ts"))
+    )
+    sc = (
+        scored.join(F.broadcast(qterms), "t")
+        .groupBy("qid", "doc_id")
+        .agg(F.round(F.sum("_ts"), 6).alias("bm25"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("bm25"), "doc_id")
+    return sc.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 5
+    )
