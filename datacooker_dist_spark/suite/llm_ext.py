@@ -1616,3 +1616,150 @@ def search_bm25_topk(spark, sf):
     return sc.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= 5
     )
+
+
+@query(
+    "search_hybrid_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+      FROM documents),
+    tok2 AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+    tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok2 GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+           FROM tok2 GROUP BY 1),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+                     CAST(SUM(dl) AS DOUBLE) AS tt FROM dl),
+    qterms AS (SELECT DISTINCT doc_id AS qid, t FROM tok2 WHERE doc_id < 5),
+    terms AS (SELECT DISTINCT t FROM qterms),
+    post AS (SELECT tf.* FROM tf JOIN terms USING (t)),
+    dft AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY 1),
+    ts AS (SELECT p.doc_id, p.t,
+                  round(round(ln((s.nd - d.df + 0.5) / (d.df + 0.5) + 1.0), 9)
+                        * (p.tf * 2.2)
+                        / round(p.tf + 1.2 * (0.25 + 0.75 * l.dl
+                                              / (s.tt / s.nd)), 9),
+                        9) AS tsc
+           FROM post p JOIN dft d USING (t) JOIN dl l USING (doc_id),
+                stats s),
+    lex AS (SELECT q.qid, ts.doc_id, round(SUM(tsc), 6) AS bm25
+            FROM ts JOIN qterms q USING (t)
+            WHERE ts.doc_id <> q.qid GROUP BY 1, 2),
+    lexr AS (SELECT qid, doc_id,
+                    ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY bm25 DESC, doc_id) AS lr
+             FROM lex),
+    qv AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 5),
+    cv AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+    den AS (SELECT q.qid, c.doc_id,
+                   round(list_dot_product(q.v, c.v)
+                         / (sqrt(list_dot_product(q.v, q.v))
+                            * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+            FROM qv q CROSS JOIN cv c WHERE q.qid <> c.doc_id),
+    denr AS (SELECT qid, doc_id,
+                    ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY cosine DESC, doc_id) AS dr
+             FROM den),
+    fused AS (
+      SELECT COALESCE(l.qid, d.qid) AS query_id,
+             COALESCE(l.doc_id, d.doc_id) AS doc_id,
+             round(COALESCE(CAST(1 AS DOUBLE) / (60 + l.lr), 0.0)
+                   + COALESCE(CAST(1 AS DOUBLE) / (60 + d.dr), 0.0), 9) AS rrf
+      FROM (SELECT * FROM lexr WHERE lr <= 20) l
+      FULL OUTER JOIN (SELECT * FROM denr WHERE dr <= 20) d
+        ON l.qid = d.qid AND l.doc_id = d.doc_id),
+    r AS (SELECT query_id, doc_id, rrf,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk
+          FROM fused)
+    SELECT query_id, doc_id, rrf, rnk FROM r WHERE rnk <= 5
+    """,
+)
+def search_hybrid_topk(spark, sf):
+    """Hybrid retrieval capstone — reciprocal-rank fusion of the two
+    retrieval legs the suite ships: BM25 over the inverted index
+    (more-like-this form: the query is a document's distinct terms) and
+    exact dense cosine over the aligned embeddings table, fused as
+    RRF(k=60) over each leg's top-20 and re-ranked to a top-5. This is
+    the production hybrid-search topology: the legs are independent
+    linear probes (broadcast term equi-join; broadcast query vectors),
+    the fusion is a tiny (query × ≤40 rows) outer join on integer
+    ranks — 1/(60+rank) sums of ≤2 addends are bit-deterministic, so
+    unlike score-interpolation hybrids, RRF needs no cross-leg score
+    calibration AND stays engine-exact. Tiebreaks on doc_id everywhere
+    keep the top-5 stable under any partitioning."""
+    from ..operators import similarity as S
+
+    docs = table(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(D.tokens_col("text")).alias("t")
+    ).filter(F.col("t") != "")
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.sum("dl").cast("double").alias("tt"),
+    )
+    qterms = (
+        tok.filter(F.col("doc_id") < 5)
+        .select(F.col("doc_id").alias("qid"), "t")
+        .distinct()
+    )
+    terms = qterms.select("t").distinct()
+    post = tf.join(F.broadcast(terms), "t")
+    dft = post.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.round(
+        F.log((F.col("nd") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+        9,
+    )
+    denom = F.round(
+        F.col("tf")
+        + 1.2 * (0.25 + 0.75 * F.col("dl") / (F.col("tt") / F.col("nd"))),
+        9,
+    )
+    tsc = F.round(idf * (F.col("tf") * 2.2) / denom, 9)
+    scored = (
+        post.join(F.broadcast(dft), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "t", tsc.alias("_ts"))
+    )
+    lex = (
+        scored.join(F.broadcast(qterms), "t")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .groupBy("qid", "doc_id")
+        .agg(F.round(F.sum("_ts"), 6).alias("bm25"))
+    )
+    wl = Window.partitionBy("qid").orderBy(F.desc("bm25"), "doc_id")
+    lexr = (
+        lex.withColumn("lr", F.row_number().over(wl))
+        .filter(F.col("lr") <= 20)
+        .select("qid", "doc_id", "lr")
+    )
+    emb = table(spark, sf, "embeddings")
+    denr = (
+        S.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=20)
+        .select(
+            F.col("query_id").alias("qid"),
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rnk").alias("dr"),
+        )
+    )
+    fused = lexr.join(denr, ["qid", "doc_id"], "full_outer").select(
+        F.col("qid").alias("query_id"),
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("lr")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("dr")), F.lit(0.0)),
+            9,
+        ).alias("rrf"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fused.withColumn("rnk", F.row_number().over(wf).cast("long"))
+        .filter(F.col("rnk") <= 5)
+    )
