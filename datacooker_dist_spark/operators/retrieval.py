@@ -1,0 +1,110 @@
+"""Lexical retrieval: inverted-index BM25 scoring.
+
+The sparse leg of hybrid retrieval (the dense legs live in
+``operators/similarity.py``). The index is three bounded artifacts built
+in ONE linear corpus pass — posting lists (doc, term, tf), doc lengths
+(doc, dl), and the 1-row corpus stats (N, total tokens) — all
+parquet-persistable; a query probes by broadcast-joining its terms
+against the postings, so per-query cost is the matched posting rows,
+never the corpus. Cross-engine exactness follows the suite's
+transcendental discipline: per-term idf and length-normalized
+denominators round to 9 digits, score sums to 6 (see
+``text_unigram_logprob`` for the rationale).
+
+Reference parity: datacooker-dist has no query operators at all
+(``README.md:1-3``); engine-extension surface (SURVEY.md §2.B).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def build_postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One linear pass → the BM25 index triple: postings (id, t, tf),
+    doc lengths (id, dl), and 1-row stats (nd, tt). The aggregates are
+    map-side-combined; at 100 TB each is the same single corpus scan any
+    tokenization pays, and all three persist as parquet for cross-session
+    probes (the suite's streaming twin probes them per micro-batch)."""
+    from .text import tokens_col
+
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(text_col)).alias("t"),
+    ).filter(F.col("t") != "")
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.sum("dl").cast("double").alias("tt"),
+    )
+    return tf, dl, stats
+
+
+def bm25_term_scores(
+    tf: DataFrame,
+    dl: DataFrame,
+    stats: DataFrame,
+    terms: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-(doc, term) Okapi BM25 partial scores for the given term set
+    (a 1-column ``t`` DataFrame, broadcast): idf uses the +1 form (never
+    negative), df comes from the matched postings themselves (one bounded
+    aggregate). Output: (doc_id, t, _ts) — rows bounded by the probed
+    posting lists. Rounding: idf and the length-normalized denominator to
+    9 digits each, the per-term score to 9 — engine-stable inputs for a
+    round-6 final sum."""
+    post = tf.join(F.broadcast(terms.select("t").distinct()), "t")
+    dft = post.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.round(
+        F.log((F.col("nd") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+        9,
+    )
+    denom = F.round(
+        F.col("tf")
+        + k1 * ((1.0 - b) + b * F.col("dl") / (F.col("tt") / F.col("nd"))),
+        9,
+    )
+    tsc = F.round(idf * (F.col("tf") * (k1 + 1.0)) / denom, 9)
+    return (
+        post.join(F.broadcast(dft), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "t", tsc.alias("_ts"))
+    )
+
+
+def bm25_topk(
+    tf: DataFrame,
+    dl: DataFrame,
+    stats: DataFrame,
+    qterms: DataFrame,
+    k: int = 5,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Top-k BM25 retrieval for a (qid, t) query-term table: term scores
+    from :func:`bm25_term_scores` sum per (qid, doc) (round 6) and rank
+    with a doc_id tiebreak. The rank-filtered window executes as
+    WindowGroupLimit (map-side partial top-k per query before the
+    exchange) — no global sort. ``exclude_self`` drops doc_id == qid for
+    more-like-this queries. Output: (qid, doc_id, bm25, rnk ≤ k)."""
+    from pyspark.sql import Window
+
+    scored = bm25_term_scores(tf, dl, stats, qterms.select("t"))
+    per_q = scored.join(F.broadcast(qterms), "t")
+    if exclude_self:
+        per_q = per_q.filter(F.col("doc_id") != F.col("qid"))
+    sc = per_q.groupBy("qid", "doc_id").agg(
+        F.round(F.sum("_ts"), 6).alias("bm25")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("bm25"), "doc_id")
+    return sc.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )

@@ -1573,49 +1573,15 @@ def search_bm25_topk(spark, sf):
     idf and length-normalized denominators round to 9 digits, the
     ≤7-term score sum rounds to 6 — and ranking tiebreaks on doc_id, so
     the top-5 is engine-stable."""
-    docs = table(spark, sf, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(D.tokens_col("text")).alias("t")
-    ).filter(F.col("t") != "")
-    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).cast("double").alias("nd"),
-        F.sum("dl").cast("double").alias("tt"),
-    )
+    from ..operators.retrieval import bm25_topk, build_postings
+
+    tf, dl, stats = build_postings(table(spark, sf, "documents"))
     qterms = spark.createDataFrame(
         [(1, "hash"), (1, "join"), (2, "vector"), (2, "scan"),
          (3, "merge"), (3, "sort"), (3, "batch")],
         "qid int, t string",
     )
-    terms = qterms.select("t").distinct()
-    post = tf.join(F.broadcast(terms), "t")
-    dft = post.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.round(
-        F.log((F.col("nd") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
-        9,
-    )
-    denom = F.round(
-        F.col("tf")
-        + 1.2 * (0.25 + 0.75 * F.col("dl") / (F.col("tt") / F.col("nd"))),
-        9,
-    )
-    tsc = F.round(idf * (F.col("tf") * 2.2) / denom, 9)
-    scored = (
-        post.join(F.broadcast(dft), "t")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", "t", tsc.alias("_ts"))
-    )
-    sc = (
-        scored.join(F.broadcast(qterms), "t")
-        .groupBy("qid", "doc_id")
-        .agg(F.round(F.sum("_ts"), 6).alias("bm25"))
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("bm25"), "doc_id")
-    return sc.withColumn("rnk", F.row_number().over(w)).filter(
-        F.col("rnk") <= 5
-    )
+    return bm25_topk(tf, dl, stats, qterms, k=5)
 
 
 @query(
@@ -1693,52 +1659,21 @@ def search_hybrid_topk(spark, sf):
     calibration AND stays engine-exact. Tiebreaks on doc_id everywhere
     keep the top-5 stable under any partitioning."""
     from ..operators import similarity as S
+    from ..operators.retrieval import bm25_topk, build_postings
 
     docs = table(spark, sf, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(D.tokens_col("text")).alias("t")
-    ).filter(F.col("t") != "")
-    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).cast("double").alias("nd"),
-        F.sum("dl").cast("double").alias("tt"),
-    )
+    tf, dl, stats = build_postings(docs)
     qterms = (
-        tok.filter(F.col("doc_id") < 5)
-        .select(F.col("doc_id").alias("qid"), "t")
+        docs.filter(F.col("doc_id") < 5)
+        .select(
+            F.col("doc_id").alias("qid"),
+            F.explode(D.tokens_col("text")).alias("t"),
+        )
+        .filter(F.col("t") != "")
         .distinct()
     )
-    terms = qterms.select("t").distinct()
-    post = tf.join(F.broadcast(terms), "t")
-    dft = post.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.round(
-        F.log((F.col("nd") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
-        9,
-    )
-    denom = F.round(
-        F.col("tf")
-        + 1.2 * (0.25 + 0.75 * F.col("dl") / (F.col("tt") / F.col("nd"))),
-        9,
-    )
-    tsc = F.round(idf * (F.col("tf") * 2.2) / denom, 9)
-    scored = (
-        post.join(F.broadcast(dft), "t")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", "t", tsc.alias("_ts"))
-    )
-    lex = (
-        scored.join(F.broadcast(qterms), "t")
-        .filter(F.col("doc_id") != F.col("qid"))
-        .groupBy("qid", "doc_id")
-        .agg(F.round(F.sum("_ts"), 6).alias("bm25"))
-    )
-    wl = Window.partitionBy("qid").orderBy(F.desc("bm25"), "doc_id")
-    lexr = (
-        lex.withColumn("lr", F.row_number().over(wl))
-        .filter(F.col("lr") <= 20)
-        .select("qid", "doc_id", "lr")
+    lexr = bm25_topk(tf, dl, stats, qterms, k=20, exclude_self=True).select(
+        "qid", "doc_id", F.col("rnk").alias("lr")
     )
     emb = table(spark, sf, "embeddings")
     denr = (

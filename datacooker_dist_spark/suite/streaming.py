@@ -795,3 +795,81 @@ def stream_heavy_hitters(spark, sf):
             ).alias("mg_within_bound"),
         )
     )
+
+
+@query(
+    "stream_search_bm25",
+    oracle="SELECT CAST(0 AS BIGINT) AS mismatches, TRUE AS nonempty",
+)
+def stream_search_bm25(spark, sf):
+    """Streaming BM25 search against a standing posting index — the
+    lexical twin of ``stream_similarity_topk``, completing the
+    standing-index family (LSH bands, PQ codes, substring grams,
+    postings): query documents arrive as a stream; each micro-batch's
+    queries (doc_id < 5) probe the STATIC posting/length/stats artifacts
+    built once before the stream starts, via foreachBatch — per-batch
+    cost is the batch's matched posting rows, never a corpus rescan.
+    The sink is batch-id idempotent (per-``b<batch_id>`` overwrite).
+    The drained sink is diffed against the batch BM25 answer for the
+    same query set — the round-9/round-6 scoring is engine- and
+    batching-stable, so the two are bit-equal: 0 mismatches,
+    non-vacuously."""
+    from ..operators.dedup import tokens_col
+    from ..operators.retrieval import bm25_topk, build_postings
+    from . import table
+
+    docs = table(spark, sf, "documents")
+    tf, dl, stats = build_postings(docs)
+    # Materialize the standing index once, before the stream (the
+    # operational shape persists these as parquet — see
+    # dedup_index_roundtrip for the cross-session proof pattern).
+    tf, dl, stats = (
+        tf.localCheckpoint(), dl.localCheckpoint(), stats.localCheckpoint()
+    )
+
+    base_dir = scratch_dir("sbm")
+    target, ckpt = f"{base_dir}/topk", f"{base_dir}/ckpt"
+    doc_schema = (
+        "doc_id bigint, text string, lang string, "
+        "source string, n_chars bigint"
+    )
+    stream = file_stream(spark, f"{sf}/documents.parquet", doc_schema)
+
+    def qterms_of(d):
+        return (
+            d.filter(F.col("doc_id") < 5)
+            .select(
+                F.col("doc_id").alias("qid"),
+                F.explode(tokens_col("text")).alias("t"),
+            )
+            .filter(F.col("t") != "")
+            .distinct()
+        )
+
+    def probe(batch_df, batch_id):
+        out = bm25_topk(
+            tf, dl, stats, qterms_of(batch_df), k=5, exclude_self=True
+        )
+        out.write.mode("overwrite").parquet(f"{target}/b{batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = (
+        spark.read.option("recursiveFileLookup", "true")
+        .schema("qid bigint, doc_id bigint, bm25 double, rnk int")
+        .parquet(target)
+    )
+    batch = bm25_topk(
+        tf, dl, stats, qterms_of(docs), k=5, exclude_self=True
+    ).select(
+        F.col("qid").cast("bigint").alias("qid"), "doc_id", "bm25", "rnk"
+    )
+    diff = drained.exceptAll(batch).unionAll(batch.exceptAll(drained))
+    return diff.agg(F.count(F.lit(1)).alias("mismatches")).crossJoin(
+        F.broadcast(drained.agg((F.count(F.lit(1)) > 0).alias("nonempty")))
+    )

@@ -81,6 +81,11 @@ GALLERY = [
      "aggregate — the exchange carries at most depth·width counter rows "
      "per map partition; the probe reads the sketch via a "
      "`BroadcastHashJoin` on (row, slot)"),
+    ("search_bm25_topk",
+     "BM25 retrieval (r04): query terms probe the postings via "
+     "`BroadcastHashJoin`s; the per-query top-k plans `WindowGroupLimit "
+     "… Partial` BEFORE the exchange — map-side top-k per query, no "
+     "global sort"),
     ("sketch_misra_gries_heavyhitters",
      "Misra-Gries (r04): one `MapInPandas` pass emits ≤k summary rows per "
      "partition, merged by a bounded hash aggregate and trimmed to ≤k rows "
