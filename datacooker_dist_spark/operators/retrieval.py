@@ -94,9 +94,12 @@ def bm25_topk(
     with a doc_id tiebreak. The rank-filtered window executes as
     WindowGroupLimit (map-side partial top-k per query before the
     exchange) — no global sort. ``exclude_self`` drops doc_id == qid for
-    more-like-this queries. Output: (qid, doc_id, bm25, rnk ≤ k)."""
+    more-like-this queries. Duplicate (qid, t) rows are deduped here —
+    a repeated query term must not double its partial score.
+    Output: (qid, doc_id, bm25, rnk ≤ k)."""
     from pyspark.sql import Window
 
+    qterms = qterms.select("qid", "t").distinct()
     scored = bm25_term_scores(tf, dl, stats, qterms.select("t"))
     per_q = scored.join(F.broadcast(qterms), "t")
     if exclude_self:

@@ -43,18 +43,38 @@ def countmin_build(
     key_col: str,
     depth: int = 4,
     width: int = 1024,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build a count-min sketch over ``key_col`` occurrences (one count
-    per input ROW — pre-aggregate upstream to sketch weighted counts).
+    per input ROW; pass ``weight_col`` — a non-negative integer column —
+    to sketch weighted counts, e.g. pre-aggregated (key, n) rows: the
+    one-sided-error invariant needs non-negative increments).
     One narrow explode (depth rows per input) + one hash aggregate with
     map-side partial combine: the exchange carries at most depth·width
     rows PER MAP PARTITION, never the corpus. Output: (row, slot, cnt),
     at most depth·width rows — parquet-persistable and mergeable
     (:func:`countmin_merge`)."""
+    if weight_col is not None:
+        # Zero-weight rows must not materialize counter rows (they would
+        # bloat the persisted artifact with cnt=0 entries); negative
+        # weights are outside the contract and dropped with them.
+        df = df.filter(F.col(weight_col) > 0)
+    cols = [key_col] + ([weight_col] if weight_col else [])
     return (
-        df.select(F.explode(_coords(F.col(key_col), depth, width)).alias("c"))
-        .groupBy(F.col("c.row").alias("row"), F.col("c.slot").alias("slot"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        df.select(
+            *cols,
+            F.explode(_coords(F.col(key_col), depth, width)).alias("_cms_c"),
+        )
+        .groupBy(
+            F.col("_cms_c.row").alias("row"), F.col("_cms_c.slot").alias("slot")
+        )
+        .agg(
+            (
+                F.count(F.lit(1))
+                if weight_col is None
+                else F.sum(weight_col)
+            ).alias("cnt")
+        )
     )
 
 
@@ -80,16 +100,34 @@ def countmin_estimate(
     is depth·width rows, broadcast-sized by construction — and takes the
     MIN (missing counter rows read as 0: that slot was never touched).
     The estimate never under-counts; collisions only inflate it.
-    Output: probes' columns + ``cms_estimate``."""
-    coords = probes.select(
-        "*", F.explode(_coords(F.col(key_col), depth, width)).alias("c")
-    ).select("*", F.col("c.row").alias("row"), F.col("c.slot").alias("slot"))
-    joined = coords.join(F.broadcast(sketch), ["row", "slot"], "left")
+    Output: probes' columns + ``cms_estimate``. Working columns are
+    ``_cms_``-prefixed so probe tables may themselves carry row/slot/cnt
+    payload columns (e.g. an exact-count table as the probe set)."""
+    coords = (
+        probes.select(
+            "*",
+            F.explode(_coords(F.col(key_col), depth, width)).alias("_cms_c"),
+        )
+        .select(
+            "*",
+            F.col("_cms_c.row").alias("_cms_row"),
+            F.col("_cms_c.slot").alias("_cms_slot"),
+        )
+        .drop("_cms_c")
+    )
+    sk = sketch.select(
+        F.col("row").alias("_cms_row"),
+        F.col("slot").alias("_cms_slot"),
+        F.col("cnt").alias("_cms_cnt"),
+    )
+    joined = coords.join(F.broadcast(sk), ["_cms_row", "_cms_slot"], "left")
     others = [c for c in probes.columns]
     return (
         joined.groupBy(*others)
         .agg(
-            F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate")
+            F.min(F.coalesce(F.col("_cms_cnt"), F.lit(0))).alias(
+                "cms_estimate"
+            )
         )
     )
 
@@ -115,6 +153,7 @@ def misra_gries_summary(
     key_col: str,
     k: int = 256,
     trim: bool = True,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Misra-Gries heavy-hitter summary over ``key_col`` occurrences: the
     DETERMINISTIC-guarantee counterpart of the count-min sketch. Where
@@ -145,6 +184,10 @@ def misra_gries_summary(
     by the same groupBy-sum (+ optional re-trim).
     Output: (key_col, mg_count) — ≤k rows (``trim=False``:
     ≤k·partitions, exact partial sums for diagnostics/tests).
+    ``weight_col`` (non-negative integers, e.g. pre-aggregated (key, n)
+    rows) counts each row that many times; the bound becomes
+    true − W/(k+1) ≤ est ≤ true for total weight W — the merge argument
+    is weight-oblivious.
     """
     field = df.schema[key_col]
     schema = StructType([field, StructField("_mg", LongType())])
@@ -152,15 +195,25 @@ def misra_gries_summary(
     def mg(batches):
         counters: dict = {}
         for pdf in batches:
-            counters = _mg_absorb(
-                counters, pdf[key_col].value_counts(), k
+            batch_counts = (
+                pdf[key_col].value_counts()
+                if weight_col is None
+                else pdf.groupby(key_col, sort=False)[weight_col].sum()
             )
+            counters = _mg_absorb(counters, batch_counts, k)
         yield pd.DataFrame(
             {key_col: list(counters.keys()), "_mg": list(counters.values())}
         )
 
+    if weight_col is not None:
+        # Zero-weight keys must not enter the summary (phantom entries
+        # would consume the k budget and surface as mg_count=0 rows on
+        # the trim=False diagnostics path); negative weights are outside
+        # the contract and dropped with them.
+        df = df.filter(F.col(weight_col) > 0)
+    cols = [key_col] + ([weight_col] if weight_col else [])
     merged = (
-        df.select(key_col)
+        df.select(*cols)
         .mapInPandas(mg, schema)
         .groupBy(key_col)
         .agg(F.sum("_mg").alias("mg_count"))
@@ -260,5 +313,41 @@ def grid_quantiles(
             (F.lit(lo) + (F.min("bucket") + 1) * F.lit(width)).alias(
                 "grid_quantile"
             )
+        )
+    )
+
+
+def mg_bound_report(
+    toks: DataFrame,
+    summary: DataFrame,
+    k: int,
+    key_col: str = "token",
+) -> DataFrame:
+    """Shared probe for the MG suite queries (batch + streaming twin):
+    the exact top-10 keys by true count, each asserting the hard bound
+    true − N/(k+1) ≤ estimate ≤ true in exact integer arithmetic
+    ((exact−est)·(k+1) ≤ N, all longs; absence reads as 0, itself within
+    the bound). The boolean is provably TRUE under any partitioning and
+    any micro-batch split — which is what makes it oracle-checkable —
+    so batch and streaming consumers must stay arithmetically in
+    lockstep: that is why this lives in one place.
+    Output: (key_col, exact_n, mg_within_bound)."""
+    exact = (
+        toks.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), key_col)
+        .limit(10)
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("_n"))
+    est = F.coalesce(F.col("mg_count"), F.lit(0))
+    return (
+        exact.join(summary, key_col, "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            key_col, "exact_n",
+            (
+                (est <= F.col("exact_n"))
+                & ((F.col("exact_n") - est) * (k + 1) <= F.col("_n"))
+            ).alias("mg_within_bound"),
         )
     )

@@ -1307,7 +1307,7 @@ def sketch_misra_gries_heavyhitters(spark, sf):
     rows per partition, one ≤k·partitions-row hash aggregate, and the
     mergeable-summaries final trim — so the probed artifact is ≤k rows,
     broadcast-sized by construction."""
-    from ..operators.sketches import misra_gries_summary
+    from ..operators.sketches import mg_bound_report, misra_gries_summary
     from ..operators.text import tokens_col
 
     k = 2048
@@ -1315,26 +1315,8 @@ def sketch_misra_gries_heavyhitters(spark, sf):
     toks = docs.select(
         F.explode(tokens_col("text")).alias("token")
     ).filter(F.col("token") != "")
-    exact = (
-        toks.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("exact_n"))
-        .orderBy(F.desc("exact_n"), "token")
-        .limit(10)
-    )
-    total = toks.agg(F.count(F.lit(1)).alias("_n"))
     summary = misra_gries_summary(toks, "token", k=k)
-    est = F.coalesce(F.col("mg_count"), F.lit(0))
-    return (
-        exact.join(summary, "token", "left")
-        .crossJoin(F.broadcast(total))
-        .select(
-            "token", "exact_n",
-            (
-                (est <= F.col("exact_n"))
-                & ((F.col("exact_n") - est) * (k + 1) <= F.col("_n"))
-            ).alias("mg_within_bound"),
-        )
-    )
+    return mg_bound_report(toks, summary, k)
 
 
 @query(

@@ -1670,7 +1670,6 @@ def search_hybrid_topk(spark, sf):
             F.explode(D.tokens_col("text")).alias("t"),
         )
         .filter(F.col("t") != "")
-        .distinct()
     )
     lexr = bm25_topk(tf, dl, stats, qterms, k=20, exclude_self=True).select(
         "qid", "doc_id", F.col("rnk").alias("lr")

@@ -737,7 +737,7 @@ def stream_heavy_hitters(spark, sf):
     without raw data). The oracle probes the exact top-10 tokens and
     pins the integer-exact bound invariant, TRUE under any partitioning
     and any micro-batch split."""
-    from ..operators.sketches import misra_gries_summary
+    from ..operators.sketches import mg_bound_report, misra_gries_summary
     from ..operators.text import tokens_col
     from . import table
 
@@ -776,25 +776,7 @@ def stream_heavy_hitters(spark, sf):
     toks = docs.select(
         F.explode(tokens_col("text")).alias("token")
     ).filter(F.col("token") != "")
-    exact = (
-        toks.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("exact_n"))
-        .orderBy(F.desc("exact_n"), "token")
-        .limit(10)
-    )
-    total = toks.agg(F.count(F.lit(1)).alias("_n"))
-    est = F.coalesce(F.col("mg_count"), F.lit(0))
-    return (
-        exact.join(merged, "token", "left")
-        .crossJoin(F.broadcast(total))
-        .select(
-            "token", "exact_n",
-            (
-                (est <= F.col("exact_n"))
-                & ((F.col("exact_n") - est) * (k + 1) <= F.col("_n"))
-            ).alias("mg_within_bound"),
-        )
-    )
+    return mg_bound_report(toks, merged, k)
 
 
 @query(
@@ -843,7 +825,6 @@ def stream_search_bm25(spark, sf):
                 F.explode(tokens_col("text")).alias("t"),
             )
             .filter(F.col("t") != "")
-            .distinct()
         )
 
     def probe(batch_df, batch_id):

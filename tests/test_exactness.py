@@ -840,3 +840,72 @@ def test_grid_quantile_error_bound_and_merge(spark, vals, parts):
         sorted((r["bucket"], r["cnt"]) for r in merged.collect())
         == sorted((r["bucket"], r["cnt"]) for r in full.collect())
     )
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c", "dd"]), st.integers(0, 9)),
+        min_size=1, max_size=25,
+    ),
+)
+def test_sketch_weighted_equals_exploded(spark, rows):
+    """Weighted sketch builds must equal building over the row-exploded
+    multiset: CMS exactly (same counters), MG exactly at k >= vocabulary."""
+    from datacooker_dist_spark.operators.sketches import (
+        countmin_build,
+        countmin_estimate,
+        misra_gries_summary,
+    )
+
+    wdf = spark.createDataFrame(rows, "k string, w long")
+    if not any(w for _, w in rows):
+        rows = rows + [("a", 1)]
+        wdf = spark.createDataFrame(rows, "k string, w long")
+    fdf = spark.createDataFrame([(k,) for k, w in rows for _ in range(w)],
+                                "k string")
+    probes = wdf.select("k").distinct()
+
+    def probe(sk):
+        return {
+            r["k"]: r["cms_estimate"]
+            for r in countmin_estimate(sk, probes, "k", 3, 256).collect()
+        }
+
+    assert probe(countmin_build(wdf, "k", 3, 256, weight_col="w")) == probe(
+        countmin_build(fdf, "k", 3, 256)
+    )
+
+    mg_w = {
+        r["k"]: r["mg_count"]
+        for r in misra_gries_summary(wdf, "k", k=64, weight_col="w").collect()
+    }
+    mg_f = {
+        r["k"]: r["mg_count"]
+        for r in misra_gries_summary(fdf, "k", k=64).collect()
+    }
+    assert mg_w == mg_f
+
+
+def test_bm25_dedups_repeated_query_terms(spark):
+    """A repeated (qid, t) row must not double that term's partial score
+    (review r04): bm25_topk dedups internally, so duplicated query terms
+    give identical results to distinct ones."""
+    from datacooker_dist_spark.operators.retrieval import (
+        bm25_topk,
+        build_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "hash join hash"), (1, "join scan"), (2, "hash scan scan"),
+         (3, "sort merge")],
+        "doc_id long, text string",
+    )
+    tf, dl, stats = build_postings(docs)
+    clean = spark.createDataFrame([(1, "hash"), (1, "scan")], "qid int, t string")
+    dup = spark.createDataFrame(
+        [(1, "hash"), (1, "hash"), (1, "scan")], "qid int, t string"
+    )
+    want = sorted(map(tuple, bm25_topk(tf, dl, stats, clean, k=4).collect()))
+    got = sorted(map(tuple, bm25_topk(tf, dl, stats, dup, k=4).collect()))
+    assert got == want and len(want) > 0
