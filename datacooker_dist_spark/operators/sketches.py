@@ -44,29 +44,38 @@ def countmin_build(
     depth: int = 4,
     width: int = 1024,
     weight_col: str | None = None,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Build a count-min sketch over ``key_col`` occurrences (one count
     per input ROW; pass ``weight_col`` — a non-negative integer column —
     to sketch weighted counts, e.g. pre-aggregated (key, n) rows: the
     one-sided-error invariant needs non-negative increments).
+    ``group_cols`` builds one sketch PER GROUP in a single table — the
+    partitioned-artifact shape (per-source/per-day sketches in one
+    parquet, depth·width rows per group) that later rolls up by summing
+    ``cnt`` over (row, slot): the ``sketch_roundtrip`` suite query
+    proves that persist → cold read → merge → probe contract.
     One narrow explode (depth rows per input) + one hash aggregate with
     map-side partial combine: the exchange carries at most depth·width
-    rows PER MAP PARTITION, never the corpus. Output: (row, slot, cnt),
-    at most depth·width rows — parquet-persistable and mergeable
+    rows PER MAP PARTITION (per group), never the corpus. Output:
+    (group_cols…, row, slot, cnt) — parquet-persistable and mergeable
     (:func:`countmin_merge`)."""
     if weight_col is not None:
         # Zero-weight rows must not materialize counter rows (they would
         # bloat the persisted artifact with cnt=0 entries); negative
         # weights are outside the contract and dropped with them.
         df = df.filter(F.col(weight_col) > 0)
-    cols = [key_col] + ([weight_col] if weight_col else [])
+    group_cols = group_cols or []
+    cols = [key_col] + group_cols + ([weight_col] if weight_col else [])
     return (
         df.select(
             *cols,
             F.explode(_coords(F.col(key_col), depth, width)).alias("_cms_c"),
         )
         .groupBy(
-            F.col("_cms_c.row").alias("row"), F.col("_cms_c.slot").alias("slot")
+            *group_cols,
+            F.col("_cms_c.row").alias("row"),
+            F.col("_cms_c.slot").alias("slot"),
         )
         .agg(
             (

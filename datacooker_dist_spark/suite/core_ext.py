@@ -1358,3 +1358,66 @@ def sketch_quantile_grid(spark, sf):
                           buckets=4096)
     return grid_quantiles(hist, [50, 90, 95, 99], lo=0.0, hi=614400.0,
                           buckets=4096)
+
+
+@query(
+    "sketch_roundtrip",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM documents),
+    cnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_n
+            FROM tok WHERE token <> '' GROUP BY token)
+    SELECT token, exact_n, TRUE AS cms_ge_exact
+    FROM cnt ORDER BY exact_n DESC, token LIMIT 10
+    """,
+)
+def sketch_roundtrip(spark, sf):
+    """MATERIALIZED sketch lifecycle — the operational contract behind
+    "sketches are what you KEEP at 100 TB": per-SOURCE count-min
+    sketches build as one grouped table (depth·width rows per source),
+    persist through the engine's own hadoopParquet OUTPUT adapter, read
+    back COLD through the INPUT adapter, merge by summing counters over
+    (row, slot) — the roll-up that never touches raw history — and the
+    merged sketch is probed with the exact top-10 tokens. Equality with
+    ``sketch_countmin_heavyhitters``'s oracle witnesses that the
+    persisted counters are probe-compatible across sessions (xxhash64
+    is deterministic and parquet-exact for longs), the same contract
+    ``dedup_index_roundtrip`` / ``dedup_substring_index_roundtrip``
+    prove for the LSH band and gram indexes."""
+    from ..model import DataStream, StreamType
+    from ..operators.sketches import countmin_build, countmin_estimate
+    from ..operators.text import tokens_col
+    from ..registry import resolve_input, resolve_output
+
+    docs = table(spark, sf, "documents")
+    toks = docs.select(
+        "source", F.explode(tokens_col("text")).alias("token")
+    ).filter(F.col("token") != "")
+    per_source = countmin_build(
+        toks, "token", depth=4, width=2048, group_cols=["source"]
+    )
+    base_dir = scratch_dir("cmsidx")
+    out = resolve_output("hadoopParquet")().configure({}).initialize(
+        spark, base_dir
+    )
+    out.save(
+        "cms_by_source",
+        DataStream("cms_by_source", per_source, StreamType.COLUMNAR),
+    )
+    inp = resolve_input("hadoopColumnar")().configure(
+        {"parquet": True}
+    ).initialize(spark, base_dir)
+    [ds] = inp.load("cms_by_source").values()
+    merged = ds.df.groupBy("row", "slot").agg(F.sum("cnt").alias("cnt"))
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "token")
+        .limit(10)
+    )
+    est = countmin_estimate(merged, exact, "token", depth=4, width=2048)
+    return est.select(
+        "token", "exact_n",
+        (F.col("cms_estimate") >= F.col("exact_n")).alias("cms_ge_exact"),
+    )
