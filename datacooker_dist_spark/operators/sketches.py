@@ -258,6 +258,7 @@ def grid_histogram(
     lo: float,
     hi: float,
     buckets: int = 4096,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-grid counting histogram — the quantile member of the
     mergeable-sketch family (CMS = frequencies, MG = heavy hitters, HLL
@@ -272,7 +273,12 @@ def grid_histogram(
     combine: the exchange carries ≤``buckets`` rows per map partition.
     Quantile error from :func:`grid_quantiles` is ≤ one bucket width for
     in-range values; out-of-range values clamp to the edge buckets
-    (document the range or widen it)."""
+    (document the range or widen it). ``weight_col`` (non-negative
+    integers, e.g. pre-aggregated (value, n) rows) counts each row that
+    many times — the CMS/MG weighted contract; zero/negative weights are
+    filtered at the boundary."""
+    if weight_col is not None:
+        df = df.filter(F.col(weight_col) > 0)
     width = (hi - lo) / buckets
     b = F.least(
         F.greatest(
@@ -281,10 +287,19 @@ def grid_histogram(
         ),
         F.lit(buckets - 1),
     )
+    cols = [b.cast("int").alias("bucket")] + (
+        [F.col(weight_col)] if weight_col else []
+    )
     return (
-        df.select(b.cast("int").alias("bucket"))
+        df.select(*cols)
         .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            (
+                F.count(F.lit(1))
+                if weight_col is None
+                else F.sum(weight_col)
+            ).alias("cnt")
+        )
     )
 
 

@@ -886,6 +886,25 @@ def test_sketch_weighted_equals_exploded(spark, rows):
     }
     assert mg_w == mg_f
 
+    from datacooker_dist_spark.operators.sketches import grid_histogram
+
+    gw = spark.createDataFrame(
+        [(float(len(k)), w) for k, w in rows], "v double, w long"
+    )
+    gf = spark.createDataFrame(
+        [(float(len(k)),) for k, w in rows for _ in range(w)], "v double"
+    )
+    hw = sorted(
+        (r["bucket"], r["cnt"])
+        for r in grid_histogram(gw, "v", 0.0, 8.0, 16,
+                                weight_col="w").collect()
+    )
+    hf = sorted(
+        (r["bucket"], r["cnt"])
+        for r in grid_histogram(gf, "v", 0.0, 8.0, 16).collect()
+    )
+    assert hw == hf
+
 
 def test_bm25_dedups_repeated_query_terms(spark):
     """A repeated (qid, t) row must not double that term's partial score
