@@ -373,3 +373,78 @@ def global_prefix_sum(
     return ranged.withColumn(
         out_col, (local + off_expr).cast(dec_t)
     ).drop("_pid")
+
+
+def pareto_front_2d(
+    df: DataFrame,
+    min_col: str,
+    max_col: str,
+    *,
+    lo: float,
+    hi: float,
+    buckets: int = 64,
+) -> DataFrame:
+    """Exact 2-D skyline: rows where no other row has ``min_col`` ≤ and
+    ``max_col`` ≥ with at least one strict inequality (minimize the
+    first objective, maximize the second).
+
+    Scale shape (never a corpus self-join, never a global sort):
+
+    1. Bucket ``min_col`` into a fixed grid ([lo, hi] × ``buckets``) and
+       hash-aggregate per-bucket max of ``max_col`` — one linear pass,
+       ≤ ``buckets``+2 output rows.
+    2. Compute each bucket's STRICT-prefix maximum over that bounded
+       grid (a global window, but structurally bounded by a limit so
+       the single-partition stage sees ≤ ``buckets``+2 rows), and
+       broadcast it. Any row whose ``max_col`` is strictly below the
+       best value in a strictly cheaper bucket is dominated (a strictly
+       cheaper bucket implies a strictly smaller ``min_col``) and is
+       pruned scan-side.
+    3. Survivors ≈ frontier + same-bucket stragglers — small by
+       construction — so the exact dominance test is a broadcast
+       left-anti non-equi self-join on survivors only. Pruned rows
+       cannot hide a dominator: if q dominates p and q was pruned, the
+       row that pruned q lives in a strictly cheaper bucket and
+       transitively dominates p, and the chain of pruned dominators
+       strictly descends buckets, so it terminates at a survivor.
+    """
+    cols = df.columns
+    bucketed = df.withColumn(
+        "_bkt",
+        F.width_bucket(
+            min_col, F.lit(float(lo)), F.lit(float(hi)), F.lit(buckets)
+        ).cast("int"),
+    )
+    per_bucket = bucketed.groupBy("_bkt").agg(
+        F.max(max_col).alias("_bkt_max")
+    )
+    wpre = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = (
+        per_bucket.orderBy("_bkt")
+        .limit(buckets + 2)
+        .withColumn("_prefix_max", F.max("_bkt_max").over(wpre))
+        .select("_bkt", "_prefix_max")
+    )
+    survivors = (
+        bucketed.join(F.broadcast(prefix), "_bkt", "left")
+        .filter(
+            F.col("_prefix_max").isNull()
+            | (F.col(max_col) >= F.col("_prefix_max"))
+        )
+        .select(*cols)
+        .persist()
+    )
+    dom = survivors.select(
+        F.col(min_col).alias("_q_min"), F.col(max_col).alias("_q_max")
+    )
+    cond = (
+        (F.col("_q_min") <= F.col(min_col))
+        & (F.col("_q_max") >= F.col(max_col))
+        & (
+            (F.col("_q_min") < F.col(min_col))
+            | (F.col("_q_max") > F.col(max_col))
+        )
+    )
+    return survivors.join(F.broadcast(dom), cond, "left_anti")

@@ -201,6 +201,7 @@ from . import (  # noqa: E402,F401
     core,
     core_ext,
     graph,
+    insights,
     llm,
     llm_ext,
     llm_quality,

@@ -1,0 +1,548 @@
+"""Round-4b suite wave: corpus/text statistics (PMI collocations), data
+profiling (functional dependencies), privacy (l-diversity), sequence and
+interval analytics (paths, order streaks, interval coalescing), statistics
+(correlation matrix) and multi-objective selection (2-D skyline).
+
+Every query here is exact-oracled against DuckDB and plan-safe at corpus
+scale: aggregates are hash aggregates, windows are partitioned by a
+grouping key (never a global single-partition sort), and the one
+non-equi join (skyline dominance) runs only on a provably pruned,
+broadcastable survivor set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from . import query, table
+
+# ---------------------------------------------------------------------------
+# text_collocations_pmi
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 20
+
+
+@query(
+    "text_collocations_pmi",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    bigrams AS (
+        SELECT unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS bg
+        FROM toks
+    ),
+    unigrams AS (
+        SELECT unnest(t) AS w FROM toks
+    ),
+    bg_counts AS (
+        SELECT bg, COUNT(*) AS c_ab FROM bigrams GROUP BY bg
+    ),
+    uni_counts AS (
+        SELECT w, COUNT(*) AS c_w FROM unigrams GROUP BY w
+    ),
+    n_uni AS (SELECT COUNT(*) AS n FROM unigrams),
+    n_bi AS (SELECT COUNT(*) AS n FROM bigrams),
+    scored AS (
+        SELECT string_split(b.bg, ' ')[1] AS w1,
+               string_split(b.bg, ' ')[2] AS w2,
+               b.c_ab,
+               round(ln((b.c_ab / nb.n) /
+                        ((u1.c_w / nu.n) * (u2.c_w / nu.n))), 6) AS pmi
+        FROM bg_counts b
+        JOIN uni_counts u1 ON u1.w = string_split(b.bg, ' ')[1]
+        JOIN uni_counts u2 ON u2.w = string_split(b.bg, ' ')[2]
+        CROSS JOIN n_uni nu CROSS JOIN n_bi nb
+        WHERE b.c_ab >= {_PMI_MIN_COUNT}
+    )
+    SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab, pmi
+    FROM scored
+    ORDER BY pmi DESC, w1, w2
+    LIMIT {_PMI_TOPK}
+    """,
+)
+def text_collocations_pmi(spark, sf):
+    """Top bigram collocations by pointwise mutual information:
+    ``pmi = ln(p(w1 w2) / (p(w1) p(w2)))`` with a min-count floor.
+
+    Scale shape: one tokenize pass feeds BOTH the bigram and unigram
+    hash aggregates; the two corpus totals come from 1-row global
+    aggregates broadcast back as scalar joins; the bigram→unigram count
+    joins are equi-joins on the word (vocabulary-sized, not corpus-
+    sized, after the min-count filter); the final top-k is TakeOrdered.
+    Nothing sorts the corpus globally and no per-row Python runs."""
+    docs = table(spark, sf, "documents")
+    toks = docs.select(
+        F.filter(
+            F.split(F.lower("text"), "[^a-z]+"), lambda x: x != ""
+        ).alias("t")
+    ).persist()
+    uni = toks.select(F.explode("t").alias("w"))
+    # Guard size(t) < 2: sequence(0, -1) would count DOWN in Spark
+    # (inferred negative step), indexing t[-1] — emit no bigrams instead.
+    bi = toks.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN "
+                "transform(sequence(0, size(t) - 2), "
+                "i -> struct(t[i] AS w1, t[i + 1] AS w2)) "
+                "ELSE array() END"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    uni_counts = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    bg_counts = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+    )
+    n_uni = uni.agg(F.count(F.lit(1)).alias("n_u"))
+    n_bi = bi.agg(F.count(F.lit(1)).alias("n_b"))
+    scored = (
+        bg_counts.join(
+            uni_counts.withColumnRenamed("w", "w1")
+            .withColumnRenamed("c_w", "c_w1"),
+            "w1",
+        )
+        .join(
+            uni_counts.withColumnRenamed("w", "w2")
+            .withColumnRenamed("c_w", "c_w2"),
+            "w2",
+        )
+        .join(F.broadcast(n_uni))
+        .join(F.broadcast(n_bi))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.round(
+                F.log(
+                    (F.col("c_ab") / F.col("n_b"))
+                    / ((F.col("c_w1") / F.col("n_u"))
+                       * (F.col("c_w2") / F.col("n_u")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi"), "w1", "w2"
+    ).limit(_PMI_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# window_gaps_islands
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_gaps_islands",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d
+        FROM orders
+    ),
+    grouped AS (
+        SELECT o_custkey, d,
+               d - CAST(ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey ORDER BY d) AS INTEGER) AS grp
+        FROM days
+    ),
+    islands AS (
+        SELECT o_custkey, grp, CAST(COUNT(*) AS BIGINT) AS streak_len,
+               MIN(d) AS streak_start
+        FROM grouped GROUP BY o_custkey, grp
+    )
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           MAX(streak_len) AS longest_streak,
+           MIN(streak_start) AS first_active_day
+    FROM islands
+    GROUP BY o_custkey
+    HAVING MAX(streak_len) >= 2
+    """,
+)
+def window_gaps_islands(spark, sf):
+    """Gaps-and-islands: consecutive-order-day streaks per customer via
+    the classic ``date - row_number()`` island key.
+
+    Single-shuffle plan: ``dense_rank`` (not distinct + row_number)
+    makes the island key duplicate-tolerant — same-day repeat orders get
+    the same rank, so no separate de-dup exchange is needed; the one
+    customer hash exchange feeding the window also satisfies both
+    follow-on aggregates (subset-key clustering), which count distinct
+    days per island instead. Plan-pinned to exactly one hash exchange."""
+    o = table(spark, sf, "orders")
+    days = o.select("o_custkey", F.to_date("o_orderdate").alias("d"))
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    grouped = days.withColumn(
+        "grp", F.date_sub(F.col("d"), F.dense_rank().over(w))
+    )
+    islands = grouped.groupBy("o_custkey", "grp").agg(
+        F.countDistinct("d").alias("streak_len"),
+        F.min("d").alias("streak_start"),
+    )
+    return (
+        islands.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.max("streak_len").alias("longest_streak"),
+            F.min("streak_start").alias("first_active_day"),
+        )
+        .filter(F.col("longest_streak") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# interval_merge_overlaps
+# ---------------------------------------------------------------------------
+
+_INTERVAL_DAYS = 7
+
+
+@query(
+    "interval_merge_overlaps",
+    oracle=f"""
+    WITH iv AS (
+        SELECT o_custkey,
+               CAST(o_orderdate AS DATE) AS s,
+               CAST(o_orderdate AS DATE) + {_INTERVAL_DAYS} AS e
+        FROM orders
+    ),
+    flagged AS (
+        SELECT o_custkey, s, e,
+               CASE WHEN s <= MAX(e) OVER (
+                        PARTITION BY o_custkey ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 0 ELSE 1 END AS is_new
+        FROM iv
+    ),
+    numbered AS (
+        SELECT o_custkey, s, e,
+               SUM(is_new) OVER (
+                   PARTITION BY o_custkey ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+        FROM flagged
+    ),
+    merged AS (
+        SELECT o_custkey, island, MIN(s) AS ms, MAX(e) AS me
+        FROM numbered GROUP BY o_custkey, island
+    )
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(me - ms) AS BIGINT) AS covered_days
+    FROM merged
+    GROUP BY o_custkey
+    """,
+)
+def interval_merge_overlaps(spark, sf):
+    """Coalesce overlapping per-customer activity intervals
+    ([orderdate, orderdate+7d)) and report merged-interval count and
+    total covered days — the interval-union primitive behind SLA /
+    coverage / uptime rollups.
+
+    Single-pass island construction: a running ``max(end)`` window
+    partitioned by customer marks interval starts, a running sum numbers
+    the islands, and a hash aggregate merges. No self-join, no global
+    sort — the reference pattern for interval algebra at fact-table
+    scale."""
+    o = table(spark, sf, "orders")
+    iv = o.select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("s"),
+        F.date_add(F.to_date("o_orderdate"), _INTERVAL_DAYS).alias("e"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "is_new",
+        F.when(F.col("s") <= F.max("e").over(w), F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    wrun = (
+        Window.partitionBy("o_custkey")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    numbered = flagged.withColumn("island", F.sum("is_new").over(wrun))
+    merged = numbered.groupBy("o_custkey", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return merged.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.datediff("me", "ms")).cast("long").alias("covered_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# profile_fd_violations
+# ---------------------------------------------------------------------------
+
+_FD_CANDIDATES = [
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+]
+
+
+def _fd_oracle() -> str:
+    parts = []
+    for t, lhs, rhs in _FD_CANDIDATES:
+        parts.append(f"""
+        SELECT '{lhs} -> {rhs}' AS fd,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(COUNT(*) FILTER (WHERE n_rhs > 1) AS BIGINT)
+                   AS n_violating,
+               round(COUNT(*) FILTER (WHERE n_rhs > 1) * 1.0 / COUNT(*), 6)
+                   AS violation_rate
+        FROM (SELECT {lhs}, COUNT(DISTINCT {rhs}) AS n_rhs
+              FROM {t} GROUP BY {lhs})
+        """)
+    return " UNION ALL ".join(parts)
+
+
+@query("profile_fd_violations", oracle=_fd_oracle())
+def profile_fd_violations(spark, sf):
+    """Functional-dependency profiling: for each candidate FD ``X → Y``
+    report how many X keys map to more than one distinct Y (violation
+    count + rate) — the schema-discovery / data-contract primitive.
+
+    Each candidate costs one hash ``countDistinct`` aggregate keyed on
+    the LHS (map-side partials, linear in the fact table) followed by a
+    1-row summary; the per-FD rows are unioned. At 100 TB this is the
+    cheapest full-fidelity shape — no sort, no join, and the reduce side
+    only carries one row per distinct key."""
+    outs = []
+    for t, lhs, rhs in _FD_CANDIDATES:
+        per_key = (
+            table(spark, sf, t)
+            .groupBy(lhs)
+            .agg(F.countDistinct(rhs).alias("n_rhs"))
+        )
+        outs.append(
+            per_key.agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.count_if(F.col("n_rhs") > 1).alias("n_violating"),
+                F.round(
+                    F.count_if(F.col("n_rhs") > 1) / F.count(F.lit(1)), 6
+                ).alias("violation_rate"),
+            ).select(
+                F.lit(f"{lhs} -> {rhs}").alias("fd"),
+                "n_keys",
+                "n_violating",
+                "violation_rate",
+            )
+        )
+    res = outs[0]
+    for df in outs[1:]:
+        res = res.unionByName(df)
+    return res
+
+
+# ---------------------------------------------------------------------------
+# privacy_l_diversity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "privacy_l_diversity",
+    oracle="""
+    SELECT c_mktsegment,
+           c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 0
+                     WHEN c_acctbal >= 10000 THEN 5
+                     ELSE CAST(FLOOR(4.0 * c_acctbal / 10000) AS INTEGER) + 1
+                     END) AS BIGINT) AS l_distinct,
+           CAST(COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 0
+                     WHEN c_acctbal >= 10000 THEN 5
+                     ELSE CAST(FLOOR(4.0 * c_acctbal / 10000) AS INTEGER) + 1
+                     END) < 3 AS BOOLEAN) AS below_l3
+    FROM customer
+    GROUP BY c_mktsegment, c_nationkey
+    """,
+)
+def privacy_l_diversity(spark, sf):
+    """l-diversity audit, the companion to ``privacy_k_anonymity``: for
+    each quasi-identifier group (market segment × nation) count distinct
+    values of the sensitive attribute (bucketed account balance) and
+    flag groups below l=3 — groups where an attacker who locates a
+    person learns their sensitive bucket almost surely.
+
+    One hash aggregate with a distinct-count; QI-group cardinality is
+    domain-bounded (segments × nations), so the reduce side is tiny no
+    matter the fact volume."""
+    c = table(spark, sf, "customer")
+    sens = (
+        F.width_bucket("c_acctbal", F.lit(0), F.lit(10000), F.lit(4))
+        .cast("int")
+        .alias("sens_bucket")
+    )
+    return (
+        c.select("c_mktsegment", "c_nationkey", sens)
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.countDistinct("sens_bucket").alias("l_distinct"),
+        )
+        .withColumn("below_l3", F.col("l_distinct") < 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_path_topk
+# ---------------------------------------------------------------------------
+
+_PATH_LEN = 8
+_PATH_TOPK = 10
+
+
+@query(
+    "events_path_topk",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id,
+               array_to_string(
+                   list_slice(array_agg(event_type ORDER BY ts, event_id),
+                              1, {_PATH_LEN}), '>') AS path
+        FROM events GROUP BY user_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM ordered
+    GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT {_PATH_TOPK}
+    """,
+)
+def events_path_topk(spark, sf):
+    """Top navigation paths: each user's first 8 event types (by time,
+    event_id tiebreak) joined into a path string, ranked by user count —
+    the clickstream path-analysis primitive.
+
+    A row_number window partitioned by user bounds per-user state to the
+    path length; the path build is an in-group array sort of ≤8 structs
+    (deterministic — never bare collect_list order); two hash aggregates
+    and a TakeOrdered finish. Users hash-distribute, so skew is bounded
+    by the busiest single user's event count at the window, and by the
+    path-length cap everywhere after."""
+    e = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first_n = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PATH_LEN)
+    )
+    paths = first_n.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(_PATH_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_corr_matrix
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_oracle() -> str:
+    parts = []
+    for i, x in enumerate(_CORR_COLS):
+        for y in _CORR_COLS[i + 1:]:
+            parts.append(f"""
+            SELECT '{x}' AS x, '{y}' AS y,
+                   round(corr({x}, {y}), 6) AS r
+            FROM lineitem
+            """)
+    return " UNION ALL ".join(parts)
+
+
+@query("agg_corr_matrix", oracle=_corr_oracle())
+def agg_corr_matrix(spark, sf):
+    """Pairwise Pearson correlation matrix (upper triangle, long form)
+    over the lineitem measures — the feature-screening primitive before
+    model training.
+
+    All 6 coefficients accumulate in ONE scan / one global aggregate
+    row (each ``corr`` is a streaming co-moment — map-side partials,
+    constant state), then unpivot via ``stack``; the oracle's 6 scans
+    are the readable-SQL equivalent. Never one-pass-per-pair on the
+    fact table."""
+    li = table(spark, sf, "lineitem")
+    aggs = []
+    names = []
+    for i, x in enumerate(_CORR_COLS):
+        for y in _CORR_COLS[i + 1:]:
+            nm = f"r_{i}_{_CORR_COLS.index(y)}"
+            names.append((x, y, nm))
+            aggs.append(F.round(F.corr(x, y), 6).alias(nm))
+    one = li.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{x}', '{y}', {nm}" for x, y, nm in names
+    )
+    return one.selectExpr(f"stack({len(names)}, {stack_expr}) AS (x, y, r)")
+
+
+# ---------------------------------------------------------------------------
+# skyline_2d
+# ---------------------------------------------------------------------------
+
+_SKYLINE_BUCKETS = 64
+
+
+@query(
+    "skyline_2d",
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice
+          AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+)
+def skyline_2d(spark, sf):
+    """2-D skyline (Pareto front): parts not dominated on
+    (minimize retail price, maximize size) — the multi-objective
+    shortlist primitive (cheapest-per-capability frontier).
+
+    Delegates to :func:`operators.relational.pareto_front_2d` —
+    bucket-grid prefix-max pruning scan-side, then an exact broadcast
+    left-anti dominance join on the small survivor set. The full table
+    is never self-joined and never globally sorted."""
+    from ..operators.relational import pareto_front_2d
+
+    p = table(spark, sf, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    return pareto_front_2d(
+        p, "p_retailprice", "p_size",
+        lo=0, hi=2000, buckets=_SKYLINE_BUCKETS,
+    )

@@ -244,3 +244,15 @@ def test_substring_ops_on_empty_corpus(spark):
     # empty base: nothing to probe; empty new: nothing probes
     assert incremental_substring_spans(docs, some, k=10).collect() == []
     assert incremental_substring_spans(some, docs, k=10).collect() == []
+
+
+def test_pareto_front_2d_on_empty_input(spark):
+    """Skyline on zero rows: empty result, schema preserved, and the
+    broadcast prefix/dominance stages tolerate an empty grid."""
+    pts = spark.createDataFrame(
+        spark.sparkContext.parallelize([], 1),
+        "id long, price double, size int",
+    )
+    out = R.pareto_front_2d(pts, "price", "size", lo=0, hi=100, buckets=8)
+    assert out.columns == ["id", "price", "size"]
+    assert out.count() == 0

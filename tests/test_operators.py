@@ -966,3 +966,61 @@ def test_bpe_apply_matches_trainer_and_is_lossless(spark):
         1: "thethemetherethe" + "other",
         2: "hellotheworldthethe",
     }
+
+
+def test_pareto_front_2d_exact_vs_bruteforce(spark):
+    """The pruned skyline must equal brute-force dominance on inputs
+    engineered to stress the pruning: a dominator that is ITSELF pruned
+    (chain must terminate at a survivor), duplicate points (neither
+    dominates the other), and same-bucket stragglers."""
+    from datacooker_dist_spark.operators.relational import pareto_front_2d
+
+    pts = [
+        # (id, price, size)
+        (1, 10.0, 5),    # frontier
+        (2, 10.0, 5),    # duplicate of 1 — both stay (no strict edge)
+        (3, 50.0, 9),    # frontier
+        (4, 55.0, 8),    # dominated by 3
+        (5, 60.0, 7),    # dominated by 4 (itself dominated) — chain case
+        (6, 12.0, 5),    # dominated by 1 via same/nearby bucket
+        (7, 900.0, 50),  # frontier (expensive but biggest)
+        (8, 899.0, 50),  # dominates 7? no: cheaper AND same size → yes!
+        (9, 0.5, 1),     # cheapest — frontier by price
+    ]
+    df = spark.createDataFrame(pts, "id long, price double, size int")
+    got = {
+        r["id"]
+        for r in pareto_front_2d(
+            df, "price", "size", lo=0, hi=100, buckets=8
+        ).collect()
+    }
+    # brute force
+    expect = set()
+    for i, p, s in pts:
+        dominated = any(
+            q_p <= p and q_s >= s and (q_p < p or q_s > s)
+            for j, q_p, q_s in pts
+            if j != i
+        )
+        if not dominated:
+            expect.add(i)
+    assert got == expect
+    # values above the grid's hi must still be handled (overflow bucket)
+    pts2 = pts + [(10, 5000.0, 60), (11, 4999.0, 60)]
+    df2 = spark.createDataFrame(pts2, "id long, price double, size int")
+    got2 = {
+        r["id"]
+        for r in pareto_front_2d(
+            df2, "price", "size", lo=0, hi=100, buckets=8
+        ).collect()
+    }
+    expect2 = set()
+    for i, p, s in pts2:
+        dominated = any(
+            q_p <= p and q_s >= s and (q_p < p or q_s > s)
+            for j, q_p, q_s in pts2
+            if j != i
+        )
+        if not dominated:
+            expect2.add(i)
+    assert got2 == expect2

@@ -612,3 +612,41 @@ def test_sweep_no_unbounded_global_window_in_any_query(spark):
         if bad:
             flagged[name] = bad
     assert not flagged, f"unbounded global windows: {flagged}"
+
+
+def test_insights_wave_plan_discipline(spark):
+    """Round-4b wave: every shape stays cartesian-free; the corr matrix
+    is ONE scan + a single 1-row gather (never a pass per pair); the
+    gaps/islands and interval-coalesce windows reuse their customer
+    hash exchange for the follow-on aggregate (subset-key satisfaction
+    — no second shuffle); path/PMI top-ks are TakeOrdered, not global
+    sorts; the skyline's only non-equi join is the broadcast left-anti
+    dominance pass over the pruned survivor set."""
+    for name in [
+        "text_collocations_pmi", "window_gaps_islands",
+        "interval_merge_overlaps", "profile_fd_violations",
+        "privacy_l_diversity", "events_path_topk",
+        "agg_corr_matrix", "skyline_2d",
+    ]:
+        assert "CartesianProduct" not in executed_plan(spark, name), name
+
+    corr = executed_plan(spark, "agg_corr_matrix")
+    assert "Join" not in corr
+    assert corr.count("Exchange") == 1
+
+    for name in ["window_gaps_islands", "interval_merge_overlaps"]:
+        plan = executed_plan(spark, name)
+        assert plan.count("Exchange hashpartitioning") == 1, name
+        assert "Window" in plan
+
+    for name in ["events_path_topk", "text_collocations_pmi"]:
+        assert "TakeOrdered" in executed_plan(spark, name), name
+
+    sky = executed_plan(spark, "skyline_2d")
+    assert "BroadcastNestedLoopJoin" in sky  # exact pass on survivors
+    assert "LeftAnti" in sky
+    assert "partial_max" in sky  # bucket maxima keep map-side partials
+
+    fd = executed_plan(spark, "profile_fd_violations")
+    assert "Join" not in fd
+    assert "partial_" in fd
