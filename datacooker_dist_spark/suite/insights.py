@@ -546,3 +546,177 @@ def skyline_2d(spark, sf):
         p, "p_retailprice", "p_size",
         lo=0, hi=2000, buckets=_SKYLINE_BUCKETS,
     )
+
+
+# ---------------------------------------------------------------------------
+# text_phonetic_keys
+# ---------------------------------------------------------------------------
+
+# Simplified-Soundex consonant classes (first char kept verbatim, vowels
+# and h/w dropped BEFORE run-collapse — a documented deviation from
+# classic Soundex that removes the letter-separated-run special case, so
+# the key is expressible as pure column algebra in BOTH engines with no
+# backreference regex). Deletion chars must trail the mapped ones:
+# translate() drops from-chars beyond the to-string's length.
+_PH_FROM = "bfpvcgjkqsxzdtlmnraeiouyhw"
+_PH_TO = "111122222222334556"
+
+
+@query(
+    "text_phonetic_keys",
+    oracle=f"""
+    WITH vocab AS (
+        -- DISTINCT must wrap the unnest in a subquery: DuckDB applies
+        -- SELECT DISTINCT before the unnest row expansion otherwise.
+        SELECT DISTINCT w FROM (
+            SELECT unnest(list_filter(
+                string_split_regex(lower(text), '[^a-z]+'),
+                x -> len(x) >= 2)) AS w
+            FROM documents)
+    ),
+    keyed AS (
+        SELECT w,
+               -- array_to_string([]) is NULL in DuckDB, not '' — coalesce
+               substr(w, 1, 1) || rpad(coalesce(array_to_string(list_slice(
+                   [substr(ds, i, 1)
+                    FOR i IN range(1, len(ds) + 1)
+                    IF i = 1 OR substr(ds, i, 1) <> substr(ds, i - 1, 1)],
+                   1, 3), ''), ''), 3, '0') AS pkey
+        FROM (SELECT w, translate(substr(w, 2),
+                                  '{_PH_FROM}', '{_PH_TO}') AS ds
+              FROM vocab)
+    )
+    SELECT pkey,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           string_agg(w, ',' ORDER BY w) AS words
+    FROM keyed
+    GROUP BY pkey
+    """,
+)
+def text_phonetic_keys(spark, sf):
+    """Phonetic vocabulary keying (simplified Soundex): map every corpus
+    word to ``first letter + 3 collapsed consonant-class digits`` and
+    report every key group (collisions and singletons) — the blocking-key
+    primitive for
+    phonetic record linkage (two name spellings that sound alike land in
+    the same equi-join block; the key IS the join key, so the match
+    never needs a pairwise phonetic comparison).
+
+    Vocabulary-sized throughout: one tokenize + distinct, then pure
+    column algebra (translate → per-char run-collapse via
+    sequence/transform — no Python, no backreference regex, identical
+    semantics in DuckDB) and one hash aggregate."""
+    docs = table(spark, sf, "documents")
+    vocab = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower("text"), "[^a-z]+"),
+                    lambda x: F.length(x) >= 2,
+                )
+            ).alias("w")
+        )
+        .distinct()
+    )
+    keyed = vocab.withColumn(
+        "ds", F.translate(F.expr("substring(w, 2)"), _PH_FROM, _PH_TO)
+    ).withColumn(
+        "pkey",
+        F.expr(
+            "concat(substring(w, 1, 1), rpad(concat_ws('', slice("
+            "filter(CASE WHEN length(ds) >= 1 THEN "
+            "transform(sequence(1, length(ds)), i -> "
+            "CASE WHEN i = 1 OR substring(ds, i, 1) <> "
+            "substring(ds, i - 1, 1) THEN substring(ds, i, 1) END) "
+            "ELSE array() END, x -> x IS NOT NULL), 1, 3)), 3, '0'))"
+        ),
+    )
+    return (
+        keyed.groupBy("pkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.array_join(F.array_sort(F.collect_list("w")), ",").alias(
+                "words"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_readability
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus has no sentence punctuation, so grade formulas
+# that need words-per-sentence use a fixed nominal sentence length.
+_NOMINAL_SENTENCE_LEN = 15
+
+
+@query(
+    "text_readability",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source,
+               unnest(list_filter(
+                   string_split_regex(lower(text), '[^a-z]+'),
+                   x -> x <> '')) AS w
+        FROM documents
+    ),
+    syl AS (
+        SELECT source, w,
+               len(regexp_extract_all(w, '[aeiouy]+')) AS n_syl
+        FROM tok
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_syl) AS BIGINT) AS n_syllables,
+           round(SUM(n_syl) * 1.0 / COUNT(*), 6) AS avg_syl_per_word,
+           round(COUNT(*) FILTER (WHERE n_syl >= 3) * 1.0 / COUNT(*), 6)
+               AS pct_complex,
+           round(0.4 * ({_NOMINAL_SENTENCE_LEN} +
+                 100.0 * COUNT(*) FILTER (WHERE n_syl >= 3) / COUNT(*)),
+                 6) AS fog_grade
+    FROM syl
+    GROUP BY source
+    """,
+)
+def text_readability(spark, sf):
+    """Per-source readability report: syllables-per-word (vowel-group
+    heuristic), complex-word share (≥3 syllables) and a Gunning-FOG-
+    style grade — the classic lexical-difficulty gates for training-data
+    quality filtering.
+
+    One tokenize pass, a per-token regexp count (JVM-side, codegen),
+    and a single source-keyed hash aggregate — linear, shuffle bounded
+    by the source-domain cardinality. Sentence length is pinned to a
+    nominal constant because the synthetic corpus carries no sentence
+    punctuation (documented; real corpora would count [.!?] runs)."""
+    docs = table(spark, sf, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda x: x != "")
+        ).alias("w"),
+    )
+    syl = tok.withColumn(
+        "n_syl", F.size(F.regexp_extract_all("w", F.lit("[aeiouy]+"), 0))
+    )
+    return syl.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_syl").cast("long").alias("n_syllables"),
+        F.round(F.sum("n_syl") / F.count(F.lit(1)), 6).alias(
+            "avg_syl_per_word"
+        ),
+        F.round(
+            F.count_if(F.col("n_syl") >= 3) / F.count(F.lit(1)), 6
+        ).alias("pct_complex"),
+        F.round(
+            0.4
+            * (
+                F.lit(_NOMINAL_SENTENCE_LEN)
+                + 100.0
+                * F.count_if(F.col("n_syl") >= 3)
+                / F.count(F.lit(1))
+            ),
+            6,
+        ).alias("fog_grade"),
+    )

@@ -928,3 +928,114 @@ def test_bm25_dedups_repeated_query_terms(spark):
     want = sorted(map(tuple, bm25_topk(tf, dl, stats, clean, k=4).collect()))
     got = sorted(map(tuple, bm25_topk(tf, dl, stats, dup, k=4).collect()))
     assert got == want and len(want) > 0
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=0.0, max_value=150.0, allow_nan=False),
+            st.integers(min_value=-5, max_value=60),
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+    st.integers(1, 5),
+)
+def test_pareto_front_2d_equals_bruteforce_random(spark, pts, parts):
+    """Property: the bucket-pruned skyline equals brute-force dominance
+    for ANY point set (incl. values outside the [lo, hi) grid, which
+    land in the overflow/underflow buckets) and any partitioning."""
+    from datacooker_dist_spark.operators.relational import pareto_front_2d
+
+    rows = [(i, p, s) for i, (p, s) in enumerate(pts)]
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, parts),
+        "id long, price double, size int",
+    )
+    got = {
+        r["id"]
+        for r in pareto_front_2d(
+            df, "price", "size", lo=0, hi=100, buckets=4
+        ).collect()
+    }
+    expect = {
+        i
+        for i, p, s in rows
+        if not any(
+            qp <= p and qs >= s and (qp < p or qs > s)
+            for j, qp, qs in rows
+            if j != i
+        )
+    }
+    assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 40)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(1, 5),
+)
+def test_interval_merge_equals_naive_sweep(spark, orders, parts):
+    """Property: the windowed island coalescing in
+    interval_merge_overlaps matches a naive per-key Python sweep for any
+    (key, start-day) multiset and any partitioning: same merged-interval
+    count and covered-day total per key (7-day spans, [s, e) measure)."""
+    import datetime
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = datetime.date(1995, 1, 1)
+    rows = [
+        (k, base + datetime.timedelta(days=d)) for k, d in orders
+    ]
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, parts), "k int, s date"
+    ).withColumn("e", F.date_add("s", 7))
+    w = (
+        Window.partitionBy("k")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = df.withColumn(
+        "is_new",
+        F.when(F.col("s") <= F.max("e").over(w), F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    wrun = (
+        Window.partitionBy("k")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = (
+        flagged.withColumn("island", F.sum("is_new").over(wrun))
+        .groupBy("k", "island")
+        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.datediff("me", "ms")).alias("days"),
+        )
+    )
+    got = {r["k"]: (r["n"], r["days"]) for r in merged.collect()}
+
+    expect = {}
+    bykey: dict[int, list] = {}
+    for k, s in rows:
+        bykey.setdefault(k, []).append(s)
+    for k, starts in bykey.items():
+        ivs = sorted((s, s + datetime.timedelta(days=7)) for s in starts)
+        out = []
+        for s, e in ivs:
+            if out and s <= out[-1][1]:
+                out[-1] = (out[-1][0], max(out[-1][1], e))
+            else:
+                out.append((s, e))
+        expect[k] = (len(out), sum((e - s).days for s, e in out))
+    assert got == expect

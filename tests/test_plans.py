@@ -627,6 +627,7 @@ def test_insights_wave_plan_discipline(spark):
         "interval_merge_overlaps", "profile_fd_violations",
         "privacy_l_diversity", "events_path_topk",
         "agg_corr_matrix", "skyline_2d",
+        "text_phonetic_keys", "text_readability",
     ]:
         assert "CartesianProduct" not in executed_plan(spark, name), name
 
@@ -650,3 +651,10 @@ def test_insights_wave_plan_discipline(spark):
     fd = executed_plan(spark, "profile_fd_violations")
     assert "Join" not in fd
     assert "partial_" in fd
+
+    # phonetic keying and readability are pure column algebra + one hash
+    # aggregate — no Python evaluation node may appear
+    for name in ["text_phonetic_keys", "text_readability"]:
+        plan = executed_plan(spark, name)
+        assert "Python" not in plan, name
+        assert "Join" not in plan, name
