@@ -658,3 +658,55 @@ def test_insights_wave_plan_discipline(spark):
         plan = executed_plan(spark, name)
         assert "Python" not in plan, name
         assert "Join" not in plan, name
+
+
+def _unbounded_single_partition_gathers(df) -> list[str]:
+    """ShuffleExchange-to-SinglePartition nodes whose input subtree is
+    NOT bounded by a limit/TakeOrdered or a grouping-less partial
+    aggregate — i.e. stages that physically gather raw, data-dependent
+    row volumes into one task. Strictly more general than the global-
+    window sweep: also catches global sorts, coalesce(1)-style funnels
+    and accidental orderBy-without-limit shapes."""
+    out = []
+    for n in _plan_nodes(df._jdf.queryExecution().executedPlan()):
+        if n.getClass().getSimpleName() != "ShuffleExchangeExec":
+            continue
+        if "SinglePartition" not in n.outputPartitioning().toString():
+            continue
+        ch = n.children().apply(0)
+        bounded = False
+        for d in _plan_nodes(ch):
+            dn = d.getClass().getSimpleName()
+            if "Limit" in dn or "TakeOrdered" in dn:
+                bounded = True
+                break
+            if dn in (
+                "HashAggregateExec",
+                "ObjectHashAggregateExec",
+                "SortAggregateExec",
+            ) and d.groupingExpressions().isEmpty():
+                bounded = True
+                break
+        if not bounded:
+            out.append(ch.getClass().getSimpleName())
+    return out
+
+
+def test_sweep_no_unbounded_single_partition_gather(spark):
+    """Suite-wide guard (generalizes the global-window sweep): no shipped
+    non-streaming query may gather an unbounded row volume into a single
+    task. The only tolerated shapes are the three documented key-domain-
+    bounded rollups (one row per calendar week/day/fixed sketch bucket
+    BEFORE the gather — the physical plan can't see the domain bound, so
+    they are justified by name, same registry as the window sweep)."""
+    flagged = {}
+    for name in sorted(QUERIES):
+        if (
+            name.startswith("stream_")
+            or name in _DOMAIN_BOUNDED_GLOBAL_WINDOW
+        ):
+            continue
+        bad = _unbounded_single_partition_gathers(QUERIES[name](spark, SF_SMALL))
+        if bad:
+            flagged[name] = bad
+    assert not flagged, f"unbounded single-partition gathers: {flagged}"
