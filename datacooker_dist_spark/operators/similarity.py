@@ -617,6 +617,188 @@ def cosine_pairs(
     )
 
 
+def mine_hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor vector, the top-k
+    most-similar corpus vectors carrying a DIFFERENT label — the pairs a
+    contrastive/triplet trainer wants, because easy negatives (random,
+    dissimilar) contribute no gradient while these near-miss negatives do.
+
+    Plan shape: the (small, bounded) anchor set broadcasts with its labels
+    against one corpus scan; the label-mismatch predicate rides the join
+    condition so same-label rows never reach the scorer; scores are
+    rounded before the per-anchor rank for engine-stable ordering. Cost
+    is |corpus| × |anchors| — linear in the corpus for a bounded anchor
+    set; an unbounded anchor set should prune candidates through the
+    LSH/IVF paths first and mine from the candidate list instead.
+    Output: (query_id, query_label, neighbor_id, neighbor_label, rnk,
+    cosine).
+    """
+    from pyspark.sql.window import Window
+
+    q = anchors.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        as_double_array(vec_col).alias("_qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        as_double_array(vec_col).alias("_cv"),
+    )
+    cos = cosine_expr(F.col("_qv"), F.col("_cv"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    scored = c.join(
+        F.broadcast(q),
+        on=(F.col("query_id") != F.col("neighbor_id"))
+        & (F.col("query_label") != F.col("neighbor_label")),
+    ).select(
+        "query_id", "query_label", "neighbor_id", "neighbor_label",
+        cos.alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )
+
+
+def knn_label_vote(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote label prediction — the embedding-quality probe
+    (a leave-one-out classification pass over labeled vectors): each
+    query's label is predicted as the modal label of its k exact nearest
+    neighbors, tie-broken to the smallest label for determinism.
+
+    Plan shape: one :func:`cosine_topk` pass (broadcast bounded query
+    set, linear corpus scan) → a label equi-join on the neighbor id → a
+    (query, label) hash aggregate → a deterministic argmax via
+    ``min(struct(-votes, label))``. Output: (query_id, true_label,
+    predicted_label, n_votes, correct).
+    """
+    topk = cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    votes = (
+        topk.join(labels, "neighbor_id")
+        .groupBy("query_id", "neighbor_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    best = votes.groupBy("query_id").agg(
+        F.min(
+            F.struct((-F.col("votes")).alias("_nv"), F.col("neighbor_label"))
+        ).alias("_b")
+    )
+    truth = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("true_label")
+    )
+    return best.join(F.broadcast(truth), "query_id").select(
+        "query_id",
+        "true_label",
+        F.col("_b.neighbor_label").alias("predicted_label"),
+        (-F.col("_b._nv")).cast("long").alias("n_votes"),
+        (F.col("_b.neighbor_label") == F.col("true_label")).alias("correct"),
+    )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    shortlist: int = 20,
+    lambda_: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k: greedily pick, from
+    each query's ``shortlist`` nearest candidates, the item maximizing
+    λ·sim(query, cand) − (1−λ)·max_{s∈selected} sim(cand, s) — the search
+    diversifier that stops the result page being k copies of one cluster.
+
+    The greedy step is inherently sequential IN k, but independent ACROSS
+    queries, so the scale shape is: one :func:`cosine_topk` pass bounds
+    each query to ``shortlist`` rows (the expensive, corpus-sized part
+    stays a linear scan), vectors re-attach by id join, and the per-query
+    greedy loop runs inside ``applyInPandas`` — an Arrow-batched group of
+    ≤ shortlist rows per query, a few-microsecond numpy loop, fully
+    parallel across queries. Scores round to 6 digits with id tiebreaks
+    before each greedy pick, so the selection is deterministic.
+    Output: (query_id, neighbor_id, mmr_rank, relevance, mmr_score).
+    """
+    import numpy as np
+    import pandas as pd
+
+    short = cosine_topk(
+        corpus, queries, k=shortlist, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id", F.col("cosine").alias("relevance"))
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("_cv")
+    )
+    grouped = short.join(cvec, "neighbor_id")
+
+    lam = float(lambda_)
+    kk = int(k)
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["neighbor_id"]).reset_index(drop=True)
+        V = np.vstack(pdf["_cv"].to_numpy())
+        n = np.sqrt((V * V).sum(axis=1))
+        sims = np.round((V @ V.T) / np.outer(n, n), 6)
+        rel = pdf["relevance"].to_numpy()
+        ids = pdf["neighbor_id"].to_numpy()
+        chosen: list[int] = []
+        scores: list[float] = []
+        avail = list(range(len(pdf)))
+        for _ in range(min(kk, len(pdf))):
+            best_i, best_s = None, None
+            for i in avail:
+                div = max((sims[i][j] for j in chosen), default=0.0)
+                s = round(lam * rel[i] - (1.0 - lam) * div, 6)
+                # deterministic: score desc, id asc
+                if best_s is None or s > best_s or (
+                    s == best_s and ids[i] < ids[best_i]
+                ):
+                    best_i, best_s = i, s
+            chosen.append(best_i)
+            scores.append(best_s)
+            avail.remove(best_i)
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "neighbor_id": ids[chosen],
+                "mmr_rank": np.arange(1, len(chosen) + 1, dtype="int64"),
+                "relevance": rel[chosen],
+                "mmr_score": np.array(scores),
+            }
+        )
+
+    return grouped.groupBy("query_id").applyInPandas(
+        pick,
+        schema=(
+            "query_id long, neighbor_id long, mmr_rank long, "
+            "relevance double, mmr_score double"
+        ),
+    )
+
+
 def pq_codebooks(
     corpus: DataFrame,
     dim: int,

@@ -200,11 +200,13 @@ from . import (  # noqa: E402,F401
     analytics,
     core,
     core_ext,
+    embml,
     graph,
     insights,
     llm,
     llm_ext,
     llm_quality,
+    mlprep,
     relational_ext,
     relational_q4,
     relational_q5,

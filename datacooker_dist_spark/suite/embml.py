@@ -1,0 +1,250 @@
+"""Round-4d suite wave: embedding-centric ML data operators — contrastive
+hard-negative mining, k-NN label voting (embedding-quality probe), MMR
+diversified re-ranking, and the composed entity-resolution pipeline
+(blocking → fuzzy match → connected components → golden record).
+
+Scale posture: every corpus-sized pass is a single linear scan against a
+broadcast bounded query/anchor set (the `cosine_topk` shape); per-query
+work after the bound is tiny. The MMR greedy loop — sequential in k but
+independent across queries — runs as an Arrow-batched ``applyInPandas``
+over ≤ shortlist rows per query. Entity resolution reuses the blocked
+fuzzy join (block-quadratic, never corpus-quadratic) and the union-find
+filtering connected-components operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import query, table
+from ..operators import similarity as S
+
+# ---------------------------------------------------------------------------
+# mine_hard_negatives
+# ---------------------------------------------------------------------------
+
+_HN_ANCHORS = 20
+_HN_K = 3
+
+
+@query(
+    "mine_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS query_label,
+               CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < {_HN_ANCHORS}
+    ),
+    c AS (
+        SELECT vec_id AS neighbor_id, label AS neighbor_label,
+               CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings
+    ),
+    s AS (
+        SELECT query_id, query_label, neighbor_id, neighbor_label,
+               round(list_dot_product(qv, cv)
+                     / (sqrt(list_dot_product(qv, qv))
+                        * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+        FROM q CROSS JOIN c
+        WHERE query_id <> neighbor_id AND query_label <> neighbor_label
+    ),
+    r AS (
+        SELECT query_id, query_label, neighbor_id, neighbor_label, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+        FROM s
+    )
+    SELECT query_id, query_label, neighbor_id, neighbor_label, rnk, cosine
+    FROM r WHERE rnk <= {_HN_K}
+    """,
+)
+def mine_hard_negatives(spark, sf):
+    """Contrastive hard negatives: per anchor, the top-3 most-similar
+    vectors with a DIFFERENT label — near-miss negatives are the ones
+    that carry training signal. One linear corpus scan against the
+    broadcast 20-anchor set; the label-mismatch predicate rides the join
+    so same-label rows never reach the scorer."""
+    emb = table(spark, sf, "embeddings")
+    return S.mine_hard_negatives(
+        emb, emb.filter(F.col("vec_id") < _HN_ANCHORS), k=_HN_K
+    )
+
+
+# ---------------------------------------------------------------------------
+# knn_label_vote
+# ---------------------------------------------------------------------------
+
+_KNN_QUERIES = 50
+_KNN_K = 5
+
+
+@query(
+    "knn_label_vote",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS true_label,
+               CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < {_KNN_QUERIES}
+    ),
+    c AS (
+        SELECT vec_id AS neighbor_id, label AS neighbor_label,
+               CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings
+    ),
+    s AS (
+        SELECT query_id, true_label, neighbor_id, neighbor_label,
+               round(list_dot_product(qv, cv)
+                     / (sqrt(list_dot_product(qv, qv))
+                        * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+        FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM s
+    ),
+    votes AS (
+        SELECT query_id, true_label, neighbor_label,
+               COUNT(*) AS votes
+        FROM r WHERE rnk <= {_KNN_K}
+        GROUP BY query_id, true_label, neighbor_label
+    ),
+    best AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY votes DESC, neighbor_label) AS vr
+        FROM votes
+    )
+    SELECT query_id, true_label,
+           neighbor_label AS predicted_label,
+           CAST(votes AS BIGINT) AS n_votes,
+           neighbor_label = true_label AS correct
+    FROM best WHERE vr = 1
+    """,
+)
+def knn_label_vote(spark, sf):
+    """k-NN majority-vote label prediction over 50 labeled queries — the
+    leave-one-out probe that measures whether an embedding space
+    separates its classes. Modal neighbor label with a smallest-label
+    tiebreak (min(struct(-votes, label)) ≡ the oracle's votes DESC,
+    label ASC rank)."""
+    emb = table(spark, sf, "embeddings")
+    return S.knn_label_vote(
+        emb, emb.filter(F.col("vec_id") < _KNN_QUERIES), k=_KNN_K
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity_topk_mmr (rows-only: greedy selection is not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+
+@query("similarity_topk_mmr")  # rows-only: sequential greedy re-rank
+def similarity_topk_mmr(spark, sf):
+    """MMR diversified top-5 from each query's 20-candidate shortlist:
+    λ·relevance − (1−λ)·max-sim-to-selected, greedy. The corpus-sized
+    work is the one exact shortlist pass; the greedy loop runs per query
+    group in Arrow-batched pandas (≤20 rows each, parallel across
+    queries). Deterministic: 6-digit score grid with id tiebreaks at
+    every pick — rows-only because greedy selection has no closed SQL
+    form, but the output is bit-stable across engines/partitionings
+    (asserted by the determinism suite)."""
+    emb = table(spark, sf, "embeddings")
+    return S.mmr_rerank(
+        emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5,
+        shortlist=20, lambda_=0.7,
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_entity_resolution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_entity_resolution",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, lower(trim(p_name)) AS nm,
+             split_part(p_name, ' ', 1) AS w1, p_size
+      FROM part),
+    t AS (
+      SELECT p_partkey, w1, p_size,
+             CASE WHEN len(nm) >= 3
+                  THEN list_distinct(list_transform(
+                         range(1, len(nm) - 1), i -> nm[i:i+2]))
+                  ELSE [] END AS tg
+      FROM p),
+    matches AS (
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+      FROM t a JOIN t b
+        ON a.w1 = b.w1 AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+      WHERE round(len(list_intersect(a.tg, b.tg)) * 1.0
+                  / (len(a.tg) + len(b.tg)
+                     - len(list_intersect(a.tg, b.tg))), 6) >= 0.7),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM matches
+      UNION ALL SELECT id_b, id_a FROM matches),
+    reach AS (
+      WITH RECURSIVE rr(u, v) AS (
+        SELECT p_partkey, p_partkey FROM part
+        UNION
+        SELECT rr.u, e.v FROM rr JOIN edges e ON e.u = rr.v
+      ) SELECT u, MIN(v) AS root FROM rr GROUP BY u)
+    SELECT r.root AS entity_id,
+           pr.p_name AS canonical_name,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           round(CAST(SUM(CAST(pp.p_retailprice AS DECIMAL(25,2)))
+                 AS DOUBLE), 2) AS total_retail
+    FROM reach r
+    JOIN part pp ON pp.p_partkey = r.u
+    JOIN part pr ON pr.p_partkey = r.root
+    GROUP BY r.root, pr.p_name
+    """,
+)
+def pipeline_entity_resolution(spark, sf):
+    """The full entity-resolution pipeline composed from the engine's own
+    stages: (1) blocking + trigram-Jaccard fuzzy matching over part names
+    (block-quadratic candidates, the ``join_fuzzy_blocked`` operator),
+    (2) union-find-filtering connected components over the match graph
+    (min-id cluster labels, singletons kept), (3) golden-record rollup per
+    entity — canonical name from the min-id representative, member count,
+    decimal-exact value total. The oracle replays matching exactly and
+    closes the clusters with a recursive min-label CTE — feasible because
+    the match graph is a tiny fraction of the table; the Spark side's CC
+    operator is the corpus-scale path."""
+    from ..operators.dedup import blocked_fuzzy_join, connected_components
+
+    p = table(spark, sf, "part")
+    pk = p.select(
+        "p_partkey", "p_name", "p_size",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("w1"),
+    )
+    matches = blocked_fuzzy_join(
+        pk, pk, name_col="p_name", block_cols=["w1", "p_size"],
+        threshold=0.7, id_col="p_partkey",
+    ).select("id_a", "id_b")
+    labels = connected_components(matches)
+    # Singletons: parts not in any match edge resolve to themselves.
+    resolved = (
+        p.join(
+            labels.withColumnRenamed("id_a", "p_partkey"), "p_partkey", "left"
+        )
+        .withColumn("entity_id", F.coalesce("cluster_id", "p_partkey"))
+    )
+    canon = p.select(
+        F.col("p_partkey").alias("entity_id"),
+        F.col("p_name").alias("canonical_name"),
+    )
+    return (
+        resolved.groupBy("entity_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.round(
+                F.sum(F.col("p_retailprice").cast("decimal(25,2)"))
+                .cast("double"),
+                2,
+            ).alias("total_retail"),
+        )
+        .join(canon, "entity_id")
+        .select("entity_id", "canonical_name", "n_members", "total_retail")
+    )
