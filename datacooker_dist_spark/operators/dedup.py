@@ -616,7 +616,10 @@ def connected_components(
     from ..functions.checkpoints import CheckpointChain
 
     chain = CheckpointChain()
-    parts = min(df.rdd.getNumPartitions(), 64)
+    # max(..., 1): an EMPTY pair set reaches here with 0 partitions when
+    # AQE coalesces an empty shuffle away (e.g. a density-clustering run
+    # whose core subgraph is empty at tiny scale) — coalesce(0) throws.
+    parts = max(min(df.rdd.getNumPartitions(), 64), 1)
     fanin = 8
     stage = final_stage
     stop_parts = fanin if stage == "distributed" else 1

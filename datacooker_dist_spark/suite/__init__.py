@@ -211,6 +211,7 @@ from . import (  # noqa: E402,F401
     relational_q4,
     relational_q5,
     spatial,
+    stats,
     streaming,
     subqueries,
 )
