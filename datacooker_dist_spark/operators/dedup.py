@@ -502,6 +502,7 @@ def connected_components(
     max_iter: int = 50,
     final_stage: str = "auto",
     auto_node_limit: int = 2_000_000,
+    parts: int | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair list by DISTRIBUTED
     UNION-FIND FILTERING (the MapReduce "filtering" CC family, cf.
@@ -619,7 +620,14 @@ def connected_components(
     # max(..., 1): an EMPTY pair set reaches here with 0 partitions when
     # AQE coalesces an empty shuffle away (e.g. a density-clustering run
     # whose core subgraph is empty at tiny scale) — coalesce(0) throws.
-    parts = max(min(df.rdd.getNumPartitions(), 64), 1)
+    # ``parts`` lets a caller with a small known edge set pick the first
+    # pass's width directly instead of mutating the session's
+    # shuffle-partition conf around the call (ADVICE r04: the conf
+    # mutation raced under concurrent query building).
+    parts = max(
+        min(parts if parts is not None else df.rdd.getNumPartitions(), 64),
+        1,
+    )
     fanin = 8
     stage = final_stage
     stop_parts = fanin if stage == "distributed" else 1

@@ -447,4 +447,12 @@ def pareto_front_2d(
             | (F.col("_q_max") > F.col(max_col))
         )
     )
-    return survivors.join(F.broadcast(dom), cond, "left_anti")
+    # Eager frontier + release: the result is small by construction
+    # (frontier + same-bucket stragglers), so materializing it via
+    # localCheckpoint and dropping the survivor cache immediately keeps
+    # repeated calls from accumulating persisted blocks (ADVICE r04) —
+    # checkpoint blocks release with the DataFrame's GC, persist() blocks
+    # never do.
+    out = survivors.join(F.broadcast(dom), cond, "left_anti").localCheckpoint()
+    survivors.unpersist()
+    return out

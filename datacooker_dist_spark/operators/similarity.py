@@ -667,8 +667,12 @@ def mine_hard_negatives(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(
-        F.col("rnk") <= k
+    # rnk as long: the suite's ranked outputs are uniformly BIGINT so the
+    # driver's type-sensitive schema compare matches the SQL oracle
+    # (ADVICE r04 — row_number() is int32 natively).
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
     )
 
 

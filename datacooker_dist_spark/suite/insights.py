@@ -132,9 +132,13 @@ def text_collocations_pmi(spark, sf):
             ).alias("pmi"),
         )
     )
-    return scored.orderBy(
-        F.desc("pmi"), "w1", "w2"
-    ).limit(_PMI_TOPK)
+    # Eager top-k + release (ADVICE r04): the result is _PMI_TOPK rows, so
+    # materializing it and dropping the corpus-sized token cache right
+    # away beats leaving the persist pinned for the session.
+    out = scored.orderBy(F.desc("pmi"), "w1", "w2").limit(_PMI_TOPK)
+    out = out.localCheckpoint()
+    toks.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -470,14 +474,26 @@ def events_path_topk(spark, sf):
 _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
+_CORR_DEC = "DECIMAL(38,12)"
+
+
 def _corr_oracle() -> str:
     parts = []
     for i, x in enumerate(_CORR_COLS):
         for y in _CORR_COLS[i + 1:]:
             parts.append(f"""
             SELECT '{x}' AS x, '{y}' AS y,
-                   round(corr({x}, {y}), 6) AS r
-            FROM lineitem
+                   round((n * sxy - sx * sy)
+                         / (sqrt(n * sxx - sx * sx)
+                            * sqrt(n * syy - sy * sy)), 6) AS r
+            FROM (
+              SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                     CAST(SUM(CAST({x} AS {_CORR_DEC})) AS DOUBLE) AS sx,
+                     CAST(SUM(CAST({y} AS {_CORR_DEC})) AS DOUBLE) AS sy,
+                     CAST(SUM(CAST({x} * {y} AS {_CORR_DEC})) AS DOUBLE) AS sxy,
+                     CAST(SUM(CAST({x} * {x} AS {_CORR_DEC})) AS DOUBLE) AS sxx,
+                     CAST(SUM(CAST({y} * {y} AS {_CORR_DEC})) AS DOUBLE) AS syy
+              FROM lineitem)
             """)
     return " UNION ALL ".join(parts)
 
@@ -488,20 +504,48 @@ def agg_corr_matrix(spark, sf):
     over the lineitem measures — the feature-screening primitive before
     model training.
 
-    All 6 coefficients accumulate in ONE scan / one global aggregate
-    row (each ``corr`` is a streaming co-moment — map-side partials,
-    constant state), then unpivot via ``stack``; the oracle's 6 scans
-    are the readable-SQL equivalent. Never one-pass-per-pair on the
-    fact table."""
+    All co-moments for all 6 pairs accumulate in ONE scan / one global
+    aggregate row, then unpivot via ``stack``; the oracle's 6 scans are
+    the readable-SQL equivalent. Never one-pass-per-pair on the fact
+    table. The six sums (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as
+    DECIMAL — exact, order-independent addition, so the coefficients
+    are bit-stable under ANY partitioning (ADVICE r04: ``F.corr``'s
+    float co-moment partials merge in partition order); r is one final
+    fixed-order double expression, 6-digit-rounded like every
+    transcendental suite scalar."""
     li = table(spark, sf, "lineitem")
-    aggs = []
+    cols = set()
+    for i, x in enumerate(_CORR_COLS):
+        cols.add((x, x))
+        for y in _CORR_COLS[i + 1:]:
+            cols.add((y, y))
+            cols.add((x, y))
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(
+            F.sum(F.col(c).cast(_CORR_DEC)).cast("double").alias(f"s_{c}")
+        )
+    for x, y in sorted(cols):
+        aggs.append(
+            F.sum((F.col(x) * F.col(y)).cast(_CORR_DEC))
+            .cast("double")
+            .alias(f"s_{x}_{y}")
+        )
+    one = li.agg(*aggs)
     names = []
+    exprs = []
     for i, x in enumerate(_CORR_COLS):
         for y in _CORR_COLS[i + 1:]:
             nm = f"r_{i}_{_CORR_COLS.index(y)}"
             names.append((x, y, nm))
-            aggs.append(F.round(F.corr(x, y), 6).alias(nm))
-    one = li.agg(*aggs)
+            num = F.col("n") * F.col(f"s_{x}_{y}") - F.col(f"s_{x}") * F.col(f"s_{y}")
+            den = F.sqrt(
+                F.col("n") * F.col(f"s_{x}_{x}") - F.col(f"s_{x}") * F.col(f"s_{x}")
+            ) * F.sqrt(
+                F.col("n") * F.col(f"s_{y}_{y}") - F.col(f"s_{y}") * F.col(f"s_{y}")
+            )
+            exprs.append(F.round(num / den, 6).alias(nm))
+    one = one.select(*exprs)
     stack_expr = ", ".join(
         f"'{x}', '{y}', {nm}" for x, y, nm in names
     )

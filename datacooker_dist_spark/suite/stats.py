@@ -797,7 +797,11 @@ def stat_markov_stationary(spark, sf):
     never global) + a hash aggregate; the matrix is then BOUNDED by the
     event-type alphabet (asserted <= {_MARKOV_MAX_STATES} states, K^2
     rows), so the iteration itself is driver-side math on a collected
-    K x K table — the bounded-collect precedent of the BPE argmax. Both
+    K x K table — the bounded-collect precedent of the BPE argmax.
+    NOTE (documented eager exception, ADVICE r04): that collect runs at
+    DataFrame-CONSTRUCTION time, so this builder executes one bounded
+    aggregate job even for a caller that only inspects the plan — same
+    contract as the eagerly-checkpointing iterative operators. Both
     engines replay the identical float sequence: probabilities are the
     same c/n divisions, and each iteration folds pi_k * P(k,j) in
     ascending from-state order (Python ``reduce`` here, DuckDB's
@@ -957,12 +961,10 @@ def stat_dbscan_grid(spark, sf):
         .filter(F.col("s") < F.col("t"))
         .select(F.col("s").alias("id_a"), F.col("t").alias("id_b"))
     )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        comp = connected_components(ce)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # parts=4: the core-core edge set is tiny (dup-dense neighborhoods
+    # only), so the union-find first pass starts narrow — passed as an
+    # operator arg instead of mutating session shuffle conf (ADVICE r04).
+    comp = connected_components(ce, parts=4)
     clab = core.join(
         comp.withColumnRenamed("id_a", "id"), "id", "left"
     ).select("id", F.coalesce("cluster_id", "id").alias("cid"))
@@ -975,7 +977,7 @@ def stat_dbscan_grid(spark, sf):
         .agg(F.min("cid").alias("bcid"))
         .select(F.col("s").alias("b_id"), "bcid")
     )
-    return (
+    out = (
         pts.join(clab.withColumnRenamed("id", "c_custkey"), "c_custkey", "left")
         .join(blab.withColumnRenamed("b_id", "c_custkey"), "c_custkey", "left")
         .select(
@@ -989,6 +991,14 @@ def stat_dbscan_grid(spark, sf):
             .alias("cluster_id"),
         )
     )
+    # Eager result + release: connected_components already executes jobs
+    # at build time (its union-find passes checkpoint eagerly), so this
+    # builder was never plan-only; materializing the per-customer labels
+    # lets the corpus-sized neighbor cache drop instead of accumulating
+    # across a 315-query sweep (ADVICE r04).
+    out = out.localCheckpoint()
+    nb.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -62,6 +62,31 @@ def main() -> None:
         fh.write("\n".join(out))
     print(f"wrote {path}: {len(QUERIES)} queries")
 
+    # Keep the two prose copies of the counts derived from the registry
+    # (ADVICE r04: the driver-contract docstring and README drifted).
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    n_q, n_o = len(QUERIES), len(ORACLES)
+    for rel, pat, repl in (
+        (
+            "__spark_entry__.py",
+            r"\d+ queries, \d+ with exact DuckDB oracles",
+            f"{n_q} queries, {n_o} with exact DuckDB oracles",
+        ),
+        (
+            "README.md",
+            r"\d+ queries, \d+ with DuckDB",
+            f"{n_q} queries, {n_o} with DuckDB",
+        ),
+    ):
+        p = os.path.join(root, rel)
+        src = open(p).read()
+        new = re.sub(pat, repl, src)
+        if new != src:
+            open(p, "w").write(new)
+            print(f"refreshed counts in {rel}")
+
 
 if __name__ == "__main__":
     main()
