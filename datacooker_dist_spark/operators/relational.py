@@ -427,6 +427,11 @@ def pareto_front_2d(
         .withColumn("_prefix_max", F.max("_bkt_max").over(wpre))
         .select("_bkt", "_prefix_max")
     )
+    # No persist: the survivor subtree appears twice (probe side + the
+    # broadcast dominance build), costing one extra linear scan of the
+    # base — a better trade than a persist that stays pinned for the
+    # session (ADVICE r04; DataFrame persist() is never auto-released).
+    # The broadcast prefix build is reused across both occurrences.
     survivors = (
         bucketed.join(F.broadcast(prefix), "_bkt", "left")
         .filter(
@@ -434,7 +439,6 @@ def pareto_front_2d(
             | (F.col(max_col) >= F.col("_prefix_max"))
         )
         .select(*cols)
-        .persist()
     )
     dom = survivors.select(
         F.col(min_col).alias("_q_min"), F.col(max_col).alias("_q_max")
@@ -447,12 +451,4 @@ def pareto_front_2d(
             | (F.col("_q_max") > F.col(max_col))
         )
     )
-    # Eager frontier + release: the result is small by construction
-    # (frontier + same-bucket stragglers), so materializing it via
-    # localCheckpoint and dropping the survivor cache immediately keeps
-    # repeated calls from accumulating persisted blocks (ADVICE r04) —
-    # checkpoint blocks release with the DataFrame's GC, persist() blocks
-    # never do.
-    out = survivors.join(F.broadcast(dom), cond, "left_anti").localCheckpoint()
-    survivors.unpersist()
-    return out
+    return survivors.join(F.broadcast(dom), cond, "left_anti")

@@ -72,18 +72,21 @@ def text_collocations_pmi(spark, sf):
     """Top bigram collocations by pointwise mutual information:
     ``pmi = ln(p(w1 w2) / (p(w1) p(w2)))`` with a min-count floor.
 
-    Scale shape: one tokenize pass feeds BOTH the bigram and unigram
-    hash aggregates; the two corpus totals come from 1-row global
-    aggregates broadcast back as scalar joins; the bigram→unigram count
-    joins are equi-joins on the word (vocabulary-sized, not corpus-
-    sized, after the min-count filter); the final top-k is TakeOrdered.
-    Nothing sorts the corpus globally and no per-row Python runs."""
+    Scale shape: the unigram and bigram hash aggregates each scan the
+    tokenized corpus once; the two corpus totals are SUMS OVER THE
+    COUNT TABLES (vocabulary-sized re-aggregates whose exchanges Spark
+    reuses from the count aggregates — no third/fourth corpus pass and
+    no persist pinning token arrays for the session, ADVICE r04),
+    broadcast back as scalar joins; the bigram→unigram count joins are
+    equi-joins on the word (vocabulary-sized after the min-count
+    filter); the final top-k is TakeOrdered. Nothing sorts the corpus
+    globally and no per-row Python runs."""
     docs = table(spark, sf, "documents")
     toks = docs.select(
         F.filter(
             F.split(F.lower("text"), "[^a-z]+"), lambda x: x != ""
         ).alias("t")
-    ).persist()
+    )
     uni = toks.select(F.explode("t").alias("w"))
     # Guard size(t) < 2: sequence(0, -1) would count DOWN in Spark
     # (inferred negative step), indexing t[-1] — emit no bigrams instead.
@@ -98,13 +101,13 @@ def text_collocations_pmi(spark, sf):
         ).alias("b")
     ).select("b.w1", "b.w2")
     uni_counts = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
-    bg_counts = (
-        bi.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c_ab"))
-        .filter(F.col("c_ab") >= _PMI_MIN_COUNT)
-    )
-    n_uni = uni.agg(F.count(F.lit(1)).alias("n_u"))
-    n_bi = bi.agg(F.count(F.lit(1)).alias("n_b"))
+    bg_all = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    bg_counts = bg_all.filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+    # Totals from the count tables: Σc_w ≡ |unigram occurrences| and
+    # Σc_ab (pre-filter) ≡ |bigram occurrences|; each reuses its count
+    # aggregate's exchange instead of rescanning the corpus.
+    n_uni = uni_counts.agg(F.sum("c_w").alias("n_u"))
+    n_bi = bg_all.agg(F.sum("c_ab").alias("n_b"))
     scored = (
         bg_counts.join(
             uni_counts.withColumnRenamed("w", "w1")
@@ -132,13 +135,7 @@ def text_collocations_pmi(spark, sf):
             ).alias("pmi"),
         )
     )
-    # Eager top-k + release (ADVICE r04): the result is _PMI_TOPK rows, so
-    # materializing it and dropping the corpus-sized token cache right
-    # away beats leaving the persist pinned for the session.
-    out = scored.orderBy(F.desc("pmi"), "w1", "w2").limit(_PMI_TOPK)
-    out = out.localCheckpoint()
-    toks.unpersist()
-    return out
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(_PMI_TOPK)
 
 
 # ---------------------------------------------------------------------------
