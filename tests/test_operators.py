@@ -1024,3 +1024,252 @@ def test_pareto_front_2d_exact_vs_bruteforce(spark):
         if not dominated:
             expect2.add(i)
     assert got2 == expect2
+
+
+def test_wav_sample_decode_exact_both_paths():
+    """decode_wav_samples must recover the planted int16 PCM samples
+    bit-for-bit via the dependency-free chunk walk; when the soundfile
+    extra is installed the library path must agree exactly (VERDICT r04
+    task 5 — green both with and without the extra)."""
+    import struct
+
+    import pytest
+
+    from datacooker_dist_spark.operators.multimodal import (
+        decode_wav_samples,
+    )
+
+    samples = [0, 1, -1, 32767, -32768, 12345, -12345, 7]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert decode_wav_samples(wav) == samples
+
+    # odd-sized chunk before data: word-alignment padding must be skipped
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    wav2 = (
+        b"RIFF" + struct.pack("<I", len(body) + len(extra))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + extra
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    assert decode_wav_samples(wav2) == samples
+
+    try:
+        import io
+
+        import soundfile  # noqa: F401
+
+        lib, _sr = soundfile.read(io.BytesIO(wav), dtype="int16")
+        assert [int(x) for x in lib] == samples
+    except ImportError:
+        pass  # container has no soundfile: fallback path covered above
+
+    # non-PCM (IEEE float format=3) must refuse rather than mis-decode
+    fmt_f = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    body_f = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_f)) + fmt_f
+        + b"data" + struct.pack("<I", 4) + bytes(4)
+    )
+    with pytest.raises(NotImplementedError):
+        decode_wav_samples(b"RIFF" + struct.pack("<I", len(body_f)) + body_f)
+    with pytest.raises(NotImplementedError):
+        decode_wav_samples(b"not a riff payload")
+
+
+def test_ivf_spill_assignment_properties(spark):
+    """Spilled assignment: exactly assign_spill rows per vector with
+    distinct cells per vector; a spilled probe path never emits a
+    duplicate (query, neighbor) pair and its recall is >= the unspilled
+    path's at the same nprobe (it scores a superset of candidates)."""
+    from datacooker_dist_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    n = emb.count()
+    cents, assigned = S.ivf_cells(
+        emb, n_cells=8, refine_iters=1, assign_spill=2
+    )
+    assigned = assigned.localCheckpoint()
+    per_vec = assigned.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.countDistinct("cell").alias("d"),
+    )
+    rows = per_vec.collect()
+    assert all(r["c"] == 2 and r["d"] == 2 for r in rows)
+    assert len(rows) == n
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    spilled = S.cosine_topk_ivf(
+        emb, queries, k=3, n_cells=8, nprobe=2,
+        cells=(cents.localCheckpoint(), assigned), spilled=True,
+    ).collect()
+    pairs = [(r["query_id"], r["neighbor_id"]) for r in spilled]
+    assert len(pairs) == len(set(pairs))
+    # ranks contiguous from 1 per query
+    by_q = {}
+    for r in spilled:
+        by_q.setdefault(r["query_id"], []).append(r["rnk"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk(emb, queries, k=3).collect()
+    }
+    unspilled_cells = S.ivf_cells(emb, n_cells=8, refine_iters=1)
+    plain = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk_ivf(
+            emb, queries, k=3, n_cells=8, nprobe=2,
+            cells=unspilled_cells,
+        ).collect()
+    }
+    assert len({p for p in pairs} & exact) >= len(plain & exact)
+
+
+def test_mine_hard_negatives_structure(spark):
+    """Hard negatives: no same-label neighbor can appear (the predicate
+    rides the join), ranks are contiguous 1..k, cosines non-increasing
+    per anchor, and the top-1 matches a brute-force numpy check."""
+    import numpy as np
+
+    from datacooker_dist_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    anchors = emb.filter(F.col("vec_id") < 5)
+    out = S.mine_hard_negatives(emb, anchors, k=3).collect()
+    by_q = {}
+    for r in out:
+        assert r["query_label"] != r["neighbor_label"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    rows = emb.collect()
+    V = {r["vec_id"]: (np.array(r["embedding"], dtype="float64"),
+                       r["label"]) for r in rows}
+    for qid, lst in by_q.items():
+        lst.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in lst] == list(range(1, len(lst) + 1))
+        cos = [r["cosine"] for r in lst]
+        assert all(a >= b for a, b in zip(cos, cos[1:]))
+        qv, qlab = V[qid]
+        best = max(
+            (
+                (round(float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v))), 6), -i)
+                for i, (v, lab) in V.items()
+                if i != qid and lab != qlab
+            ),
+        )
+        assert lst[0]["neighbor_id"] == -best[1]
+        assert abs(lst[0]["cosine"] - best[0]) < 1e-9
+
+
+def test_knn_vote_matches_bruteforce(spark):
+    """knn_label_vote's predicted label equals a numpy brute-force
+    majority vote (votes desc, label asc tiebreak) for every query."""
+    import numpy as np
+
+    from collections import Counter
+
+    from datacooker_dist_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    got = {
+        r["query_id"]: r["predicted_label"]
+        for r in S.knn_label_vote(emb, queries, k=5).collect()
+    }
+    rows = emb.collect()
+    V = {r["vec_id"]: (np.array(r["embedding"], dtype="float64"),
+                       r["label"]) for r in rows}
+    for qid in got:
+        qv, _ = V[qid]
+        scored = sorted(
+            (
+                (-round(float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v))), 6), i, lab)
+                for i, (v, lab) in V.items()
+                if i != qid
+            ),
+        )[:5]
+        votes = Counter(lab for _, _, lab in scored)
+        expect = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert got[qid] == expect, qid
+
+
+def test_mmr_lambda_edges(spark):
+    """MMR edge semantics: lambda=1 reduces to pure relevance order;
+    lambda=0 picks the smallest id first (all scores tie at 0) and then
+    maximizes dissimilarity — on a corpus of two near-duplicates and one
+    orthogonal vector it must NOT return the duplicate pair."""
+    from datacooker_dist_spark.operators import similarity as S
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [0.99, 0.14], "a"),
+            (2, [0.995, 0.0999], "a"),
+            (3, [0.0, 1.0], "b"),
+        ],
+        "vec_id long, embedding array<double>, label string",
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0], "q")],
+        "vec_id long, embedding array<double>, label string",
+    )
+    rel = S.mmr_rerank(
+        corpus, queries, dim=2, k=2, shortlist=10, lambda_=1.0
+    ).collect()
+    rel.sort(key=lambda r: r["mmr_rank"])
+    # pure relevance: id 2 (cos ~0.995) then id 1 (~0.990)
+    assert [r["neighbor_id"] for r in rel] == [2, 1]
+
+    div = S.mmr_rerank(
+        corpus, queries, dim=2, k=2, shortlist=10, lambda_=0.0
+    ).collect()
+    div.sort(key=lambda r: r["mmr_rank"])
+    # first: all-tie at 0 -> smallest id (1); second: the orthogonal
+    # vector 3, never the near-duplicate 2
+    assert [r["neighbor_id"] for r in div] == [1, 3]
+
+
+def test_bpe_broadcast_path_matches_expression_path(spark):
+    """The broadcast-dict encoder must be TOKEN-IDENTICAL to the compiled
+    -expression fold on a trained merge table (VERDICT r04 task 6), and a
+    32k-merge synthetic vocabulary must build its plan and encode in
+    bounded time on the broadcast path (the expression path would take
+    Catalyst minutes at that depth)."""
+    import time
+
+    from datacooker_dist_spark.operators.text import bpe_apply, bpe_merges
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(60)
+    merges = bpe_merges(docs, rounds=24, batch=4)
+
+    def snap(df):
+        return sorted(
+            (
+                r["doc_id"], r["n_words"], r["n_symbols"],
+                r["n_bpe_tokens"], tuple(r["tokens_preview"]),
+            )
+            for r in df.collect()
+        )
+
+    a = snap(bpe_apply(docs, merges, preview=64, impl="expr"))
+    b = snap(bpe_apply(docs, merges, preview=64, impl="broadcast"))
+    assert a == b
+
+    # auto must route a large table to the broadcast path and stay fast:
+    # 32k synthetic merges over a disjoint symbol alphabet (plus the real
+    # trained ones first, so the encode actually applies merges).
+    big = [(m[1], m[2]) if len(m) >= 3 else (m[0], m[1]) for m in merges]
+    big += [
+        (f"x{i}", f"y{i}") for i in range(32_768 - len(big))
+    ]
+    t0 = time.perf_counter()
+    out = snap(bpe_apply(docs, big, preview=64))
+    dt = time.perf_counter() - t0
+    assert out == a  # the synthetic pairs never match → same encoding
+    assert dt < 60, f"32k-merge apply took {dt:.1f}s"
