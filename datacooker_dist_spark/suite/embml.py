@@ -248,3 +248,154 @@ def pipeline_entity_resolution(spark, sf):
         .join(canon, "entity_id")
         .select("entity_id", "canonical_name", "n_members", "total_retail")
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_pca_loadings (round 5)
+# ---------------------------------------------------------------------------
+
+_EPCA_DIM = 64
+_EPCA_ITERS = 2
+_EPCA_SUM_DEC = "DECIMAL(25,12)"
+_EPCA_DEC = "DECIMAL(15,6)"
+
+
+def _epca_oracle() -> str:
+    d, it = _EPCA_DIM, _EPCA_ITERS
+    ctes = [
+        f"""e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""",
+        f"""n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e)""",
+        f"""m AS (SELECT u.i AS i,
+                  CAST(SUM(CAST(v[CAST(u.i AS INT)] AS {_EPCA_SUM_DEC}))
+                       AS DOUBLE) AS s
+            FROM e, unnest(range(1, {d + 1})) u(i) GROUP BY u.i)""",
+        f"""p AS (SELECT u.i AS i, w.j AS j,
+                  CAST(SUM(CAST(v[CAST(u.i AS INT)] * v[CAST(w.j AS INT)]
+                                AS {_EPCA_SUM_DEC})) AS DOUBLE) AS sp
+            FROM e, unnest(range(1, {d + 1})) u(i),
+                 unnest(range(1, {d + 1})) w(j)
+            WHERE w.j >= u.i GROUP BY u.i, w.j)""",
+        f"""cu AS (SELECT p.i, p.j,
+                   CAST(round(p.sp / n.n - (mi.s / n.n) * (mj.s / n.n), 6)
+                        AS {_EPCA_DEC}) AS c
+            FROM p JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j
+            CROSS JOIN n)""",
+        """cf AS (SELECT i, j, c FROM cu
+            UNION ALL SELECT j AS i, i AS j, c FROM cu WHERE i <> j)""",
+        f"""v0 AS (SELECT u.i AS i, CAST(1 AS {_EPCA_DEC}) AS val
+            FROM unnest(range(1, {d + 1})) u(i))""",
+    ]
+    for t in range(1, it + 1):
+        ctes.append(
+            f"""v{t} AS (SELECT cf.i,
+                   CAST(round(CAST(SUM(cf.c * v{t-1}.val) AS DOUBLE), 6)
+                        AS {_EPCA_DEC}) AS val
+            FROM cf JOIN v{t-1} ON v{t-1}.i = cf.j GROUP BY cf.i)"""
+        )
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT CAST(i AS BIGINT) AS dim_index,
+           round(CAST(val AS DOUBLE)
+                 / sqrt(CAST((SELECT SUM(val * val) FROM v{it}) AS DOUBLE)),
+                 6) AS loading
+    FROM v{it}
+    """
+
+
+@query("embedding_pca_loadings", oracle=_epca_oracle())
+def embedding_pca_loadings(spark, sf):
+    """First principal direction of the 64-dim embedding corpus by FULLY
+    DISTRIBUTED power iteration — no driver math at any width: the
+    covariance's 64 + 2080 moment sums come from ONE upper-triangle
+    pair explode of the corpus (2080 rows per vector, decimal-exact
+    accumulation); the 64x64 matrix and the 64-row iterate live as
+    DataFrames, and each iteration is an equi-join + exact-decimal
+    hash aggregate on the (tiny) matrix — the shape that scales to any
+    dimensionality a covariance fits at. Determinism: covariance
+    entries and every iterate re-round to the 1e-6 DECIMAL grid
+    (products exact at DECIMAL(31,12) in both engines), so no float-sum
+    order or FMA fusion can drift; one final double sqrt/divide for the
+    normalization, rounded 6. Output: (dim_index, loading) — 64 rows.
+    """
+    emb = table(spark, sf, "embeddings")
+    d = _EPCA_DIM
+    e = emb.select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    n = e.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    m = (
+        e.select(F.posexplode("v").alias("i0", "x"))
+        .groupBy("i0")
+        .agg(F.sum(F.col("x").cast(_EPCA_SUM_DEC)).cast("double").alias("s"))
+        .select((F.col("i0") + 1).alias("i"), "s")
+    )
+    pairs = F.explode(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(d - 1)),
+                lambda i: F.transform(
+                    F.sequence(i, F.lit(d - 1)),
+                    lambda j: F.struct(
+                        (i + 1).alias("i"),
+                        (j + 1).alias("j"),
+                        (
+                            F.element_at("v", (i + 1).cast("int"))
+                            * F.element_at("v", (j + 1).cast("int"))
+                        ).cast(_EPCA_SUM_DEC).alias("p"),
+                    ),
+                ),
+            )
+        )
+    )
+    p = (
+        e.select(pairs.alias("_s"))
+        .select("_s.i", "_s.j", "_s.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").cast("double").alias("sp"))
+    )
+    mi = m.select(F.col("i").alias("_mi"), F.col("s").alias("si"))
+    mj = m.select(F.col("i").alias("_mj"), F.col("s").alias("sj"))
+    cu = (
+        p.join(F.broadcast(mi), p.i == mi._mi)
+        .join(F.broadcast(mj), p.j == mj._mj)
+        .join(F.broadcast(n))
+        .select(
+            "i", "j",
+            F.round(
+                F.col("sp") / F.col("n")
+                - (F.col("si") / F.col("n")) * (F.col("sj") / F.col("n")),
+                6,
+            ).cast(_EPCA_DEC).alias("c"),
+        )
+    )
+    cf = cu.unionByName(
+        cu.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "c"
+        )
+    ).localCheckpoint()
+    v = (
+        cf.sparkSession.range(1, d + 1)
+        .select(F.col("id").alias("i"), F.lit(1).cast(_EPCA_DEC).alias("val"))
+    )
+    for _ in range(_EPCA_ITERS):
+        v = (
+            cf.join(F.broadcast(v.withColumnRenamed("i", "j")), "j")
+            .groupBy("i")
+            .agg(
+                F.round(F.sum(F.col("c") * F.col("val")).cast("double"), 6)
+                .cast(_EPCA_DEC)
+                .alias("val")
+            )
+        )
+    norm = v.agg(
+        F.sum(F.col("val") * F.col("val")).cast("double").alias("n2")
+    )
+    return (
+        v.join(F.broadcast(norm))
+        .select(
+            F.col("i").cast("long").alias("dim_index"),
+            F.round(
+                F.col("val").cast("double") / F.sqrt(F.col("n2")), 6
+            ).alias("loading"),
+        )
+    )

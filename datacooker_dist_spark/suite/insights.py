@@ -761,3 +761,100 @@ def text_readability(spark, sf):
             6,
         ).alias("fog_grade"),
     )
+
+
+# ---------------------------------------------------------------------------
+# quality_expectation_suite (round 5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quality_expectation_suite",
+    oracle="""
+    WITH rowchecks AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS f_null,
+             SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+                        OR o_totalprice > 600000 THEN 1 ELSE 0 END) AS f_range,
+             SUM(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                      THEN 1 ELSE 0 END) AS f_regex,
+             SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                      THEN 1 ELSE 0 END) AS f_domain,
+             COUNT(*) - COUNT(DISTINCT o_orderkey) AS f_unique
+      FROM orders),
+    ref AS (
+      SELECT COUNT(*) AS f_ref FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c
+                        WHERE c.c_custkey = o.o_custkey))
+    SELECT u.expectation, rowchecks.n AS n_checked,
+           CAST(u.f AS BIGINT) AS n_failed, u.f = 0 AS passed
+    FROM rowchecks CROSS JOIN ref CROSS JOIN LATERAL (
+      SELECT UNNEST(['custkey_not_null', 'totalprice_range',
+                     'priority_format', 'status_domain',
+                     'orderkey_unique', 'custkey_referential'])
+               AS expectation,
+             UNNEST([f_null, f_range, f_regex, f_domain,
+                     f_unique, f_ref]) AS f) u
+    """,
+)
+def quality_expectation_suite(spark, sf):
+    """Declarative data-expectation suite (the Great-Expectations shape)
+    evaluated ENGINE-SIDE in one pass: not-null, numeric range, regex
+    format and value-domain checks all fold into a single aggregate
+    over the fact scan (each check is a SUM of indicator expressions —
+    adding a check adds a column, never a pass); uniqueness is the same
+    scan's distinct-count delta; referential integrity is one left-anti
+    count against the dimension. Output is the audit artifact a 100 TB
+    ingest gate stores per batch: (expectation, n_checked, n_failed,
+    passed)."""
+    o = table(spark, sf, "orders")
+    cust = table(spark, sf, "customer")
+    row = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "f_null"
+        ),
+        F.sum(
+            F.when(
+                F.col("o_totalprice").isNull()
+                | (F.col("o_totalprice") < 0)
+                | (F.col("o_totalprice") > 600000),
+                1,
+            ).otherwise(0)
+        ).alias("f_range"),
+        F.sum(
+            F.when(~F.col("o_orderpriority").rlike("^[1-5]-"), 1).otherwise(0)
+        ).alias("f_regex"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("f_domain"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("f_unique"),
+    )
+    ref = (
+        o.join(
+            cust.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("f_ref"))
+    )
+    one = row.join(F.broadcast(ref))
+    stack = ", ".join(
+        f"'{name}', {col}"
+        for name, col in [
+            ("custkey_not_null", "f_null"),
+            ("totalprice_range", "f_range"),
+            ("priority_format", "f_regex"),
+            ("status_domain", "f_domain"),
+            ("orderkey_unique", "f_unique"),
+            ("custkey_referential", "f_ref"),
+        ]
+    )
+    return one.selectExpr(
+        f"stack(6, {stack}) AS (expectation, n_failed)", "n AS n_checked"
+    ).select(
+        "expectation",
+        F.col("n_checked").cast("long").alias("n_checked"),
+        F.col("n_failed").cast("long").alias("n_failed"),
+        (F.col("n_failed") == 0).alias("passed"),
+    )

@@ -649,3 +649,68 @@ def inequality_gini_lorenz(spark, sf):
             ).alias("gini"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# feature_hashing_trick (round 5)
+# ---------------------------------------------------------------------------
+
+# Portable rolling string hash: fold h = (h*31 + ascii(char)) mod P over
+# the characters, P = 1e9+7. Every step is exact int64 arithmetic (max
+# intermediate < 3.2e10), expressible verbatim in both engines — the
+# string analog of the similarity wave's multiplicative-mix id order, so
+# the bucket assignment is SQL-oracle-checkable (xxhash64 would be
+# engine-private).
+_FH_P = 1_000_000_007
+_FH_BUCKETS = 64
+
+
+def _portable_string_hash(col):
+    codes = F.transform(
+        F.filter(F.split(col, ""), lambda ch: ch != ""), F.ascii
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda a, x: (a * 31 + x) % F.lit(_FH_P),
+    )
+
+
+@query(
+    "feature_hashing_trick",
+    oracle=f"""
+    WITH h AS (
+      SELECT p_partkey, p_type,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(p_type, ''),
+                                x -> CAST(ascii(x) AS BIGINT))),
+               (a, x) -> (a * 31 + x) % {_FH_P}) % {_FH_BUCKETS} AS bucket
+      FROM part)
+    SELECT bucket, COUNT(*) AS n_rows,
+           COUNT(DISTINCT p_type) AS n_types,
+           COUNT(DISTINCT p_type) > 1 AS has_collision
+    FROM h GROUP BY bucket
+    """,
+)
+def feature_hashing_trick(spark, sf):
+    """The HASHING-TRICK featurizer: the unbounded categorical ``p_type``
+    maps to a fixed {_FH_BUCKETS}-bucket feature space via a portable
+    rolling string hash (h = h*31 + code mod 1e9+7 — exact int64 folds
+    both engines replay), plus the collision profile (distinct source
+    values per bucket) a feature pipeline audits before trusting hashed
+    features. One narrow projection + one hash aggregate; no vocabulary
+    is ever built or broadcast — the point of feature hashing at 100 TB
+    (vocabulary-free, memory-constant, schema-stable)."""
+    p = table(spark, sf, "part")
+    h = p.select(
+        "p_type",
+        (_portable_string_hash(F.col("p_type")) % _FH_BUCKETS).alias(
+            "bucket"
+        ),
+    )
+    return h.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("p_type").alias("n_types"),
+        (F.countDistinct("p_type") > 1).alias("has_collision"),
+    )

@@ -1050,3 +1050,336 @@ def feature_minmax_scale(spark, sf):
         .otherwise(0.5)
         .alias("scaled_01"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_pca_power_iteration (round 5)
+# ---------------------------------------------------------------------------
+
+_PCA_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_PCA_ITERS = 3
+_PCA_SUM_DEC = "DECIMAL(38,12)"
+# Small-precision grid for the iteration: DECIMAL(15,6) products are
+# DECIMAL(31,12) in BOTH engines (no precision cap, no engine-specific
+# scale reduction), so every multiply/add is exact and the per-step
+# round-to-6 lands on identical grid values everywhere.
+_PCA_DEC = "DECIMAL(15,6)"
+
+
+def _pca_corr_sql(i: int, j: int) -> str:
+    """r_ij from the decimal-exact co-moment sums (the agg_corr_matrix
+    formula), rounded to the 1e-6 grid and cast to the iteration decimal."""
+    if i == j:
+        return f"CAST(1 AS {_PCA_DEC})"
+    a, b = min(i, j), max(i, j)
+    return (
+        f"CAST(round((n * s_{a}_{b} - s_{a} * s_{b})"
+        f" / (sqrt(n * s_{a}_{a} - s_{a} * s_{a})"
+        f" * sqrt(n * s_{b}_{b} - s_{b} * s_{b})), 6) AS {_PCA_DEC})"
+    )
+
+
+def _pca_oracle() -> str:
+    k = len(_PCA_COLS)
+    sums = ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    for i, c in enumerate(_PCA_COLS):
+        sums.append(f"CAST(SUM(CAST({c} AS {_PCA_SUM_DEC})) AS DOUBLE) AS s_{i}")
+    for i in range(k):
+        for j in range(i, k):
+            sums.append(
+                f"CAST(SUM(CAST({_PCA_COLS[i]} * {_PCA_COLS[j]} AS "
+                f"{_PCA_SUM_DEC})) AS DOUBLE) AS s_{i}_{j}"
+            )
+    m = ", ".join(
+        f"{_pca_corr_sql(i, j)} AS r_{i}_{j}"
+        for i in range(k) for j in range(k)
+    )
+    ctes = [
+        f"s AS (SELECT {', '.join(sums)} FROM lineitem)",
+        f"m AS (SELECT {m} FROM s)",
+        "v0 AS (SELECT m.*, "
+        + ", ".join(f"CAST(1 AS {_PCA_DEC}) AS v0_{i}" for i in range(k))
+        + " FROM m)",
+    ]
+    for t in range(1, _PCA_ITERS + 1):
+        comps = ", ".join(
+            f"CAST(round("
+            + " + ".join(f"r_{i}_{j} * v{t-1}_{j}" for j in range(k))
+            + f", 6) AS {_PCA_DEC}) AS v{t}_{i}"
+            for i in range(k)
+        )
+        ctes.append(f"v{t} AS (SELECT v{t-1}.*, {comps} FROM v{t-1})")
+    last, prev = _PCA_ITERS, _PCA_ITERS - 1
+    n_last = " + ".join(f"v{last}_{i} * v{last}_{i}" for i in range(k))
+    n_prev = " + ".join(f"v{prev}_{i} * v{prev}_{i}" for i in range(k))
+    feats = ", ".join(f"'{c}'" for c in _PCA_COLS)
+    loads = ", ".join(
+        f"round(CAST(v{last}_{i} AS DOUBLE) / sqrt(CAST(({n_last}) AS DOUBLE)), 6)"
+        for i in range(len(_PCA_COLS))
+    )
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT UNNEST([{feats}]) AS feature,
+           UNNEST([{loads}]) AS loading,
+           round(sqrt(CAST(({n_last}) AS DOUBLE)
+                      / CAST(({n_prev}) AS DOUBLE)), 6) AS eigenvalue
+    FROM v{last}
+    """
+
+
+@query("stat_pca_power_iteration", oracle=_pca_oracle())
+def stat_pca_power_iteration(spark, sf):
+    """First principal component of the lineitem measures by POWER
+    ITERATION on their correlation matrix — distributed PCA with an
+    EXACT oracle: the only corpus pass is the one decimal-exact
+    co-moment aggregate (same scan as `agg_corr_matrix`); the 4x4
+    matrix and the iteration are constant-size column algebra on that
+    single row, fully lazy (no driver collect). Determinism: matrix
+    entries round to the 1e-6 grid as DECIMAL(15,6); every iteration
+    step multiplies/adds exact decimals (products are DECIMAL(31,12) in
+    both engines — no precision cap) and re-rounds to the grid, so no
+    float-sum or FMA-contraction drift can leak; the final normalize
+    and the Rayleigh-free eigenvalue estimate ||v3||/||v2|| each spend
+    ONE double sqrt/division, rounded 6 (the suite's transcendental
+    convention). Output: (feature, loading, eigenvalue)."""
+    li = table(spark, sf, "lineitem")
+    k = len(_PCA_COLS)
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for i, c in enumerate(_PCA_COLS):
+        aggs.append(
+            F.sum(F.col(c).cast(_PCA_SUM_DEC)).cast("double").alias(f"s_{i}")
+        )
+    for i in range(k):
+        for j in range(i, k):
+            aggs.append(
+                F.sum(
+                    (F.col(_PCA_COLS[i]) * F.col(_PCA_COLS[j])).cast(
+                        _PCA_SUM_DEC
+                    )
+                ).cast("double").alias(f"s_{i}_{j}")
+            )
+    one = li.agg(*aggs)
+
+    def r(i, j):
+        if i == j:
+            return F.lit(1).cast(_PCA_DEC)
+        a, b = min(i, j), max(i, j)
+        num = F.col("n") * F.col(f"s_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        den = F.sqrt(
+            F.col("n") * F.col(f"s_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+        ) * F.sqrt(
+            F.col("n") * F.col(f"s_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+        )
+        return F.round(num / den, 6).cast(_PCA_DEC)
+
+    one = one.select(
+        *[r(i, j).alias(f"r_{i}_{j}") for i in range(k) for j in range(k)]
+    )
+    v = [F.lit(1).cast(_PCA_DEC) for _ in range(k)]
+    for _ in range(_PCA_ITERS):
+        nxt = []
+        for i in range(k):
+            acc = None
+            for j in range(k):
+                term = F.col(f"r_{i}_{j}") * v[j]
+                acc = term if acc is None else acc + term
+            nxt.append(F.round(acc, 6).cast(_PCA_DEC))
+        prev_v, v = v, nxt
+    n_last = None
+    n_prev = None
+    for i in range(k):
+        t1 = v[i] * v[i]
+        t0 = prev_v[i] * prev_v[i]
+        n_last = t1 if n_last is None else n_last + t1
+        n_prev = t0 if n_prev is None else n_prev + t0
+    eig = F.round(F.sqrt(n_last.cast("double") / n_prev.cast("double")), 6)
+    one = one.select(
+        *[
+            F.round(v[i].cast("double") / F.sqrt(n_last.cast("double")), 6)
+            .alias(f"load_{i}")
+            for i in range(k)
+        ],
+        eig.alias("eigenvalue"),
+    )
+    stack = ", ".join(
+        f"'{c}', load_{i}" for i, c in enumerate(_PCA_COLS)
+    )
+    return one.selectExpr(
+        f"stack({k}, {stack}) AS (feature, loading)", "eigenvalue"
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_regression_multivar (round 5)
+# ---------------------------------------------------------------------------
+
+_REG_Y = "l_extendedprice"
+_REG_X = ["l_quantity", "l_discount"]
+_REG_DEC = "DECIMAL(38,12)"
+
+
+def _reg_oracle() -> str:
+    cols = [_REG_Y] + _REG_X
+
+    def s(c):
+        return f"CAST(SUM(CAST({c} AS {_REG_DEC})) AS DOUBLE)"
+
+    def sp(a, b):
+        return f"CAST(SUM(CAST({a} * {b} AS {_REG_DEC})) AS DOUBLE)"
+
+    return f"""
+    WITH s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             {s(_REG_Y)} AS sy, {s(_REG_X[0])} AS s1, {s(_REG_X[1])} AS s2,
+             {sp(_REG_Y, _REG_Y)} AS syy,
+             {sp(_REG_X[0], _REG_X[0])} AS s11,
+             {sp(_REG_X[1], _REG_X[1])} AS s22,
+             {sp(_REG_X[0], _REG_X[1])} AS s12,
+             {sp(_REG_X[0], _REG_Y)} AS s1y,
+             {sp(_REG_X[1], _REG_Y)} AS s2y
+      FROM lineitem),
+    c AS (
+      SELECT n, sy, s1, s2,
+             n * s11 - s1 * s1 AS c11,
+             n * s22 - s2 * s2 AS c22,
+             n * s12 - s1 * s2 AS c12,
+             n * s1y - s1 * sy AS c1y,
+             n * s2y - s2 * sy AS c2y,
+             n * syy - sy * sy AS cyy
+      FROM s),
+    b AS (
+      SELECT n, sy, s1, s2, c1y, c2y, cyy,
+             round((c22 * c1y - c12 * c2y)
+                   / (c11 * c22 - c12 * c12), 6) AS b1,
+             round((c11 * c2y - c12 * c1y)
+                   / (c11 * c22 - c12 * c12), 6) AS b2
+      FROM c)
+    SELECT CAST(n AS BIGINT) AS n,
+           round(sy / n - b1 * (s1 / n) - b2 * (s2 / n), 6) AS intercept,
+           b1 AS beta_quantity, b2 AS beta_discount,
+           round((b1 * c1y + b2 * c2y) / cyy, 6) AS r2
+    FROM b
+    """
+
+
+@query("stat_regression_multivar", oracle=_reg_oracle())
+def stat_regression_multivar(spark, sf):
+    """TWO-regressor least squares (revenue ~ quantity + discount) solved
+    in closed form by Cramer's rule on the centered normal equations —
+    the multivariate step past `agg_regression`'s single-regressor
+    regr_* family, still ONE corpus scan: co-moments accumulate as
+    exact DECIMAL sums (order-independent), the 2x2 solve and R^2 are
+    constant-size arithmetic on the single aggregate row (coefficients
+    round to the 1e-6 grid before the dependent intercept/R^2 uses
+    them, so every derived figure is grid-deterministic). This is the
+    normal-equation pattern that scales to any bounded feature count at
+    100 TB: p^2 sums in one pass, a p x p driver-free solve riding the
+    plan."""
+    li = table(spark, sf, "lineitem")
+    y, x1, x2 = _REG_Y, _REG_X[0], _REG_X[1]
+
+    def s(c, alias):
+        return F.sum(F.col(c).cast(_REG_DEC)).cast("double").alias(alias)
+
+    def sp(a, b, alias):
+        return (
+            F.sum((F.col(a) * F.col(b)).cast(_REG_DEC))
+            .cast("double")
+            .alias(alias)
+        )
+
+    one = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        s(y, "sy"), s(x1, "s1"), s(x2, "s2"),
+        sp(y, y, "syy"), sp(x1, x1, "s11"), sp(x2, x2, "s22"),
+        sp(x1, x2, "s12"), sp(x1, y, "s1y"), sp(x2, y, "s2y"),
+    )
+    c = one.select(
+        "n", "sy", "s1", "s2",
+        (F.col("n") * F.col("s11") - F.col("s1") * F.col("s1")).alias("c11"),
+        (F.col("n") * F.col("s22") - F.col("s2") * F.col("s2")).alias("c22"),
+        (F.col("n") * F.col("s12") - F.col("s1") * F.col("s2")).alias("c12"),
+        (F.col("n") * F.col("s1y") - F.col("s1") * F.col("sy")).alias("c1y"),
+        (F.col("n") * F.col("s2y") - F.col("s2") * F.col("sy")).alias("c2y"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("cyy"),
+    )
+    det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    b = c.select(
+        "n", "sy", "s1", "s2", "c1y", "c2y", "cyy",
+        F.round(
+            (F.col("c22") * F.col("c1y") - F.col("c12") * F.col("c2y")) / det,
+            6,
+        ).alias("b1"),
+        F.round(
+            (F.col("c11") * F.col("c2y") - F.col("c12") * F.col("c1y")) / det,
+            6,
+        ).alias("b2"),
+    )
+    return b.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("sy") / F.col("n")
+            - F.col("b1") * (F.col("s1") / F.col("n"))
+            - F.col("b2") * (F.col("s2") / F.col("n")),
+            6,
+        ).alias("intercept"),
+        F.col("b1").alias("beta_quantity"),
+        F.col("b2").alias("beta_discount"),
+        F.round(
+            (F.col("b1") * F.col("c1y") + F.col("b2") * F.col("c2y"))
+            / F.col("cyy"),
+            6,
+        ).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_weighted_median (round 5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag, l_quantity,
+             SUM(CAST(l_extendedprice AS DECIMAL(25,2))) AS w
+      FROM lineitem GROUP BY l_returnflag, l_quantity),
+    c AS (
+      SELECT l_returnflag, l_quantity, w,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cum,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS total
+      FROM w)
+    SELECT l_returnflag,
+           MIN(l_quantity) AS weighted_median_qty
+    FROM c WHERE cum * 2 >= total
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark, sf):
+    """Exact weighted median (quantity weighted by extended price) per
+    return flag — the robust-center aggregate SQL lacks natively.
+
+    Scale shape: the corpus collapses FIRST to the bounded
+    (flag, quantity) domain (quantity is a 1-50 integer grid, so each
+    group's window runs over <=50 rows — never a corpus-sized sort);
+    weights accumulate as exact DECIMAL so the cumulative comparison
+    cum*2 >= total is integer-exact arithmetic, immune to float order.
+    The same collapse-to-domain trick serves any discrete-valued
+    weighted quantile at 100 TB."""
+    li = table(spark, sf, "lineitem")
+    w = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(25,2)")).alias("w")
+    )
+    win = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    tot = Window.partitionBy("l_returnflag")
+    c = w.select(
+        "l_returnflag", "l_quantity",
+        F.sum("w").over(win).alias("cum"),
+        F.sum("w").over(tot).alias("total"),
+    )
+    return (
+        c.filter(F.col("cum") * 2 >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(F.min("l_quantity").alias("weighted_median_qty"))
+    )
