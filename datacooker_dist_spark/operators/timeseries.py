@@ -271,3 +271,64 @@ def ema_fixedpoint(
         return pdf
 
     return df.groupBy(*keys).applyInPandas(_ema, schema=schema)
+
+
+def holt_fixedpoint(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    beta_num: int = 1,
+    beta_den: int = 4,
+) -> DataFrame:
+    """Per-series Holt double-exponential smoothing (level + trend) in
+    exact integer fixed-point — the trend-aware big sibling of
+    :func:`ema_fixedpoint`:
+
+        l_1 = x_1, b_1 = 0
+        l_t = (a_num·x_t + (a_den−a_num)·(l_{t−1}+b_{t−1})) div a_den
+        b_t = (b_num·(l_t−l_{t−1}) + (b_den−b_num)·b_{t−1}) div b_den
+
+    Same scale layout: ONE shuffle on the series keys, each series an
+    Arrow batch, O(len) Python-int loop (arbitrary precision), group
+    count = parallelism. Floor division (Python ``//`` ≡ DuckDB ``//``)
+    keeps both engines bit-identical even when the trend goes negative.
+    Appends (level, trend, forecast_next = level + trend) columns.
+    """
+    import pandas as pd
+
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    schema = f"{out_fields}, level bigint, trend bigint, forecast_next bigint"
+    a_n, a_d = int(alpha_num), int(alpha_den)
+    b_n, b_d = int(beta_num), int(beta_den)
+
+    def _holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        levels, trends, fcs = [], [], []
+        l = b = None
+        for v in pdf[value_col]:
+            if pd.isna(v):
+                levels.append(None)
+                trends.append(None)
+                fcs.append(None)
+                continue
+            x = int(v)
+            if l is None:
+                l, b = x, 0
+            else:
+                l_prev = l
+                l = (a_n * x + (a_d - a_n) * (l + b)) // a_d
+                b = (b_n * (l - l_prev) + (b_d - b_n) * b) // b_d
+            levels.append(l)
+            trends.append(b)
+            fcs.append(l + b)
+        pdf["level"] = pd.array(levels, dtype="Int64")
+        pdf["trend"] = pd.array(trends, dtype="Int64")
+        pdf["forecast_next"] = pd.array(fcs, dtype="Int64")
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(_holt, schema=schema)

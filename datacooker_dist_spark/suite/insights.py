@@ -858,3 +858,392 @@ def quality_expectation_suite(spark, sf):
         F.col("n_failed").cast("long").alias("n_failed"),
         (F.col("n_failed") == 0).alias("passed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_window_funnel (round 5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_window_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    l2 AS (
+      SELECT DISTINCT v.user_id FROM v JOIN c ON c.user_id = v.user_id
+       AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR),
+    l3 AS (
+      SELECT DISTINCT v.user_id FROM v
+      JOIN c ON c.user_id = v.user_id AND c.ts > v.ts
+       AND c.ts <= v.ts + INTERVAL 1 HOUR
+      JOIN p ON p.user_id = v.user_id AND p.ts > c.ts
+       AND p.ts <= v.ts + INTERVAL 1 HOUR),
+    u AS (SELECT DISTINCT user_id FROM events)
+    SELECT CASE WHEN l3.user_id IS NOT NULL THEN 3
+                WHEN l2.user_id IS NOT NULL THEN 2
+                WHEN v3.user_id IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_level,
+           COUNT(*) AS n_users
+    FROM u
+    LEFT JOIN l3 ON l3.user_id = u.user_id
+    LEFT JOIN l2 ON l2.user_id = u.user_id
+    LEFT JOIN (SELECT DISTINCT user_id FROM v) v3
+           ON v3.user_id = u.user_id
+    GROUP BY 1
+    """,
+)
+def events_window_funnel(spark, sf):
+    """ClickHouse-windowFunnel-style STRICTLY-ORDERED funnel with a time
+    window anchored at the chain start: a user reaches level 3 iff some
+    view → click → purchase chain is strictly time-ordered AND completes
+    within 1 hour of the view (plain `funnel_steps` has no window
+    constraint — it measures lifetime conversion).
+
+    Scale shape: every chain join is an EQUI-join on user_id with the
+    interval predicate riding as a post-condition, so fanout is bounded
+    by per-user event counts (the stream-stream interval-join shape);
+    distinct user sets are tiny; the final level assembly is three
+    left joins on the user dimension. At heavy per-user skew, band the
+    join on the hour bucket exactly like `join_range_banded`."""
+    ev = table(spark, sf, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("vts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("cts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("pts")
+    )
+    win = F.expr("vts + INTERVAL 1 HOUR")
+    vc = v.join(c, "u").filter(
+        (F.col("cts") > F.col("vts")) & (F.col("cts") <= win)
+    )
+    l2 = vc.select("u").distinct().withColumn("_l2", F.lit(1))
+    l3 = (
+        vc.join(p, "u")
+        .filter((F.col("pts") > F.col("cts")) & (F.col("pts") <= win))
+        .select("u").distinct().withColumn("_l3", F.lit(1))
+    )
+    l1 = v.select("u").distinct().withColumn("_l1", F.lit(1))
+    u = ev.select(F.col("user_id").alias("u")).distinct()
+    lvl = (
+        u.join(l3, "u", "left").join(l2, "u", "left").join(l1, "u", "left")
+        .select(
+            F.when(F.col("_l3").isNotNull(), 3)
+            .when(F.col("_l2").isNotNull(), 2)
+            .when(F.col("_l1").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("funnel_level")
+        )
+    )
+    return lvl.groupBy("funnel_level").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# privacy_t_closeness (round 5)
+# ---------------------------------------------------------------------------
+
+_TC_BUCKETS = 10
+
+
+@query(
+    "privacy_t_closeness",
+    oracle=f"""
+    WITH b AS (
+      SELECT c_nationkey,
+             LEAST(GREATEST(CAST(FLOOR((c_acctbal + 1000) / 1100) AS INT),
+                            0), {_TC_BUCKETS - 1}) AS bkt
+      FROM customer),
+    g AS (SELECT c_nationkey, bkt, COUNT(*) AS cg
+          FROM b GROUP BY c_nationkey, bkt),
+    ng AS (SELECT c_nationkey, SUM(cg) AS n_g FROM g GROUP BY c_nationkey),
+    t AS (SELECT bkt, COUNT(*) AS ct FROM b GROUP BY bkt),
+    nt AS (SELECT SUM(ct) AS n FROM t),
+    grid AS (
+      SELECT c_nationkey, u.k AS bkt FROM ng,
+             unnest(range(0, {_TC_BUCKETS})) u(k)),
+    cells AS (
+      SELECT grid.c_nationkey, grid.bkt,
+             COALESCE(g.cg, 0) AS cg, COALESCE(t.ct, 0) AS ct
+      FROM grid
+      LEFT JOIN g ON g.c_nationkey = grid.c_nationkey AND g.bkt = grid.bkt
+      LEFT JOIN t ON t.bkt = grid.bkt),
+    cum AS (
+      SELECT c_nationkey, bkt,
+             SUM(cg) OVER (PARTITION BY c_nationkey ORDER BY bkt) AS cum_g,
+             SUM(ct) OVER (PARTITION BY c_nationkey ORDER BY bkt) AS cum_t
+      FROM cells),
+    terms AS (
+      SELECT cum.c_nationkey,
+             CAST(round(abs(CAST(cum_g AS DOUBLE) / ng.n_g
+                            - CAST(cum_t AS DOUBLE) / nt.n), 9)
+                  AS DECIMAL(20,9)) AS term
+      FROM cum JOIN ng ON ng.c_nationkey = cum.c_nationkey CROSS JOIN nt
+      WHERE cum.bkt < {_TC_BUCKETS - 1})
+    SELECT c_nationkey,
+           round(CAST(SUM(term) AS DOUBLE) / {_TC_BUCKETS - 1}, 6)
+             AS t_closeness,
+           round(CAST(SUM(term) AS DOUBLE) / {_TC_BUCKETS - 1}, 6) <= 0.2
+             AS within_t
+    FROM terms GROUP BY c_nationkey
+    """,
+)
+def privacy_t_closeness(spark, sf):
+    """t-closeness audit (the k-anonymity / l-diversity companion): per
+    quasi-identifier group (nation), the earth-mover distance between
+    the group's sensitive-attribute distribution (account balance,
+    {_TC_BUCKETS} ordered equi-width buckets) and the global one —
+    EMD over an ordered 1-D domain is the mean |cumulative-difference|,
+    so the whole audit is two hash aggregates + a {_TC_BUCKETS}-row
+    window per group. Each cumulative term rounds to a 1e-9 grid and
+    accumulates as DECIMAL, so per-group sums are partition-order-proof;
+    one final division, rounded 6."""
+    cust = table(spark, sf, "customer")
+    b = cust.select(
+        "c_nationkey",
+        F.least(
+            F.greatest(
+                F.floor((F.col("c_acctbal") + 1000) / 1100).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(_TC_BUCKETS - 1),
+        ).alias("bkt"),
+    )
+    g = b.groupBy("c_nationkey", "bkt").agg(F.count(F.lit(1)).alias("cg"))
+    ng = g.groupBy("c_nationkey").agg(F.sum("cg").alias("n_g"))
+    t = b.groupBy("bkt").agg(F.count(F.lit(1)).alias("ct"))
+    nt = t.agg(F.sum("ct").alias("n"))
+    grid = ng.select("c_nationkey").crossJoin(
+        F.broadcast(
+            cust.sparkSession.range(_TC_BUCKETS).select(
+                F.col("id").cast("int").alias("bkt")
+            )
+        )
+    )
+    cells = (
+        grid.join(g, ["c_nationkey", "bkt"], "left")
+        .join(F.broadcast(t), "bkt", "left")
+        .select(
+            "c_nationkey", "bkt",
+            F.coalesce("cg", F.lit(0)).alias("cg"),
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("bkt")
+    cum = cells.select(
+        "c_nationkey", "bkt",
+        F.sum("cg").over(w).alias("cum_g"),
+        F.sum("ct").over(w).alias("cum_t"),
+    )
+    terms = (
+        cum.filter(F.col("bkt") < _TC_BUCKETS - 1)
+        .join(ng, "c_nationkey")
+        .join(F.broadcast(nt))
+        .select(
+            "c_nationkey",
+            F.round(
+                F.abs(
+                    F.col("cum_g").cast("double") / F.col("n_g")
+                    - F.col("cum_t").cast("double") / F.col("n")
+                ),
+                9,
+            ).cast("decimal(20,9)").alias("term"),
+        )
+    )
+    emd = F.round(
+        F.sum("term").cast("double") / F.lit(_TC_BUCKETS - 1), 6
+    )
+    return terms.groupBy("c_nationkey").agg(
+        emd.alias("t_closeness"),
+        (emd <= 0.2).alias("within_t"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_keywords_rake (round 5)
+# ---------------------------------------------------------------------------
+
+_RAKE_STOPS = ("a", "the", "of", "and", "to", "in", "is", "on")
+_RAKE_TOPK = 20
+
+
+@query(
+    "text_keywords_rake",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS t
+      FROM documents),
+    pos AS (
+      SELECT doc_id, u.i AS i, t[CAST(u.i AS INT)] AS w,
+             CASE WHEN t[CAST(u.i AS INT)] IN
+               ({', '.join(repr(s) for s in _RAKE_STOPS)})
+             THEN 1 ELSE 0 END AS stop
+      FROM toks, unnest(range(1, len(t) + 1)) u(i)),
+    marked AS (
+      SELECT doc_id, i, w, stop,
+             SUM(stop) OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      FROM pos),
+    pw AS (SELECT doc_id, grp, i, w FROM marked WHERE stop = 0),
+    plen AS (SELECT doc_id, grp, COUNT(*) AS plen
+             FROM pw GROUP BY doc_id, grp),
+    wstat AS (
+      SELECT pw.w, COUNT(*) AS freq, SUM(plen.plen) AS deg
+      FROM pw JOIN plen ON plen.doc_id = pw.doc_id AND plen.grp = pw.grp
+      GROUP BY pw.w),
+    wscore AS (
+      SELECT w, CAST(round(CAST(deg AS DOUBLE) / freq, 9)
+                     AS DECIMAL(20,9)) AS ws
+      FROM wstat),
+    phr AS (
+      SELECT pw.doc_id, pw.grp,
+             string_agg(pw.w, ' ' ORDER BY pw.i) AS phrase,
+             SUM(ws.ws) AS s
+      FROM pw JOIN wscore ws ON ws.w = pw.w
+      GROUP BY pw.doc_id, pw.grp)
+    SELECT phrase, COUNT(*) AS n_occurrences,
+           round(CAST(MIN(s) AS DOUBLE), 6) AS rake_score
+    FROM phr GROUP BY phrase
+    ORDER BY rake_score DESC, phrase
+    LIMIT {_RAKE_TOPK}
+    """,
+)
+def text_keywords_rake(spark, sf):
+    """RAKE keyword extraction (Rose et al.): candidate phrases are
+    maximal stopword-free token runs; each word scores degree/frequency
+    (degree = Σ length of phrases containing it); a phrase scores the
+    sum of its word scores — the co-occurrence-graph heuristic that
+    finds multi-word keyphrases without any model.
+
+    Scale shape: one tokenize + posexplode pass; phrase segmentation is
+    the per-doc running stop-count window (keyed, never global); word
+    stats and phrase assembly are hash aggregates; per-word scores
+    round to a 1e-9 grid and phrase sums accumulate as DECIMAL (exact,
+    order-proof); top-k is TakeOrdered. Identical phrase text ⇒
+    identical score by construction (global word stats), so the final
+    group-by-phrase is well-defined."""
+    docs = table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower("text"), "[^a-z]+"), lambda x: x != ""
+        ).alias("t"),
+    )
+    pos = toks.select(
+        "doc_id", F.posexplode("t").alias("i0", "w")
+    ).select(
+        "doc_id",
+        (F.col("i0") + 1).alias("i"),
+        "w",
+        F.when(F.col("w").isin(*_RAKE_STOPS), 1).otherwise(0).alias("stop"),
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("i")
+    marked = pos.withColumn("grp", F.sum("stop").over(w_doc))
+    pw = marked.filter(F.col("stop") == 0).select("doc_id", "grp", "i", "w")
+    plen = pw.groupBy("doc_id", "grp").agg(F.count(F.lit(1)).alias("plen"))
+    wstat = (
+        pw.join(plen, ["doc_id", "grp"])
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg"))
+    )
+    wscore = wstat.select(
+        "w",
+        F.round(F.col("deg").cast("double") / F.col("freq"), 9)
+        .cast("decimal(20,9)")
+        .alias("ws"),
+    )
+    phr = (
+        pw.join(wscore, "w")
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.sum("ws").alias("s"),
+        )
+    )
+    return (
+        phr.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.round(F.min("s").cast("double"), 6).alias("rake_score"),
+        )
+        .orderBy(F.desc("rake_score"), "phrase")
+        .limit(_RAKE_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# timeseries_holt_trend (round 5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "timeseries_holt_trend",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) * 100 AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1, 2),
+    rn AS (SELECT pri, day, cents,
+                  ROW_NUMBER() OVER (PARTITION BY pri ORDER BY day) AS r
+           FROM base),
+    rec AS (
+      SELECT pri, day, cents, r, cents AS l, CAST(0 AS BIGINT) AS b
+      FROM rn WHERE r = 1
+      UNION ALL
+      SELECT pri, day, cents, r, l_new,
+             CAST(FLOOR(((l_new - l_old) + 3 * b_old) / 4.0) AS BIGINT)
+      FROM (
+        SELECT n.pri AS pri, n.day AS day, n.cents AS cents, n.r AS r,
+               CAST(FLOOR((n.cents + 3 * (p.l + p.b)) / 4.0) AS BIGINT)
+                 AS l_new,
+               p.l AS l_old, p.b AS b_old
+        FROM rec p JOIN rn n ON n.pri = p.pri AND n.r = p.r + 1))
+    SELECT pri, day, cents, CAST(l AS BIGINT) AS level,
+           CAST(b AS BIGINT) AS trend,
+           CAST(l + b AS BIGINT) AS forecast_next
+    FROM rec
+    """,
+)
+def timeseries_holt_trend(spark, sf):
+    """Holt DOUBLE-exponential smoothing (level + trend, alpha = beta =
+    1/4) of daily order value per priority, in exact integer fixed-point
+    cents — the trend-aware forecast `timeseries_ema` lacks. The
+    recurrence is inherently sequential per series, so it runs as
+    ``applyInPandas`` groups (:func:`..operators.timeseries.
+    holt_fixedpoint`): one shuffle on the series key, O(days) exact
+    Python-int loop per Arrow batch. FLOOR division semantics (Python
+    ``//``): the oracle spells it CAST(FLOOR(x / 4.0)) because DuckDB's
+    integer ``//`` truncates toward zero on negatives (trends go
+    negative; division by 4 is exact in doubles, so FLOOR is exact).
+    The oracle replays the identical recurrence as a recursive CTE."""
+    from ..operators.timeseries import holt_fixedpoint
+
+    daily = (
+        table(spark, sf, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(25,2)")) * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    return holt_fixedpoint(
+        daily, keys=["pri"], order_col="day", value_col="cents",
+    )

@@ -854,3 +854,88 @@ def stream_search_bm25(spark, sf):
     return diff.agg(F.count(F.lit(1)).alias("mismatches")).crossJoin(
         F.broadcast(drained.agg((F.count(F.lit(1)) > 0).alias("nonempty")))
     )
+
+
+_CM_DEC = "DECIMAL(38,12)"
+
+
+@query(
+    "stream_comoment_corr",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(value AS {_CM_DEC})) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(CAST(user_id AS DOUBLE) AS {_CM_DEC}))
+                  AS DOUBLE) AS sy,
+             CAST(SUM(CAST(value * CAST(user_id AS DOUBLE) AS {_CM_DEC}))
+                  AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(value * value AS {_CM_DEC})) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(CAST(user_id AS DOUBLE) * CAST(user_id AS DOUBLE)
+                           AS {_CM_DEC})) AS DOUBLE) AS syy
+      FROM events)
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+             AS corr_value_user
+    FROM s
+    """,
+)
+def stream_comoment_corr(spark, sf):
+    """MERGEABLE STATISTICS through a stream — the foundation every
+    distributed aggregate rests on, proven end-to-end: each micro-batch
+    reduces to its six decimal co-moment partials (n, Σx, Σy, Σxy, Σx²,
+    Σy² — constant bytes per batch), the partials append to the sink,
+    and after the drain the final Pearson correlation is computed from
+    the SUMMED partials. Decimal addition is exact and associative, so
+    batch boundaries cannot move the answer: the oracle computes the
+    same correlation in one batch pass over the full table — equality
+    IS the merge ≡ rebuild proof, the property that lets a 100 TB
+    aggregate run as map-side partials + one tiny merge."""
+    base_dir = scratch_dir("cmom")
+    target, ckpt = f"{base_dir}/partials", f"{base_dir}/ckpt"
+    stream = events_stream(spark, sf)
+
+    def reduce_batch(batch_df, batch_id):
+        x = F.col("value")
+        y = F.col("user_id").cast("double")
+        part = batch_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x.cast(_CM_DEC)).alias("sx"),
+            F.sum(y.cast(_CM_DEC)).alias("sy"),
+            F.sum((x * y).cast(_CM_DEC)).alias("sxy"),
+            F.sum((x * x).cast(_CM_DEC)).alias("sxx"),
+            F.sum((y * y).cast(_CM_DEC)).alias("syy"),
+        )
+        part.write.mode("overwrite").parquet(f"{target}/b{batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(reduce_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    partials = (
+        spark.read.option("recursiveFileLookup", "true")
+        .schema(
+            f"n bigint, sx {_CM_DEC}, sy {_CM_DEC}, sxy {_CM_DEC}, "
+            f"sxx {_CM_DEC}, syy {_CM_DEC}"
+        )
+        .parquet(target)
+    )
+    merged = partials.agg(
+        F.sum("n").cast("double").alias("n"),
+        F.sum("sx").cast("double").alias("sx"),
+        F.sum("sy").cast("double").alias("sy"),
+        F.sum("sxy").cast("double").alias("sxy"),
+        F.sum("sxx").cast("double").alias("sxx"),
+        F.sum("syy").cast("double").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ) * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    return merged.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(num / den, 6).alias("corr_value_user"),
+    )
