@@ -845,9 +845,11 @@ def similarity_index_append(spark, sf):
     emb = table(spark, sf, "embeddings")
     base = emb.filter(F.col("vec_id") % 5 != 0)
     new = emb.filter(F.col("vec_id") % 5 == 0)
-    cb = S.pq_codebooks(
-        base, 64, 32, 32, refine_iters=ANN_REFINE_ITERS
-    ).localCheckpoint()
+    # refine_iters=1: the contract under test (encode-then-append equals
+    # a wholesale re-encode with the SAME standing codebooks) holds for
+    # any codebook, so this build doesn't pay the full Lloyd schedule —
+    # codebook QUALITY over time is similarity_recall_drift's job.
+    cb = S.pq_codebooks(base, 64, 32, 32, refine_iters=1).localCheckpoint()
 
     base_dir = scratch_dir("pqappend")
     for name, df in (

@@ -1058,7 +1058,7 @@ def feature_minmax_scale(spark, sf):
 
 _PCA_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 _PCA_ITERS = 3
-_PCA_SUM_DEC = "DECIMAL(38,12)"
+_PCA_SUM_DEC = "DECIMAL(38,4)"
 # Small-precision grid for the iteration: DECIMAL(15,6) products are
 # DECIMAL(31,12) in BOTH engines (no precision cap, no engine-specific
 # scale reduction), so every multiply/add is exact and the per-step
@@ -1142,23 +1142,14 @@ def stat_pca_power_iteration(spark, sf):
     and the Rayleigh-free eigenvalue estimate ||v3||/||v2|| each spend
     ONE double sqrt/division, rounded 6 (the suite's transcendental
     convention). Output: (feature, loading, eigenvalue)."""
+    from ..functions.scalars import exact_comoments
+
     li = table(spark, sf, "lineitem")
     k = len(_PCA_COLS)
-    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
-    for i, c in enumerate(_PCA_COLS):
-        aggs.append(
-            F.sum(F.col(c).cast(_PCA_SUM_DEC)).cast("double").alias(f"s_{i}")
-        )
-    for i in range(k):
-        for j in range(i, k):
-            aggs.append(
-                F.sum(
-                    (F.col(_PCA_COLS[i]) * F.col(_PCA_COLS[j])).cast(
-                        _PCA_SUM_DEC
-                    )
-                ).cast("double").alias(f"s_{i}_{j}")
-            )
-    one = li.agg(*aggs)
+    # One Arrow-batched numpy pass for all 15 exact sums (the measures
+    # are 2dp, products 4dp — true grid values; ~10x the per-row decimal
+    # cast SUM, same bit-exact oracle parity). See exact_comoments.
+    one = exact_comoments(li, _PCA_COLS, scale=4)
 
     def r(i, j):
         if i == j:
@@ -1215,7 +1206,7 @@ def stat_pca_power_iteration(spark, sf):
 
 _REG_Y = "l_extendedprice"
 _REG_X = ["l_quantity", "l_discount"]
-_REG_DEC = "DECIMAL(38,12)"
+_REG_DEC = "DECIMAL(38,4)"
 
 
 def _reg_oracle() -> str:
@@ -1275,24 +1266,18 @@ def stat_regression_multivar(spark, sf):
     normal-equation pattern that scales to any bounded feature count at
     100 TB: p^2 sums in one pass, a p x p driver-free solve riding the
     plan."""
+    from ..functions.scalars import exact_comoments
+
     li = table(spark, sf, "lineitem")
-    y, x1, x2 = _REG_Y, _REG_X[0], _REG_X[1]
-
-    def s(c, alias):
-        return F.sum(F.col(c).cast(_REG_DEC)).cast("double").alias(alias)
-
-    def sp(a, b, alias):
-        return (
-            F.sum((F.col(a) * F.col(b)).cast(_REG_DEC))
-            .cast("double")
-            .alias(alias)
-        )
-
-    one = li.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        s(y, "sy"), s(x1, "s1"), s(x2, "s2"),
-        sp(y, y, "syy"), sp(x1, x1, "s11"), sp(x2, x2, "s22"),
-        sp(x1, x2, "s12"), sp(x1, y, "s1y"), sp(x2, y, "s2y"),
+    # All 10 exact sums in one Arrow-batched numpy pass over (y, x1, x2)
+    # — see exact_comoments; index names map to the formula aliases.
+    one = exact_comoments(li, [_REG_Y] + _REG_X, scale=4).select(
+        "n",
+        F.col("s_0").alias("sy"), F.col("s_1").alias("s1"),
+        F.col("s_2").alias("s2"),
+        F.col("s_0_0").alias("syy"), F.col("s_1_1").alias("s11"),
+        F.col("s_2_2").alias("s22"), F.col("s_1_2").alias("s12"),
+        F.col("s_0_1").alias("s1y"), F.col("s_0_2").alias("s2y"),
     )
     c = one.select(
         "n", "sy", "s1", "s2",
