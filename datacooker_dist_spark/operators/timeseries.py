@@ -142,26 +142,57 @@ def asof_join(
     # trailing frame — matching ASOF's ≤. Forward mirrors it: left sorts
     # before right at equal timestamps and the frame looks ahead, so the
     # first carried right row is the smallest _t ≥ the left's.
+    wb = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t"), F.col("_side").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
     if direction == "backward":
-        w = (
-            Window.partitionBy("_k")
-            .orderBy(F.col("_t"), F.col("_side"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        carried = both.withColumn("_m", F.last("_rv", ignorenulls=True).over(wb))
+    elif direction == "forward":
+        carried = both.withColumn("_m", F.first("_rv", ignorenulls=True).over(wf))
+    elif direction == "nearest":
+        # pandas merge_asof(direction="nearest"): whichever of the
+        # backward/forward carries lies closer in time wins; exact time
+        # ties (gap 0 on both sides can't happen — equal timestamps are
+        # a backward match) and equal gaps break BACKWARD, matching
+        # pandas. Both carries ride the SAME key shuffle (two sorts on
+        # one exchange), so the plan cost stays one shuffle.
+        carried = (
+            both.withColumn("_mb", F.last("_rv", ignorenulls=True).over(wb))
+            .withColumn("_mf", F.first("_rv", ignorenulls=True).over(wf))
         )
-        carried = both.withColumn("_m", F.last("_rv", ignorenulls=True).over(w))
+        # timestamp subtraction yields DAY-TIME INTERVALs, which compare
+        # exactly at microsecond precision and work for TIMESTAMP and
+        # TIMESTAMP_NTZ alike (a double/long epoch cast does not).
+        gap_b = F.col("_t") - F.col("_mb.__mt")
+        gap_f = F.col("_mf.__mt") - F.col("_t")
+        carried = carried.withColumn(
+            "_m",
+            F.when(F.col("_mb").isNull(), F.col("_mf"))
+            .when(F.col("_mf").isNull(), F.col("_mb"))
+            .when(gap_b <= gap_f, F.col("_mb"))
+            .otherwise(F.col("_mf")),
+        ).drop("_mb", "_mf")
     else:
-        w = (
-            Window.partitionBy("_k")
-            .orderBy(F.col("_t"), F.col("_side").desc())
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        )
-        carried = both.withColumn("_m", F.first("_rv", ignorenulls=True).over(w))
+        raise ValueError(f"unknown direction {direction!r}")
     out = carried.filter(F.col("_side") == 1)
     if tolerance is not None:
+        lo_ok = F.col("_m.__mt") >= F.col("_t") - F.expr(
+            f"INTERVAL {tolerance}"
+        )
+        hi_ok = F.col("_m.__mt") <= F.col("_t") + F.expr(
+            f"INTERVAL {tolerance}"
+        )
         gap_ok = (
-            F.col("_m.__mt") >= F.col("_t") - F.expr(f"INTERVAL {tolerance}")
+            lo_ok
             if direction == "backward"
-            else F.col("_m.__mt") <= F.col("_t") + F.expr(f"INTERVAL {tolerance}")
+            else hi_ok if direction == "forward" else lo_ok & hi_ok
         )
         out = out.withColumn(
             "_m", F.when(F.col("_m").isNotNull() & gap_ok, F.col("_m"))

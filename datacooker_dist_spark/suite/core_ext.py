@@ -1421,3 +1421,52 @@ def sketch_roundtrip(spark, sf):
         "token", "exact_n",
         (F.col("cms_estimate") >= F.col("exact_n")).alias("cms_ge_exact"),
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH od AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate),
+    j AS (
+      SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY ABS(epoch_us(e.ts) - epoch_us(o.o_orderdate)),
+                        CASE WHEN o.o_orderdate <= e.ts THEN 0 ELSE 1 END
+             ) AS rn
+      FROM events e JOIN od o ON o.o_custkey = e.user_id)
+    SELECT event_id, user_id, ts, o_orderkey, o_orderdate
+    FROM j WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark, sf):
+    """As-of join, pandas ``direction="nearest"`` semantics: each event
+    matches whichever same-key order is CLOSEST in time on either side
+    (ties break backward, like pandas). The operator computes the
+    backward and forward carries over the SAME key shuffle (one
+    exchange, two sorts) and picks per row by exact microsecond gap —
+    still O(|L|+|R|), never the |matches|-sized range join the oracle
+    brute-forces. Completes the asof family: backward (`join_asof`),
+    forward (`join_asof_forward`), tolerance (`join_asof_tolerance`),
+    nearest."""
+    e = table(spark, sf, "events")
+    o = (
+        table(spark, sf, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    from ..operators import timeseries as TS
+
+    return TS.asof_join(
+        e.select("event_id", "user_id", "ts"),
+        o,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_orderdate"],
+        how="inner",
+        direction="nearest",
+    )

@@ -2120,3 +2120,95 @@ def embedding_covariance_block(spark, sf):
             ).alias("cov"),
         )
     )
+
+
+@query(
+    "multimodal_audio_features",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, u.j AS j,
+             ((doc_id * 31 + u.j * 7) % 65536) - 32768 AS v
+      FROM documents, unnest(range(0, 8 + doc_id % 5)) AS u(j)),
+    p AS (
+      SELECT doc_id, j, v,
+             LAG(v) OVER (PARTITION BY doc_id ORDER BY j) AS pv
+      FROM s)
+    SELECT doc_id AS media_id,
+           CAST(SUM(v * v) AS BIGINT) AS energy,
+           CAST(SUM(CASE WHEN pv IS NOT NULL AND pv * v < 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+           CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+           round(CAST(SUM(CASE WHEN v IN (32767, -32768) THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS clip_fraction
+    FROM p GROUP BY doc_id
+    """,
+)
+def multimodal_audio_features(spark, sf):
+    """Audio FEATURE EXTRACTION on decoded waveforms — the step after
+    `multimodal_wav_samples`' byte-level decode: signal energy (Σs²),
+    zero-crossing count (sign flips, the classic voicing/noisiness
+    proxy), peak amplitude, and clipping fraction, each pure integer
+    column algebra over the decoded int16 arrays (zip_with of the array
+    against its own tail — no second explode, no Python past the
+    decode). The oracle regenerates the planted arithmetic waveform and
+    recomputes every feature — end-to-end proof that bytes → samples →
+    features is exact. At 100 TB this is one mapInArrow decode + one
+    narrow projection per payload."""
+    import struct
+
+    from pyspark.sql.types import BinaryType
+
+    docs = table(spark, sf, "documents")
+
+    @F.pandas_udf(BinaryType())
+    def wav_payload(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for i in doc_id:
+            i = int(i)
+            ns = 8 + i % 5
+            data = b"".join(
+                struct.pack("<h", ((i * 31 + j * 7) % 65536) - 32768)
+                for j in range(ns)
+            )
+            fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+            body = (
+                b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data
+            )
+            out.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+        return pd.Series(out)
+
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        wav_payload("doc_id").alias("payload"),
+    )
+    d = M.extract_wav_samples(media)
+    n = F.size("samples")
+    flips = F.zip_with(
+        F.slice("samples", 1, n - 1),
+        F.slice("samples", 2, n - 1),
+        lambda a, b: F.when(a * b < 0, 1).otherwise(0),
+    )
+    return d.select(
+        "media_id",
+        F.aggregate(
+            "samples", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ).alias("energy"),
+        F.aggregate(
+            flips, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("zero_crossings"),
+        F.array_max(
+            F.transform("samples", lambda x: F.abs(x))
+        ).alias("peak"),
+        F.round(
+            F.size(
+                F.filter(
+                    "samples",
+                    lambda x: (x == 32767) | (x == -32768),
+                )
+            ).cast("double")
+            / n,
+            6,
+        ).alias("clip_fraction"),
+    )

@@ -1273,3 +1273,50 @@ def test_bpe_broadcast_path_matches_expression_path(spark):
     dt = time.perf_counter() - t0
     assert out == a  # the synthetic pairs never match → same encoding
     assert dt < 60, f"32k-merge apply took {dt:.1f}s"
+
+
+def test_asof_nearest_semantics(spark):
+    """direction="nearest" picks the closer side and breaks exact-gap
+    ties backward (pandas merge_asof parity), on a hand-built fixture."""
+    import datetime as dt
+
+    from datacooker_dist_spark.operators import timeseries as TS
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(10), "mid"), (1, t(1), "early"), (1, t(58), "late"),
+         (2, t(30), "lonely")],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, t(0), 100), (1, t(20), 200), (1, t(40), 300)],
+        "k long, ts timestamp, v int",
+    )
+    out = {
+        r["tag"]: r["v"]
+        for r in TS.asof_join(
+            left, right, "k", "k", "ts", "ts", right_cols=["v"],
+            how="inner", direction="nearest",
+        ).collect()
+    }
+    # mid at :10 is equidistant from :00 and :20 -> backward tie -> 100
+    # early at :01 -> :00; late at :58 -> :40; k=2 has no match (inner)
+    assert out == {"mid": 100, "early": 100, "late": 300}
+
+    # left join keeps the unmatched key with nulls
+    n = TS.asof_join(
+        left, right, "k", "k", "ts", "ts", right_cols=["v"],
+        how="left", direction="nearest",
+    ).count()
+    assert n == 4
+
+    # tolerance bounds BOTH sides for nearest
+    tol = {
+        r["tag"]: r["v"]
+        for r in TS.asof_join(
+            left, right, "k", "k", "ts", "ts", right_cols=["v"],
+            how="inner", direction="nearest", tolerance="'5' MINUTE",
+        ).collect()
+    }
+    # mid's nearest (:00, 10 min away) exceeds the 5-minute tolerance
+    assert tol == {"early": 100}
