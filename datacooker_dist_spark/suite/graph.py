@@ -326,3 +326,94 @@ def graph_kcore(spark, sf):
     with _scoped_partitions(spark):
         # eager by construction: every peeling round localCheckpoints.
         return k_core(edges, k=_KCORE_K)
+
+
+# ---------------------------------------------------------------------------
+# graph_modularity (round 5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_modularity",
+    oracle="""
+    WITH tok AS (SELECT doc_id, source,
+                        regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                 FROM documents),
+    sh AS (SELECT doc_id, source,
+                  list_distinct(list_transform(
+                    range(1, greatest(len(t) - 2, 1) + 1),
+                    i -> array_to_string(t[i:i+2], ' '))) AS s
+           FROM tok),
+    e AS (
+      SELECT a.source AS sa, b.source AS sb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+    m AS (SELECT COUNT(*) AS m FROM e),
+    ec AS (SELECT sa AS source, COUNT(*) AS e_c FROM e
+           WHERE sa = sb GROUP BY sa),
+    dc AS (SELECT source, COUNT(*) AS d_c FROM (
+             SELECT sa AS source FROM e UNION ALL SELECT sb FROM e)
+           GROUP BY source)
+    SELECT d.source,
+           CAST(COALESCE(ec.e_c, 0) AS BIGINT) AS intra_edges,
+           CAST(d.d_c AS BIGINT) AS degree_sum,
+           round(COALESCE(ec.e_c, 0) / CAST(m.m AS DOUBLE)
+                 - (d.d_c / (2.0 * m.m)) * (d.d_c / (2.0 * m.m)), 6)
+             AS contribution
+    FROM dc d LEFT JOIN ec ON ec.source = d.source CROSS JOIN m
+    """,
+)
+def graph_modularity(spark, sf):
+    """Newman MODULARITY of the source partition over the verified
+    near-duplicate graph — the community-quality audit: does duplication
+    concentrate within sources (high contribution) or cross them? Per
+    community c: e_c/m − (d_c/2m)² with e_c = intra edges, d_c = degree
+    sum, m = |edges|; Q is the sum of contributions.
+
+    Scale shape: the edge list is the session's shared verified pair
+    set (LSH-bucketed + Jaccard, never quadratic); community labels
+    attach by two id equi-joins to the dimension; everything after is
+    hash aggregates on the (tiny) edge list and one broadcast scalar m.
+    All counts integer; each contribution is one fixed division chain
+    rounded 6."""
+    from ..suite import shared_jaccard_pairs
+
+    docs = table(spark, sf, "documents").select("doc_id", "source")
+    pairs = shared_jaccard_pairs(spark, sf)
+    e = (
+        pairs.join(
+            docs.select(F.col("doc_id").alias("id_a"),
+                        F.col("source").alias("sa")), "id_a")
+        .join(
+            docs.select(F.col("doc_id").alias("id_b"),
+                        F.col("source").alias("sb")), "id_b")
+        .select("sa", "sb")
+    )
+    m = e.agg(F.count(F.lit(1)).alias("m"))
+    ec = (
+        e.filter(F.col("sa") == F.col("sb"))
+        .groupBy(F.col("sa").alias("source"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    dc = (
+        e.select(F.col("sa").alias("source"))
+        .unionAll(e.select(F.col("sb").alias("source")))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("d_c"))
+    )
+    return (
+        dc.join(ec, "source", "left")
+        .join(F.broadcast(m))
+        .select(
+            "source",
+            F.coalesce("e_c", F.lit(0)).cast("long").alias("intra_edges"),
+            F.col("d_c").cast("long").alias("degree_sum"),
+            F.round(
+                F.coalesce("e_c", F.lit(0)) / F.col("m").cast("double")
+                - (F.col("d_c") / (F.lit(2.0) * F.col("m")))
+                * (F.col("d_c") / (F.lit(2.0) * F.col("m"))),
+                6,
+            ).alias("contribution"),
+        )
+    )

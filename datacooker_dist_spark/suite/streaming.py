@@ -939,3 +939,98 @@ def stream_comoment_corr(spark, sf):
         F.col("n").cast("long").alias("n_rows"),
         F.round(num / den, 6).alias("corr_value_user"),
     )
+
+
+@query(
+    "stream_expectation_gate",
+    oracle="""
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN value IS NULL OR value < 0 OR value > 100000
+                      THEN 1 ELSE 0 END) AS f_range,
+             SUM(CASE WHEN event_type NOT IN
+                   ('view', 'click', 'signup', 'purchase', 'error')
+                      THEN 1 ELSE 0 END) AS f_domain,
+             SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS f_null,
+             SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS f_ts
+      FROM events)
+    SELECT u.expectation, s.n AS n_checked,
+           CAST(u.f AS BIGINT) AS n_failed, u.f = 0 AS passed
+    FROM s CROSS JOIN LATERAL (
+      SELECT UNNEST(['value_range', 'type_domain', 'user_not_null',
+                     'ts_not_null']) AS expectation,
+             UNNEST([f_range, f_domain, f_null, f_ts]) AS f) u
+    """,
+)
+def stream_expectation_gate(spark, sf):
+    """STREAMING ingest-gate twin of `quality_expectation_suite`: each
+    micro-batch reduces to its expectation-failure COUNTS (constant
+    bytes per batch — counts are mergeable by addition, the same
+    partial-aggregate contract as `stream_comoment_corr`), partials
+    land per-batch-id in the sink, and the drained totals are the
+    corpus-level audit a 100 TB pipeline alarms on. Exactly-once from
+    the per-``b<batch_id>`` overwrite discipline; the oracle computes
+    the same counts in one batch pass — merge ≡ rebuild."""
+    base_dir = scratch_dir("expgate")
+    target, ckpt = f"{base_dir}/partials", f"{base_dir}/ckpt"
+    stream = events_stream(spark, sf)
+
+    def gate(batch_df, batch_id):
+        part = batch_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    F.col("value").isNull()
+                    | (F.col("value") < 0)
+                    | (F.col("value") > 100000),
+                    1,
+                ).otherwise(0)
+            ).alias("f_range"),
+            F.sum(
+                F.when(
+                    ~F.col("event_type").isin(
+                        "view", "click", "signup", "purchase", "error"
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("f_domain"),
+            F.sum(
+                F.when(F.col("user_id").isNull(), 1).otherwise(0)
+            ).alias("f_null"),
+            F.sum(F.when(F.col("ts").isNull(), 1).otherwise(0)).alias("f_ts"),
+        )
+        part.write.mode("overwrite").parquet(f"{target}/b{batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    partials = (
+        spark.read.option("recursiveFileLookup", "true")
+        .schema(
+            "n bigint, f_range bigint, f_domain bigint, "
+            "f_null bigint, f_ts bigint"
+        )
+        .parquet(target)
+    )
+    tot = partials.agg(
+        F.sum("n").alias("n"),
+        F.sum("f_range").alias("f_range"),
+        F.sum("f_domain").alias("f_domain"),
+        F.sum("f_null").alias("f_null"),
+        F.sum("f_ts").alias("f_ts"),
+    )
+    stack = (
+        "stack(4, 'value_range', f_range, 'type_domain', f_domain, "
+        "'user_not_null', f_null, 'ts_not_null', f_ts) "
+        "AS (expectation, n_failed)"
+    )
+    return tot.selectExpr(stack, "n AS n_checked").select(
+        "expectation",
+        F.col("n_checked").cast("long").alias("n_checked"),
+        F.col("n_failed").cast("long").alias("n_failed"),
+        (F.col("n_failed") == 0).alias("passed"),
+    )
