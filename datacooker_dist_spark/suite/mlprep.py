@@ -714,3 +714,116 @@ def feature_hashing_trick(spark, sf):
         F.countDistinct("p_type").alias("n_types"),
         (F.countDistinct("p_type") > 1).alias("has_collision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_kfold_assign / ml_class_rebalance (round 5)
+# ---------------------------------------------------------------------------
+
+_MIX = "((({k} % 2147483648) * 2654435761) % 9007199254740881)"
+_KFOLDS = 5
+
+
+@query(
+    "ml_kfold_assign",
+    oracle=f"""
+    WITH f AS (
+      SELECT vec_id, label, {_MIX.format(k="vec_id")} % {_KFOLDS} AS fold
+      FROM embeddings)
+    SELECT fold, label, COUNT(*) AS n,
+           round(COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY fold)
+                                 AS DOUBLE), 6) AS label_share
+    FROM f GROUP BY fold, label
+    """,
+)
+def ml_kfold_assign(spark, sf):
+    """Deterministic k-fold CV assignment + the stratification audit: each
+    row's fold is a pure function of its id through the portable
+    multiplicative mix (no shuffle, no state, reproducible across runs,
+    engines and cluster sizes — the property a 100 TB training pipeline
+    needs so folds never move between jobs), and the output is the
+    per-fold label distribution a modeler checks before trusting the
+    split. One narrow projection + one hash aggregate; the per-fold
+    share reuses the aggregate's own exchange for its window."""
+    emb = table(spark, sf, "embeddings")
+    fold = (
+        F.pmod(
+            F.pmod(F.col("vec_id").cast("long"), F.lit(2147483648))
+            * F.lit(2654435761),
+            F.lit(9007199254740881),
+        )
+        % _KFOLDS
+    ).alias("fold")
+    f = emb.select(fold, "label")
+    from pyspark.sql import Window as W
+
+    counts = f.groupBy("fold", "label").agg(F.count(F.lit(1)).alias("n"))
+    tot = W.partitionBy("fold")
+    return counts.select(
+        "fold", "label", "n",
+        F.round(
+            F.col("n") / F.sum("n").over(tot).cast("double"), 6
+        ).alias("label_share"),
+    )
+
+
+@query(
+    "ml_class_rebalance",
+    oracle=f"""
+    WITH n_l AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    tgt AS (SELECT MIN(n) AS target FROM n_l),
+    kept AS (
+      SELECT d.lang FROM documents d
+      JOIN n_l ON n_l.lang = d.lang CROSS JOIN tgt
+      WHERE ({_MIX.format(k="d.doc_id")} % 1000000)
+            < (1000000 * tgt.target) / n_l.n)
+    SELECT n_l.lang, n_l.n AS n_before,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           round(COALESCE(k.n_kept, 0) / CAST(n_l.n AS DOUBLE), 6)
+             AS keep_rate
+    FROM n_l LEFT JOIN (
+      SELECT lang, COUNT(*) AS n_kept FROM kept GROUP BY lang) k
+      ON k.lang = n_l.lang
+    """,
+)
+def ml_class_rebalance(spark, sf):
+    """Deterministic class REBALANCING plan: undersample every language
+    to (approximately) the minority class via a pure hash threshold —
+    keep doc iff mix(id) mod 1e6 < 1e6·target/n_class. No sampling
+    state, no per-class sorts or limits (a per-class LIMIT would funnel
+    each class through one task): the keep decision is a row-local
+    integer predicate, so it distributes perfectly and reproduces
+    identically on any engine — the audit rows (per-class before/kept/
+    rate) are what the pipeline logs. The threshold compares an exact
+    integer hash against 1e6·target/n in double — both operands exactly
+    representable, identical in both engines."""
+    docs = table(spark, sf, "documents")
+    n_l = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tgt = n_l.agg(F.min("n").alias("target"))
+    mix = F.pmod(
+        F.pmod(F.col("doc_id").cast("long"), F.lit(2147483648))
+        * F.lit(2654435761),
+        F.lit(9007199254740881),
+    )
+    kept = (
+        docs.join(F.broadcast(n_l), "lang")
+        .join(F.broadcast(tgt))
+        .filter(
+            F.pmod(mix, F.lit(1000000))
+            < (F.lit(1000000) * F.col("target")).cast("long")
+            / F.col("n").cast("long")
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        n_l.join(kept, "lang", "left")
+        .select(
+            "lang",
+            F.col("n").alias("n_before"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.round(
+                F.coalesce("n_kept", F.lit(0)) / F.col("n").cast("double"), 6
+            ).alias("keep_rate"),
+        )
+    )
