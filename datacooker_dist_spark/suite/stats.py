@@ -1368,3 +1368,107 @@ def agg_weighted_median(spark, sf):
         .groupBy("l_returnflag")
         .agg(F.min("l_quantity").alias("weighted_median_qty"))
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_bootstrap_ci (round 5)
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 20
+# floor(1e6 * CDF(Poisson(1), k)) for k = 0..5; w = 6 beyond — the
+# integer thresholds both engines compare the same hash against.
+_BOOT_CDF = (367879, 735758, 919698, 981011, 996340, 999405)
+_BOOT_MIX = "((({k} % 2147483648) * 2654435761) % 9007199254740881)"
+
+
+def _boot_w_sql(h: str) -> str:
+    expr = "6"
+    for k in range(len(_BOOT_CDF) - 1, -1, -1):
+        expr = f"CASE WHEN {h} < {_BOOT_CDF[k]} THEN {k} ELSE {expr} END"
+    return expr
+
+
+def _boot_oracle() -> str:
+    h = f"({_BOOT_MIX.format(k='(l_orderkey * 8 + l_linenumber) * 31 + b.b')} % 1000000)"
+    return f"""
+    WITH r AS (
+      SELECT b.b,
+             {_boot_w_sql(h)} AS w,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem, unnest(range(0, {_BOOT_B})) b(b)),
+    means AS (
+      SELECT b, round(CAST(SUM(w * cents) AS DOUBLE)
+                      / (100.0 * SUM(w)), 6) AS m
+      FROM r GROUP BY b),
+    ranked AS (
+      SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rk FROM means)
+    SELECT CAST({_BOOT_B} AS BIGINT) AS n_replicates,
+           (SELECT m FROM ranked WHERE rk = 2) AS ci_lo,
+           (SELECT m FROM ranked WHERE rk = {_BOOT_B - 1}) AS ci_hi,
+           (SELECT round(AVG(m), 6) FROM means) AS mean_of_means
+    """
+
+
+@query("stat_bootstrap_ci", oracle=_boot_oracle())
+def stat_bootstrap_ci(spark, sf):
+    """POISSON BOOTSTRAP confidence interval for the mean extended price
+    — the bootstrap that actually runs at 100 TB: instead of materializing
+    B resampled copies (impossible) each row draws, per replicate, a
+    deterministic Poisson(1) weight from an integer hash of (row id,
+    replicate) — the standard streaming-bootstrap trick (Chamandy et al.),
+    made REPRODUCIBLE by replacing the RNG with the portable
+    multiplicative mix, so both engines (and any rerun at any
+    parallelism) draw identical weights. One explode (B rows per input
+    row) + one hash aggregate; weighted sums stay exact int64
+    (w ≤ 6 × cents ≤ 1e8 per row); the CI is an order statistic over the
+    B replicate means. Output: (n_replicates, ci_lo, ci_hi,
+    mean_of_means)."""
+    li = table(spark, sf, "lineitem")
+    rid = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long")
+    rows = li.select(
+        rid.alias("rid"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    ).select(
+        "rid", "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    h = F.pmod(
+        F.pmod(
+            F.pmod(F.col("rid") * 31 + F.col("b"), F.lit(2147483648))
+            * F.lit(2654435761),
+            F.lit(9007199254740881),
+        ),
+        F.lit(1000000),
+    )
+    w = F.lit(6)
+    for k in range(len(_BOOT_CDF) - 1, -1, -1):
+        w = F.when(h < _BOOT_CDF[k], F.lit(k)).otherwise(w)
+    means = (
+        rows.select("b", "cents", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.round(
+                F.sum(F.col("w") * F.col("cents")).cast("double")
+                / (F.lit(100.0) * F.sum("w")),
+                6,
+            ).alias("m")
+        )
+    )
+    from pyspark.sql import Window as W
+
+    ranked = means.select(
+        "m", F.row_number().over(W.orderBy("m")).alias("rk")
+    )
+    lo = ranked.filter(F.col("rk") == 2).select(F.col("m").alias("ci_lo"))
+    hi = ranked.filter(F.col("rk") == _BOOT_B - 1).select(
+        F.col("m").alias("ci_hi")
+    )
+    avg = means.agg(F.round(F.avg("m"), 6).alias("mean_of_means"))
+    return (
+        lo.crossJoin(F.broadcast(hi))
+        .crossJoin(F.broadcast(avg))
+        .select(
+            F.lit(_BOOT_B).cast("long").alias("n_replicates"),
+            "ci_lo", "ci_hi", "mean_of_means",
+        )
+    )

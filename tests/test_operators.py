@@ -1320,3 +1320,32 @@ def test_asof_nearest_semantics(spark):
     }
     # mid's nearest (:00, 10 min away) exceeds the 5-minute tolerance
     assert tol == {"early": 100}
+
+
+def test_exact_comoments_partition_invariant_and_matches_decimal(spark):
+    """exact_comoments must be bit-identical across partition counts
+    (int64-grid partials + decimal merge are associative) and equal the
+    per-row decimal-cast SUM reference on 2dp measure columns."""
+    from datacooker_dist_spark.functions.scalars import exact_comoments
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    cols = ["l_quantity", "l_extendedprice"]
+    results = []
+    for parts in (1, 7, 32):
+        row = exact_comoments(li.repartition(parts), cols, scale=4).collect()[0]
+        results.append(tuple(row))
+    assert results[0] == results[1] == results[2]
+
+    ref = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(38,4)")).cast("double").alias("s_0"),
+        F.sum(F.col("l_extendedprice").cast("decimal(38,4)")).cast("double").alias("s_1"),
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(38,4)")).cast("double").alias("s_0_0"),
+        F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(38,4)")).cast("double").alias("s_0_1"),
+        F.sum((F.col("l_extendedprice") * F.col("l_extendedprice")).cast("decimal(38,4)")).cast("double").alias("s_1_1"),
+    ).collect()[0]
+    got = dict(zip(
+        ["n", "s_0", "s_1", "s_0_0", "s_0_1", "s_1_1"], results[0]
+    ))
+    for k in got:
+        assert got[k] == ref[k], (k, got[k], ref[k])
