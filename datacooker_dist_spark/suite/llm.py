@@ -2212,3 +2212,76 @@ def multimodal_audio_features(spark, sf):
             6,
         ).alias("clip_fraction"),
     )
+
+
+@query(
+    "similarity_index_append_ivf",
+    oracle="""
+    SELECT CAST(0 AS BIGINT) AS mismatches,
+           (SELECT COUNT(*) * 2 FROM embeddings) AS n_appended,
+           TRUE AS nonempty
+    """,
+)
+def similarity_index_append_ivf(spark, sf):
+    """IVF-side APPEND lifecycle, adapter round-trip included — the cells
+    twin of `similarity_index_append`: the standing corpus's spilled
+    cell assignment persists through the parquet adapters, a new ingest
+    batch assigns against the STANDING centroids via :func:`ivf_assign`
+    (broadcast argmax, one linear batch pass) and lands as a delta, and
+    the cold read-back union must equal assigning the grown corpus
+    wholesale under the same centroids — assignment is per-row
+    deterministic given centroids, so ``mismatches`` (multiset diff,
+    vectors excluded: id/cell pairs ARE the index) is exactly 0 and
+    ``n_appended`` is IVF_SPILL rows per vector. With
+    `similarity_recall_drift` supplying the re-train trigger, the full
+    IVF lifecycle (build → persist → append forever → retrain on drift)
+    is oracle-pinned end to end."""
+    from ..model import DataStream, StreamType
+    from ..registry import resolve_input, resolve_output
+    from . import scratch_dir
+
+    emb = table(spark, sf, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    centroids, assigned_base = S.ivf_cells(
+        base, n_cells=16, refine_iters=1, assign_spill=IVF_SPILL
+    )
+    centroids = centroids.localCheckpoint()
+
+    base_dir = scratch_dir("ivfappend")
+    for name, df in (
+        ("standing", assigned_base.select("vec_id", "cell")),
+        ("delta", S.ivf_assign(
+            new, centroids, assign_spill=IVF_SPILL
+        ).select("vec_id", "cell")),
+    ):
+        out = resolve_output("hadoopParquet")().configure({}).initialize(
+            spark, f"{base_dir}/{name}"
+        )
+        out.save(name, DataStream(name, df, StreamType.COLUMNAR))
+    back = []
+    for name in ("standing", "delta"):
+        inp = resolve_input("hadoopColumnar")().configure(
+            {"parquet": True}
+        ).initialize(spark, f"{base_dir}/{name}")
+        [ds] = inp.load(name).values()
+        back.append(ds.df.select("vec_id", "cell"))
+    appended = back[0].unionByName(back[1])
+    rebuilt = S.ivf_assign(
+        emb, centroids, assign_spill=IVF_SPILL
+    ).select("vec_id", "cell")
+
+    cols = ["vec_id", "cell"]
+    a_c = appended.groupBy(cols).agg(F.count(F.lit(1)).alias("_n_a"))
+    r_c = rebuilt.groupBy(cols).agg(F.count(F.lit(1)).alias("_n_r"))
+    j = a_c.join(r_c, cols, "full_outer").select(
+        F.abs(
+            F.coalesce("_n_a", F.lit(0)) - F.coalesce("_n_r", F.lit(0))
+        ).alias("_d"),
+        F.coalesce("_n_a", F.lit(0)).alias("_n_a"),
+    )
+    return j.agg(
+        F.sum("_d").alias("mismatches"),
+        F.sum("_n_a").alias("n_appended"),
+        (F.sum("_n_a") > 0).alias("nonempty"),
+    )
