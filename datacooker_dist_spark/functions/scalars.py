@@ -93,6 +93,25 @@ def exact_comoments(df, cols, scale: int = 4):
         f"{nm} decimal(38,{scale})" for nm in out_names[1:]
     )
 
+    _CAP = float(2 ** 62)
+
+    def grid_sums(M):
+        """Column sums of rint(M) as exact Python ints. Fast path: int64
+        vector sum, taken only when max|element| · rows provably fits in
+        2^62 (so no chunk can overflow at ANY input magnitude — the
+        ceiling scales with the data, it is not assumed). Slow path for
+        huge-magnitude chunks: per-element Python-int accumulation
+        (arbitrary precision); rint noise there is inherent to the
+        double representation of the product itself, not the sum."""
+        G = np.rint(M)
+        if G.size == 0:
+            return [0] * M.shape[1]
+        mx = float(np.max(np.abs(G)))
+        if mx * len(G) < _CAP:
+            v = G.astype(np.int64).sum(axis=0)
+            return [int(x) for x in v]
+        return [sum(int(x) for x in G[:, j]) for j in range(G.shape[1])]
+
     def partials(batches):
         n = 0
         s = [0] * k
@@ -106,13 +125,12 @@ def exact_comoments(df, cols, scale: int = 4):
             for lo in range(0, len(V), 4096):
                 C = V[lo:lo + 4096]
                 n += len(C)
-                sv = np.rint(C * mult).astype(np.int64).sum(axis=0)
-                P = C[:, iu] * C[:, ju]
-                pv = np.rint(P * mult).astype(np.int64).sum(axis=0)
+                sv = grid_sums(C * mult)
+                pv = grid_sums(C[:, iu] * C[:, ju] * mult)
                 for i in range(k):
-                    s[i] += int(sv[i])
+                    s[i] += sv[i]
                 for t in range(len(iu)):
-                    sp[t] += int(pv[t])
+                    sp[t] += pv[t]
             seen = True
         if seen:
             import decimal

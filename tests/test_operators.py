@@ -1349,3 +1349,27 @@ def test_exact_comoments_partition_invariant_and_matches_decimal(spark):
     ))
     for k in got:
         assert got[k] == ref[k], (k, got[k], ref[k])
+
+
+def test_exact_comoments_max_magnitude_chunks(spark):
+    """Adversarial bound check: rows at the 2dp magnitude ceiling
+    (~1e6-scale values, products ~1e12 → 1e16 on the 1e4 grid) must
+    accumulate exactly through the int64 chunk rollup — equality with
+    the decimal reference proves no chunk overflow or precision loss."""
+    from datacooker_dist_spark.functions.scalars import exact_comoments
+
+    df = spark.range(0, 20000, 1, 13).select(
+        (F.lit(999999.99) - (F.col("id") % 7) / F.lit(100.0)).alias("x"),
+        (F.lit(-999999.99) + (F.col("id") % 11) / F.lit(100.0)).alias("y"),
+    )
+    got = exact_comoments(df, ["x", "y"], scale=4).collect()[0]
+    ref = df.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,4)")).cast("double").alias("s_0"),
+        F.sum(F.col("y").cast("decimal(38,4)")).cast("double").alias("s_1"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,4)")).cast("double").alias("s_0_0"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,4)")).cast("double").alias("s_0_1"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,4)")).cast("double").alias("s_1_1"),
+    ).collect()[0]
+    for k in ("n", "s_0", "s_1", "s_0_0", "s_0_1", "s_1_1"):
+        assert got[k] == ref[k], (k, got[k], ref[k])
