@@ -710,3 +710,49 @@ def test_sweep_no_unbounded_single_partition_gather(spark):
         if bad:
             flagged[name] = bad
     assert not flagged, f"unbounded single-partition gathers: {flagged}"
+
+
+def test_round5_wave_plan_discipline(spark):
+    """Round-5 wave: co-moment consumers run ONE Arrow pass (a single
+    MapInArrow node) and no joins on the fact scan; the PCA iterate
+    joins are broadcast; funnel/bootstrap/rebalance/rake stay
+    cartesian-free; the RAKE top-k is TakeOrdered; k-fold assignment is
+    a pure projection + one hash-exchange window (no join, no Python)."""
+    for name in [
+        "events_window_funnel", "privacy_t_closeness", "text_keywords_rake",
+        "timeseries_holt_trend", "agg_weighted_median",
+        "feature_hashing_trick", "quality_expectation_suite",
+        "ml_kfold_assign", "ml_class_rebalance", "stat_bootstrap_ci",
+        "graph_modularity", "join_asof_nearest",
+        "stat_pca_power_iteration", "stat_regression_multivar",
+        "embedding_pca_loadings", "agg_corr_matrix",
+    ]:
+        assert "CartesianProduct" not in executed_plan(spark, name), name
+
+    for name in ["agg_corr_matrix", "stat_regression_multivar",
+                 "stat_pca_power_iteration"]:
+        plan = executed_plan(spark, name)
+        assert plan.count("MapInArrow") == 1, name
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, name
+
+    # embedding PCA checkpoints its covariance (the Arrow moment pass ran
+    # at build time), so the returned plan is the iterate: broadcast
+    # joins over the ExistingRDD matrix, never a shuffled join.
+    pca = executed_plan(spark, "embedding_pca_loadings")
+    assert "ExistingRDD" in pca
+    assert "SortMergeJoin" not in pca and "ShuffledHashJoin" not in pca
+
+    assert "TakeOrdered" in executed_plan(spark, "text_keywords_rake")
+
+    kf = executed_plan(spark, "ml_kfold_assign")
+    assert "Join" not in kf and "Python" not in kf and "Arrow" not in kf
+
+    fh = executed_plan(spark, "feature_hashing_trick")
+    assert "Join" not in fh and "Python" not in fh
+
+    # asof nearest: both carries on ONE union-key exchange (two sorts
+    # allowed); the other exchange in the plan is the right side's own
+    # (custkey, orderdate) dedup aggregate, not the asof mechanism.
+    asn = executed_plan(spark, "join_asof_nearest")
+    assert asn.count("Exchange hashpartitioning(_k") == 1
+    assert asn.count("Window") == 2  # backward + forward carry
