@@ -847,14 +847,16 @@ def similarity_index_append(spark, sf):
     new = emb.filter(F.col("vec_id") % 5 == 0)
     # refine_iters=1: the contract under test (encode-then-append equals
     # a wholesale re-encode with the SAME standing codebooks) holds for
-    # any codebook, so this build doesn't pay the full Lloyd schedule —
-    # codebook QUALITY over time is similarity_recall_drift's job.
-    cb = S.pq_codebooks(base, 64, 32, 32, refine_iters=1).localCheckpoint()
+    # any codebook, so this build pays neither the full Lloyd schedule
+    # nor the shipped (m=32, k=32) encode fanout — (m=16, k=16) proves
+    # the identical lifecycle at a quarter of the scored rows; codebook
+    # QUALITY over time is similarity_recall_drift's job.
+    cb = S.pq_codebooks(base, 64, 16, 16, refine_iters=1).localCheckpoint()
 
     base_dir = scratch_dir("pqappend")
     for name, df in (
-        ("standing", S.pq_encode(base, cb, 64, 32)),
-        ("delta", S.pq_encode(new, cb, 64, 32)),
+        ("standing", S.pq_encode(base, cb, 64, 16)),
+        ("delta", S.pq_encode(new, cb, 64, 16)),
     ):
         out = resolve_output("hadoopParquet")().configure({}).initialize(
             spark, f"{base_dir}/{name}"
@@ -874,7 +876,7 @@ def similarity_index_append(spark, sf):
             )
         )
     appended = back[0].unionByName(back[1])
-    rebuilt = S.pq_encode(emb, cb, 64, 32)
+    rebuilt = S.pq_encode(emb, cb, 64, 16)
 
     # Multiset symmetric difference via per-row counts (the pq-roundtrip
     # comparator): each side's encode executes once.
