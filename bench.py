@@ -19,11 +19,29 @@ state — cached/checkpointed blocks, listener queues, broadcast-cleanup
 backlog — that inflates LATE-suite queries ~0.2 s each while their plans
 are unchanged (r04: suite median rose 0.52→0.75 while per-plan A/Bs were
 flat). The suite therefore runs in fresh-session chunks of
-``BENCH_SESSION_CHUNK`` queries (alphabetical order preserved, so
-session-memoized shared indexes land with their consumers and stay billed
-to their named build queries); each session re-pays the JVM/Python-path
+``BENCH_SESSION_CHUNK`` queries; each session re-pays the JVM/Python-path
 warmup explicitly OUTSIDE the per-query timers. Cross-round medians are
 comparable per chunk-size; the chunk size is recorded in the output.
+
+Memo-cluster alignment (ADVICE r05): queries that consume the same
+session-memoized shared artifact (shingles/LSH/jaccard pairs, the ANN
+PQ+IVF indexes, the k-gram inverted index, embedding pairs) are kept in
+ONE session — a chunk boundary through such a family would rebuild the
+shared index in the fresh session and bill it to the first consumer
+instead of its named ``*_build`` query. The clusters are discovered by a
+source scan of the suite modules (query function → ``shared_*`` calls,
+transitively closed over memo→memo calls), queries are ordered so each
+cluster is contiguous with its ``*_build`` members first, and chunk
+boundaries only ever land between clusters.
+
+Spike-proof timing (VERDICT r05 task 1): a single-shot measurement lets
+one host-load spike fake a 5× regression in the permanent record (r05:
+two dedup entries recorded 25-32 s that re-measured at 4-9 s). Any query
+whose first measurement exceeds ``BENCH_RETIME_SEC`` (default 2 s) is
+re-run and the MIN of the two is recorded; both samples + n land in
+BENCH_DETAIL.json. ``*_build`` queries are exempt — their second run
+would hit the session memo and measure nothing — so their single-shot
+nature is flagged with ``n=1`` in the detail.
 """
 
 from __future__ import annotations
@@ -80,18 +98,137 @@ def _table_warmup(spark, sf_dir: str) -> None:
             pass
 
 
+def _memo_clusters(names: list[str]) -> dict[str, str]:
+    """query name -> cluster anchor for queries sharing a session memo.
+
+    Discovered from the suite SOURCE (not hardcoded lists that go stale):
+    every ``@query``-decorated function's body is scanned for
+    ``shared_*`` identifiers; ``shared_*`` definitions are likewise
+    scanned so memo→memo chains (jaccard_pairs → lsh_candidates →
+    shingles) merge into one cluster. Queries sharing any memo (directly
+    or transitively) get the same anchor: the cluster's alphabetically
+    first name, with ``*_build`` members winning so one-time shared work
+    is billed to its named build query."""
+    import ast
+    import glob
+    import re as _re
+
+    suite_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "datacooker_dist_spark", "suite",
+    )
+    memo_edges: dict[str, set[str]] = {}
+    query_memos: dict[str, set[str]] = {}
+    for path in sorted(glob.glob(os.path.join(suite_dir, "*.py"))):
+        txt = open(path).read()
+        try:
+            tree = ast.parse(txt)
+        except SyntaxError:
+            continue
+        for node in ast.walk(tree):
+            if not isinstance(node, ast.FunctionDef):
+                continue
+            body = ast.get_source_segment(txt, node) or ""
+            used = {
+                m
+                for m in set(_re.findall(r"\bshared_\w+", body))
+                if m != node.name
+            }
+            if node.name.startswith("shared_"):
+                memo_edges.setdefault(node.name, set()).update(used)
+                continue
+            qname = None
+            for dec in node.decorator_list:
+                if (
+                    isinstance(dec, ast.Call)
+                    and getattr(dec.func, "id", "") == "query"
+                    and dec.args
+                    and isinstance(dec.args[0], ast.Constant)
+                ):
+                    qname = dec.args[0].value
+            if qname and used:
+                query_memos[qname] = used
+
+    # Union-find over memo names (chained memos → one root).
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: str, b: str) -> None:
+        parent[find(a)] = find(b)
+
+    for memo, deps in memo_edges.items():
+        for d in deps:
+            union(memo, d)
+    for memos in query_memos.values():
+        first = next(iter(memos))
+        for m in memos:
+            union(first, m)
+
+    by_root: dict[str, list[str]] = {}
+    for q in names:
+        memos = query_memos.get(q)
+        if memos:
+            by_root.setdefault(find(next(iter(memos))), []).append(q)
+    anchors: dict[str, str] = {}
+    for members in by_root.values():
+        anchor = min(
+            members, key=lambda n: (not n.endswith("_build"), n)
+        )
+        for m in members:
+            anchors[m] = anchor
+    return anchors
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     subset = os.environ.get("BENCH_QUERIES")
     names = subset.split(",") if subset else sorted(QUERIES)
+    retime_sec = float(os.environ.get("BENCH_RETIME_SEC", "2.0"))
 
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     chunk = int(os.environ.get("BENCH_SESSION_CHUNK", "100"))
 
+    # Order: memo clusters contiguous (build queries first within each),
+    # everything else alphabetical around them.
+    anchors = _memo_clusters(names)
+    names = sorted(
+        names,
+        key=lambda n: (
+            anchors.get(n, n),
+            not n.endswith("_build"),
+            n,
+        ),
+    )
+    # Chunk boundaries never split a cluster: close a chunk only when the
+    # next query belongs to a different cluster (or none).
+    chunks: list[list[str]] = [[]]
+    for n in names:
+        cur = chunks[-1]
+        if (
+            len(cur) >= chunk
+            and not (
+                cur
+                and anchors.get(n) is not None
+                and anchors.get(cur[-1]) == anchors.get(n)
+            )
+        ):
+            chunks.append([n])
+        else:
+            cur.append(n)
+
     timings: dict[str, float] = {}
-    for lo in range(0, len(names), chunk):
-        spark = build_session(app_name=f"dds-bench-{lo // chunk}", cpus=cpus)
+    samples: dict[str, list[float]] = {}
+    for ci, chunk_names in enumerate(chunks):
+        if not chunk_names:
+            continue
+        spark = build_session(app_name=f"dds-bench-{ci}", cpus=cpus)
         spark.sparkContext.setLogLevel("ERROR")
 
         # JVM/codegen warmup on a trivial job so the first query isn't
@@ -105,12 +242,25 @@ def main() -> None:
         _python_path_warmup(spark)
         _table_warmup(spark, sf_dir)
 
-        for name in names[lo:lo + chunk]:
+        for name in chunk_names:
             fn = QUERIES[name]
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+
+            def _run_once() -> float:
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                return round(time.perf_counter() - t0, 3)
+
+            t1 = _run_once()
+            vals = [t1]
+            # Spike guard: min-of-2 for heavy queries. Build queries are
+            # exempt — their re-run hits the session memo and would
+            # record a meaningless ~0 s.
+            if t1 > retime_sec and not name.endswith("_build"):
+                vals.append(_run_once())
+            timings[name] = min(vals)
+            samples[name] = vals
 
         spark.stop()
 
@@ -133,6 +283,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "samples": samples,
+                "retime_sec": retime_sec,
                 "sf": sf,
                 "cpus": cpus,
                 "session_chunk": chunk,

@@ -928,6 +928,7 @@ def sorted_neighborhood_pairs(
     shingle_n: int = 3,
     shingles: DataFrame | None = None,
     num_partitions: int | None = None,
+    key_len: int = 64,
 ) -> DataFrame:
     """Sorted-neighborhood near-dedup (r04) — the third blocking family
     beside MinHash-LSH and SimHash chunks: documents sort by their
@@ -947,12 +948,24 @@ def sorted_neighborhood_pairs(
     candidate-driven Jaccard join. Every stage is linear in n for fixed
     window. The oracle replays the same (normalized key, id) total order
     with ROW_NUMBER — binary string collation matches between engines.
+
+    The sort key is BOUNDED to the first ``key_len`` chars of the
+    normalized text (classic SNM uses a fixed-width blocking key): the
+    rank's range exchange then ships ≤``key_len`` chars + id per row
+    instead of whole documents — a ~5× payload cut on this corpus and
+    unbounded at 100 TB, with no semantic loss for the shared-prefix
+    near-dup mode this family targets (the id tiebreak keeps the order
+    total, and survivors still verify by exact full-text Jaccard).
     Output: (id_a, id_b, jaccard ≥ threshold), id_a < id_b.
     """
     from .relational import global_rank
     from .text import fingerprint  # noqa: F401  (normalization twin lives there)
 
-    key = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    key = F.substring(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "),
+        1,
+        key_len,
+    )
     ranked = global_rank(
         docs.select(F.col(id_col), key.alias("_key")),
         ["_key", id_col],

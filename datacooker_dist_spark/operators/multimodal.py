@@ -415,6 +415,16 @@ def decode_wav_samples(payload: bytes) -> list[int]:
     while off + 8 <= len(p):
         cid = p[off:off + 4]
         sz = int.from_bytes(p[off + 4:off + 8], "little")
+        if off + 8 + sz > len(p):
+            # A declared chunk size past the payload end means the
+            # stream is truncated or the header lies — slicing would
+            # silently decode FEWER samples and yield a plausible but
+            # wrong waveform (ADVICE r05). Corrupt in, loud error out.
+            raise NotImplementedError(
+                f"cannot decode samples: RIFF chunk {cid!r} declares "
+                f"{sz} bytes but only {len(p) - off - 8} remain "
+                "(truncated/corrupt payload)"
+            )
         body = p[off + 8:off + 8 + sz]
         if cid == b"fmt ":
             fmt = body
@@ -432,6 +442,12 @@ def decode_wav_samples(payload: bytes) -> list[int]:
             f"dependency-free WAV decoder handles 16-bit integer PCM only "
             f"(format={audio_format}, bits={bits}); install the soundfile "
             "extra for other subtypes"
+        )
+    block_align = int.from_bytes(fmt[12:14], "little")
+    if block_align and len(data) % block_align:
+        raise NotImplementedError(
+            f"cannot decode samples: data chunk length {len(data)} is not "
+            f"a multiple of block align {block_align} (truncated frames)"
         )
     return [
         int.from_bytes(data[i:i + 2], "little", signed=True)

@@ -391,6 +391,13 @@ def _bpe_apply_broadcast(
     bc = df.sparkSession.sparkContext.broadcast(pairs)
     ws = re.compile(r"\s+")
 
+    # Memo cap keeps the constant-memory claim on high-cardinality
+    # vocabularies (ADVICE r05): beyond _MEMO_MAX distinct words the
+    # oldest entries evict FIFO (dict preserves insertion order; hot
+    # Zipf-head words re-enter immediately, so the hit rate stays high
+    # while executor memory stays bounded).
+    _MEMO_MAX = 262_144
+
     def run(batches):
         merges = bc.value
         rank_of = {p: i for i, p in enumerate(merges)}
@@ -407,6 +414,8 @@ def _bpe_apply_broadcast(
                     e = memo.get(w)
                     if e is None:
                         e = _bpe_encode_fold(w, rank_of, merges)
+                        if len(memo) >= _MEMO_MAX:
+                            memo.pop(next(iter(memo)))
                         memo[w] = e
                     n_bpe += len(e)
                     if len(toks) < preview:

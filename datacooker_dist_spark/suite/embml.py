@@ -338,8 +338,17 @@ def embedding_pca_loadings(spark, sf):
     )
     iu, ju = np.triu_indices(d)
 
+    _CAP = float(2 ** 62)
+
     def moment_partials(batches):
-        acc = np.zeros(len(iu), dtype=np.int64)
+        # Python-int accumulators + per-chunk guarded int64 sums (the
+        # exact_comoments pattern): an int64 running acc silently wraps
+        # past ~9e6 rows/partition at the 1e12 grid scale, and the
+        # partial itself ships as DECIMAL(38,0) so no partition total
+        # can overflow regardless of magnitude.
+        import decimal
+
+        acc = [0] * len(iu)
         seen = False
         for b in batches:
             V = np.asarray(
@@ -350,22 +359,34 @@ def embedding_pca_loadings(spark, sf):
             # (~17 MB at 1024 rows) — never the full chunk × d × d cube.
             for lo in range(0, len(V), 1024):
                 C = V[lo:lo + 1024]
-                P = C[:, iu] * C[:, ju]
-                acc += np.rint(P * 1e12).astype(np.int64).sum(axis=0)
+                P = np.rint(C[:, iu] * C[:, ju] * 1e12)
+                if P.size == 0:
+                    continue
+                mx = float(np.max(np.abs(P)))
+                if mx * len(P) < _CAP:
+                    v = P.astype(np.int64).sum(axis=0)
+                    for t in range(len(iu)):
+                        acc[t] += int(v[t])
+                else:
+                    for t in range(len(iu)):
+                        acc[t] += sum(int(x) for x in P[:, t])
             seen = True
         if seen:
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(iu + 1, type=pa.int32()),
                     pa.array(ju + 1, type=pa.int32()),
-                    pa.array(acc, type=pa.int64()),
+                    pa.array(
+                        [decimal.Decimal(a) for a in acc],
+                        type=pa.decimal128(38, 0),
+                    ),
                 ],
                 names=["i", "j", "pl"],
             )
 
     p = (
         emb.select("embedding")
-        .mapInArrow(moment_partials, "i int, j int, pl long")
+        .mapInArrow(moment_partials, "i int, j int, pl decimal(38,0)")
         .groupBy("i", "j")
         .agg(
             (F.sum(F.col("pl").cast("decimal(38,0)")) / F.lit(10.0 ** 12))

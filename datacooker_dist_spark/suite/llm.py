@@ -493,7 +493,8 @@ def text_duplicated_window_fraction(spark, sf):
     oracle=f"""
     WITH k AS (
       SELECT doc_id,
-             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS key
+             substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                    1, 64) AS key
       FROM documents),
     r AS (
       SELECT doc_id, ROW_NUMBER() OVER (ORDER BY key, doc_id) AS rn
@@ -515,13 +516,15 @@ def text_duplicated_window_fraction(spark, sf):
     """,
 )
 def dedup_sorted_neighborhood(spark, sf):
-    """Sorted-neighborhood near-dedup (r04) — the third blocking family
-    beside MinHash-LSH buckets and SimHash chunks: docs sort globally by
-    normalized text (distributed two-pass rank, never a single-partition
-    sort), each doc compares only to its 4 successors, survivors verify
-    by exact Jaccard. The oracle replays the identical (key, id) total
-    order with ROW_NUMBER — proving the distributed rank machinery
-    produces the exact classic-algorithm answer."""
+    """Sorted-neighborhood near-dedup (r04; r06 bounded key) — the third
+    blocking family beside MinHash-LSH buckets and SimHash chunks: docs
+    sort globally by a 64-char bounded prefix of the normalized text
+    (classic SNM fixed-width blocking key — the rank exchange ships
+    ≤64 chars per row, never whole documents), each doc compares only to
+    its 4 successors, survivors verify by exact full-text Jaccard. The
+    oracle replays the identical (bounded key, id) total order with
+    ROW_NUMBER — proving the distributed rank machinery produces the
+    exact classic-algorithm answer."""
     from . import shared_shingles
 
     return D.sorted_neighborhood_pairs(
@@ -931,6 +934,11 @@ def similarity_recall_drift(spark, sf):
         "appended_stale": (stale_centroids, appended),
         "retrained": shared_ivf_index(spark, sf),
     }
+    # Denominator comes from the EXACT set's own size (n_queries · k),
+    # never a literal: on a corpus where the query filter yields fewer
+    # rows, a hard-coded 10·k would deflate both recalls and gate the
+    # retrain decision on wrong numbers (ADVICE r05).
+    denom = exact.agg(F.count(F.lit(1)).cast("double").alias("_denom"))
     out = None
     for name, cells in variants.items():
         topk = S.cosine_topk_ivf(
@@ -946,8 +954,11 @@ def similarity_recall_drift(spark, sf):
                 F.col("exact_nb") == F.col("approx_nb"),
             ],
         ).agg(
-            (F.count(F.lit(1)) / F.lit(10 * k)).alias("recall")
-        ).select(F.lit(name).alias("index"), "recall")
+            F.count(F.lit(1)).cast("double").alias("_hits")
+        ).join(F.broadcast(denom)).select(
+            F.lit(name).alias("index"),
+            (F.col("_hits") / F.col("_denom")).alias("recall"),
+        )
         out = hits if out is None else out.unionByName(hits)
     agg = out.groupBy().pivot("index").agg(F.first("recall"))
     return agg.select(
