@@ -77,7 +77,7 @@ def join_profit_rollup(spark, sf):
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation ns ON s.s_nationkey = ns.n_nationkey
     JOIN nation nc ON c.c_nationkey = nc.n_nationkey
-    WHERE ns.n_nationkey < 3 AND nc.n_nationkey < 3
+    WHERE ns.n_nationkey < 8 AND nc.n_nationkey < 8
       AND ns.n_nationkey <> nc.n_nationkey
     GROUP BY supp_nation, cust_nation, l_year
     """,
@@ -104,7 +104,7 @@ def join_nation_volume(spark, sf):
         JOIN supplier_v s ON l.l_suppkey = s.s_suppkey
         JOIN nation_v ns ON s.s_nationkey = ns.n_nationkey
         JOIN nation_v nc ON c.c_nationkey = nc.n_nationkey
-        WHERE ns.n_nationkey < 3 AND nc.n_nationkey < 3
+        WHERE ns.n_nationkey < 8 AND nc.n_nationkey < 8
           AND ns.n_nationkey <> nc.n_nationkey
         GROUP BY supp_nation, cust_nation, l_year
         """
@@ -148,7 +148,7 @@ def subquery_in_grouped(spark, sf):
     oracle="""
     SELECT c.c_custkey, c.c_name, c.c_mktsegment
     FROM customer c
-    WHERE c.c_acctbal > 9000
+    WHERE c.c_acctbal > 8000
       AND NOT EXISTS (
         SELECT 1 FROM orders o
         WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
@@ -164,7 +164,7 @@ def subquery_not_exists(spark, sf):
         """
         SELECT c.c_custkey, c.c_name, c.c_mktsegment
         FROM customer_v c
-        WHERE c.c_acctbal > 9000
+        WHERE c.c_acctbal > 8000
           AND NOT EXISTS (
             SELECT 1 FROM orders_v o
             WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')

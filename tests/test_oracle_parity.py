@@ -77,6 +77,13 @@ def _run_parity(name, spark, sf_dir):
     if name not in ORACLES:
         assert len(spark_rows) > 0, f"{name}: rows-only query returned 0 rows"
         return
+    # Empty-agreement is trivially green and proves nothing about the
+    # operator (VERDICT r05 task 3): oracled fixtures must return rows at
+    # every tested scale. Legitimately-empty fixtures need an explicit
+    # allow-list entry here (none currently).
+    assert len(spark_rows) > 0, (
+        f"{name}: oracled query returned 0 rows (trivially green)"
+    )
     con = duck_connection(sf_dir)
     cur = con.execute(ORACLES[name])
     duck_cols = [d[0] for d in cur.description]

@@ -22,6 +22,11 @@ from test_oracle_parity import duck_connection, normalize, values_equal
 qs, os_ = E.queries(), E.oracle_sql()
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 con = duck_connection(sf)
+# Oracled queries must return ROWS: both engines agreeing on an empty
+# result proves nothing about the operator (VERDICT r05 task 3 — the
+# class that let join_anti ride green on 0 rows for five rounds). Any
+# legitimately-empty fixture must be allow-listed here explicitly.
+EMPTY_OK: set = set()
 fails = []
 for name in sorted(qs):
     try:
@@ -31,6 +36,9 @@ for name in sorted(qs):
         if name not in os_:
             assert len(rows) > 0, "rows-only returned 0"
             continue
+        assert len(rows) > 0 or name in EMPTY_OK, (
+            "oracled query returned 0 rows (trivially green)"
+        )
         cur = con.execute(os_[name])
         dcols = [d[0] for d in cur.description]
         drows = cur.fetchall()

@@ -36,6 +36,8 @@ for name in names:
             assert len(rows) > 0, "rows-only returned 0"
             print(f"  {name}: rows-only ok ({len(rows)} rows)")
             continue
+        # Empty-agreement proves nothing (VERDICT r05 task 3).
+        assert len(rows) > 0, "oracled query returned 0 rows (trivially green)"
         cur = con.execute(os_[name])
         dcols = [d[0] for d in cur.description]
         drows = cur.fetchall()
