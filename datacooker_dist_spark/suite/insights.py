@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from . import query, table
+from . import query, scratch_dir, table
 
 # ---------------------------------------------------------------------------
 # text_collocations_pmi
@@ -853,6 +853,96 @@ def quality_expectation_suite(spark, sf):
         F.col("n_checked").cast("long").alias("n_checked"),
         F.col("n_failed").cast("long").alias("n_failed"),
         (F.col("n_failed") == 0).alias("passed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality_quarantine_split (round 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quality_quarantine_split",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderkey,
+             (o_totalprice >= 0 AND o_totalprice <= 400000) AS ok_range,
+             (o_orderstatus IN ('O', 'F', 'P')) AS ok_status,
+             regexp_matches(o_orderpriority, '^[1-5]-') AS ok_priority
+      FROM orders)
+    SELECT CASE WHEN ok_range AND ok_status AND ok_priority
+                THEN 'clean' ELSE 'quarantine' END AS gate,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN NOT ok_range THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_range_fail,
+           CAST(SUM(CASE WHEN NOT ok_status THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_status_fail,
+           CAST(SUM(CASE WHEN NOT ok_priority THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_priority_fail
+    FROM g GROUP BY gate
+    """,
+)
+def quality_quarantine_split(spark, sf):
+    """The OPERATIONAL half of the expectation suite (VERDICT r05 task
+    7, the Deequ/dbt store_failures pattern): where
+    ``quality_expectation_suite`` reports per-check failure counts,
+    this query ROUTES the rows — every record failing any row-level
+    expectation (price range, status domain, priority format) goes to a
+    ``quarantine`` partition with a ``reasons`` audit column, the rest
+    to ``clean`` — and lands BOTH through the engine's own
+    hadoopParquet sink as one hive-partitioned write
+    (``partition_by=[gate]``, the same machinery as
+    ``adapter_partitioned_roundtrip``). The result is computed from a
+    COLD read-back of the written files, re-deriving each expectation
+    from the round-tripped values: equality with the oracle proves the
+    split is complete (clean + quarantine = source, no row lost or
+    double-routed) and the values survived the sink. At 100 TB this is
+    one linear scan + a partitioned write — the gate column never
+    shuffles more than the write itself."""
+    from ..model import DataStream, StreamType
+    from ..registry import resolve_output
+
+    ok_range = (F.col("o_totalprice") >= 0) & (
+        F.col("o_totalprice") <= 400000
+    )
+    ok_status = F.col("o_orderstatus").isin("O", "F", "P")
+    ok_priority = F.col("o_orderpriority").rlike("^[1-5]-")
+    routed = table(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.when(ok_range & ok_status & ok_priority, "clean")
+        .otherwise("quarantine")
+        .alias("gate"),
+        F.concat_ws(
+            ",",
+            F.when(~ok_range, F.lit("totalprice_range")),
+            F.when(~ok_status, F.lit("status_domain")),
+            F.when(~ok_priority, F.lit("priority_format")),
+        ).alias("reasons"),
+    )
+    base = scratch_dir("quarantine")
+    out = resolve_output("hadoopParquet")().configure(
+        {"partition_by": ["gate"]}
+    ).initialize(spark, base)
+    out.save("orders_gated", DataStream("orders_gated", routed,
+                                        StreamType.COLUMNAR))
+    back = spark.read.parquet(base)
+    return back.groupBy(F.col("gate").cast("string").alias("gate")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(
+            ~(
+                (F.col("o_totalprice") >= 0)
+                & (F.col("o_totalprice") <= 400000)
+            )
+        ).alias("n_range_fail"),
+        F.count_if(~F.col("o_orderstatus").isin("O", "F", "P")).alias(
+            "n_status_fail"
+        ),
+        F.count_if(~F.col("o_orderpriority").rlike("^[1-5]-")).alias(
+            "n_priority_fail"
+        ),
     )
 
 
