@@ -998,6 +998,35 @@ def similarity_index_append(spark, sf):
     )
 
 
+@query("similarity_append_retrain_loop")  # rows-only: control loop
+def similarity_append_retrain_loop(spark, sf):
+    """The append→drift→retrain CONTROL LOOP end-to-end (VERDICT r05
+    task 8): one declarative deliverable that appends the ingest batch
+    (vec_id % 5 == 0) to the stale index built on the rest, measures
+    appended-vs-retrained recall@5 against exact brute force over the
+    grown corpus (the `similarity_recall_drift` metric), applies the
+    0.05 trigger, and ships the ACTIVE index — the retrained
+    assignment when drift exceeds tolerance, the cheap appended one
+    otherwise — with the decision columns on every row. The decision
+    never touches the driver (the 1-row drift frame broadcast-joins
+    onto the tagged candidate indexes and a filter keeps the chosen
+    source); deterministic for the pinned hash-sample seeds, both
+    branches property-tested in tests/test_operators.py via a
+    doctored batch. The retrained candidate reuses the session's
+    shared full-corpus IVF index — at 100 TB the steady-state loop
+    pays one batch assignment + a bounded recall probe, and the full
+    retrain only when the measured drift demands it."""
+    emb = table(spark, sf, "embeddings")
+    return S.ivf_append_retrain_loop(
+        emb.filter(F.col("vec_id") % 5 != 0),
+        emb.filter(F.col("vec_id") % 5 == 0),
+        emb.filter(F.col("vec_id") < 10),
+        k=5, n_cells=16, nprobe=4,
+        refine_iters=ANN_REFINE_ITERS, assign_spill=IVF_SPILL,
+        tolerance=0.05, retrained=shared_ivf_index(spark, sf),
+    )
+
+
 @query("similarity_recall_drift")  # rows-only: audits approximate indexes
 def similarity_recall_drift(spark, sf):
     """ANN index RE-TRAIN GATE (VERDICT r04 task 2): after appending a

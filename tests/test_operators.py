@@ -1373,3 +1373,76 @@ def test_exact_comoments_max_magnitude_chunks(spark):
     ).collect()[0]
     for k in ("n", "s_0", "s_1", "s_0_0", "s_0_1", "s_1_1"):
         assert got[k] == ref[k], (k, got[k], ref[k])
+
+
+def test_ivf_append_retrain_loop_both_branches(spark):
+    """The append→drift→retrain control loop (VERDICT r05 task 8) takes
+    BOTH branches deterministically. Keep branch: the ingest batch is
+    drawn from the same two base clusters, so stale centroids describe
+    it fine — drift ≤ tolerance and the cheap APPENDED index ships.
+    Retrain branch: a doctored batch forms a brand-new tight cluster
+    orthogonal to everything the stale centroids were trained on, and
+    the queries live in that cluster — appended recall craters while
+    the retrained index carves cells for it, so drift > tolerance and
+    the RETRAINED index ships. Seeds are pinned (numpy + the engine's
+    hash-shuffled samples), so both decisions are exact assertions,
+    not flaky inequalities."""
+    import numpy as np
+
+    from datacooker_dist_spark.operators.similarity import (
+        ivf_append_retrain_loop,
+    )
+
+    rng = np.random.default_rng(7)
+    dim = 8
+
+    def frame(vectors, start_id):
+        return spark.createDataFrame(
+            [
+                (int(start_id + i), [float(x) for x in v])
+                for i, v in enumerate(vectors)
+            ],
+            "vec_id long, embedding array<double>",
+        )
+
+    # Base: two well-separated clusters along axes 0 and 1.
+    a = rng.normal(0, 0.05, (120, dim)) + np.eye(dim)[0]
+    b = rng.normal(0, 0.05, (120, dim)) + np.eye(dim)[1]
+    base = frame(np.vstack([a, b]), 0)
+
+    # KEEP branch: batch from the same clusters; queries from base.
+    same = rng.normal(0, 0.05, (40, dim)) + np.eye(dim)[0]
+    keep = ivf_append_retrain_loop(
+        base, frame(same, 1000), base.filter("vec_id < 6"),
+        k=3, n_cells=4, nprobe=1, refine_iters=3, tolerance=0.05,
+    )
+    keep_rows = keep.select(
+        "index_source", "retrain_triggered", "drift"
+    ).distinct().collect()
+    assert len(keep_rows) == 1
+    assert keep_rows[0]["retrain_triggered"] is False
+    assert keep_rows[0]["index_source"] == "appended"
+    assert keep.count() == 280  # every grown-corpus vector, spill=1
+
+    # RETRAIN branch: doctored batch = a large new cluster exactly
+    # BETWEEN the two base clusters ((e0+e1)/√2, σ=0.15), queried from
+    # inside itself. The stale centroids see it at equal cosine from
+    # both sides, so noise scatters its assignments across the old
+    # cells and the nprobe=1 probe finds only a slice of each query's
+    # true neighbors (measured appended recall 0.56); the retrained
+    # index carves cells for the new mass (recall 1.0) — drift 0.44.
+    mid = (np.eye(dim)[0] + np.eye(dim)[1]) / np.sqrt(2)
+    new = rng.normal(0, 0.15, (120, dim)) + mid
+    newf = frame(new, 2000)
+    retrain = ivf_append_retrain_loop(
+        base, newf, newf.filter("vec_id < 2006"),
+        k=3, n_cells=4, nprobe=1, refine_iters=3, tolerance=0.05,
+    )
+    r_rows = retrain.select(
+        "index_source", "retrain_triggered", "drift"
+    ).distinct().collect()
+    assert len(r_rows) == 1
+    assert r_rows[0]["retrain_triggered"] is True
+    assert r_rows[0]["index_source"] == "retrained"
+    assert r_rows[0]["drift"] > 0.05
+    assert retrain.count() == 360

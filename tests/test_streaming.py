@@ -262,3 +262,96 @@ def test_rate_source_drives_stateful_counts(spark, tmp_path):
     assert len(ns) == 1
     n = ns.pop()
     assert n >= 40 and n % 10 == 0
+
+
+def test_socket_source_drives_stateful_counts(spark, tmp_path):
+    """Socket source smoke (VERDICT r05 task 6, the offline-closable half
+    of message-bus parity): a real TCP text socket — a push source with
+    live offsets, the closest in-sandbox stand-in for a Kafka-shaped
+    bus — drives the applyInPandasWithState running-count operator.
+    The server paces its 100 lines in two bursts so the micro-batch
+    scheduler forms multiple batches; after the drain each of the 5
+    residue keys must have counted exactly 20 events, proving the
+    stateful operator is source-agnostic (file availableNow, rate
+    trigger, and socket push all feed the identical plan)."""
+    import socket
+    import threading
+    import time
+
+    from datacooker_dist_spark.streaming.stateful import running_counts
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    done = threading.Event()
+
+    def serve():
+        conn, _ = srv.accept()
+        with conn:
+            for burst in (range(0, 50), range(50, 100)):
+                conn.sendall(
+                    "".join(f"{i % 5}\n" for i in burst).encode()
+                )
+                time.sleep(1.0)
+            # Keep the connection open until the reader is stopped — the
+            # socket source treats EOF as a stream error.
+            done.wait(timeout=120)
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    stream = (
+        spark.readStream.format("socket")
+        .option("host", "127.0.0.1")
+        .option("port", port)
+        .load()
+        .select(F.col("value").cast("long").alias("k"))
+    )
+    counts = running_counts(stream, key_col="k")
+
+    def dump(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(sink)
+
+    q = (
+        counts.writeStream.foreachBatch(dump)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if os.path.exists(sink):
+                try:
+                    last = (
+                        spark.read.parquet(sink)
+                        .groupBy("k")
+                        .agg(F.max("n_events").alias("n"))
+                    )
+                    rows = {r["k"]: r["n"] for r in last.collect()}
+                except Exception:
+                    rows = {}
+                if set(rows) == {0, 1, 2, 3, 4} and all(
+                    n == 20 for n in rows.values()
+                ):
+                    break
+            time.sleep(0.5)
+        else:
+            raise AssertionError("socket stream never drained 100 lines")
+    finally:
+        done.set()
+        q.stop()
+        q.awaitTermination()
+        srv.close()
+
+    last = (
+        spark.read.parquet(sink)
+        .groupBy("k")
+        .agg(F.max("n_events").alias("n"))
+    )
+    rows = {r["k"]: r["n"] for r in last.collect()}
+    assert rows == {0: 20, 1: 20, 2: 20, 3: 20, 4: 20}
