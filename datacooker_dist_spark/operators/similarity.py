@@ -1325,6 +1325,7 @@ def ivfpq_residual_index(
     refine_iters: int = 0,
     cells: tuple[DataFrame, DataFrame] | None = None,
     assign_spill: int = 1,
+    cache_residuals: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Build the residual IVF-PQ index (the one-time artifact
     :func:`cosine_topk_ivfpq_residual` probes): returns
@@ -1335,7 +1336,16 @@ def ivfpq_residual_index(
     composite (id, cell) key, so spill rows' larger second-centroid
     residuals are represented in the fit. All passes are linear
     broadcast joins; see the probe function for the full design
-    rationale."""
+    rationale.
+
+    ``cache_residuals`` localCheckpoints the residual frame for the
+    build: THREE consumers walk it (codebook sampling, the encode, the
+    index join) and the zip_with subtraction is an interpreted HOF, so
+    at corpus scale this trades one n·spill×dim materialization for
+    two full re-walks. At the test scales the build is
+    scheduler-bound (the k-means refine's iteration stages dominate)
+    and the cache is measured-neutral; it exists for the 100 TB
+    posture. Pass False for a fully lazy plan."""
     centroids, assigned = (
         cells
         if cells is not None
@@ -1365,6 +1375,8 @@ def ivfpq_residual_index(
     res_k = res.withColumn(
         "_ridx", F.concat_ws("#", F.col(id_col), F.col("cell"))
     )
+    if cache_residuals:
+        res_k = res_k.localCheckpoint()
     cb = pq_codebooks(
         res_k.select("_ridx", "_rv"), dim, m, n_codes, "_ridx", "_rv",
         refine_iters=refine_iters,
