@@ -1326,6 +1326,7 @@ def ivfpq_residual_index(
     cells: tuple[DataFrame, DataFrame] | None = None,
     assign_spill: int = 1,
     cache_residuals: bool = True,
+    codebooks: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Build the residual IVF-PQ index (the one-time artifact
     :func:`cosine_topk_ivfpq_residual` probes): returns
@@ -1377,9 +1378,16 @@ def ivfpq_residual_index(
     )
     if cache_residuals:
         res_k = res_k.localCheckpoint()
-    cb = pq_codebooks(
-        res_k.select("_ridx", "_rv"), dim, m, n_codes, "_ridx", "_rv",
-        refine_iters=refine_iters,
+    # ``codebooks`` given → encode-only build: the APPEND path at scale
+    # (a new batch encodes against STANDING centroids + codebooks — one
+    # linear pass over the batch, no training).
+    cb = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks(
+            res_k.select("_ridx", "_rv"), dim, m, n_codes, "_ridx", "_rv",
+            refine_iters=refine_iters,
+        )
     )
     enc = pq_encode(res_k, cb, dim, m, "_ridx", "_rv")
     # The searchable index: (id, cell, codes, true norm) — the encode's
