@@ -39,9 +39,11 @@ one host-load spike fake a 5× regression in the permanent record (r05:
 two dedup entries recorded 25-32 s that re-measured at 4-9 s). Any query
 whose first measurement exceeds ``BENCH_RETIME_SEC`` (default 2 s) is
 re-run and the MIN of the two is recorded; both samples + n land in
-BENCH_DETAIL.json. ``*_build`` queries are exempt — their second run
-would hit the session memo and measure nothing — so their single-shot
-nature is flagged with ``n=1`` in the detail.
+BENCH_DETAIL.json. Memo-cluster FIRST-TOUCH queries (every ``*_build``
+and any cluster without a named build) are exempt — their second run
+would hit the session memo and measure probe-only, silently erasing the
+build cost — so their single-shot nature is flagged with a 1-sample
+list in the detail.
 """
 
 from __future__ import annotations
@@ -111,12 +113,32 @@ def _memo_clusters(names: list[str]) -> dict[str, str]:
     is billed to its named build query."""
     import ast
     import glob
-    import re as _re
 
     suite_dir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "datacooker_dist_spark", "suite",
     )
+    def _shared_names(node: ast.FunctionDef) -> set[str]:
+        # Walk actual identifier nodes (Name/Attribute/ImportFrom) so a
+        # docstring or comment MENTIONING a memo can't forge a cluster
+        # edge and silently reorder the bench (review r06).
+        used: set[str] = set()
+        for n in ast.walk(node):
+            if isinstance(n, ast.Name) and n.id.startswith("shared_"):
+                used.add(n.id)
+            elif isinstance(n, ast.Attribute) and n.attr.startswith(
+                "shared_"
+            ):
+                used.add(n.attr)
+            elif isinstance(n, ast.ImportFrom):
+                used.update(
+                    a.name
+                    for a in n.names
+                    if a.name.startswith("shared_")
+                )
+        used.discard(node.name)
+        return used
+
     memo_edges: dict[str, set[str]] = {}
     query_memos: dict[str, set[str]] = {}
     for path in sorted(glob.glob(os.path.join(suite_dir, "*.py"))):
@@ -128,12 +150,7 @@ def _memo_clusters(names: list[str]) -> dict[str, str]:
         for node in ast.walk(tree):
             if not isinstance(node, ast.FunctionDef):
                 continue
-            body = ast.get_source_segment(txt, node) or ""
-            used = {
-                m
-                for m in set(_re.findall(r"\bshared_\w+", body))
-                if m != node.name
-            }
+            used = _shared_names(node)
             if node.name.startswith("shared_"):
                 memo_edges.setdefault(node.name, set()).update(used)
                 continue
@@ -206,6 +223,22 @@ def main() -> None:
             n,
         ),
     )
+    # A cluster's FIRST query (in running order) pays the shared memo
+    # build, so its re-run would hit the memo and measure probe-only —
+    # min-of-2 would silently erase the build cost from the record (the
+    # exact failure mode the retime guard exists to prevent faking the
+    # other way). Exempt first-touchers from re-timing; by construction
+    # the `*_build` members sort first, so this also covers them, and it
+    # covers clusters that have NO named build query (review r06:
+    # the shared_embedding_pairs family).
+    first_touch: set[str] = set()
+    seen_clusters: set[str] = set()
+    for n in names:
+        a = anchors.get(n)
+        if a is not None and a not in seen_clusters:
+            seen_clusters.add(a)
+            first_touch.add(n)
+
     # Chunk boundaries never split a cluster: close a chunk only when the
     # next query belongs to a different cluster (or none).
     chunks: list[list[str]] = [[]]
@@ -254,10 +287,15 @@ def main() -> None:
 
             t1 = _run_once()
             vals = [t1]
-            # Spike guard: min-of-2 for heavy queries. Build queries are
-            # exempt — their re-run hits the session memo and would
-            # record a meaningless ~0 s.
-            if t1 > retime_sec and not name.endswith("_build"):
+            # Spike guard: min-of-2 for heavy queries. Memo-cluster
+            # first-touchers (every `*_build` query and any cluster
+            # without one) are exempt — their re-run hits the session
+            # memo and would record a meaningless probe-only time.
+            if (
+                t1 > retime_sec
+                and name not in first_touch
+                and not name.endswith("_build")
+            ):
                 vals.append(_run_once())
             timings[name] = min(vals)
             samples[name] = vals

@@ -953,9 +953,15 @@ def sorted_neighborhood_pairs(
     normalized text (classic SNM uses a fixed-width blocking key): the
     rank's range exchange then ships ≤``key_len`` chars + id per row
     instead of whole documents — a ~5× payload cut on this corpus and
-    unbounded at 100 TB, with no semantic loss for the shared-prefix
-    near-dup mode this family targets (the id tiebreak keeps the order
-    total, and survivors still verify by exact full-text Jaccard).
+    unbounded at 100 TB. The standard fixed-width-key trade applies:
+    among documents sharing an IDENTICAL ``key_len``-char normalized
+    prefix, order falls to the id tiebreak rather than tail content,
+    so when more than ``window`` docs share a prefix, a tail-similar
+    pair inside that group can fall out of the window (full-text
+    ordering had the same property for shared FULL texts; raise
+    ``key_len`` or ``window`` for prefix-template-heavy corpora).
+    Survivors still verify by exact full-text Jaccard, so precision is
+    unaffected either way.
     Output: (id_a, id_b, jaccard ≥ threshold), id_a < id_b.
     """
     from .relational import global_rank

@@ -417,9 +417,16 @@ def decode_wav_samples(payload: bytes) -> list[int]:
         sz = int.from_bytes(p[off + 4:off + 8], "little")
         if off + 8 + sz > len(p):
             # A declared chunk size past the payload end means the
-            # stream is truncated or the header lies — slicing would
-            # silently decode FEWER samples and yield a plausible but
-            # wrong waveform (ADVICE r05). Corrupt in, loud error out.
+            # stream is truncated or the header lies. If the ESSENTIAL
+            # chunks are already fully parsed, a cut-off trailing
+            # metadata chunk (LIST/INFO — the common truncation point
+            # for re-uploaded files) must not fail the decode; but a
+            # truncated fmt/data would silently yield FEWER samples and
+            # a plausible-but-wrong waveform (ADVICE r05) — loud error.
+            if fmt is not None and data is not None and cid not in (
+                b"fmt ", b"data"
+            ):
+                break
             raise NotImplementedError(
                 f"cannot decode samples: RIFF chunk {cid!r} declares "
                 f"{sz} bytes but only {len(p) - off - 8} remain "

@@ -1636,12 +1636,19 @@ def ivf_append_retrain_loop(
         assign_spill=assign_spill,
     )
     stale_centroids = stale_centroids.localCheckpoint()
+    # Both candidate indexes are consumed TWICE (the recall probe and
+    # the shipped-candidate union) and the exact brute-force frame
+    # THRICE (denominator + both recall joins) — materialize each once
+    # so the steady-state cost really is one batch assignment + one
+    # bounded recall probe, not 2-3 re-executions of the heaviest
+    # lineages (review r06). All three frames are bounded: assignments
+    # are (id, cell, vector) rows, exact is |Q|·k rows.
     appended = stale_assigned.unionByName(
         ivf_assign(
             batch, stale_centroids, id_col, vec_col,
             assign_spill=assign_spill,
         )
-    )
+    ).localCheckpoint()
     retrained_centroids, retrained_assigned = (
         retrained
         if retrained is not None
@@ -1650,11 +1657,17 @@ def ivf_append_retrain_loop(
             assign_spill=assign_spill,
         )
     )
+    if retrained is None:
+        # A caller-provided index (the suite's session memo) arrives
+        # already materialized; only an internal build needs the
+        # two-consumer truncation.
+        retrained_centroids = retrained_centroids.localCheckpoint()
+        retrained_assigned = retrained_assigned.localCheckpoint()
 
     exact = cosine_topk(corpus, queries, k=k, id_col=id_col,
                         vec_col=vec_col).select(
         "query_id", F.col("neighbor_id").alias("exact_nb")
-    )
+    ).localCheckpoint()
     denom = exact.agg(F.count(F.lit(1)).cast("double").alias("_denom"))
 
     def _recall(cells, name):
