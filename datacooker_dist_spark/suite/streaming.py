@@ -942,6 +942,80 @@ def stream_comoment_corr(spark, sf):
 
 
 @query(
+    "stream_quality_quarantine",
+    oracle="""
+    WITH g AS (
+      SELECT (value <= 300) AS ok_value,
+             (event_type <> 'error') AS ok_type
+      FROM events)
+    SELECT CASE WHEN ok_value AND ok_type THEN 'clean'
+                ELSE 'quarantine' END AS gate,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN NOT ok_value THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_value_fail,
+           CAST(SUM(CASE WHEN NOT ok_type THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_type_fail
+    FROM g GROUP BY gate
+    """,
+)
+def stream_quality_quarantine(spark, sf):
+    """STREAMING twin of `quality_quarantine_split` (r06) — the
+    operational ingest gate that ROUTES rows, not just counts
+    failures: every micro-batch splits on its row-level expectations
+    (value ≤ 300, event_type not 'error') and lands each half through
+    a per-``gate/b<batch_id>`` overwrite — the same exactly-once
+    discipline as `stream_expectation_gate`, so a replayed batch
+    replaces rather than duplicates its own output. The result
+    aggregates a COLD read-back of BOTH partitions, re-deriving the
+    expectations from round-tripped values; the oracle computes the
+    identical split in one batch pass — route-then-union ≡ one-pass
+    split, the merge≡rebuild contract in row-routing form. At 100 TB
+    this is the gate in front of every training-data ingest: bad rows
+    quarantined with the batch they arrived in, clean rows flowing on,
+    nothing dropped or double-routed."""
+    base_dir = scratch_dir("qsplit")
+    target, ckpt = f"{base_dir}/routed", f"{base_dir}/ckpt"
+    stream = events_stream(spark, sf)
+    ok = (F.col("value") <= 300) & (F.col("event_type") != "error")
+
+    def route(batch_df, batch_id):
+        # Standard foreachBatch multi-sink shape: persist the routed
+        # batch so the two gate writes scan the micro-batch ONCE, not
+        # once per sink.
+        routed = batch_df.select(
+            "event_id", "event_type", "value",
+            F.when(ok, "clean").otherwise("quarantine").alias("gate"),
+        ).persist()
+        try:
+            for gate in ("clean", "quarantine"):
+                routed.filter(F.col("gate") == gate).write.mode(
+                    "overwrite"
+                ).parquet(f"{target}/{gate}/b{batch_id}")
+        finally:
+            routed.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(route)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = (
+        spark.read.option("recursiveFileLookup", "true")
+        .schema(
+            "event_id bigint, event_type string, value double, gate string"
+        )
+        .parquet(target)
+    )
+    return back.groupBy("gate").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(~(F.col("value") <= 300)).alias("n_value_fail"),
+        F.count_if(~(F.col("event_type") != "error")).alias("n_type_fail"),
+    )
+
+
+@query(
     "stream_expectation_gate",
     oracle="""
     WITH s AS (
