@@ -91,6 +91,24 @@ GALLERY = [
      "partition, merged by a bounded hash aggregate and trimmed to ≤k rows "
      "total (1-row broadcast stats) — no corpus-sized exchange anywhere; "
      "the bound check joins a 1-row broadcast total"),
+    ("dedup_sorted_neighborhood",
+     "sorted-neighborhood (r06 bounded key): the global rank's "
+     "`Exchange rangepartitioning` carries a ≤64-char substring key + id "
+     "— never the document text — and candidate generation is a narrow "
+     "rank-shift `SortMergeJoin` on integers; the only text-bearing "
+     "exchange left is the Jaccard verification's candidate-driven join"),
+    ("quality_quarantine_split",
+     "quarantine routing (r06): ONE linear scan computes the gate and "
+     "the hive-partitioned sink write is the only exchange; the read-back "
+     "aggregate scans the written files with `PartitionFilters` available "
+     "to any downstream gate consumer"),
+    ("similarity_append_retrain_loop",
+     "append→drift→retrain control loop (r06): both candidate indexes "
+     "are id/cell rows; the 1-row drift frame arrives by "
+     "`BroadcastNestedLoopJoin` (1-row build side — constant, NOT a "
+     "cartesian) and the decision filter selects the shipped index "
+     "inside the same stage; exact recall probes are bounded "
+     "query-side broadcasts"),
 ]
 
 
