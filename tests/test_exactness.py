@@ -252,7 +252,21 @@ def test_time_weighted_avg_matches_brute_force(spark, rows):
             d = t1 - t0
             # mirror dsum's decimal(25,6) truncation of each product
             wsum += Decimal(f"{v * d:.6f}")
-        want[k] = (span, round(float(wsum) / span, 6))
+        # Mirror Spark's round(double, 6): BigDecimal.valueOf (shortest
+        # decimal repr of the double) + HALF_UP. Python's round() is
+        # half-even on the BINARY value, which disagrees on exact
+        # decimal ties — hypothesis found 0.59/160 = 0.0036875 →
+        # engine 0.003688, float-round 0.003687.
+        from decimal import ROUND_HALF_UP
+
+        want[k] = (
+            span,
+            float(
+                Decimal(repr(float(wsum) / span)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            ),
+        )
     assert set(got) == set(want)
     for k in want:
         assert got[k][0] == want[k][0], f"span mismatch key {k}"
