@@ -256,3 +256,65 @@ def test_pareto_front_2d_on_empty_input(spark):
     out = R.pareto_front_2d(pts, "price", "size", lo=0, hi=100, buckets=8)
     assert out.columns == ["id", "price", "size"]
     assert out.count() == 0
+
+
+def test_sorted_neighborhood_on_empty_corpus(spark):
+    out = D.sorted_neighborhood_pairs(_empty_docs(spark))
+    assert out.count() == 0
+    assert set(out.columns) == {"id_a", "id_b", "jaccard"}
+
+
+def test_kgram_rows_on_empty_corpus(spark):
+    g = D.kgram_occurrence_rows(_empty_docs(spark))
+    assert g.count() == 0
+    assert set(g.columns) == {"doc_id", "_pos", "_gh"}
+
+
+def test_residual_index_on_empty_batch_append(spark):
+    """The residual append path (standing centroids + codebooks) must
+    yield an EMPTY index for an empty ingest batch — the routine
+    no-new-data trigger at 100 TB — with the full schema intact."""
+    from datacooker_dist_spark.operators.similarity import (
+        ivf_assign,
+        ivf_cells,
+        ivfpq_residual_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    cells = ivf_cells(emb, 4, refine_iters=1)
+    cells = (cells[0].localCheckpoint(), cells[1].localCheckpoint())
+    _, cb, _ = ivfpq_residual_index(emb, 64, 8, 8, cells=cells)
+    empty = emb.filter(F.lit(False))
+    _, _, idx = ivfpq_residual_index(
+        empty, 64, 8, 8,
+        cells=(cells[0], ivf_assign(empty, cells[0])),
+        codebooks=cb.localCheckpoint(),
+    )
+    assert idx.count() == 0
+    assert set(idx.columns) == {"vec_id", "cell", "_tnorm", "codes"}
+
+
+def test_retrain_loop_on_empty_batch(spark):
+    """An empty ingest batch must flow through the control loop: the
+    appended index equals the stale one, recalls match the retrained
+    index's by construction-or-better, and the shipped index is the
+    cheap appended one (drift cannot exceed tolerance when nothing
+    changed and both variants share the same training sample)."""
+    from datacooker_dist_spark.operators.similarity import (
+        ivf_append_retrain_loop,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").filter(
+        "vec_id < 60"
+    )
+    out = ivf_append_retrain_loop(
+        emb, emb.filter(F.lit(False)), emb.filter("vec_id < 3"),
+        k=3, n_cells=4, nprobe=2, refine_iters=1, tolerance=0.05,
+    )
+    rows = out.select("index_source", "retrain_triggered").distinct().collect()
+    assert len(rows) == 1
+    # base == corpus → stale build ≡ retrained build (same sample, same
+    # data) → drift is exactly 0 → keep.
+    assert rows[0]["retrain_triggered"] is False
+    assert rows[0]["index_source"] == "appended"
+    assert out.count() == 60
