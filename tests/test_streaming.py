@@ -355,3 +355,61 @@ def test_socket_source_drives_stateful_counts(spark, tmp_path):
     )
     rows = {r["k"]: r["n"] for r in last.collect()}
     assert rows == {0: 20, 1: 20, 2: 20, 3: 20, 4: 20}
+
+
+def test_quarantine_routing_exactly_once_across_restart(spark, tmp_path):
+    """The streaming quarantine's per-``gate/b<batch_id>`` overwrite
+    discipline survives a RESTART: a second availableNow run against
+    the same checkpoint routes only the files that arrived in between,
+    and the union of both gates holds every row exactly once — no
+    reprocessing duplicates, no row lost or double-routed across the
+    clean/quarantine boundary."""
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "routed")
+    ckpt = str(tmp_path / "ckpt")
+    ok = F.col("v") <= 100
+
+    def write(rows):
+        spark.createDataFrame(rows, "k long, v long").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def drain():
+        def route(batch_df, batch_id):
+            routed = batch_df.select(
+                "k", "v",
+                F.when(ok, "clean").otherwise("quarantine").alias("gate"),
+            ).persist()
+            try:
+                for gate in ("clean", "quarantine"):
+                    routed.filter(F.col("gate") == gate).write.mode(
+                        "overwrite"
+                    ).parquet(f"{target}/{gate}/b{batch_id}")
+            finally:
+                routed.unpersist()
+
+        q = (
+            spark.readStream.schema("k long, v long")
+            .parquet(src)
+            .writeStream.foreachBatch(route)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write([(1, 50), (2, 500)])
+    drain()
+    write([(3, 60), (4, 600), (5, 70)])
+    drain()
+    back = (
+        spark.read.option("recursiveFileLookup", "true")
+        .schema("k long, v long, gate string")
+        .parquet(target)
+    )
+    rows = {(r["k"], r["gate"]) for r in back.collect()}
+    assert back.count() == 5  # exactly once, across both runs
+    assert rows == {
+        (1, "clean"), (3, "clean"), (5, "clean"),
+        (2, "quarantine"), (4, "quarantine"),
+    }
