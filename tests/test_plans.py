@@ -756,3 +756,31 @@ def test_round5_wave_plan_discipline(spark):
     asn = executed_plan(spark, "join_asof_nearest")
     assert asn.count("Exchange hashpartitioning(_k") == 1
     assert asn.count("Window") == 2  # backward + forward carry
+
+
+def test_round6_wave_plan_discipline(spark):
+    """Round-6 wave: the sorted-neighborhood rank exchange range-
+    partitions on the DERIVED bounded key (a substring projection),
+    never the raw text column; the residual IVF-PQ probe joins codes
+    against BROADCAST artifacts only; the retrain control loop's
+    decision lands by a 1-row broadcast (no cartesian anywhere); the
+    k-gram build is pure JVM expression work — no Python boundary."""
+    snm = executed_plan(spark, "dedup_sorted_neighborhood")
+    assert "rangepartitioning(_key" in snm
+    assert "substring(" in snm  # the 64-char bound feeds the key
+    # the range key is the derived _key + id — the raw text column never
+    # appears among the range partitioning expressions
+    for line in snm.splitlines():
+        if "rangepartitioning" in line:
+            assert "text#" not in line, line
+
+    resid = executed_plan(spark, "similarity_topk_ivfpq_residual")
+    assert "CartesianProduct" not in resid
+    assert "BroadcastHashJoin" in resid  # ADC table + centroid probes
+
+    loop = executed_plan(spark, "similarity_append_retrain_loop")
+    assert "CartesianProduct" not in loop
+
+    kg = executed_plan(spark, "kgram_rows_build")
+    assert "Python" not in kg and "Arrow" not in kg
+    assert "CartesianProduct" not in kg
