@@ -821,8 +821,9 @@ def similarity_topk_ivfpq_residual(spark, sf):
     ``dot(q,v) = dot(q,c) + dot(q,r)`` on the integer grid, with the
     FAISS refine stage on the ADC shortlist. MEASURED at sf0.01 vs the
     raw-PQ twin at identical (m=32, k=32, nprobe=8, spill=2) budget:
-    ADC-only 0.70 residual vs 0.80 raw; rerank=20 both reach the 0.96
-    spilled-candidate ceiling; rerank=10 0.90 vs 0.92 — an HONEST
+    ADC-only 0.70 residual vs 0.80 raw; rerank=20 0.94 (this shared
+    index; a standalone build reaches the 0.96 spilled-candidate
+    ceiling) vs 0.96 raw; rerank=10 0.90 vs 0.92 — an HONEST
     NEGATIVE on this corpus (documented in the operator docstring: the
     synthetic embeddings are near-isotropic, so centroids absorb
     little energy and residuals don't concentrate; at coarse budgets
@@ -2186,7 +2187,9 @@ def similarity_recall_report(spark, sf):
     |approx ∩ exact| / k averaged over queries — integer overlap counts
     and one final division, deterministic for fixed seeds (hyperplanes
     and centroid strides are seed-pinned). Corpus cost: one exact pass
-    (query-side broadcast) + the two pruned passes already benched."""
+    (query-side broadcast) + the pruned passes already benched.
+    Current report at sf0.01 (r06): lsh 0.36, ivf 0.74, pq 0.80,
+    ivfpq_rerank 0.96, ivfpq_residual_rerank 0.94."""
     emb = table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     k = 5
