@@ -34,16 +34,21 @@ transitively closed over memo→memo calls), queries are ordered so each
 cluster is contiguous with its ``*_build`` members first, and chunk
 boundaries only ever land between clusters.
 
-Spike-proof timing (VERDICT r05 task 1): a single-shot measurement lets
-one host-load spike fake a 5× regression in the permanent record (r05:
-two dedup entries recorded 25-32 s that re-measured at 4-9 s). Any query
-whose first measurement exceeds ``BENCH_RETIME_SEC`` (default 2 s) is
-re-run and the MIN of the two is recorded; both samples + n land in
-BENCH_DETAIL.json. Memo-cluster FIRST-TOUCH queries (every ``*_build``
-and any cluster without a named build) are exempt — their second run
-would hit the session memo and measure probe-only, silently erasing the
-build cost — so their single-shot nature is flagged with a 1-sample
-list in the detail.
+Spike-proof timing (VERDICT r05 task 1, retime policy revised per
+ADVICE r06): a single-shot measurement lets one host-load spike fake a
+5× regression in the permanent record (r05: two dedup entries recorded
+25-32 s that re-measured at 4-9 s). Any query whose first measurement
+exceeds ``BENCH_RETIME_SEC`` (default 2 s) is re-run twice more and the
+MEDIAN of the three is recorded — min-of-2 (the r06 policy) removed
+spikes but biased the record optimistically, since second runs benefit
+from warm OS page cache and JIT state; the median of three is robust to
+one spike in either direction without favoring the warmest run. All
+samples + a ``retimed`` flag land in BENCH_DETAIL.json so cross-round
+comparisons can weigh retimed entries. Memo-cluster FIRST-TOUCH queries
+(every ``*_build`` and any cluster without a named build) are exempt —
+their re-run would hit the session memo and measure probe-only,
+silently erasing the build cost — so their single-shot nature is
+flagged with a 1-sample list in the detail.
 """
 
 from __future__ import annotations
@@ -110,7 +115,14 @@ def _memo_clusters(names: list[str]) -> dict[str, str]:
     shingles) merge into one cluster. Queries sharing any memo (directly
     or transitively) get the same anchor: the cluster's alphabetically
     first name, with ``*_build`` members winning so one-time shared work
-    is billed to its named build query."""
+    is billed to its named build query.
+
+    Edges count ONLY for names that resolve to a MODULE-LEVEL
+    ``shared_*`` function whose body touches a ``*_CACHE`` memo dict
+    (ADVICE r06): a local variable, helper parameter, or non-memoized
+    helper that merely starts with ``shared_`` can no longer forge a
+    cluster edge and silently merge unrelated clusters (which would
+    move chunk boundaries and retime exemptions)."""
     import ast
     import glob
 
@@ -139,20 +151,48 @@ def _memo_clusters(names: list[str]) -> dict[str, str]:
         used.discard(node.name)
         return used
 
-    memo_edges: dict[str, set[str]] = {}
-    query_memos: dict[str, set[str]] = {}
+    trees: list = []
     for path in sorted(glob.glob(os.path.join(suite_dir, "*.py"))):
         txt = open(path).read()
         try:
-            tree = ast.parse(txt)
+            trees.append(ast.parse(txt))
         except SyntaxError:
             continue
+
+    # Pass 1 — the memo registry (ADVICE r06): a name is a memo edge
+    # target only if it is a MODULE-LEVEL ``shared_*`` def whose body
+    # reads or writes a ``*_CACHE`` identifier. Everything else that
+    # happens to start with ``shared_`` (locals, params, plain helpers)
+    # is ignored by the edge scan below.
+    memo_funcs: set[str] = set()
+    for tree in trees:
+        for node in tree.body:  # module level only
+            if not (
+                isinstance(node, ast.FunctionDef)
+                and node.name.startswith("shared_")
+            ):
+                continue
+            touches_cache = any(
+                (isinstance(n, ast.Name) and n.id.endswith("_CACHE"))
+                or (
+                    isinstance(n, ast.Attribute)
+                    and n.attr.endswith("_CACHE")
+                )
+                for n in ast.walk(node)
+            )
+            if touches_cache:
+                memo_funcs.add(node.name)
+
+    memo_edges: dict[str, set[str]] = {}
+    query_memos: dict[str, set[str]] = {}
+    for tree in trees:
         for node in ast.walk(tree):
             if not isinstance(node, ast.FunctionDef):
                 continue
-            used = _shared_names(node)
+            used = _shared_names(node) & memo_funcs
             if node.name.startswith("shared_"):
-                memo_edges.setdefault(node.name, set()).update(used)
+                if node.name in memo_funcs:
+                    memo_edges.setdefault(node.name, set()).update(used)
                 continue
             qname = None
             for dec in node.decorator_list:
@@ -287,7 +327,8 @@ def main() -> None:
 
             t1 = _run_once()
             vals = [t1]
-            # Spike guard: min-of-2 for heavy queries. Memo-cluster
+            # Spike guard: median-of-3 for heavy queries (ADVICE r06 —
+            # min-of-2 biased toward warm-cache re-runs). Memo-cluster
             # first-touchers (every `*_build` query and any cluster
             # without one) are exempt — their re-run hits the session
             # memo and would record a meaningless probe-only time.
@@ -297,7 +338,8 @@ def main() -> None:
                 and not name.endswith("_build")
             ):
                 vals.append(_run_once())
-            timings[name] = min(vals)
+                vals.append(_run_once())
+            timings[name] = sorted(vals)[len(vals) // 2]
             samples[name] = vals
 
         spark.stop()
@@ -322,6 +364,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "samples": samples,
+                "retimed": sorted(
+                    n for n, v in samples.items() if len(v) > 1
+                ),
+                "retime_policy": "median_of_3",
                 "retime_sec": retime_sec,
                 "sf": sf,
                 "cpus": cpus,

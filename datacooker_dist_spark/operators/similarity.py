@@ -1343,10 +1343,17 @@ def ivfpq_residual_index(
     build: THREE consumers walk it (codebook sampling, the encode, the
     index join) and the zip_with subtraction is an interpreted HOF, so
     at corpus scale this trades one n·spill×dim materialization for
-    two full re-walks. At the test scales the build is
-    scheduler-bound (the k-means refine's iteration stages dominate)
-    and the cache is measured-neutral; it exists for the 100 TB
-    posture. Pass False for a fully lazy plan."""
+    two full re-walks. The checkpoint is LAZY (``eager=False``,
+    ADVICE r06): materialization happens at the first consumer's
+    action, so merely constructing the index plan costs nothing.
+    Executor-loss caveat: localCheckpoint truncates lineage, so a lost
+    executor cannot recompute its blocks — acceptable for a build
+    whose remedy is rerunning the build; a long-lived production index
+    should be persisted to storage (the append path reads standing
+    artifacts) rather than relying on checkpoint blocks. At the test
+    scales the build is scheduler-bound (the k-means refine's
+    iteration stages dominate) and the cache is measured-neutral; it
+    exists for the 100 TB posture. Pass False for a fully lazy plan."""
     centroids, assigned = (
         cells
         if cells is not None
@@ -1377,7 +1384,7 @@ def ivfpq_residual_index(
         "_ridx", F.concat_ws("#", F.col(id_col), F.col("cell"))
     )
     if cache_residuals:
-        res_k = res_k.localCheckpoint()
+        res_k = res_k.localCheckpoint(eager=False)
     # ``codebooks`` given → encode-only build: the APPEND path at scale
     # (a new batch encodes against STANDING centroids + codebooks — one
     # linear pass over the batch, no training).

@@ -393,9 +393,11 @@ def _bpe_apply_broadcast(
 
     # Memo cap keeps the constant-memory claim on high-cardinality
     # vocabularies (ADVICE r05): beyond _MEMO_MAX distinct words the
-    # oldest entries evict FIFO (dict preserves insertion order; hot
-    # Zipf-head words re-enter immediately, so the hit rate stays high
-    # while executor memory stays bounded).
+    # LEAST-RECENTLY-USED entry evicts — hits re-insert their key
+    # (pop+set on the insertion-ordered dict, ADVICE r06), so on
+    # vocabularies just past the cap the hot Zipf-head words stay
+    # resident instead of cycling out FIFO-style, while executor
+    # memory stays bounded.
     _MEMO_MAX = 262_144
 
     def run(batches):
@@ -411,12 +413,13 @@ def _bpe_apply_broadcast(
                 toks: list = []
                 n_bpe = 0
                 for w in words:
-                    e = memo.get(w)
+                    # pop-then-set on hit = LRU recency refresh.
+                    e = memo.pop(w, None)
                     if e is None:
                         e = _bpe_encode_fold(w, rank_of, merges)
                         if len(memo) >= _MEMO_MAX:
                             memo.pop(next(iter(memo)))
-                        memo[w] = e
+                    memo[w] = e
                     n_bpe += len(e)
                     if len(toks) < preview:
                         toks.extend(e)

@@ -928,7 +928,17 @@ def quality_quarantine_split(spark, sf):
     ).initialize(spark, base)
     out.save("orders_gated", DataStream("orders_gated", routed,
                                         StreamType.COLUMNAR))
-    back = spark.read.parquet(base)
+    # Explicit read-back schema (ADVICE r06): a zero-row source writes
+    # no parquet files, and a schema-less read of the bare directory
+    # raises instead of returning the empty frame the empty-input
+    # convention (tests/test_empty_inputs.py) requires. With the
+    # writer's own schema the read infers nothing — `gate` comes back
+    # from the hive partition dirs when present, and an empty/absent
+    # dir degrades to zero rows.
+    try:
+        back = spark.read.schema(routed.schema).parquet(base)
+    except Exception:
+        back = spark.createDataFrame([], routed.schema)
     return back.groupBy(F.col("gate").cast("string").alias("gate")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count_if(

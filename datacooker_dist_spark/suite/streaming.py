@@ -1001,13 +1001,21 @@ def stream_quality_quarantine(spark, sf):
         .start()
     )
     q.awaitTermination()
-    back = (
-        spark.read.option("recursiveFileLookup", "true")
-        .schema(
-            "event_id bigint, event_type string, value double, gate string"
-        )
-        .parquet(target)
+    _back_schema = (
+        "event_id bigint, event_type string, value double, gate string"
     )
+    # Empty-source guard (ADVICE r06): an all-empty drain writes no
+    # batch dirs at all, and the recursive read of the absent target
+    # raises instead of returning the zero-row frame the empty-input
+    # convention requires.
+    try:
+        back = (
+            spark.read.option("recursiveFileLookup", "true")
+            .schema(_back_schema)
+            .parquet(target)
+        )
+    except Exception:
+        back = spark.createDataFrame([], _back_schema)
     return back.groupBy("gate").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count_if(~(F.col("value") <= 300)).alias("n_value_fail"),
