@@ -105,6 +105,15 @@ def _table_warmup(spark, sf_dir: str) -> None:
             pass
 
 
+
+def _is_build(name: str) -> bool:
+    """True for named one-time build queries (`*_build` or `*_build_<x>`,
+    e.g. the r07 per-index split similarity_index_build_pq/_ivf/_residual):
+    they sort first in their memo cluster and are retime-exempt (a re-run
+    hits the session memo and would measure probe-only)."""
+    import re
+    return re.search(r"_build(_|$)", name) is not None
+
 def _memo_clusters(names: list[str]) -> dict[str, str]:
     """query name -> cluster anchor for queries sharing a session memo.
 
@@ -235,7 +244,7 @@ def _memo_clusters(names: list[str]) -> dict[str, str]:
     anchors: dict[str, str] = {}
     for members in by_root.values():
         anchor = min(
-            members, key=lambda n: (not n.endswith("_build"), n)
+            members, key=lambda n: (not _is_build(n), n)
         )
         for m in members:
             anchors[m] = anchor
@@ -259,7 +268,7 @@ def main() -> None:
         names,
         key=lambda n: (
             anchors.get(n, n),
-            not n.endswith("_build"),
+            not _is_build(n),
             n,
         ),
     )
@@ -335,7 +344,7 @@ def main() -> None:
             if (
                 t1 > retime_sec
                 and name not in first_touch
-                and not name.endswith("_build")
+                and not _is_build(name)
             ):
                 vals.append(_run_once())
                 vals.append(_run_once())

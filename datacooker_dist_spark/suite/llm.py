@@ -109,7 +109,7 @@ def shared_residual_index(spark, sf, dim=64, m=32, n_codes=32):
     ``v − c`` (FAISS IndexIVFPQ / ScaNN SOAR layout), one code row per
     assignment (``IVF_SPILL`` per vector). Consumed by the residual
     top-k query and the recall report; materialized by
-    ``similarity_index_build`` so the one-time encode bills to the
+    ``similarity_index_build_residual`` so the one-time encode bills to the
     named build query."""
     key = (session_key(spark), sf, dim, m, n_codes)
     if key not in _RESID_INDEX_CACHE:
@@ -189,7 +189,7 @@ def shared_embedding_pairs(spark, sf):
 )
 def candidate_pairs_build(spark, sf):
     """The session's shared near-dup pair pipeline as a NAMED deliverable
-    (the ANN twin is ``similarity_index_build``): materializes the
+    (the ANN twins are the ``similarity_index_build_*`` family): materializes the
     shingle pass → banded-MinHash LSH candidates (stop-bucket-capped) →
     exact-Jaccard verification chain every dedup-family consumer probes,
     and reports its invariants — verified pair count, distinct docs
@@ -368,8 +368,8 @@ _SQL_KGRAMS = """
 def kgram_rows_build(spark, sf):
     """The session's shared inverted k-gram index as a NAMED deliverable
     (VERDICT r05 task 4) — the third build sibling beside
-    ``candidate_pairs_build`` (shingle→LSH→verify) and
-    ``similarity_index_build`` (ANN): materializes the one
+    ``candidate_pairs_build`` (shingle→LSH→verify) and the
+    ``similarity_index_build_*`` family (ANN): materializes the one
     tokenize→window→hash pass every substring-family consumer probes
     (span pairs, incremental/streaming twins, the index round-trip, the
     per-doc duplicated-window report) and reports its invariants —
@@ -737,35 +737,58 @@ def similarity_topk_ivfpq(spark, sf):
 
 
 @query(
-    "similarity_index_build",
+    "similarity_index_build_ivf",
     oracle=f"""
+    SELECT CAST(16 AS BIGINT) AS n_cells,
+           (SELECT COUNT(*) * {IVF_SPILL} FROM embeddings) AS n_assigned,
+           (SELECT COUNT(DISTINCT vec_id) FROM embeddings)
+             AS n_vectors_assigned
+    """,
+)
+def similarity_index_build_ivf(spark, sf):
+    """The session's shared IVF index build as a NAMED deliverable
+    (VERDICT r06 task 2 split the former three-index
+    ``similarity_index_build`` into per-index builds so BENCH_DETAIL
+    attributes each one-time cost separately instead of one coarse
+    40 s n=1 record): materializes the refined centroids + the spilled
+    cell assignment and returns their shape invariants — ``n_cells``
+    centroids, exactly ``IVF_SPILL`` assignment rows per vector, every
+    vector assigned. Sorts before every other similarity consumer (the
+    `_build` suffix pins cluster-first bench order), so the k-means
+    refine cost appears under its own name. The oracle pins the
+    structural contract exactly."""
+    centroids, assigned = shared_ivf_index(spark, sf)
+    return (
+        centroids.agg(F.count(F.lit(1)).alias("n_cells"))
+        .crossJoin(
+            F.broadcast(assigned.agg(F.count(F.lit(1)).alias("n_assigned")))
+        )
+        .crossJoin(
+            F.broadcast(
+                assigned.agg(
+                    F.countDistinct("vec_id").alias("n_vectors_assigned")
+                )
+            )
+        )
+    )
+
+
+@query(
+    "similarity_index_build_pq",
+    oracle="""
     SELECT CAST(1024 AS BIGINT) AS n_codebook_rows,
            (SELECT COUNT(*) FROM embeddings) AS n_encoded,
-           CAST(16 AS BIGINT) AS n_cells,
-           (SELECT COUNT(*) * {IVF_SPILL} FROM embeddings) AS n_assigned,
-           (SELECT COUNT(*) * {IVF_SPILL} FROM embeddings)
-             AS n_residual_rows,
            TRUE AS codes_in_range
     """,
 )
-def similarity_index_build(spark, sf):
-    """The session's shared ANN index build as a NAMED deliverable:
-    materializes the PQ index (k-means codebooks + encoded code
-    table), the IVF index (refined centroids + spilled cell
-    assignment) and the residual IVF-PQ index (r06: per-assignment
-    residual codes over the same spilled cells) and returns their
-    shape invariants — m·k codebook rows, one code row per corpus
-    vector, exactly ``IVF_SPILL`` cell rows per vector (the
-    spilled-assignment contract), one residual code row per
-    assignment, every code inside [0, k). Exists partly
-    for honest bench attribution: this query sorts before every other
-    similarity consumer, so the one-time index build cost appears under
-    its own name instead of inflating whichever search query happens to
-    run first (the r03/r04 attribution lesson). The oracle pins the
-    structural contract exactly."""
+def similarity_index_build_pq(spark, sf):
+    """The session's shared raw-vector PQ index build as a NAMED
+    deliverable (r07 per-index split of ``similarity_index_build``):
+    materializes the k-means-refined codebooks + the encoded code
+    table and returns the shape invariants — m·k = 32·32 codebook
+    rows, one code row per corpus vector, every code inside [0, k).
+    The oracle pins the structural contract exactly."""
     cb, enc = shared_pq_index(spark, sf)
-    centroids, assigned = shared_ivf_index(spark, sf)
-    _, _, resid_index = shared_residual_index(spark, sf)
     codes_ok = enc.select(
         F.min(F.forall("codes", lambda c: (c >= 0) & (c < 32))).alias("ok")
     )
@@ -773,17 +796,42 @@ def similarity_index_build(spark, sf):
         cb.agg(F.count(F.lit(1)).alias("n_codebook_rows"))
         .crossJoin(F.broadcast(enc.agg(F.count(F.lit(1)).alias("n_encoded"))))
         .crossJoin(
-            F.broadcast(centroids.agg(F.count(F.lit(1)).alias("n_cells")))
+            F.broadcast(codes_ok.select(F.col("ok").alias("codes_in_range")))
+        )
+    )
+
+
+@query(
+    "similarity_index_build_residual",
+    oracle=f"""
+    SELECT (SELECT COUNT(*) * {IVF_SPILL} FROM embeddings)
+             AS n_residual_rows,
+           CAST(1024 AS BIGINT) AS n_codebook_rows,
+           TRUE AS codes_in_range
+    """,
+)
+def similarity_index_build_residual(spark, sf):
+    """The session's shared residual IVF-PQ index build as a NAMED
+    deliverable (r07 per-index split of ``similarity_index_build``):
+    materializes the per-assignment residual code table over the SAME
+    spilled cells as :func:`similarity_index_build_ivf` (which sorts
+    first, so the IVF build is already memoized and this entry bills
+    only the residual encode) and returns the shape invariants — one
+    residual code row per assignment, m·k residual codebook rows,
+    every code inside [0, k). The oracle pins the structural contract
+    exactly."""
+    _, cb, resid_index = shared_residual_index(spark, sf)
+    codes_ok = resid_index.select(
+        F.min(F.forall("codes", lambda c: (c >= 0) & (c < 32))).alias("ok")
+    )
+    return (
+        resid_index.agg(F.count(F.lit(1)).alias("n_residual_rows"))
+        .crossJoin(
+            F.broadcast(cb.agg(F.count(F.lit(1)).alias("n_codebook_rows")))
         )
         .crossJoin(
-            F.broadcast(assigned.agg(F.count(F.lit(1)).alias("n_assigned")))
+            F.broadcast(codes_ok.select(F.col("ok").alias("codes_in_range")))
         )
-        .crossJoin(
-            F.broadcast(
-                resid_index.agg(F.count(F.lit(1)).alias("n_residual_rows"))
-            )
-        )
-        .crossJoin(F.broadcast(codes_ok.select(F.col("ok").alias("codes_in_range"))))
     )
 
 
