@@ -1734,3 +1734,176 @@ def ivf_append_retrain_loop(
             "retrain_triggered",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# OPQ — learned-rotation product quantization (round 7)
+# --------------------------------------------------------------------------
+
+
+def opq_rotation(
+    corpus: DataFrame,
+    dim: int,
+    m: int,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Learn the parametric OPQ rotation (Ge et al., *Optimized Product
+    Quantization*, CVPR 2013 — the eigenvalue-allocation closed form;
+    the same transform FAISS ships as ``OPQMatrix``): an orthogonal
+    ``dim × dim`` matrix ``R`` such that PQ in the rotated space
+    ``Rv`` sees decorrelated subspaces with BALANCED variance — the
+    standard attack on raw-PQ's failure mode where correlated /
+    unevenly-scaled dimensions waste codebook capacity (VERDICT r06
+    task 1: the isotropy analysis behind the residual-PQ negative).
+
+    Fully distributed statistics, bounded driver math: the 64-dim
+    covariance's ``d(d+1)/2`` moment sums come from ONE Arrow-batched
+    numpy pass (the ``embedding_pca_loadings`` int64-grid pattern —
+    per-partition int64 partials on the 1e-12 grid, DECIMAL merge, so
+    the result is exact and partition-order-free), and only those
+    2080 + 64 + 1 aggregate rows reach the driver — a bounded,
+    corpus-size-independent collect (same class as the config /
+    P-integer-offset collects). The driver then eigendecomposes the
+    d×d matrix (O(d³), independent of corpus size) and allocates
+    eigen-dimensions to the ``m`` subspaces greedily by descending
+    eigenvalue into the bucket with the smallest log-variance product
+    (the paper's balanced-allocation rule), giving
+    ``R[k] = U[:, perm[k]]`` — orthogonal because U is and perm is a
+    permutation. Deterministic: exact covariance + LAPACK ``eigh`` on
+    identical input. Empty corpus → identity (PQ degrades gracefully).
+    """
+    import decimal
+
+    import pyarrow as pa
+
+    iu, ju = np.triu_indices(dim)
+    _CAP = float(2 ** 62)
+
+    def moment_partials(batches):
+        # Python-int accumulators + per-chunk guarded int64 sums (the
+        # exact_comoments overflow pattern): exact at any partition size.
+        acc = [0] * len(iu)
+        sacc = [0] * dim
+        cnt = 0
+        for b in batches:
+            V = np.asarray(
+                pa.Table.from_batches([b]).column(vec_col).to_pylist(),
+                dtype=np.float64,
+            )
+            if V.size == 0:
+                continue
+            cnt += len(V)
+            for lo in range(0, len(V), 1024):
+                C = V[lo:lo + 1024]
+                S = np.rint(C * 1e12)
+                sv = S.astype(np.int64).sum(axis=0)
+                for t in range(dim):
+                    sacc[t] += int(sv[t])
+                P = np.rint(C[:, iu] * C[:, ju] * 1e12)
+                mx = float(np.max(np.abs(P))) if P.size else 0.0
+                if mx * len(P) < _CAP:
+                    v = P.astype(np.int64).sum(axis=0)
+                    for t in range(len(iu)):
+                        acc[t] += int(v[t])
+                else:
+                    for t in range(len(iu)):
+                        acc[t] += sum(int(x) for x in P[:, t])
+        if cnt:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(
+                        list(iu) + list(range(len(sacc))) + [0],
+                        type=pa.int32(),
+                    ),
+                    pa.array(
+                        list(ju) + [-1] * len(sacc) + [-2],
+                        type=pa.int32(),
+                    ),
+                    pa.array(
+                        [decimal.Decimal(a) for a in acc]
+                        + [decimal.Decimal(a) for a in sacc]
+                        + [decimal.Decimal(cnt)],
+                        type=pa.decimal128(38, 0),
+                    ),
+                ],
+                names=["i", "j", "pl"],
+            )
+
+    rows = (
+        corpus.select(as_double_array(vec_col).alias(vec_col))
+        .mapInArrow(moment_partials, "i int, j int, pl decimal(38,0)")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("pl").cast("decimal(38,0)")).alias("s"))
+        .collect()
+    )
+    n = 0
+    sums = np.zeros(dim)
+    prods = np.zeros((dim, dim))
+    for r in rows:
+        if r.j == -2:
+            n = int(r.s)
+        elif r.j == -1:
+            sums[r.i] = float(r.s) / 1e12
+        else:
+            prods[r.i, r.j] = prods[r.j, r.i] = float(r.s) / 1e12
+    if n == 0:
+        return np.eye(dim)
+    mean = sums / n
+    cov = prods / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order], evecs[:, order]
+    # Balanced eigenvalue allocation: descending eigenvalues go to the
+    # non-full bucket with the smallest running log-variance product.
+    cap = dim // m
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    logs = np.zeros(m)
+    eps = max(float(evals[0]), 1e-30) * 1e-12
+    for d_idx in range(dim):
+        open_b = [b for b in range(m) if len(buckets[b]) < cap]
+        best = min(open_b, key=lambda b: (logs[b], b))
+        buckets[best].append(d_idx)
+        logs[best] += np.log(max(float(evals[d_idx]), eps))
+    perm = [d_idx for b in buckets for d_idx in b]
+    return evecs[:, perm].T  # R @ v rotates; rows orthonormal
+
+
+def opq_rotate(
+    df: DataFrame,
+    rotation: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Apply an orthogonal rotation to a vector column: one Arrow-batched
+    numpy matmul pass (``(rows × d) @ Rᵀ`` per batch — vectorized, never
+    per-row Python), emitting (id, rotated ``array<double>``). Rotated
+    values round to the 1e-9 grid so the output is bit-identical across
+    batch sizes and BLAS kernels (three orders below the 1e-6 scoring
+    grid every downstream consumer ranks on). Orthogonality preserves
+    dots and norms, so exact cosine in the rotated space equals exact
+    cosine in the original — rerank stages and recall comparisons
+    against original-space brute force remain valid."""
+    import pyarrow as pa
+
+    R = np.ascontiguousarray(rotation, dtype=np.float64)
+    id_field = df.select(id_col).schema.fields[0]
+
+    def rot(batches):
+        for b in batches:
+            t = pa.Table.from_batches([b])
+            if t.num_rows == 0:
+                continue
+            V = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+            out = np.round(V @ R.T, 9)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    t.column(id_col).combine_chunks(),
+                    pa.array(out.tolist(), type=pa.list_(pa.float64())),
+                ],
+                names=[id_col, vec_col],
+            )
+
+    return df.select(id_col, as_double_array(vec_col).alias(vec_col)).mapInArrow(
+        rot, f"{id_col} {id_field.dataType.simpleString()}, "
+             f"{vec_col} array<double>"
+    )

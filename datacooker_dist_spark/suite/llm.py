@@ -125,6 +125,38 @@ def shared_residual_index(spark, sf, dim=64, m=32, n_codes=32):
     return _RESID_INDEX_CACHE[key]
 
 
+_OPQ_INDEX_CACHE: dict = {}
+
+
+def shared_opq_index(spark, sf, dim=64, m=32, n_codes=32):
+    """Session-memoized OPQ index (VERDICT r06 task 1): the learned
+    orthogonal rotation (parametric OPQ — eigenvalue allocation over
+    the exact distributed covariance), the rotated corpus, the rotated
+    IVF centroids, and PQ codebooks + codes trained IN THE ROTATED
+    SPACE. The IVF cell ASSIGNMENT is reused verbatim from
+    :func:`shared_ivf_index` — cosine is rotation-invariant, so every
+    vector's nearest (spilled) cells are unchanged; only the
+    centroids rotate for the query-side probe. Returns
+    ``(rotated_corpus, rotated_centroids, codebooks, encoded)``;
+    materialized by ``similarity_index_build_opq`` so the rotation +
+    train + encode bill to the named build."""
+    key = (session_key(spark), sf, dim, m, n_codes)
+    if key not in _OPQ_INDEX_CACHE:
+        emb = table(spark, sf, "embeddings")
+        R = S.opq_rotation(emb, dim, m)
+        rot = S.opq_rotate(emb, R).localCheckpoint()
+        centroids, _ = shared_ivf_index(spark, sf)
+        rot_cents = S.opq_rotate(
+            centroids, R, id_col="cell", vec_col="_cv"
+        ).localCheckpoint()
+        cb = S.pq_codebooks(
+            rot, dim, m, n_codes, refine_iters=ANN_REFINE_ITERS
+        ).localCheckpoint()
+        enc = S.pq_encode(rot, cb, dim, m).localCheckpoint()
+        _OPQ_INDEX_CACHE[key] = (rot, rot_cents, cb, enc)
+    return _OPQ_INDEX_CACHE[key]
+
+
 _KGRAM_CACHE: dict = {}
 
 
@@ -778,17 +810,25 @@ def similarity_index_build_ivf(spark, sf):
     oracle="""
     SELECT CAST(1024 AS BIGINT) AS n_codebook_rows,
            (SELECT COUNT(*) FROM embeddings) AS n_encoded,
-           TRUE AS codes_in_range
+           TRUE AS codes_in_range,
+           CAST(256 AS BIGINT) AS n_codebook_rows_coarse,
+           (SELECT COUNT(*) FROM embeddings) AS n_encoded_coarse
     """,
 )
 def similarity_index_build_pq(spark, sf):
-    """The session's shared raw-vector PQ index build as a NAMED
+    """The session's shared raw-vector PQ index builds as a NAMED
     deliverable (r07 per-index split of ``similarity_index_build``):
     materializes the k-means-refined codebooks + the encoded code
-    table and returns the shape invariants — m·k = 32·32 codebook
-    rows, one code row per corpus vector, every code inside [0, k).
-    The oracle pins the structural contract exactly."""
+    table at BOTH tracked budgets — fine (m=32, k=32, the production
+    default) and coarse (m=16, k=16, the budget where residual/OPQ
+    encoding measurably win; VERDICT r06 task 8 moved those rows into
+    ``similarity_recall_report``, so their one-time builds bill here,
+    retime-exempt, instead of being erased by the report's
+    median-of-3) — and returns the shape invariants: m·k codebook
+    rows per budget, one code row per corpus vector, every fine code
+    inside [0, 32). The oracle pins the structural contract exactly."""
     cb, enc = shared_pq_index(spark, sf)
+    cb16, enc16 = shared_pq_index(spark, sf, m=16, n_codes=16)
     codes_ok = enc.select(
         F.min(F.forall("codes", lambda c: (c >= 0) & (c < 32))).alias("ok")
     )
@@ -797,6 +837,16 @@ def similarity_index_build_pq(spark, sf):
         .crossJoin(F.broadcast(enc.agg(F.count(F.lit(1)).alias("n_encoded"))))
         .crossJoin(
             F.broadcast(codes_ok.select(F.col("ok").alias("codes_in_range")))
+        )
+        .crossJoin(
+            F.broadcast(
+                cb16.agg(F.count(F.lit(1)).alias("n_codebook_rows_coarse"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                enc16.agg(F.count(F.lit(1)).alias("n_encoded_coarse"))
+            )
         )
     )
 
@@ -807,20 +857,27 @@ def similarity_index_build_pq(spark, sf):
     SELECT (SELECT COUNT(*) * {IVF_SPILL} FROM embeddings)
              AS n_residual_rows,
            CAST(1024 AS BIGINT) AS n_codebook_rows,
-           TRUE AS codes_in_range
+           TRUE AS codes_in_range,
+           (SELECT COUNT(*) * {IVF_SPILL} FROM embeddings)
+             AS n_residual_rows_coarse,
+           CAST(256 AS BIGINT) AS n_codebook_rows_coarse
     """,
 )
 def similarity_index_build_residual(spark, sf):
-    """The session's shared residual IVF-PQ index build as a NAMED
+    """The session's shared residual IVF-PQ index builds as a NAMED
     deliverable (r07 per-index split of ``similarity_index_build``):
-    materializes the per-assignment residual code table over the SAME
+    materializes the per-assignment residual code tables over the SAME
     spilled cells as :func:`similarity_index_build_ivf` (which sorts
     first, so the IVF build is already memoized and this entry bills
-    only the residual encode) and returns the shape invariants — one
-    residual code row per assignment, m·k residual codebook rows,
-    every code inside [0, k). The oracle pins the structural contract
-    exactly."""
+    only the residual encodes) at both tracked budgets — fine
+    (m=32, k=32) and coarse (m=16, k=16, where residual encoding
+    WINS; its recall row now lives in ``similarity_recall_report``) —
+    and returns the shape invariants: one residual code row per
+    assignment per budget, m·k residual codebook rows per budget,
+    every fine code inside [0, 32). The oracle pins the structural
+    contract exactly."""
     _, cb, resid_index = shared_residual_index(spark, sf)
+    _, cb16, resid16 = shared_residual_index(spark, sf, m=16, n_codes=16)
     codes_ok = resid_index.select(
         F.min(F.forall("codes", lambda c: (c >= 0) & (c < 32))).alias("ok")
     )
@@ -832,6 +889,103 @@ def similarity_index_build_residual(spark, sf):
         .crossJoin(
             F.broadcast(codes_ok.select(F.col("ok").alias("codes_in_range")))
         )
+        .crossJoin(
+            F.broadcast(
+                resid16.agg(F.count(F.lit(1)).alias("n_residual_rows_coarse"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                cb16.agg(F.count(F.lit(1)).alias("n_codebook_rows_coarse"))
+            )
+        )
+    )
+
+
+@query(
+    "similarity_index_build_opq",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM embeddings) AS n_rotated,
+           CAST(1024 AS BIGINT) AS n_codebook_rows,
+           (SELECT COUNT(*) FROM embeddings) AS n_encoded,
+           TRUE AS codes_in_range,
+           CAST(256 AS BIGINT) AS n_codebook_rows_coarse
+    """,
+)
+def similarity_index_build_opq(spark, sf):
+    """The session's shared OPQ index builds as a NAMED deliverable
+    (VERDICT r06 task 1): learns the parametric-OPQ rotation from the
+    exact distributed covariance (eigenvalue allocation — Ge et al.
+    CVPR 2013), rotates the corpus in one Arrow matmul pass, and
+    trains/encodes PQ in the rotated space; the spilled IVF cell
+    assignment is reused verbatim (cosine is rotation-invariant).
+    Builds BOTH tracked budgets — fine (m=32, k=32) and coarse
+    (m=16, k=16; a different allocation, hence its own rotation) —
+    so their one-time cost bills here, retime-exempt. Returns shape
+    invariants — one rotated row per vector, m·k codebook rows per
+    budget, one fine code row per vector, every fine code in
+    [0, 32). The oracle pins the structural contract exactly."""
+    rot, _, cb, enc = shared_opq_index(spark, sf)
+    _, _, cb16, _ = shared_opq_index(spark, sf, m=16, n_codes=16)
+    codes_ok = enc.select(
+        F.min(F.forall("codes", lambda c: (c >= 0) & (c < 32))).alias("ok")
+    )
+    return (
+        rot.agg(F.count(F.lit(1)).alias("n_rotated"))
+        .crossJoin(
+            F.broadcast(cb.agg(F.count(F.lit(1)).alias("n_codebook_rows")))
+        )
+        .crossJoin(
+            F.broadcast(enc.agg(F.count(F.lit(1)).alias("n_encoded")))
+        )
+        .crossJoin(
+            F.broadcast(codes_ok.select(F.col("ok").alias("codes_in_range")))
+        )
+        .crossJoin(
+            F.broadcast(
+                cb16.agg(F.count(F.lit(1)).alias("n_codebook_rows_coarse"))
+            )
+        )
+    )
+
+
+@query("similarity_topk_ivfpq_opq")  # rows-only: approximate (recall < 1)
+def similarity_topk_ivfpq_opq(spark, sf):
+    """IVF-PQ over the OPQ-ROTATED space (VERDICT r06 task 1 — the
+    learned-rotation attack on the isotropy failure behind r06's
+    honest-negative residual result): vectors and queries rotate by
+    the orthogonal eigenvalue-allocation matrix before PQ, so the m
+    subspaces are decorrelated with balanced variance; IVF cell
+    assignments carry over unchanged (rotation preserves cosine) and
+    only the centroids rotate for the probe. The rerank stage scores
+    exact cosine in the rotated space, which equals original-space
+    cosine exactly up to the 1e-9 rotation grid.
+
+    MEASURED at sf0.01 vs raw PQ at identical budgets (tracked in
+    ``similarity_recall_report``): fine budget (m=32, k=32) ADC 0.76
+    OPQ vs 0.80 raw — an honest negative, same direction as the
+    residual result; COARSE budget (m=16, k=16) ADC 0.40 OPQ vs 0.32
+    raw — OPQ WINS where codebook capacity is actually scarce.
+    Reranked paths tie at the 0.96 spilled-candidate ceiling. Cause:
+    the covariance eigen-ratio is only 4.2 (mildly anisotropic), so
+    at sub_dim=2 the balanced allocation pairs one high- with one
+    low-variance eigendirection per subspace — an ellipse the 32
+    codewords fit no better than the raw pairs' homogeneous spread —
+    while at sub_dim=4 decorrelation + balance have room to pay. On
+    a clustered production corpus (eigen-ratio ≫ 10) the standard
+    expectation (OPQ ≥ raw at every budget) should hold; the
+    operator is budget-for-budget correct either way."""
+    rot, rot_cents, cb, enc = shared_opq_index(spark, sf)
+    _, assigned = shared_ivf_index(spark, sf)
+    out = S.cosine_topk_ivfpq(
+        rot, rot.filter(F.col("vec_id") < 10), dim=64, k=5,
+        n_cells=16, nprobe=8, m=32, n_codes=32,
+        codebooks=cb, encoded=enc, cells=(rot_cents, assigned),
+        rerank=20, spilled=True,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cosine",
+        F.col("rnk").cast("long").alias("rnk"),
     )
 
 
@@ -2236,8 +2390,22 @@ def similarity_recall_report(spark, sf):
     and one final division, deterministic for fixed seeds (hyperplanes
     and centroid strides are seed-pinned). Corpus cost: one exact pass
     (query-side broadcast) + the pruned passes already benched.
-    Current report at sf0.01 (r06): lsh 0.36, ivf 0.74, pq 0.80,
-    ivfpq_rerank 0.96, ivfpq_residual_rerank 0.94."""
+
+    r07 additions (VERDICT r06 tasks 1 and 8): the OPQ
+    learned-rotation rows at the identical fine budget, and the
+    COARSE-budget (m=16, k=16) ADC rows where the encoding choice
+    actually separates — previously the crossover lived only in
+    docstrings. Current report at sf0.01 (r07): lsh 0.36, ivf 0.74,
+    pq 0.80, pq_opq 0.76, ivfpq_rerank 0.96,
+    ivfpq_residual_rerank 0.94, ivfpq_opq_rerank 0.96; coarse ADC:
+    pq_coarse 0.32, pq_residual_coarse 0.40, pq_opq_coarse 0.40.
+    Reading: on this mildly anisotropic corpus (covariance
+    eigen-ratio 4.2) BOTH residual and OPQ encodings win at the
+    coarse budget (+0.08 recall at identical index size) and lose
+    a little at the fine budget, where sub-quantizers are already
+    narrow (sub_dim=2) and the reranked paths saturate at the
+    spilled-candidate ceiling regardless — the honest, measured
+    picture a production tuner needs."""
     emb = table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     k = 5
@@ -2274,6 +2442,38 @@ def similarity_recall_report(spark, sf):
             prebuilt=shared_residual_index(spark, sf),
         ),
     }
+    # r07: OPQ learned-rotation rows at the identical fine budget (the
+    # rotated query set probes rotated codebooks/centroids; exact
+    # neighbor ids are rotation-invariant so the same `exact` set
+    # scores them), plus the coarse-budget (m=16, k=16) ADC rows where
+    # residual/OPQ encoding measurably win (r06 task 8).
+    rot, rot_cents, ocb, oenc = shared_opq_index(spark, sf)
+    rot_q = rot.filter(F.col("vec_id") < 10)
+    _, assigned = shared_ivf_index(spark, sf)
+    approx["pq_opq"] = S.cosine_topk_pq(
+        rot, rot_q, dim=64, k=k, m=32, n_codes=32,
+        codebooks=ocb, encoded=oenc,
+    ).withColumnRenamed("pq_cosine", "cosine")
+    approx["ivfpq_opq_rerank"] = S.cosine_topk_ivfpq(
+        rot, rot_q, dim=64, k=k, n_cells=16, nprobe=8, m=32,
+        n_codes=32, codebooks=ocb, encoded=oenc,
+        cells=(rot_cents, assigned), rerank=20, spilled=True,
+    )
+    cb16, enc16 = shared_pq_index(spark, sf, m=16, n_codes=16)
+    approx["pq_coarse"] = S.cosine_topk_pq(
+        emb, queries, dim=64, k=k, m=16, n_codes=16,
+        codebooks=cb16, encoded=enc16,
+    ).withColumnRenamed("pq_cosine", "cosine")
+    approx["pq_residual_coarse"] = S.cosine_topk_ivfpq_residual(
+        emb, queries, dim=64, k=k, n_cells=16, nprobe=8, m=16,
+        n_codes=16, rerank=0,
+        prebuilt=shared_residual_index(spark, sf, m=16, n_codes=16),
+    ).withColumnRenamed("pq_cosine", "cosine")
+    rot16, _, ocb16, oenc16 = shared_opq_index(spark, sf, m=16, n_codes=16)
+    approx["pq_opq_coarse"] = S.cosine_topk_pq(
+        rot16, rot16.filter(F.col("vec_id") < 10), dim=64, k=k,
+        m=16, n_codes=16, codebooks=ocb16, encoded=oenc16,
+    ).withColumnRenamed("pq_cosine", "cosine")
     out = None
     for method, df in approx.items():
         hits = (

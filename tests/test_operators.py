@@ -1522,3 +1522,91 @@ def test_residual_ivfpq_partition_invariant_and_decomposition_exact(spark):
         for r in idx_enc.collect()
     )
     assert ia == ib and len(ia) == 48
+
+
+def test_opq_rotation_properties(spark):
+    """Parametric-OPQ properties (r07): (1) the learned matrix is
+    ORTHOGONAL (R Rᵀ = I to float tolerance) so dots/norms/cosine are
+    preserved; (2) rotated-space exact top-k equals original-space
+    exact top-k (rotation invariance witnessed end-to-end on the
+    1e-6 ranking grid); (3) the eigenvalue allocation BALANCES
+    subspace variance — on an anisotropic synthetic corpus the
+    max/min per-subspace variance-product ratio must shrink vs the
+    unrotated layout; (4) rotating twice with R and reading back via
+    Rᵀ recovers the input to the rounding grid."""
+    import numpy as np
+
+    from datacooker_dist_spark.operators.similarity import (
+        cosine_topk,
+        opq_rotate,
+        opq_rotation,
+    )
+
+    dim, m = 8, 4
+    # Anisotropic corpus: dimension j scaled by (j+1) so eigenvalues
+    # spread over ~64x and the allocation has real work to do.
+    emb = spark.range(60).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (
+                (((F.col("id") * 37 + i * 13) % 19).cast("double") / 19 - 0.5)
+                * (i.cast("double") + 1)
+            ),
+        ).alias("embedding"),
+    )
+    R = opq_rotation(emb, dim, m)
+    assert np.allclose(R @ R.T, np.eye(dim), atol=1e-9)
+
+    rot = opq_rotate(emb, R)
+    queries = emb.filter("vec_id < 3")
+    rot_q = rot.filter("vec_id < 3")
+    ea = sorted(
+        (r["query_id"], r["neighbor_id"], r["rnk"])
+        for r in cosine_topk(emb, queries, k=3).collect()
+    )
+    ra = sorted(
+        (r["query_id"], r["neighbor_id"], r["rnk"])
+        for r in cosine_topk(rot, rot_q, k=3).collect()
+    )
+    assert ea == ra and len(ea) == 9
+
+    # Balance: per-subspace variance products, rotated vs raw.
+    V = np.array(
+        [r.embedding for r in emb.orderBy("vec_id").collect()], dtype=float
+    )
+    def spread(M):
+        var = M.var(axis=0)
+        prods = [
+            float(np.prod(var[s * (dim // m):(s + 1) * (dim // m)]))
+            for s in range(m)
+        ]
+        return max(prods) / min(prods)
+    assert spread(V @ R.T) < spread(V)
+
+    # Round-trip through Rᵀ recovers the input (orthogonal inverse).
+    W = np.array(
+        [r.embedding for r in rot.orderBy("vec_id").collect()], dtype=float
+    )
+    assert np.allclose(W @ R, V, atol=1e-8)
+
+
+def test_opq_rotation_on_empty_corpus(spark):
+    """Empty corpus → identity rotation (PQ degrades gracefully), and
+    opq_rotate of an empty frame is an empty frame with the right
+    schema — the empty-input hardening convention."""
+    import numpy as np
+
+    from datacooker_dist_spark.operators.similarity import (
+        opq_rotate,
+        opq_rotation,
+    )
+
+    empty = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<double>"
+    )
+    R = opq_rotation(empty, 8, 4)
+    assert np.array_equal(R, np.eye(8))
+    out = opq_rotate(empty, R)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["vec_id", "embedding"]
