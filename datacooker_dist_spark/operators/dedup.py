@@ -964,14 +964,35 @@ def sorted_neighborhood_pairs(
     unaffected either way.
     Output: (id_a, id_b, jaccard ≥ threshold), id_a < id_b.
     """
-    from .relational import global_rank
-    from .text import fingerprint  # noqa: F401  (normalization twin lives there)
-
-    key = F.substring(
-        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "),
-        1,
-        key_len,
+    cand = _snm_candidates(
+        docs, _snm_key(text_col, key_len, reverse=False),
+        window, id_col, num_partitions,
     )
+    return ngram_jaccard_pairs(
+        docs, cand, id_col, text_col, shingle_n, threshold,
+        shingles=shingles,
+    )
+
+
+def _snm_key(text_col: str, key_len: int, reverse: bool):
+    """The bounded SNM blocking key: first ``key_len`` chars of the
+    whitespace-collapsed lowercase text — or of its REVERSAL, the
+    independent second-pass key (suffix order): documents sharing a
+    ``key_len``-char prefix template almost never also share the
+    suffix, so the reversed pass re-sorts exactly the groups the
+    prefix pass ties on id."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    if reverse:
+        norm = F.reverse(norm)
+    return F.substring(norm, 1, key_len)
+
+
+def _snm_candidates(docs, key, window, id_col, num_partitions):
+    """One SNM pass: global rank on (key, id) + ``window`` rank-shift
+    equi-joins → (id_a, id_b) candidates (see
+    :func:`sorted_neighborhood_pairs` for the scale rationale)."""
+    from .relational import global_rank
+
     ranked = global_rank(
         docs.select(F.col(id_col), key.alias("_key")),
         ["_key", id_col],
@@ -983,7 +1004,7 @@ def sorted_neighborhood_pairs(
         F.col("_rn"),
         F.explode(F.sequence(F.lit(1), F.lit(window))).alias("_d"),
     ).select("_ida", (F.col("_rn") + F.col("_d")).alias("_rnb"))
-    cand = (
+    return (
         probe.join(
             ranked.select(F.col(id_col).alias("_idb"), F.col("_rn").alias("_rnb")),
             "_rnb",
@@ -994,6 +1015,44 @@ def sorted_neighborhood_pairs(
         )
         .distinct()
     )
+
+
+def sorted_neighborhood_pairs_multipass(
+    docs: DataFrame,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    shingles: DataFrame | None = None,
+    num_partitions: int | None = None,
+    key_len: int = 64,
+) -> DataFrame:
+    """MULTI-PASS sorted-neighborhood near-dedup (VERDICT r06 task 4 —
+    classic SNM's answer to any single key's blind spot): pass 1 sorts
+    by the bounded normalized-text PREFIX, pass 2 by the bounded
+    REVERSED-text prefix (suffix order — an independent key), candidate
+    sets union before ONE shared exact-Jaccard verification. The
+    single-pass fixed-width-key trade is documented on
+    :func:`sorted_neighborhood_pairs`: when more than ``window`` docs
+    share an identical ``key_len``-char prefix (prefix-template
+    corpora — boilerplate headers, form letters), order inside the
+    group falls to the id tiebreak and a tail-similar pair can fall
+    out of the window. The reversed key re-sorts exactly those groups
+    by their TAILS, so such pairs become window-adjacent in pass 2
+    (and vice versa for suffix templates) — each pass costs the same
+    linear rank exchange (≤ ``key_len`` chars + id per row), and the
+    union at most doubles the candidate count before the verify.
+    Output: (id_a, id_b, jaccard ≥ threshold), id_a < id_b."""
+    c1 = _snm_candidates(
+        docs, _snm_key(text_col, key_len, reverse=False),
+        window, id_col, num_partitions,
+    )
+    c2 = _snm_candidates(
+        docs, _snm_key(text_col, key_len, reverse=True),
+        window, id_col, num_partitions,
+    )
+    cand = c1.unionByName(c2).distinct()
     return ngram_jaccard_pairs(
         docs, cand, id_col, text_col, shingle_n, threshold,
         shingles=shingles,

@@ -1907,3 +1907,127 @@ def opq_rotate(
         rot, f"{id_col} {id_field.dataType.simpleString()}, "
              f"{vec_col} array<double>"
     )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup — within-cell semantic dedup (round 7)
+# --------------------------------------------------------------------------
+
+
+def semantic_dedup_clusters(
+    corpus: DataFrame,
+    assignment: DataFrame,
+    threshold: float,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """SemDeDup-style SEMANTIC dedup (VERDICT r06 task 3; Abbas et al.
+    2023, *SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication*): candidate pairs form ONLY INSIDE a cell
+    of the given ``assignment`` (id → cell, one or more rows per id —
+    IVF cells, LSH buckets, any blocking), verify by EXACT rounded
+    cosine ≥ ``threshold``, merge into clusters via the shared
+    union-find :func:`~.dedup.connected_components`, and collapse each
+    cluster golden-record style (the ``dedup_golden_record`` shape:
+    cluster aggregate with a deterministic survivor — min id here;
+    the paper picks the member least similar to the cell centroid,
+    a policy swap on the same plan). Completes the dedup ladder:
+    exact → token n-gram → substring → embedding-pair →
+    semantic-cluster.
+
+    Scale shape: the pair stage is an equi-join of the corpus against
+    itself ON THE CELL KEY — never a corpus self-join; shuffle is one
+    vector+norm row per assignment per side, and per-cell fanout is
+    bounded by cell size (the IVF balance contract — SemDeDup's own
+    within-cluster-only trade). Cosines verify on the 1e-6 grid with
+    statically unrolled dots (codegen, no interpreted HOFs in the
+    pair fanout); norms compute once per row BEFORE the join. CC is
+    the single-job union-find filter. Output: one row per cluster
+    (singletons included) — (cluster_id = min member id, n_members,
+    survivor_vec_id, n_dropped, labels = sorted distinct labels)."""
+    from .dedup import connected_components
+
+    v = as_double_array(vec_col)
+    pts = corpus.select(F.col(id_col).alias("_id"), v.alias("_v")).withColumn(
+        "_nrm", F.sqrt(_dot_unrolled(F.col("_v"), F.col("_v"), dim))
+    )
+    asg = assignment.select(F.col(id_col).alias("_id"), "cell").distinct()
+    side_a = asg.join(pts, "_id").select(
+        "cell",
+        F.col("_id").alias("_ida"),
+        F.col("_v").alias("_va"),
+        F.col("_nrm").alias("_na"),
+    )
+    side_b = asg.join(pts, "_id").select(
+        "cell",
+        F.col("_id").alias("_idb"),
+        F.col("_v").alias("_vb"),
+        F.col("_nrm").alias("_nb"),
+    )
+    pairs = (
+        side_a.join(side_b, "cell")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .select(
+            "_ida",
+            "_idb",
+            F.round(
+                _dot_unrolled(F.col("_va"), F.col("_vb"), dim)
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            ).alias("_cos"),
+        )
+        .filter(F.col("_cos") >= threshold)
+        .select(F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"))
+        .distinct()  # spilled assignments can surface a pair via 2 cells
+    )
+    labels = connected_components(pairs)
+    members = (
+        corpus.select(F.col(id_col), F.col(label_col))
+        .join(labels.withColumnRenamed("id_a", id_col), id_col, "left")
+        .select(
+            id_col,
+            label_col,
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    return members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min(id_col).alias("survivor_vec_id"),
+        (F.count(F.lit(1)) - F.lit(1)).alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_set(label_col)),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("labels"),
+    )
+
+
+def hyperplane_cells(
+    corpus: DataFrame,
+    dim: int,
+    planes: int,
+    seed: int = 77,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic sign-bucket cell assignment: cell = Σ_p 2^p ·
+    [round(dot(v, h_p), 6) ≥ 0] over the seeded unit hyperplanes of
+    :func:`_hyperplane_matrix` — 2^planes cells, one row per vector.
+    Exists as the SQL-REPRODUCIBLE blocking for the oracled SemDeDup
+    entry: an ANSI oracle can re-derive the identical cells from the
+    same plane constants as literals (k-means IVF cells cannot be
+    replayed in SQL), and the rounded-dot sign convention keeps the
+    bucket decision on the shared 1e-6 grid in both engines. One
+    narrow projection — no shuffle."""
+    H = _hyperplane_matrix(dim, planes, 1, seed)
+    v = as_double_array(vec_col)
+    cell = F.lit(0)
+    for p in range(planes):
+        plane = F.array(*[F.lit(float(x)) for x in H[:, p]])
+        bit = (F.round(_dot_unrolled(v, plane, dim), 6) >= 0).cast("int")
+        cell = cell + F.lit(2 ** p) * bit
+    return corpus.select(F.col(id_col), cell.alias("cell"))

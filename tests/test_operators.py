@@ -1610,3 +1610,111 @@ def test_opq_rotation_on_empty_corpus(spark):
     out = opq_rotate(empty, R)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["vec_id", "embedding"]
+
+
+def test_semantic_dedup_planted_clusters(spark):
+    """SemDeDup properties (r07): on a planted corpus of three
+    near-identical groups + singletons, (1) each group collapses to ONE
+    cluster with the min-id survivor and correct member/dropped counts;
+    (2) transitivity holds (a~b, b~c with cos(a,c) below threshold
+    still merge via CC); (3) a blocking that separates a planted pair
+    into different cells suppresses exactly that pair — the within-cell
+    contract, witnessed; (4) singletons survive as their own cluster."""
+    from datacooker_dist_spark.operators.similarity import (
+        semantic_dedup_clusters,
+    )
+
+    # Groups around three orthogonal-ish anchors; ids 0-2 group A,
+    # 10-11 group B, 20 and 30 singletons.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.02], 1),
+        (1, [0.999, 0.03, 0.0, 0.0], 1),
+        (2, [0.998, 0.06, 0.0, 0.0], 2),
+        (10, [0.0, 1.0, 0.0, 0.01], 3),
+        (11, [0.0, 0.999, 0.04, 0.0], 3),
+        (20, [0.0, 0.0, 1.0, 0.0], 4),
+        (30, [0.577, 0.577, 0.577, 0.0], 5),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+    one_cell = emb.select("vec_id", F.lit(0).alias("cell"))
+    out = {
+        r.cluster_id: r
+        for r in semantic_dedup_clusters(
+            emb, one_cell, threshold=0.99, dim=4
+        ).collect()
+    }
+    assert set(out) == {0, 10, 20, 30}
+    assert out[0].n_members == 3 and out[0].survivor_vec_id == 0
+    assert out[0].n_dropped == 2 and out[0].labels == "1,2"
+    assert out[10].n_members == 2 and out[10].n_dropped == 1
+    assert out[20].n_members == 1 and out[20].n_dropped == 0
+
+    # Transitivity: 0~1 (0.9995) and 1~2 (0.9995) but cos(0,2) ≈ 0.997
+    # < 0.998 — still one cluster at a threshold between them.
+    chain = {
+        r.cluster_id: r
+        for r in semantic_dedup_clusters(
+            emb.filter("vec_id < 3"), one_cell, threshold=0.998, dim=4
+        ).collect()
+    }
+    assert chain[0].n_members == 3
+
+    # Blocking contract: put vec 1 in a different cell — the 0~1 and
+    # 1~2 pairs vanish, so 0 and 2 stay merged only if they pair
+    # directly (they don't at 0.998) → three singletons.
+    split = emb.filter("vec_id < 3").select(
+        "vec_id", (F.col("vec_id") % 2).cast("int").alias("cell")
+    )
+    blocked = semantic_dedup_clusters(
+        emb.filter("vec_id < 3"), split, threshold=0.998, dim=4
+    ).collect()
+    assert sorted(r.cluster_id for r in blocked) == [0, 1, 2]
+    assert all(r.n_members == 1 for r in blocked)
+
+
+def test_snm_multipass_finds_prefix_template_pair(spark):
+    """The r06-documented single-pass SNM blind spot, witnessed, and
+    multi-pass closing it (r07): six docs share an IDENTICAL 64+-char
+    normalized prefix (a template corpus), so prefix-pass order inside
+    the group falls to the id tiebreak; the tail-identical pair
+    (0, 5) sits 5 ranks apart — outside window=2 — and single-pass
+    provably misses it as a CANDIDATE. The reversed-key pass sorts the
+    group by its tails, making (0, 5) adjacent; the union catches it.
+    Multi-pass output must also be a superset of single-pass."""
+    from datacooker_dist_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+        sorted_neighborhood_pairs_multipass,
+    )
+
+    prefix = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma "
+    )
+    assert len(prefix) > 64  # the whole 64-char key is template
+    rows = [
+        (0, prefix + "omega shared tail ending zzz"),
+        (1, prefix + "tail aaa"),
+        (2, prefix + "tail bbb"),
+        (3, prefix + "tail ccc"),
+        (4, prefix + "tail ddd"),
+        (5, prefix + "omega shared tail ending zzz"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    single = {
+        (r.id_a, r.id_b)
+        for r in sorted_neighborhood_pairs(
+            docs, window=2, threshold=0.8
+        ).collect()
+    }
+    multi = {
+        (r.id_a, r.id_b)
+        for r in sorted_neighborhood_pairs_multipass(
+            docs, window=2, threshold=0.8
+        ).collect()
+    }
+    assert (0, 5) not in single  # the documented fixed-width-key miss
+    assert (0, 5) in multi       # suffix order makes the pair adjacent
+    assert single <= multi
