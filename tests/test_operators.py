@@ -1718,3 +1718,96 @@ def test_snm_multipass_finds_prefix_template_pair(spark):
     assert (0, 5) not in single  # the documented fixed-width-key miss
     assert (0, 5) in multi       # suffix order makes the pair adjacent
     assert single <= multi
+
+
+def test_dhash_decode_and_invariance(spark):
+    """Perceptual-hash properties (r07): (1) decode_bmp_gray round-trips
+    a hand-built 24-bit BMP (bottom-up rows, 4-byte padding) back to
+    the exact pixel grid; (2) dHash is INVARIANT under uniform
+    brightness shift; (3) a single-pixel change costs ≤ 2 bits; (4)
+    the pigeonhole chunk join finds exactly the brute-force pairs at
+    the threshold (completeness is structural, not corpus luck); (5)
+    truncated / non-BMP payloads raise the loud decode contract."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from datacooker_dist_spark.operators.multimodal import (
+        decode_bmp_gray,
+        dhash_from_gray,
+        dhash_images,
+        phash_dedup_pairs,
+    )
+
+    w, h = 18, 16
+    stride = (w * 3 + 3) & ~3
+
+    def bmp(px):
+        rows = b"".join(
+            bytes(
+                b"".join(
+                    bytes((int(px[y][x]),) * 3) for x in range(w)
+                )
+            ) + b"\x00" * (stride - w * 3)
+            for y in range(h - 1, -1, -1)
+        )
+        return (
+            b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                          len(rows), 2835, 2835, 0, 0)
+            + rows
+        )
+
+    base = [[(x * 5 + y * 3) % 150 for x in range(w)] for y in range(h)]
+    assert np.array_equal(decode_bmp_gray(bmp(base)), np.array(base))
+
+    h0 = dhash_from_gray(np.array(base))
+    shifted = [[p + 37 for p in row] for row in base]
+    assert dhash_from_gray(np.array(shifted)) == h0  # brightness-invariant
+
+    bumped = [row[:] for row in base]
+    bumped[5][7] += 80
+    hb = dhash_from_gray(np.array(bumped))
+    d = bin(h0[0] ^ hb[0]).count("1") + bin(h0[1] ^ hb[1]).count("1")
+    assert 0 < d <= 2
+
+    with _pytest.raises(NotImplementedError):
+        decode_bmp_gray(b"\x89PNG not a bmp")
+    with _pytest.raises(NotImplementedError):
+        decode_bmp_gray(bmp(base)[:100])
+
+    # Chunk-join completeness vs brute force on a planted hash table.
+    rows = [
+        (0, h0[0], h0[1]),
+        (1, hb[0], hb[1]),                      # hamming ≤ 2 from 0
+        (2, h0[0] ^ 0b111, h0[1]),              # hamming 3 from 0
+        (3, h0[0] ^ ((1 << 31) | 1), h0[1] ^ 1),  # hamming 3, spread
+        (4, ~h0[0] & 0xFFFFFFFF, h0[1]),        # far away
+    ]
+    hashes = spark.createDataFrame(
+        rows, "media_id bigint, dhash_hi bigint, dhash_lo bigint"
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in phash_dedup_pairs(hashes, max_hamming=4).collect()
+    }
+    def ham(a, b):
+        return (
+            bin(rows[a][1] ^ rows[b][1]).count("1")
+            + bin(rows[a][2] ^ rows[b][2]).count("1")
+        )
+    want = {
+        (a, b, ham(a, b))
+        for a in range(5) for b in range(a + 1, 5) if ham(a, b) <= 4
+    }
+    assert got == want and (0, 2, 3) in got
+
+    # The mapInPandas wrapper agrees with the local reference.
+    media = spark.createDataFrame(
+        [(7, bmp(base)), (8, bmp(bumped))],
+        "media_id bigint, payload binary",
+    )
+    out = {r.media_id: (r.dhash_hi, r.dhash_lo)
+           for r in dhash_images(media).collect()}
+    assert out == {7: h0, 8: hb}
