@@ -1611,6 +1611,8 @@ def ivf_append_retrain_loop(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     retrained: tuple[DataFrame, DataFrame] | None = None,
+    stale: tuple[DataFrame, DataFrame] | None = None,
+    appended: DataFrame | None = None,
 ) -> DataFrame:
     """The FULL ANN index ingest control loop (VERDICT r05 task 8) as
     one declarative deliverable: append a new ingest ``batch`` to the
@@ -1638,11 +1640,17 @@ def ivf_append_retrain_loop(
     recall_retrained, drift, retrain_triggered).
     """
     corpus = base.unionByName(batch)
-    stale_centroids, stale_assigned = ivf_cells(
-        base, n_cells, id_col, vec_col, refine_iters,
-        assign_spill=assign_spill,
-    )
-    stale_centroids = stale_centroids.localCheckpoint()
+    if stale is not None:
+        # Caller-provided standing index (the STREAMING twin: centroids
+        # trained before the stream started, persisted as artifacts) —
+        # arrives materialized.
+        stale_centroids, stale_assigned = stale
+    else:
+        stale_centroids, stale_assigned = ivf_cells(
+            base, n_cells, id_col, vec_col, refine_iters,
+            assign_spill=assign_spill,
+        )
+        stale_centroids = stale_centroids.localCheckpoint()
     # Both candidate indexes are consumed TWICE (the recall probe and
     # the shipped-candidate union) and the exact brute-force frame
     # THRICE (denominator + both recall joins) — materialize each once
@@ -1650,12 +1658,18 @@ def ivf_append_retrain_loop(
     # bounded recall probe, not 2-3 re-executions of the heaviest
     # lineages (review r06). All three frames are bounded: assignments
     # are (id, cell, vector) rows, exact is |Q|·k rows.
-    appended = stale_assigned.unionByName(
-        ivf_assign(
-            batch, stale_centroids, id_col, vec_col,
-            assign_spill=assign_spill,
+    # ``appended`` given → the grown assignment was produced OUTSIDE
+    # this plan (the streaming twin's per-micro-batch foreachBatch
+    # appends, read back from their idempotent artifacts); the loop
+    # then runs the identical measure/decide/ship machinery on it.
+    if appended is None:
+        appended = stale_assigned.unionByName(
+            ivf_assign(
+                batch, stale_centroids, id_col, vec_col,
+                assign_spill=assign_spill,
+            )
         )
-    ).localCheckpoint()
+    appended = appended.localCheckpoint()
     retrained_centroids, retrained_assigned = (
         retrained
         if retrained is not None

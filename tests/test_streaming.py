@@ -413,3 +413,97 @@ def test_quarantine_routing_exactly_once_across_restart(spark, tmp_path):
         (1, "clean"), (3, "clean"), (5, "clean"),
         (2, "quarantine"), (4, "quarantine"),
     }
+
+
+def test_stream_append_retrain_matches_batch_loop(spark):
+    """The streaming retrain twin's DRAINED decision and shipped index
+    must equal the batch control loop's (r07): same stale build seeds,
+    same read-back-appended assignment, same measure/decide machinery
+    — so (recall_appended, recall_retrained, drift, retrain_triggered)
+    and the full active (vec_id, cell, index_source) row set match
+    exactly at sf0.01."""
+    from datacooker_dist_spark.suite import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    stream_out = QUERIES["stream_append_retrain"](spark, sf)
+    batch_out = QUERIES["similarity_append_retrain_loop"](spark, sf)
+
+    def decision(df):
+        rows = df.select(
+            "recall_appended", "recall_retrained", "drift",
+            "retrain_triggered",
+        ).distinct().collect()
+        assert len(rows) == 1
+        return tuple(rows[0])
+
+    assert decision(stream_out) == decision(batch_out)
+    s_rows = sorted(
+        (r.vec_id, r.cell, r.index_source)
+        for r in stream_out.select("vec_id", "cell", "index_source").collect()
+    )
+    b_rows = sorted(
+        (r.vec_id, r.cell, r.index_source)
+        for r in batch_out.select("vec_id", "cell", "index_source").collect()
+    )
+    assert s_rows == b_rows and len(s_rows) > 0
+
+
+def test_retrain_loop_from_artifacts_retrain_branch(spark, tmp_path):
+    """The RETRAIN branch through the streaming artifact path (r07):
+    a doctored between-clusters batch is assigned against the standing
+    stale centroids, written as per-batch parquet artifacts (the
+    foreachBatch shape), COLD-READ back, and fed to the loop via
+    ``appended=``/``stale=`` — the decision must still trigger retrain
+    and ship the retrained index, proving the artifact round-trip
+    carries everything the decision needs."""
+    import numpy as np
+
+    from datacooker_dist_spark.operators.similarity import (
+        ivf_assign,
+        ivf_cells,
+        ivf_append_retrain_loop,
+    )
+
+    rng = np.random.default_rng(7)
+    dim = 8
+
+    def frame(vectors, start_id):
+        return spark.createDataFrame(
+            [
+                (int(start_id + i), [float(x) for x in v])
+                for i, v in enumerate(vectors)
+            ],
+            "vec_id long, embedding array<double>",
+        )
+
+    a = rng.normal(0, 0.05, (120, dim)) + np.eye(dim)[0]
+    b = rng.normal(0, 0.05, (120, dim)) + np.eye(dim)[1]
+    base = frame(np.vstack([a, b]), 0)
+    mid = (np.eye(dim)[0] + np.eye(dim)[1]) / np.sqrt(2)
+    newf = frame(rng.normal(0, 0.15, (120, dim)) + mid, 2000)
+
+    stale_c, stale_a = ivf_cells(base, 4, refine_iters=3)
+    stale_c, stale_a = stale_c.localCheckpoint(), stale_a.localCheckpoint()
+    # Simulate two micro-batches landing idempotent artifacts.
+    for bid, half in ((0, "vec_id < 2060"), (1, "vec_id >= 2060")):
+        ivf_assign(newf.filter(half), stale_c).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp_path}/b{bid}")
+    back = (
+        spark.read.option("recursiveFileLookup", "true")
+        .schema("vec_id bigint, cell bigint, vector array<double>")
+        .parquet(str(tmp_path))
+    )
+    out = ivf_append_retrain_loop(
+        base, newf, newf.filter("vec_id < 2006"),
+        k=3, n_cells=4, nprobe=1, refine_iters=3, tolerance=0.05,
+        stale=(stale_c, stale_a),
+        appended=stale_a.unionByName(back),
+    )
+    rows = out.select(
+        "index_source", "retrain_triggered", "drift"
+    ).distinct().collect()
+    assert len(rows) == 1
+    assert rows[0]["retrain_triggered"] is True
+    assert rows[0]["index_source"] == "retrained"
+    assert out.count() == 360
