@@ -152,3 +152,81 @@ def exact_comoments(df, cols, scale: int = 4):
     for nm in out_names[1:]:
         aggs.append(F.sum(nm).cast("double").alias(nm))
     return parts.agg(*aggs)
+
+
+def triangle_moment_partials(
+    vec_col: str, dim: int, include_sums: bool = False,
+    one_based: bool = False, grid: float = 1e12, chunk: int = 1024,
+):
+    """mapInArrow generator for the UPPER-TRIANGLE second-moment sums of
+    a ``dim``-vector column on an exact integer grid — the shared core
+    behind ``embedding_pca_loadings`` and ``opq_rotation`` (review r07
+    factored the two near-identical copies here; the copy had also
+    dropped the overflow guard on its first-moment path). Each
+    partition reduces to d(d+1)/2 pair partials (+ d first-moment
+    partials and a count row when ``include_sums``), every path
+    guarded by the :func:`exact_comoments` overflow discipline
+    (per-chunk int64 fast path only when max|element|·rows provably
+    fits 2^62, else exact Python-int fallback) and shipped as
+    DECIMAL(38,0) so no cross-partition merge can overflow.
+
+    Output rows (schema ``i int, j int, pl decimal(38,0)``):
+    pair sums at (i, j) over the triangle (``one_based`` shifts both
+    by +1 for SQL-oracle joins); with ``include_sums``, first-moment
+    sums at (i, -1) and the row count at (0, -2)."""
+    import decimal
+
+    import numpy as np
+    import pyarrow as pa
+
+    iu, ju = np.triu_indices(dim)
+    _CAP = float(2 ** 62)
+    off = 1 if one_based else 0
+
+    def _guarded_sums(P, acc):
+        mx = float(np.max(np.abs(P))) if P.size else 0.0
+        if mx * len(P) < _CAP:
+            v = P.astype(np.int64).sum(axis=0)
+            for t in range(P.shape[1]):
+                acc[t] += int(v[t])
+        else:
+            for t in range(P.shape[1]):
+                acc[t] += sum(int(x) for x in P[:, t])
+
+    def moment_partials(batches):
+        acc = [0] * len(iu)
+        sacc = [0] * dim
+        cnt = 0
+        for b in batches:
+            V = np.asarray(
+                pa.Table.from_batches([b]).column(vec_col).to_pylist(),
+                dtype=np.float64,
+            )
+            if V.size == 0:
+                continue
+            cnt += len(V)
+            for lo in range(0, len(V), chunk):
+                C = V[lo:lo + chunk]
+                if include_sums:
+                    _guarded_sums(np.rint(C * grid), sacc)
+                _guarded_sums(np.rint(C[:, iu] * C[:, ju] * grid), acc)
+        if cnt:
+            i_idx = [int(x) + off for x in iu]
+            j_idx = [int(x) + off for x in ju]
+            vals = [decimal.Decimal(a) for a in acc]
+            if include_sums:
+                i_idx += list(range(dim)) + [0]
+                j_idx += [-1] * dim + [-2]
+                vals += [decimal.Decimal(a) for a in sacc] + [
+                    decimal.Decimal(cnt)
+                ]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(i_idx, type=pa.int32()),
+                    pa.array(j_idx, type=pa.int32()),
+                    pa.array(vals, type=pa.decimal128(38, 0)),
+                ],
+                names=["i", "j", "pl"],
+            )
+
+    return moment_partials

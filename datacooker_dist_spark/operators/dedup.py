@@ -976,14 +976,21 @@ def sorted_neighborhood_pairs(
 
 def _snm_key(text_col: str, key_len: int, reverse: bool):
     """The bounded SNM blocking key: first ``key_len`` chars of the
-    whitespace-collapsed lowercase text — or of its REVERSAL, the
-    independent second-pass key (suffix order): documents sharing a
+    whitespace-collapsed lowercase text — or of its TOKEN-ORDER
+    reversal (last words first, each word intact), the independent
+    second-pass key (suffix order): documents sharing a
     ``key_len``-char prefix template almost never also share the
     suffix, so the reversed pass re-sorts exactly the groups the
-    prefix pass ties on id."""
+    prefix pass ties on id. Token-level (not character-level)
+    reversal on purpose: Spark reverses strings per CODEPOINT while
+    SQL engines like DuckDB reverse per GRAPHEME CLUSTER (review r07
+    confirmed the divergence on combining sequences), so a
+    character-reversed key could not be replayed exactly by the
+    oracle on non-ASCII text — word-splitting on the collapsed single
+    spaces keeps every character intact in both engines."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     if reverse:
-        norm = F.reverse(norm)
+        norm = F.array_join(F.reverse(F.split(norm, " ")), " ")
     return F.substring(norm, 1, key_len)
 
 
@@ -1031,7 +1038,9 @@ def sorted_neighborhood_pairs_multipass(
     """MULTI-PASS sorted-neighborhood near-dedup (VERDICT r06 task 4 —
     classic SNM's answer to any single key's blind spot): pass 1 sorts
     by the bounded normalized-text PREFIX, pass 2 by the bounded
-    REVERSED-text prefix (suffix order — an independent key), candidate
+    TOKEN-ORDER-REVERSED text prefix (suffix order — an independent
+    key; word-level reversal so the oracle replays it exactly, see
+    :func:`_snm_key`), candidate
     sets union before ONE shared exact-Jaccard verification. The
     single-pass fixed-width-key trade is documented on
     :func:`sorted_neighborhood_pairs`: when more than ``window`` docs

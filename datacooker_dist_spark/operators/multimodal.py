@@ -578,16 +578,44 @@ def label_centroids(emb: DataFrame, dim: int, vec_col: str = "embedding") -> Dat
 # --------------------------------------------------------------------------
 
 
+def decode_gray_pixels(payload: bytes):
+    """Grayscale pixel decode with the :func:`decode_media` layering:
+    Pillow first when installed (any format it reads — decoded to L
+    mode, the optional-extra path), else the dependency-free
+    :func:`decode_bmp_gray` BMP parser; payloads neither can handle
+    raise the loud NotImplementedError contract. Returns (h, w) uint8.
+    PIL's L conversion uses the ITU-R 601 luma weights, not the BMP
+    parser's exact integer mean — cluster deployments get real decodes
+    of real formats, while the SQL-replayable fixtures stay on the
+    integer-exact parser (this container has no PIL, so the oracled
+    suite path is pinned to it either way)."""
+    try:
+        import io
+
+        import numpy as _np
+        from PIL import Image  # optional extra
+
+        with Image.open(io.BytesIO(payload)) as im:
+            return _np.asarray(im.convert("L"), dtype=_np.uint8)
+    except ImportError:
+        pass
+    except Exception:
+        # PIL present but can't parse this payload (see decode_media's
+        # rationale): fall through to the header-exact BMP parser.
+        pass
+    return decode_bmp_gray(payload)
+
+
 def decode_bmp_gray(payload: bytes):
     """Dependency-free pixel decode of an UNCOMPRESSED 24-bit BMP
     (BITMAPINFOHEADER, BI_RGB, the format every imaging stack can
     write): parses the pixel-array offset / dims from the header and
     unpacks the bottom-up, 4-byte-row-padded BGR grid to a (h, w)
     uint8 GRAYSCALE array (integer mean (r+g+b)//3 — exact,
-    SQL-replayable). PIL, when installed, decodes any format to the
-    same array contract; absent it, non-BMP or compressed payloads
-    raise the loud NotImplementedError the media decoders standardize
-    on. Top-down BMPs (negative height) are normalized."""
+    SQL-replayable). Non-BMP or compressed payloads raise the loud
+    NotImplementedError the media decoders standardize on
+    (:func:`decode_gray_pixels` layers the PIL any-format path on
+    top). Top-down BMPs (negative height) are normalized."""
     import struct
 
     if len(payload) < 54 or payload[:2] != b"BM":
@@ -672,17 +700,18 @@ DHASH_SCHEMA = StructType(
 def dhash_images(media: DataFrame, hash_size: int = 8) -> DataFrame:
     """Per-image dHash over binary payloads via mapInPandas (the
     :func:`extract_features` plumbing contract): decode pixels
-    (:func:`decode_bmp_gray`; PIL takes over any format when
-    installed), pool, hash — numpy-vectorized per image inside Arrow
-    batches, no Python past the decode. Output: (media_id, dhash_hi,
-    dhash_lo) — 8 bytes per image, the persistable artifact a 100 TB
-    image-dedup pass shuffles INSTEAD of pixels."""
+    (:func:`decode_gray_pixels` — PIL takes over any format when
+    installed, else the exact BMP parser), pool, hash —
+    numpy-vectorized per image inside Arrow batches, no Python past
+    the decode. Output: (media_id, dhash_hi, dhash_lo) — 8 bytes per
+    image, the persistable artifact a 100 TB image-dedup pass
+    shuffles INSTEAD of pixels."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             his, los = [], []
             for p in pdf["payload"]:
-                hi, lo = dhash_from_gray(decode_bmp_gray(p), hash_size)
+                hi, lo = dhash_from_gray(decode_gray_pixels(p), hash_size)
                 his.append(hi)
                 los.append(lo)
             yield pd.DataFrame(
@@ -722,7 +751,7 @@ def phash_dedup_pairs(
     half_chunks = n_chunks // 2
     mask = (1 << bits_per) - 1
 
-    def chunk(col, c):
+    def chunk(c):
         src = F.col("dhash_hi") if c < half_chunks else F.col("dhash_lo")
         base = c if c < half_chunks else c - half_chunks
         return F.shiftright(src, base * bits_per).bitwiseAND(F.lit(mask))
@@ -730,7 +759,7 @@ def phash_dedup_pairs(
     chunks = F.explode(
         F.array(*[
             F.struct(
-                F.lit(c).alias("_ck"), chunk(None, c).alias("_cv")
+                F.lit(c).alias("_ck"), chunk(c).alias("_cv")
             )
             for c in range(n_chunks)
         ])

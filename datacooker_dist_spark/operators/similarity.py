@@ -1786,70 +1786,25 @@ def opq_rotation(
     permutation. Deterministic: exact covariance + LAPACK ``eigh`` on
     identical input. Empty corpus → identity (PQ degrades gracefully).
     """
-    import decimal
+    if dim % m:
+        raise ValueError(
+            f"opq_rotation needs m to divide dim for balanced "
+            f"allocation (dim={dim}, m={m})"
+        )
 
-    import pyarrow as pa
-
-    iu, ju = np.triu_indices(dim)
-    _CAP = float(2 ** 62)
-
-    def moment_partials(batches):
-        # Python-int accumulators + per-chunk guarded int64 sums (the
-        # exact_comoments overflow pattern): exact at any partition size.
-        acc = [0] * len(iu)
-        sacc = [0] * dim
-        cnt = 0
-        for b in batches:
-            V = np.asarray(
-                pa.Table.from_batches([b]).column(vec_col).to_pylist(),
-                dtype=np.float64,
-            )
-            if V.size == 0:
-                continue
-            cnt += len(V)
-            for lo in range(0, len(V), 1024):
-                C = V[lo:lo + 1024]
-                S = np.rint(C * 1e12)
-                sv = S.astype(np.int64).sum(axis=0)
-                for t in range(dim):
-                    sacc[t] += int(sv[t])
-                P = np.rint(C[:, iu] * C[:, ju] * 1e12)
-                mx = float(np.max(np.abs(P))) if P.size else 0.0
-                if mx * len(P) < _CAP:
-                    v = P.astype(np.int64).sum(axis=0)
-                    for t in range(len(iu)):
-                        acc[t] += int(v[t])
-                else:
-                    for t in range(len(iu)):
-                        acc[t] += sum(int(x) for x in P[:, t])
-        if cnt:
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(
-                        list(iu) + list(range(len(sacc))) + [0],
-                        type=pa.int32(),
-                    ),
-                    pa.array(
-                        list(ju) + [-1] * len(sacc) + [-2],
-                        type=pa.int32(),
-                    ),
-                    pa.array(
-                        [decimal.Decimal(a) for a in acc]
-                        + [decimal.Decimal(a) for a in sacc]
-                        + [decimal.Decimal(cnt)],
-                        type=pa.decimal128(38, 0),
-                    ),
-                ],
-                names=["i", "j", "pl"],
-            )
+    from ..functions.scalars import triangle_moment_partials
 
     rows = (
         corpus.select(as_double_array(vec_col).alias(vec_col))
-        .mapInArrow(moment_partials, "i int, j int, pl decimal(38,0)")
+        .mapInArrow(
+            triangle_moment_partials(vec_col, dim, include_sums=True),
+            "i int, j int, pl decimal(38,0)",
+        )
         .groupBy("i", "j")
         .agg(F.sum(F.col("pl").cast("decimal(38,0)")).alias("s"))
         .collect()
     )
+
     n = 0
     sums = np.zeros(dim)
     prods = np.zeros((dim, dim))

@@ -321,9 +321,6 @@ def embedding_pca_loadings(spark, sf):
     1e-6 DECIMAL grid, so no float-sum order or FMA fusion can drift;
     one final double sqrt/divide for the normalization, rounded 6.
     Output: (dim_index, loading) — 64 rows."""
-    import numpy as np
-    import pyarrow as pa
-
     emb = table(spark, sf, "embeddings")
     d = _EPCA_DIM
     e = emb.select(
@@ -336,57 +333,23 @@ def embedding_pca_loadings(spark, sf):
         .agg(F.sum(F.col("x").cast(_EPCA_SUM_DEC)).cast("double").alias("s"))
         .select((F.col("i0") + 1).alias("i"), "s")
     )
-    iu, ju = np.triu_indices(d)
-
-    _CAP = float(2 ** 62)
-
-    def moment_partials(batches):
-        # Python-int accumulators + per-chunk guarded int64 sums (the
-        # exact_comoments pattern): an int64 running acc silently wraps
-        # past ~9e6 rows/partition at the 1e12 grid scale, and the
-        # partial itself ships as DECIMAL(38,0) so no partition total
-        # can overflow regardless of magnitude.
-        import decimal
-
-        acc = [0] * len(iu)
-        seen = False
-        for b in batches:
-            V = np.asarray(
-                pa.Table.from_batches([b]).column("embedding").to_pylist(),
-                dtype=np.float64,
-            )
-            # Row-chunked upper-triangle products: chunk × 2080 doubles
-            # (~17 MB at 1024 rows) — never the full chunk × d × d cube.
-            for lo in range(0, len(V), 1024):
-                C = V[lo:lo + 1024]
-                P = np.rint(C[:, iu] * C[:, ju] * 1e12)
-                if P.size == 0:
-                    continue
-                mx = float(np.max(np.abs(P)))
-                if mx * len(P) < _CAP:
-                    v = P.astype(np.int64).sum(axis=0)
-                    for t in range(len(iu)):
-                        acc[t] += int(v[t])
-                else:
-                    for t in range(len(iu)):
-                        acc[t] += sum(int(x) for x in P[:, t])
-            seen = True
-        if seen:
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(iu + 1, type=pa.int32()),
-                    pa.array(ju + 1, type=pa.int32()),
-                    pa.array(
-                        [decimal.Decimal(a) for a in acc],
-                        type=pa.decimal128(38, 0),
-                    ),
-                ],
-                names=["i", "j", "pl"],
-            )
+    # Python-int accumulators + per-chunk guarded int64 sums (the
+    # exact_comoments pattern; r07 factored the shared core into
+    # functions.scalars.triangle_moment_partials): an int64 running acc
+    # silently wraps past ~9e6 rows/partition at the 1e12 grid scale,
+    # and the partial itself ships as DECIMAL(38,0) so no partition
+    # total can overflow regardless of magnitude. Row-chunked
+    # upper-triangle products: chunk × 2080 doubles (~17 MB at 1024
+    # rows) — never the full chunk × d × d cube. Indices are 1-based
+    # to join the SQL oracle's unnest(range(1, d+1)).
+    from ..functions.scalars import triangle_moment_partials
 
     p = (
         emb.select("embedding")
-        .mapInArrow(moment_partials, "i int, j int, pl decimal(38,0)")
+        .mapInArrow(
+            triangle_moment_partials("embedding", d, one_based=True),
+            "i int, j int, pl decimal(38,0)",
+        )
         .groupBy("i", "j")
         .agg(
             (F.sum(F.col("pl").cast("decimal(38,0)")) / F.lit(10.0 ** 12))

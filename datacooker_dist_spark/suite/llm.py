@@ -642,7 +642,9 @@ def dedup_sorted_neighborhood(spark, sf):
       FROM n),
     r2 AS (
       SELECT doc_id, ROW_NUMBER() OVER (
-        ORDER BY substr(reverse(norm), 1, 64), doc_id) AS rn
+        ORDER BY substr(array_to_string(
+                   list_reverse(string_split(norm, ' ')), ' '), 1, 64),
+                 doc_id) AS rn
       FROM n),
     cand AS (
       SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
@@ -665,7 +667,10 @@ def dedup_sorted_neighborhood(spark, sf):
 def dedup_snm_multipass(spark, sf):
     """Multi-pass sorted-neighborhood near-dedup (VERDICT r06 task 4):
     two independent bounded blocking keys — the normalized-text prefix
-    and the REVERSED-text prefix (suffix order) — each rank + window
+    and the TOKEN-ORDER-REVERSED text prefix (suffix order; word-level
+    so both engines produce the identical key on any text — Spark's
+    character reverse is codepoint-based while DuckDB's is
+    grapheme-based) — each rank + window
     linearly, candidates union before one shared exact-Jaccard verify.
     Closes the single-pass fixed-width-key blind spot the r06 verdict
     documented: in a prefix-template group larger than the window,
@@ -2674,9 +2679,13 @@ def similarity_recall_report(spark, sf):
     emb = table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     k = 5
+    # One recall join per method consumes this frame (10 methods) —
+    # materialize the bounded |Q|·k rows once so the brute-force corpus
+    # pass really runs ONCE, not per method (review r07; the
+    # ivf_append_retrain_loop treatment of the same cost class).
     exact = S.cosine_topk(emb, queries, k=k).select(
         "query_id", F.col("neighbor_id").alias("exact_nb")
-    )
+    ).localCheckpoint()
     approx = {
         "lsh": S.cosine_topk_lsh(
             emb, queries, dim=64, k=k, planes=6, tables=8
@@ -2794,9 +2803,11 @@ def similarity_recall_ablation(spark, sf):
     emb = table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     k = 5
+    # Three ablation joins consume this frame — materialize the
+    # bounded |Q|·k rows once (review r07).
     exact = S.cosine_topk(emb, queries, k=k).select(
         "query_id", F.col("neighbor_id").alias("exact_nb")
-    )
+    ).localCheckpoint()
     approx = {}
     for dims in (48, 32, 16):
         trunc = emb.select(

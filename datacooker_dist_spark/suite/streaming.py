@@ -1179,11 +1179,18 @@ def stream_append_retrain(spark, sf):
         .start()
     )
     q.awaitTermination()
-    batch_assign = (
-        spark.read.option("recursiveFileLookup", "true")
-        .schema("vec_id bigint, cell bigint, vector array<double>")
-        .parquet(target)
-    )
+    _assign_schema = "vec_id bigint, cell bigint, vector array<double>"
+    # Empty-source guard (the stream_quality_quarantine convention): an
+    # all-empty drain writes no batch dirs, and the read of the absent
+    # target would raise instead of degrading to an empty append.
+    try:
+        batch_assign = (
+            spark.read.option("recursiveFileLookup", "true")
+            .schema(_assign_schema)
+            .parquet(target)
+        )
+    except Exception:
+        batch_assign = spark.createDataFrame([], _assign_schema)
     return S.ivf_append_retrain_loop(
         base, new, queries, k=5, n_cells=16, nprobe=4,
         refine_iters=ANN_REFINE_ITERS, assign_spill=IVF_SPILL,
