@@ -1906,49 +1906,63 @@ def semantic_dedup_clusters(
     exact → token n-gram → substring → embedding-pair →
     semantic-cluster.
 
-    Scale shape: the pair stage is an equi-join of the corpus against
-    itself ON THE CELL KEY — never a corpus self-join; shuffle is one
-    vector+norm row per assignment per side, and per-cell fanout is
-    bounded by cell size (the IVF balance contract — SemDeDup's own
-    within-cluster-only trade). Cosines verify on the 1e-6 grid with
-    statically unrolled dots (codegen, no interpreted HOFs in the
-    pair fanout); norms compute once per row BEFORE the join. CC is
-    the single-job union-find filter. Output: one row per cluster
-    (singletons included) — (cluster_id = min member id, n_members,
+    Scale shape: the pair stage groups members BY CELL — one shuffle
+    of (cell, id, vector) rows, never a corpus self-join — and each
+    cell's pairs score inside one Arrow batch as a row-blocked numpy
+    Gram product (``applyInPandas``: per-cell pair fanout is exactly
+    what grouped-vectorized execution is for; the first cut's
+    per-pair 64-term expression tree fell out of whole-stage codegen
+    and ran interpreted — measured 15 s for the ~500k sf0.1 pairs vs
+    ~0.3 s vectorized). Per-cell memory is blocked to 1024-row
+    slabs of the similarity matrix, and per-cell cost is bounded by
+    cell size² (the IVF balance contract — SemDeDup's own
+    within-cluster-only trade). Cosines round to the shared 1e-6
+    grid before the threshold, matching the SQL oracle's
+    ``round(dot/(|a||b|), 6)`` formula. CC is the single-job
+    union-find filter. Output: one row per cluster (singletons
+    included) — (cluster_id = min member id, n_members,
     survivor_vec_id, n_dropped, labels = sorted distinct labels)."""
+    import pandas as pd
+
     from .dedup import connected_components
 
+    id_type = corpus.select(id_col).schema.fields[0].dataType.simpleString()
     v = as_double_array(vec_col)
-    pts = corpus.select(F.col(id_col).alias("_id"), v.alias("_v")).withColumn(
-        "_nrm", F.sqrt(_dot_unrolled(F.col("_v"), F.col("_v"), dim))
+    members = (
+        assignment.select(F.col(id_col), "cell")
+        .distinct()
+        .join(corpus.select(F.col(id_col), v.alias("_v")), id_col)
+        .select("cell", id_col, "_v")
     )
-    asg = assignment.select(F.col(id_col).alias("_id"), "cell").distinct()
-    side_a = asg.join(pts, "_id").select(
-        "cell",
-        F.col("_id").alias("_ida"),
-        F.col("_v").alias("_va"),
-        F.col("_nrm").alias("_na"),
-    )
-    side_b = asg.join(pts, "_id").select(
-        "cell",
-        F.col("_id").alias("_idb"),
-        F.col("_v").alias("_vb"),
-        F.col("_nrm").alias("_nb"),
-    )
-    pairs = (
-        side_a.join(side_b, "cell")
-        .filter(F.col("_ida") < F.col("_idb"))
-        .select(
-            "_ida",
-            "_idb",
-            F.round(
-                _dot_unrolled(F.col("_va"), F.col("_vb"), dim)
-                / (F.col("_na") * F.col("_nb")),
-                6,
-            ).alias("_cos"),
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        V = np.asarray(pdf["_v"].tolist(), dtype=np.float64)[order]
+        nrm = np.sqrt((V * V).sum(axis=1))
+        nrm[nrm == 0] = 1.0
+        out_a, out_b = [], []
+        # Row-blocked Gram slabs: block × n doubles, never n × n.
+        for lo in range(0, len(ids), 1024):
+            hi = min(lo + 1024, len(ids))
+            D = np.round(
+                (V[lo:hi] @ V.T) / np.outer(nrm[lo:hi], nrm), 6
+            )
+            bi, bj = np.nonzero(D >= threshold)
+            keep = (bi + lo) < bj  # upper triangle: id_a < id_b
+            out_a.append(ids[bi[keep] + lo])
+            out_b.append(ids[bj[keep]])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a) if out_a else [],
+                "id_b": np.concatenate(out_b) if out_b else [],
+            }
         )
-        .filter(F.col("_cos") >= threshold)
-        .select(F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"))
+
+    pairs = (
+        members.groupBy("cell")
+        .applyInPandas(cell_pairs, f"id_a {id_type}, id_b {id_type}")
         .distinct()  # spilled assignments can surface a pair via 2 cells
     )
     labels = connected_components(pairs)
