@@ -2014,3 +2014,85 @@ def hyperplane_cells(
         bit = (F.round(_dot_unrolled(v, plane, dim), 6) >= 0).cast("int")
         cell = cell + F.lit(2 ** p) * bit
     return corpus.select(F.col(id_col), cell.alias("cell"))
+
+
+def semantic_dedup_incremental(
+    base: DataFrame,
+    new: DataFrame,
+    assignment_base: DataFrame,
+    assignment_new: DataFrame,
+    threshold: float,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """INCREMENTAL SemDeDup — the operational 100 TB ingest shape of
+    :func:`semantic_dedup_clusters` (every dedup family ships batch +
+    incremental + streaming forms): only the NEW batch is assigned and
+    paired, each new vector against the STANDING corpus members of its
+    cell(s) — a rectangle per cell, never new×new or base×base, and
+    never a corpus rescan. Same vectorized plan as the batch form:
+    one (cell, id, vector) shuffle, per-cell numpy Gram rectangle in
+    an Arrow batch, cosines rounded to the shared 1e-6 grid before
+    the threshold. Per-batch cost is O(batch·cell_members) — the
+    SemDeDup within-cell trade applied to ingest. Output:
+    (id_new, id_base, cosine ≥ threshold)."""
+    import pandas as pd
+
+    id_type = base.select(id_col).schema.fields[0].dataType.simpleString()
+    v = as_double_array(vec_col)
+
+    def members(corpus, assignment, is_new):
+        return (
+            assignment.select(F.col(id_col), "cell")
+            .distinct()
+            .join(corpus.select(F.col(id_col), v.alias("_v")), id_col)
+            .select(
+                "cell", id_col, "_v", F.lit(is_new).alias("_is_new")
+            )
+        )
+
+    both = members(new, assignment_new, True).unionByName(
+        members(base, assignment_base, False)
+    )
+
+    def rect_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        nm = pdf[pdf["_is_new"]]
+        bm = pdf[~pdf["_is_new"]]
+        empty = pd.DataFrame({"id_new": [], "id_base": [], "cosine": []})
+        if nm.empty or bm.empty:
+            return empty
+        Vn = np.asarray(nm["_v"].tolist(), dtype=np.float64)
+        Vb = np.asarray(bm["_v"].tolist(), dtype=np.float64)
+        ids_n = nm[id_col].to_numpy()
+        ids_b = bm[id_col].to_numpy()
+        nn = np.sqrt((Vn * Vn).sum(axis=1))
+        nb = np.sqrt((Vb * Vb).sum(axis=1))
+        nn[nn == 0] = 1.0
+        nb[nb == 0] = 1.0
+        out = [empty]
+        for lo in range(0, len(ids_n), 1024):
+            hi = min(lo + 1024, len(ids_n))
+            D = np.round(
+                (Vn[lo:hi] @ Vb.T) / np.outer(nn[lo:hi], nb), 6
+            )
+            bi, bj = np.nonzero(D >= threshold)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "id_new": ids_n[bi + lo],
+                        "id_base": ids_b[bj],
+                        "cosine": D[bi, bj],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return (
+        both.groupBy("cell")
+        .applyInPandas(
+            rect_pairs,
+            f"id_new {id_type}, id_base {id_type}, cosine double",
+        )
+        .distinct()  # spilled assignments can surface a pair via 2 cells
+    )

@@ -1518,6 +1518,19 @@ def dedup_embedding(spark, sf):
     return shared_embedding_pairs(spark, sf)
 
 
+def _hyperplane_bits_sql(planes: int = 2, seed: int = 77) -> str:
+    """The seeded hyperplane cell id as a SQL expression over ``v`` —
+    plane constants inlined as literals (repr round-trips to the
+    identical double), sign decided on the shared rounded-dot grid."""
+    H = S._hyperplane_matrix(64, planes, 1, seed)
+    return " + ".join(
+        f"{2 ** p} * (CASE WHEN round(list_dot_product(v, ["
+        + ", ".join(repr(float(x)) for x in H[:, p])
+        + "]), 6) >= 0 THEN 1 ELSE 0 END)"
+        for p in range(planes)
+    )
+
+
 def _semdedup_oracle(planes: int = 2, seed: int = 77, tau: float = 0.40):
     """DuckDB twin of the oracled SemDeDup entry: re-derives the
     hyperplane cells from the SAME seeded plane constants (inlined as
@@ -1525,13 +1538,7 @@ def _semdedup_oracle(planes: int = 2, seed: int = 77, tau: float = 0.40):
     pairs WITHIN each cell at the rounded-cosine threshold, closes
     clusters with a recursive CTE (the dedup_golden_record pattern),
     and aggregates the same survivor/label columns."""
-    H = S._hyperplane_matrix(64, planes, 1, seed)
-    bits = " + ".join(
-        f"{2 ** p} * (CASE WHEN round(list_dot_product(v, ["
-        + ", ".join(repr(float(x)) for x in H[:, p])
-        + "]), 6) >= 0 THEN 1 ELSE 0 END)"
-        for p in range(planes)
-    )
+    bits = _hyperplane_bits_sql(planes, seed)
     return f"""
     WITH RECURSIVE
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
@@ -1621,6 +1628,49 @@ def dedup_semantic_ivf(spark, sf):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return out
+
+
+def _semdedup_inc_oracle(planes: int = 2, seed: int = 77,
+                         tau: float = 0.40) -> str:
+    bits = _hyperplane_bits_sql(planes, seed)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    b AS (SELECT vec_id, v, {bits} AS cell FROM e)
+    SELECT n.vec_id AS id_new, c.vec_id AS id_base,
+           round(list_dot_product(n.v, c.v)
+                 / (sqrt(list_dot_product(n.v, n.v))
+                    * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+    FROM b n JOIN b c ON n.cell = c.cell
+    WHERE n.vec_id % 5 = 0 AND c.vec_id % 5 <> 0
+      AND round(list_dot_product(n.v, c.v)
+                / (sqrt(list_dot_product(n.v, n.v))
+                   * sqrt(list_dot_product(c.v, c.v))), 6) >= {tau}
+    """
+
+
+@query("dedup_semantic_incremental", oracle=_semdedup_inc_oracle())
+def dedup_semantic_incremental(spark, sf):
+    """Incremental SemDeDup — the ingest-time form of
+    ``dedup_semantic_clusters`` (every dedup family ships batch +
+    incremental + streaming): only the NEW batch (vec_id % 5 = 0) is
+    cell-assigned and paired against the STANDING corpus members of
+    its hyperplane cell, a numpy Gram RECTANGLE per cell (never
+    new×new, base×base, or a corpus rescan), exact rounded cosine ≥
+    0.40. The oracle re-derives the same seeded cells on both slices
+    and brute-forces the rectangle — the full incremental pipeline
+    value-checked. At 100 TB the per-batch cost is
+    O(batch·cell_members); the standing side is the persisted cell
+    member table, re-read, never recomputed."""
+    emb = table(spark, sf, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    return S.semantic_dedup_incremental(
+        base, new,
+        S.hyperplane_cells(base, dim=64, planes=2),
+        S.hyperplane_cells(new, dim=64, planes=2),
+        threshold=0.40, dim=64,
+    )
 
 
 @query("text_winnowing")  # rows-only: xxhash64-based fingerprints

@@ -1198,3 +1198,61 @@ def stream_append_retrain(spark, sf):
         stale=(stale_centroids, stale_assigned),
         appended=stale_assigned.unionByName(batch_assign),
     )
+
+
+from .llm import _semdedup_inc_oracle as _ssem_oracle  # noqa: E402
+
+
+@query("stream_semantic_dedup", oracle=_ssem_oracle())
+def stream_semantic_dedup(spark, sf):
+    """Streaming SemDeDup — the ingest-time twin of
+    ``dedup_semantic_incremental`` (the semantic family now ships
+    batch + incremental + streaming like every other dedup family):
+    new vectors arrive as a stream; each micro-batch cell-assigns its
+    rows with the pure-expression hyperplane bucket (no model fetch,
+    no shuffle) and numpy-rectangles them against the STANDING corpus
+    cell members built once before the stream starts, landing pairs
+    as per-``b<batch_id>`` idempotent parquet artifacts (the
+    ``stream_substring_dedup`` discipline). Pair emission is per new
+    vector, so batch boundaries cannot split or duplicate a pair and
+    the drained sink equals the batch incremental answer — the oracle
+    (the same SQL as ``dedup_semantic_incremental``). Per-batch cost
+    is O(batch·cell_members)."""
+    from ..operators import similarity as S
+    from . import table
+
+    emb = table(spark, sf, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    base_cells = S.hyperplane_cells(base, dim=64, planes=2).localCheckpoint()
+
+    base_dir = scratch_dir("ssem")
+    target, ckpt = f"{base_dir}/pairs", f"{base_dir}/ckpt"
+    stream = file_stream(
+        spark, f"{sf}/embeddings.parquet",
+        "vec_id bigint, embedding array<float>, label int",
+    ).filter(F.col("vec_id") % 5 == 0)
+
+    def probe(batch_df, batch_id):
+        S.semantic_dedup_incremental(
+            base, batch_df,
+            base_cells,
+            S.hyperplane_cells(batch_df, dim=64, planes=2),
+            threshold=0.40, dim=64,
+        ).write.mode("overwrite").parquet(f"{target}/b{batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _pair_schema = "id_new bigint, id_base bigint, cosine double"
+    try:
+        return (
+            spark.read.option("recursiveFileLookup", "true")
+            .schema(_pair_schema)
+            .parquet(target)
+        )
+    except Exception:
+        return spark.createDataFrame([], _pair_schema)

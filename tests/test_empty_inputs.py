@@ -318,3 +318,38 @@ def test_retrain_loop_on_empty_batch(spark):
     assert rows[0]["retrain_triggered"] is False
     assert rows[0]["index_source"] == "appended"
     assert out.count() == 60
+
+
+def test_semantic_dedup_incremental_empty_batch(spark):
+    """Empty ingest batch (and empty base) → zero pairs with the right
+    schema — the operator's rectangle stage must tolerate one-sided
+    empty cells."""
+    from datacooker_dist_spark.operators.similarity import (
+        hyperplane_cells,
+        semantic_dedup_incremental,
+    )
+
+    base = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0], 1)],
+        "vec_id bigint, embedding array<double>, label int",
+    )
+    empty = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<double>, label int"
+    )
+    out = semantic_dedup_incremental(
+        base, empty,
+        hyperplane_cells(base, dim=4, planes=2),
+        hyperplane_cells(empty, dim=4, planes=2),
+        threshold=0.4, dim=4,
+    )
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "id_new", "id_base", "cosine",
+    ]
+    rev = semantic_dedup_incremental(
+        empty, base,
+        hyperplane_cells(empty, dim=4, planes=2),
+        hyperplane_cells(base, dim=4, planes=2),
+        threshold=0.4, dim=4,
+    )
+    assert rev.count() == 0
