@@ -1811,3 +1811,70 @@ def test_dhash_decode_and_invariance(spark):
     out = {r.media_id: (r.dhash_hi, r.dhash_lo)
            for r in dhash_images(media).collect()}
     assert out == {7: h0, 8: hb}
+
+
+def test_multiprobe_lsh_superset_and_probe_shape(spark):
+    """Multi-probe LSH properties (r07): (1) every (query, table)
+    emits exactly 1 + n_probes single-flip probes (+1 two-bit probe
+    when n_probes > planes), and the base signature is among them;
+    (2) the multi-probe candidate top-k is a recall SUPERSET of plain
+    LSH at the same (planes, tables) — extra buckets only ever add
+    candidates; (3) flipping a probe bit changes the signature by
+    exactly one power of two."""
+    from datacooker_dist_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_lsh,
+        lsh_query_probes,
+        lsh_signatures,
+    )
+
+    dim = 8
+    emb = spark.range(80).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (
+                ((F.col("id") * 29 + i * 11) % 17).cast("double") / 17 - 0.4
+            ),
+        ).alias("embedding"),
+    )
+    queries = emb.filter("vec_id < 4")
+    planes, tables, n_probes = 4, 2, 3
+
+    base = {
+        (r.query_id, r.htable, r.sig)
+        for r in lsh_signatures(
+            queries, "query_id", dim, planes, tables
+        ).collect()
+    }
+    probes = [
+        (r.query_id, r.htable, r.sig)
+        for r in lsh_query_probes(
+            queries, "query_id", dim, planes, tables, n_probes
+        ).collect()
+    ]
+    assert base <= set(probes)  # base bucket always probed
+    from collections import Counter
+    per_qt = Counter((q, t) for q, t, _ in probes)
+    assert set(per_qt.values()) == {1 + n_probes}
+    # each probe differs from its base signature by 0 or 1 bit
+    base_sig = {(q, t): s for q, t, s in base}
+    for q, t, s in probes:
+        d = s ^ base_sig[(q, t)]
+        assert d == 0 or (d & (d - 1)) == 0
+
+    def hits(df):
+        return {
+            (r.query_id, r.neighbor_id)
+            for r in df.select("query_id", "neighbor_id").collect()
+        }
+
+    exact = hits(cosine_topk(emb, queries, k=3))
+    plain = hits(cosine_topk_lsh(
+        emb, queries, dim=dim, k=3, planes=planes, tables=tables
+    ))
+    multi = hits(cosine_topk_lsh(
+        emb, queries, dim=dim, k=3, planes=planes, tables=tables,
+        n_probes=n_probes,
+    ))
+    assert len(multi & exact) >= len(plain & exact)  # recall never drops
