@@ -161,6 +161,45 @@ def scratch_dir(tag: str) -> str:
     return d
 
 
+def is_path_not_found(exc: Exception) -> bool:
+    """True iff an AnalysisException is Spark's missing-path error
+    (condition ``PATH_NOT_FOUND``) — the ONLY read failure the
+    empty-source read-back convention is allowed to swallow."""
+    cond = getattr(exc, "getCondition", None) or getattr(
+        exc, "getErrorClass", None
+    )
+    name = None
+    if cond is not None:
+        try:
+            name = cond()
+        except Exception:
+            name = None
+    return name == "PATH_NOT_FOUND" or "PATH_NOT_FOUND" in str(exc)
+
+
+def read_parquet_or_empty(
+    spark: SparkSession, schema: str, path: str, recursive: bool = False
+) -> DataFrame:
+    """Read a parquet directory with an explicit schema, degrading ONLY a
+    missing path to the zero-row frame. ADVICE r07 narrowed this from a
+    bare ``except Exception``: a genuine read failure (permissions,
+    corrupt footer, schema mismatch) must fail loudly, not silently
+    report zero rows. The missing-path case is legitimate by the
+    empty-input convention — an all-empty streaming drain or zero-row
+    batch source writes no files at all."""
+    from pyspark.errors import AnalysisException
+
+    reader = spark.read.schema(schema)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    try:
+        return reader.parquet(path)
+    except AnalysisException as e:
+        if is_path_not_found(e):
+            return spark.createDataFrame([], schema)
+        raise
+
+
 def enable_nanos_as_long(spark: SparkSession) -> None:
     """Turn on ``spark.sql.legacy.parquet.nanosAsLong`` — INTENTIONALLY
     session-global and never restored: reads are lazy, so the conf must

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from . import query, scratch_dir, table
+from . import query, read_parquet_or_empty, scratch_dir, table
 
 # ---------------------------------------------------------------------------
 # text_collocations_pmi
@@ -933,12 +933,9 @@ def quality_quarantine_split(spark, sf):
     # raises instead of returning the empty frame the empty-input
     # convention (tests/test_empty_inputs.py) requires. With the
     # writer's own schema the read infers nothing — `gate` comes back
-    # from the hive partition dirs when present, and an empty/absent
-    # dir degrades to zero rows.
-    try:
-        back = spark.read.schema(routed.schema).parquet(base)
-    except Exception:
-        back = spark.createDataFrame([], routed.schema)
+    # from the hive partition dirs when present, and an absent dir
+    # degrades to zero rows (missing-path ONLY; ADVICE r07).
+    back = read_parquet_or_empty(spark, routed.schema, base)
     return back.groupBy(F.col("gate").cast("string").alias("gate")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count_if(

@@ -2781,9 +2781,10 @@ def similarity_recall_report(spark, sf):
     learned-rotation rows at the identical fine budget, and the
     COARSE-budget (m=16, k=16) ADC rows where the encoding choice
     actually separates — previously the crossover lived only in
-    docstrings. Current report at sf0.01 (r07): lsh 0.36,
-    lsh_multiprobe 0.90 (same index, 7 query-side probes — the Lv
-    et al. multi-probe lift), ivf 0.74,
+    docstrings. Current report at sf0.01 (r08): lsh 0.36,
+    lsh_multiprobe 0.94 (same index, 7 query-side probes — the Lv
+    et al. multi-probe lift; r08's full canonical perturbation
+    sequence improved on r07's head-of-list 0.90), ivf 0.74,
     pq 0.80, pq_opq 0.76, ivfpq_rerank 0.96,
     ivfpq_residual_rerank 0.94, ivfpq_opq_rerank 0.96; coarse ADC:
     pq_coarse 0.32, pq_residual_coarse 0.40, pq_opq_coarse 0.40,

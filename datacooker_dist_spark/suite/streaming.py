@@ -6,7 +6,13 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..streaming.pipeline import file_stream, run_available_now, windowed_counts
-from . import EVENTS_RAW_SCHEMA, query, scratch_dir
+from . import (
+    EVENTS_RAW_SCHEMA,
+    is_path_not_found,
+    query,
+    read_parquet_or_empty,
+    scratch_dir,
+)
 
 EVENTS_US_SCHEMA = (
     "event_id bigint, ts timestamp_ntz, user_id bigint, "
@@ -338,10 +344,16 @@ def stream_upsert_sink(spark, sf):
     def upsert(batch_df, batch_id):
         s = batch_df.sparkSession
         news = latest_per_key(batch_df)
+        from pyspark.errors import AnalysisException
+
         try:
             cur = s.read.parquet(target)
             merged = latest_per_key(cur.unionByName(news))
-        except Exception:
+        except AnalysisException as e:
+            # First batch: the upsert target doesn't exist yet. Any
+            # other read failure must fail the batch (ADVICE r07).
+            if not is_path_not_found(e):
+                raise
             merged = news
         # Stage then swap: the target can't be overwritten while being read.
         staged = f"{base}/stage_{batch_id}"
@@ -1008,14 +1020,7 @@ def stream_quality_quarantine(spark, sf):
     # batch dirs at all, and the recursive read of the absent target
     # raises instead of returning the zero-row frame the empty-input
     # convention requires.
-    try:
-        back = (
-            spark.read.option("recursiveFileLookup", "true")
-            .schema(_back_schema)
-            .parquet(target)
-        )
-    except Exception:
-        back = spark.createDataFrame([], _back_schema)
+    back = read_parquet_or_empty(spark, _back_schema, target, recursive=True)
     return back.groupBy("gate").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count_if(~(F.col("value") <= 300)).alias("n_value_fail"),
@@ -1183,14 +1188,9 @@ def stream_append_retrain(spark, sf):
     # Empty-source guard (the stream_quality_quarantine convention): an
     # all-empty drain writes no batch dirs, and the read of the absent
     # target would raise instead of degrading to an empty append.
-    try:
-        batch_assign = (
-            spark.read.option("recursiveFileLookup", "true")
-            .schema(_assign_schema)
-            .parquet(target)
-        )
-    except Exception:
-        batch_assign = spark.createDataFrame([], _assign_schema)
+    batch_assign = read_parquet_or_empty(
+        spark, _assign_schema, target, recursive=True
+    )
     return S.ivf_append_retrain_loop(
         base, new, queries, k=5, n_cells=16, nprobe=4,
         refine_iters=ANN_REFINE_ITERS, assign_spill=IVF_SPILL,
@@ -1248,11 +1248,4 @@ def stream_semantic_dedup(spark, sf):
     )
     q.awaitTermination()
     _pair_schema = "id_new bigint, id_base bigint, cosine double"
-    try:
-        return (
-            spark.read.option("recursiveFileLookup", "true")
-            .schema(_pair_schema)
-            .parquet(target)
-        )
-    except Exception:
-        return spark.createDataFrame([], _pair_schema)
+    return read_parquet_or_empty(spark, _pair_schema, target, recursive=True)

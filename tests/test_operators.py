@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from conftest import SF_SMALL
@@ -1857,11 +1858,15 @@ def test_multiprobe_lsh_superset_and_probe_shape(spark):
     from collections import Counter
     per_qt = Counter((q, t) for q, t, _ in probes)
     assert set(per_qt.values()) == {1 + n_probes}
-    # each probe differs from its base signature by 0 or 1 bit
-    base_sig = {(q, t): s for q, t, s in base}
+    # canonical perturbation sequence: all probes of a (query, table)
+    # are DISTINCT buckets (r07 ADVICE: every requested probe counts),
+    # and the base signature differs only in flipped-bit positions
+    # within the plane range.
+    grouped = Counter()
     for q, t, s in probes:
-        d = s ^ base_sig[(q, t)]
-        assert d == 0 or (d & (d - 1)) == 0
+        grouped[(q, t, s)] += 1
+        assert 0 <= s < (1 << planes)
+    assert set(grouped.values()) == {1}
 
     def hits(df):
         return {
@@ -1878,3 +1883,21 @@ def test_multiprobe_lsh_superset_and_probe_shape(spark):
         n_probes=n_probes,
     ))
     assert len(multi & exact) >= len(plain & exact)  # recall never drops
+
+    # asking past the 2^planes - 1 distinct perturbations fails loudly
+    # instead of silently emitting fewer probes (ADVICE r07)
+    with pytest.raises(ValueError, match="perturbation"):
+        lsh_query_probes(
+            queries, "query_id", dim, planes, tables, (1 << planes)
+        )
+
+    # deep probing (beyond planes+1, the old silent cap) still yields
+    # exactly 1 + n_probes distinct buckets per (query, table)
+    deep = 6  # > planes + 1 = 5
+    rows = lsh_query_probes(
+        queries, "query_id", dim, planes, tables, deep
+    ).collect()
+    per_qt = Counter((r.query_id, r.htable) for r in rows)
+    assert set(per_qt.values()) == {1 + deep}
+    uniq = Counter((r.query_id, r.htable, r.sig) for r in rows)
+    assert set(uniq.values()) == {1}
