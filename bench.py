@@ -362,30 +362,40 @@ def main() -> None:
 
     # Full per-query map goes to an artifact file; stdout gets a compact line
     # (the driver's capture window truncates multi-KB lines — VERDICT r01).
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(here, "BENCH_DETAIL.json")
+    # Round-stamped archive (VERDICT r07 task 5): BENCH_DETAIL.json is
+    # overwritten every run, which destroyed r6's per-query detail before
+    # the r7 judge could diff it. Mirror each run's detail to
+    # BENCH_DETAIL_r0N.json, N inferred as one past the newest driver
+    # record BENCH_r0N.json — re-runs within a round overwrite their own
+    # round's archive, never a past round's.
+    import re as _re
+
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(here)
+        if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f))
+    ]
+    archive_path = os.path.join(
+        here, f"BENCH_DETAIL_r{(max(rounds, default=0) + 1):02d}.json"
     )
-    with open(detail_path, "w") as fh:
-        json.dump(
-            {
-                "metric": "suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "samples": samples,
-                "retimed": sorted(
-                    n for n, v in samples.items() if len(v) > 1
-                ),
-                "retime_policy": "median_of_3",
-                "retime_sec": retime_sec,
-                "sf": sf,
-                "cpus": cpus,
-                "session_chunk": chunk,
-            },
-            fh,
-            indent=1,
-            sort_keys=True,
-        )
+    detail = {
+        "metric": "suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "samples": samples,
+        "retimed": sorted(n for n, v in samples.items() if len(v) > 1),
+        "retime_policy": "median_of_3",
+        "retime_sec": retime_sec,
+        "sf": sf,
+        "cpus": cpus,
+        "session_chunk": chunk,
+    }
+    for out_path in (detail_path, archive_path):
+        with open(out_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
 
     # Compact summary is the LAST stdout line so the driver's tail capture
     # always holds one complete, parse-able JSON object.
