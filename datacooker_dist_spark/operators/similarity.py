@@ -1266,6 +1266,154 @@ def cosine_topk_pq(
     )
 
 
+def sq8_params(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension (min, max) training pass for SQ8 scalar
+    quantization (the FAISS ``ScalarQuantizer`` QT_8bit layout — the
+    simplest production vector compression, VERDICT r07 task 3): each
+    dimension maps independently onto 256 levels between its corpus
+    min and max. One linear scan: posexplode to (pos, x) rows, then a
+    min/max aggregate over ``dim`` groups — partial aggregation folds
+    every partition to ``dim`` rows map-side, so the exchange carries
+    ~dim rows per partition regardless of corpus size. Output:
+    (pos, vmin, vmax), ``dim`` rows, broadcast-sized by construction."""
+    v = as_double_array(vec_col)
+    return (
+        corpus.select(F.posexplode(v).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("vmin"), F.max("x").alias("vmax"))
+    )
+
+
+def sq8_encode(
+    corpus: DataFrame,
+    params: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SQ8-encode a corpus: each float64 dimension compresses to one
+    uint8 level, ``code = floor((x - vmin) / scale + 0.5)`` with
+    ``scale = (vmax - vmin) / 255`` (floor-of-shifted rather than
+    banker's rint so a SQL oracle reproduces every code bit-exactly —
+    subtraction, division, addition, floor are each single IEEE ops
+    with no FMA-fusible chain) — dim bytes per vector versus
+    dim·4 of float32, the 4× cut that sits between raw vectors and PQ
+    in the encoding ladder. One Arrow-vectorized pass: the ``dim``-row
+    params table collects to the driver (bounded by construction) and
+    the whole batch encodes as two numpy broadcasts; the TRUE vector
+    norm is kept alongside (JVM-side expression) so cosine scoring
+    normalizes exactly like the PQ family. A zero-span dimension
+    (constant across the corpus) encodes to 0 and decodes to vmin via
+    the additive term in :func:`cosine_topk_sq8`.
+    Output: (id, codes: array<int>, _norm: double)."""
+    from pyspark.sql.functions import pandas_udf
+
+    rows = sorted(params.collect(), key=lambda r: r.pos)
+    vmin = np.array([r.vmin for r in rows], dtype=np.float64)
+    span = np.array([r.vmax - r.vmin for r in rows], dtype=np.float64)
+    scale = np.where(span > 0, span / 255.0, 1.0)
+
+    @pandas_udf("array<int>")
+    def codes(v: pd.Series) -> pd.Series:
+        M = np.vstack(v.to_numpy())  # N × dim
+        C = np.clip(
+            np.floor((M - vmin) / scale + 0.5), 0, 255
+        ).astype(np.int32)
+        return pd.Series(list(C))
+
+    v = as_double_array(vec_col)
+    return corpus.select(
+        id_col, codes(v).alias("codes"), _norm(v).alias("_norm")
+    )
+
+
+def cosine_topk_sq8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    params: DataFrame | None = None,
+    encoded: DataFrame | None = None,
+) -> DataFrame:
+    """SQ8 asymmetric-distance (ADC) approximate top-k: the query stays
+    full-precision; every corpus vector is scored from its uint8 codes
+    without ever decoding — ``dot(q, x̂) = Σ q_i·vmin_i +
+    Σ (q_i·scale_i)·code_i``, so the per-query work is one precomputed
+    (pos → q_i·scale_i) table plus an integer-weighted sum over code
+    rows. The scan touches only the dim-byte codes (+1 norm), never
+    the vectors — same trade as PQ ADC but with zero training beyond
+    a min/max pass, the reason SQ8 is the default first compression
+    step in production ANN stacks.
+
+    Plan mirrors :func:`cosine_topk_pq`: codes posexplode to dim rows
+    per corpus vector; the per-(query, pos) weight table (|Q|·dim rows)
+    broadcasts; one partial-aggregated sum per (query, id) rebuilds the
+    approximate dot. Weights and the per-query additive ``Σ q·vmin``
+    term accumulate as 1e-6-grid longs, so scores are exact integer
+    sums — ranking is deterministic under any partitioning
+    (neighbor_id tiebreak).
+    Output: (query_id, neighbor_id, sq8_cosine, rnk ≤ k)."""
+    from pyspark.sql import Window
+
+    p = params if params is not None else sq8_params(corpus, id_col, vec_col)
+    enc = (
+        encoded
+        if encoded is not None
+        else sq8_encode(corpus, p, id_col, vec_col)
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("_qv")
+    )
+    scale = F.when(
+        F.col("vmax") > F.col("vmin"),
+        (F.col("vmax") - F.col("vmin")) / F.lit(255.0),
+    ).otherwise(F.lit(1.0))
+    qtable = (
+        qv.select(
+            "query_id", _norm("_qv").alias("_qnorm"),
+            F.posexplode("_qv").alias("pos", "_q"),
+        )
+        .join(F.broadcast(p), "pos")
+        .select(
+            "query_id", "_qnorm", "pos",
+            F.round(F.col("_q") * scale * 1e6).cast("long").alias("_qs"),
+            F.round(F.col("_q") * F.col("vmin") * 1e6)
+            .cast("long").alias("_qm"),
+        )
+    )
+    code_rows = enc.select(
+        F.col(id_col).alias("neighbor_id"), "_norm",
+        F.posexplode("codes").alias("pos", "code"),
+    )
+    scored = (
+        code_rows.join(F.broadcast(qtable), "pos")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.first("_norm").alias("_norm"),
+            F.first("_qnorm").alias("_qnorm"),
+            (F.sum(F.col("_qs") * F.col("code")) + F.sum("_qm"))
+            .alias("_adot"),
+        )
+        .select(
+            "query_id", "neighbor_id",
+            F.round(
+                F.col("_adot") / 1e6 / (F.col("_norm") * F.col("_qnorm")), 6
+            ).alias("sq8_cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sq8_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )
+
+
 def cosine_topk_ivfpq(
     corpus: DataFrame,
     queries: DataFrame,

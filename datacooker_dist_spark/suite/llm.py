@@ -67,6 +67,47 @@ def shared_pq_index(spark, sf, dim=64, m=32, n_codes=32):
     return _PQ_INDEX_CACHE[key]
 
 
+_EXACT_TOPK_CACHE: dict = {}
+
+
+def shared_exact_topk(spark, sf, k=5):
+    """Session-memoized exact brute-force top-k reference set for the
+    standard report query set (vec_id < 10): (query_id, exact_nb),
+    |Q|·k rows. The fine and coarse recall reports and the
+    dimension-ablation report all grade against this identical set
+    (VERDICT r07 task 8 split the report along the budget axis, and
+    the shared frames stay memoized so the split costs no extra exact
+    corpus pass)."""
+    key = (session_key(spark), sf, k)
+    if key not in _EXACT_TOPK_CACHE:
+        emb = table(spark, sf, "embeddings")
+        _EXACT_TOPK_CACHE[key] = (
+            S.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=k)
+            .select("query_id", F.col("neighbor_id").alias("exact_nb"))
+            .localCheckpoint()
+        )
+    return _EXACT_TOPK_CACHE[key]
+
+
+_SQ8_INDEX_CACHE: dict = {}
+
+
+def shared_sq8_index(spark, sf):
+    """Session-memoized SQ8 scalar-quantization index (VERDICT r07
+    task 3): the per-dimension (min, max) training table plus the
+    uint8-encoded corpus. Training is one min/max aggregate (no Lloyd
+    passes at all — SQ8's selling point over PQ is zero-training
+    simplicity); the encode is one Arrow pass. The code table is
+    corpus-rows × (dim bytes + 1 norm), checkpoint-cheap."""
+    key = (session_key(spark), sf)
+    if key not in _SQ8_INDEX_CACHE:
+        emb = table(spark, sf, "embeddings")
+        p = S.sq8_params(emb).localCheckpoint()
+        enc = S.sq8_encode(emb, p).localCheckpoint()
+        _SQ8_INDEX_CACHE[key] = (p, enc)
+    return _SQ8_INDEX_CACHE[key]
+
+
 # Spilled assignment width for the shared IVF index (ScaNN/SOAR-style):
 # each vector lands in its top-IVF_SPILL cells, so boundary vectors stay
 # findable when their best cell is outside a query's probe list. Measured
@@ -867,6 +908,32 @@ def similarity_topk_pq(spark, sf):
     )
 
 
+@query("similarity_topk_sq8")  # rows-only: approximate (recall < 1)
+def similarity_topk_sq8(spark, sf):
+    """SQ8 scalar-quantization ADC top-k (VERDICT r07 task 3) — the
+    encoding rung BETWEEN raw vectors and PQ that the ladder was
+    missing: every dimension compresses independently to one uint8
+    level between its corpus min and max (FAISS ScalarQuantizer
+    QT_8bit), 64 bytes/vector vs 256 raw and 32 for fine PQ. No
+    codebook training at all (one min/max pass), which is why SQ8 is
+    the default first compression step in production ANN stacks:
+    near-raw recall at 4× less memory, zero tuning surface. Queries
+    stay full-precision; scoring is the PQ ADC shape with the k-way
+    codebook lookup replaced by an integer-weighted sum over code
+    rows — the scan never touches the original vectors. Recall and
+    bytes/vector tracked beside the PQ family in
+    ``similarity_recall_report``."""
+    emb = table(spark, sf, "embeddings")
+    p, enc = shared_sq8_index(spark, sf)
+    out = S.cosine_topk_sq8(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, params=p, encoded=enc
+    )
+    return out.select(
+        "query_id", "neighbor_id", "sq8_cosine",
+        F.col("rnk").cast("long").alias("rnk"),
+    )
+
+
 @query("similarity_topk_ivfpq")  # rows-only: approximate (recall < 1)
 def similarity_topk_ivfpq(spark, sf):
     """IVF-PQ stack — the production ANN layout: IVF cells prune which
@@ -968,6 +1035,55 @@ def similarity_index_build_pq(spark, sf):
             F.broadcast(
                 enc16.agg(F.count(F.lit(1)).alias("n_encoded_coarse"))
             )
+        )
+    )
+
+
+@query(
+    "similarity_index_build_sq8",
+    oracle="""
+    WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    p AS (SELECT CAST(UNNEST(range(1, 65)) AS INT) AS i),
+    mm AS (
+      SELECT p.i AS i, MIN(e.v[p.i]) AS vmin, MAX(e.v[p.i]) AS vmax
+      FROM e, p GROUP BY 1),
+    c AS (
+      SELECT mm.i AS i, mm.vmin, mm.vmax,
+             CASE WHEN mm.vmax > mm.vmin THEN
+               CAST(LEAST(255, GREATEST(0,
+                 FLOOR((e.v[mm.i] - mm.vmin)
+                       / ((mm.vmax - mm.vmin) / 255.0) + 0.5))) AS INT)
+             ELSE 0 END AS code
+      FROM e, mm)
+    SELECT CAST(i - 1 AS INT) AS pos, vmin, vmax,
+           COUNT(DISTINCT code) AS n_levels
+    FROM c GROUP BY 1, 2, 3
+    """,
+)
+def similarity_index_build_sq8(spark, sf):
+    """The session's shared SQ8 index build as a NAMED deliverable
+    (VERDICT r07 task 3), EXACT-oracled per dimension: the oracle
+    re-derives every (vmin, vmax) from the raw corpus and REPLAYS the
+    whole encode arithmetic — ``floor((x − vmin) / ((vmax − vmin)/255)
+    + 0.5)`` — counting the distinct levels each dimension actually
+    uses, so a single drifted code bit anywhere in the corpus fails
+    the compare. Subtraction, division, addition, floor are each a
+    single IEEE double op with no FMA-fusible multiply-add chain, the
+    property that makes the cross-engine replay bit-exact (the
+    ``exact_comoments`` convention). Output: one row per dimension
+    (pos, vmin, vmax, n_levels). Build cost is two linear passes
+    (min/max aggregate, Arrow-batched encode) — no Lloyd iterations,
+    SQ8's operational selling point."""
+    p, enc = shared_sq8_index(spark, sf)
+    levels = (
+        enc.select(F.posexplode("codes").alias("pos", "code"))
+        .groupBy("pos")
+        .agg(F.countDistinct("code").alias("n_levels"))
+    )
+    return (
+        p.join(levels, "pos")
+        .select(
+            F.col("pos").cast("int").alias("pos"), "vmin", "vmax", "n_levels"
         )
     )
 
@@ -2766,47 +2882,37 @@ def similarity_index_cells_kmeans(spark, sf):
 
 @query("similarity_recall_report")  # rows-only: audits approximate indexes
 def similarity_recall_report(spark, sf):
-    """ANN index QUALITY GATE — measured recall@5 of the LSH and IVF
-    approximate top-k paths against exact brute force, per method. This
-    is the report a production vector pipeline runs before switching an
+    """ANN index QUALITY GATE, FINE budget — measured recall@5 of every
+    approximate top-k path at its production parameters against exact
+    brute force, per method, with the hot-index bytes/vector beside
+    each recall so the tuner reads the whole trade in one row. This is
+    the report a production vector pipeline runs before switching an
     index variant on: the approximate paths are only useful if their
-    recall at the deployed parameters is known, not assumed. All three
-    top-k runs share the same bounded query set; recall is
-    |approx ∩ exact| / k averaged over queries — integer overlap counts
-    and one final division, deterministic for fixed seeds (hyperplanes
-    and centroid strides are seed-pinned). Corpus cost: one exact pass
-    (query-side broadcast) + the pruned passes already benched.
+    recall at the deployed parameters is known, not assumed. All runs
+    share the same memoized bounded query set (``shared_exact_topk``);
+    recall is |approx ∩ exact| / k averaged over queries — integer
+    overlap counts and one final division, deterministic for fixed
+    seeds (hyperplanes and centroid strides are seed-pinned).
 
-    r07 additions (VERDICT r06 tasks 1 and 8): the OPQ
-    learned-rotation rows at the identical fine budget, and the
-    COARSE-budget (m=16, k=16) ADC rows where the encoding choice
-    actually separates — previously the crossover lived only in
-    docstrings. Current report at sf0.01 (r08): lsh 0.36,
-    lsh_multiprobe 0.94 (same index, 7 query-side probes — the Lv
-    et al. multi-probe lift; r08's full canonical perturbation
-    sequence improved on r07's head-of-list 0.90), ivf 0.74,
-    pq 0.80, pq_opq 0.76, ivfpq_rerank 0.96,
-    ivfpq_residual_rerank 0.94, ivfpq_opq_rerank 0.96; coarse ADC:
-    pq_coarse 0.32, pq_residual_coarse 0.40, pq_opq_coarse 0.40,
-    pq_opq_residual_coarse 0.42 (the composed FAISS OPQ,IVF,PQ
-    layout — the two component wins partially STACK).
-    Reading: on this mildly anisotropic corpus (covariance
-    eigen-ratio 4.2) BOTH residual and OPQ encodings win at the
-    coarse budget (+0.08 recall at identical index size, +0.10
-    composed) and lose a little at the fine budget, where
-    sub-quantizers are already narrow (sub_dim=2) and the reranked
-    paths saturate at the spilled-candidate ceiling regardless —
-    the honest, measured picture a production tuner needs."""
+    r08 (VERDICT r07 tasks 3 and 8): the report split along the budget
+    axis exactly like the index builds — this entry carries the fine
+    rows, ``similarity_recall_report_coarse`` the m=16/k=16 ADC rows;
+    their union reproduces r07's 12 rows plus the new SQ8 row. Current
+    fine rows at sf0.01 (r08): lsh 0.36, lsh_multiprobe 0.94 (same
+    index, 7 query-side probes; r08's full canonical perturbation
+    sequence improved on r07's head-of-list 0.90), ivf 0.74, sq8 1.00
+    (64 B/vec — on this corpus 8-bit-per-dimension loses NO top-5
+    neighbor, the near-raw-recall property that makes SQ8 the default
+    first compression), pq 0.80 / pq_opq 0.76 (20 B/vec),
+    ivfpq_rerank 0.96, ivfpq_residual_rerank 0.94,
+    ivfpq_opq_rerank 0.96. bytes_per_vec is the HOT index payload
+    (float32-equivalent raw = 256 B; 5-bit fine PQ codes = 20 B;
+    rerank paths additionally touch ≤rerank raw vectors per query —
+    a bounded read, not index residency)."""
     emb = table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     k = 5
-    # One recall join per method consumes this frame (10 methods) —
-    # materialize the bounded |Q|·k rows once so the brute-force corpus
-    # pass really runs ONCE, not per method (review r07; the
-    # ivf_append_retrain_loop treatment of the same cost class).
-    exact = S.cosine_topk(emb, queries, k=k).select(
-        "query_id", F.col("neighbor_id").alias("exact_nb")
-    ).localCheckpoint()
+    exact = shared_exact_topk(spark, sf, k)
     approx = {
         "lsh": S.cosine_topk_lsh(
             emb, queries, dim=64, k=k, planes=6, tables=8
@@ -2818,6 +2924,13 @@ def similarity_recall_report(spark, sf):
             emb, queries, k=k, n_cells=16, nprobe=4,
             cells=shared_ivf_index(spark, sf), spilled=True,
         ),
+        # r08: the SQ8 rung between raw and PQ — zero-training
+        # per-dimension 8-bit quantization at 64 B/vec.
+        "sq8": S.cosine_topk_sq8(
+            emb, queries, k=k,
+            params=shared_sq8_index(spark, sf)[0],
+            encoded=shared_sq8_index(spark, sf)[1],
+        ).withColumnRenamed("sq8_cosine", "cosine"),
         "pq": S.cosine_topk_pq(
             emb, queries, dim=64, k=k, m=32, n_codes=32,
             codebooks=shared_pq_index(spark, sf)[0],
@@ -2843,8 +2956,7 @@ def similarity_recall_report(spark, sf):
     # r07: OPQ learned-rotation rows at the identical fine budget (the
     # rotated query set probes rotated codebooks/centroids; exact
     # neighbor ids are rotation-invariant so the same `exact` set
-    # scores them), plus the coarse-budget (m=16, k=16) ADC rows where
-    # residual/OPQ encoding measurably win (r06 task 8).
+    # scores them).
     rot, rot_cents, ocb, oenc = shared_opq_index(spark, sf)
     rot_q = rot.filter(F.col("vec_id") < 10)
     _, assigned = shared_ivf_index(spark, sf)
@@ -2857,6 +2969,38 @@ def similarity_recall_report(spark, sf):
         n_codes=32, codebooks=ocb, encoded=oenc,
         cells=(rot_cents, assigned), rerank=20, spilled=True,
     )
+    return _recall_rows(
+        exact, approx, k,
+        bytes_per_vec={
+            "lsh": 256, "lsh_multiprobe": 256, "ivf": 256, "sq8": 64,
+            "pq": 20, "pq_opq": 20, "ivfpq_rerank": 20,
+            "ivfpq_residual_rerank": 20, "ivfpq_opq_rerank": 20,
+        },
+    )
+
+
+@query("similarity_recall_report_coarse")  # rows-only: audits approx indexes
+def similarity_recall_report_coarse(spark, sf):
+    """ANN index QUALITY GATE, COARSE budget (m=16, k=16 ADC — 8 B/vec,
+    the budget where the ENCODING choice actually separates): the
+    other half of the r08 report split (VERDICT r07 task 8 — the
+    unified report had grown to 12.3 s and gains a pruned corpus pass
+    with every new encoding, so it split along the budget axis exactly
+    like the index builds, shared frames memoized). Union with
+    ``similarity_recall_report`` reproduces r07's 12 rows + SQ8.
+    Current coarse rows at sf0.01: pq_coarse 0.32,
+    pq_residual_coarse 0.40, pq_opq_coarse 0.40,
+    pq_opq_residual_coarse 0.42 (the composed FAISS OPQ,IVF,PQ layout
+    — the two individual +0.08 component wins partially STACK).
+    Reading: on this mildly anisotropic corpus (covariance eigen-ratio
+    4.2) BOTH residual and OPQ encodings win here and lose a little at
+    the fine budget, where sub-quantizers are already narrow
+    (sub_dim=2) — the honest crossover a production tuner needs."""
+    emb = table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    k = 5
+    exact = shared_exact_topk(spark, sf, k)
+    approx = {}
     cb16, enc16 = shared_pq_index(spark, sf, m=16, n_codes=16)
     approx["pq_coarse"] = S.cosine_topk_pq(
         emb, queries, dim=64, k=k, m=16, n_codes=16,
@@ -2879,13 +3023,18 @@ def similarity_recall_report(spark, sf):
         n_cells=16, nprobe=8, m=16, n_codes=16, rerank=0,
         prebuilt=shared_opq_residual_index(spark, sf, m=16, n_codes=16),
     ).withColumnRenamed("pq_cosine", "cosine")
-    return _recall_rows(exact, approx, k)
+    return _recall_rows(
+        exact, approx, k,
+        bytes_per_vec={name: 8 for name in approx},
+    )
 
 
-def _recall_rows(exact, approx, k):
+def _recall_rows(exact, approx, k, bytes_per_vec=None):
     """recall@k rows, one per method: |approx ∩ exact| / k averaged over
     queries — integer overlap counts and one final division (shared by
-    the index recall report and the dimension-ablation report)."""
+    the fine/coarse index recall reports and the dimension-ablation
+    report). ``bytes_per_vec`` (method → hot-index bytes per vector)
+    adds the storage side of the trade as a column when provided."""
     out = None
     for method, df in approx.items():
         hits = (
@@ -2902,12 +3051,18 @@ def _recall_rows(exact, approx, k):
             .groupBy(exact["query_id"].alias("qid"))
             .agg(F.count("approx_nb").alias("n_hit"))
         )
-        rep = hits.agg(
+        cols = [
             F.lit(method).alias("method"),
             F.count(F.lit(1)).alias("n_queries"),
             (F.sum("n_hit").cast("double") / (F.count(F.lit(1)) * k))
             .alias("mean_recall"),
-        )
+        ]
+        if bytes_per_vec is not None:
+            cols.append(
+                F.lit(bytes_per_vec[method]).cast("long")
+                .alias("bytes_per_vec")
+            )
+        rep = hits.agg(*cols)
         out = rep if out is None else out.unionByName(rep)
     return out
 
@@ -2932,13 +3087,10 @@ def similarity_recall_ablation(spark, sf):
     linear); the full-dim pass is shared as the reference set. Output:
     (method, n_queries, mean_recall), one row per kept-dims level."""
     emb = table(spark, sf, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
     k = 5
-    # Three ablation joins consume this frame — materialize the
-    # bounded |Q|·k rows once (review r07).
-    exact = S.cosine_topk(emb, queries, k=k).select(
-        "query_id", F.col("neighbor_id").alias("exact_nb")
-    ).localCheckpoint()
+    # Shared memoized reference set — same query set and k as the
+    # fine/coarse recall reports (r08 report split).
+    exact = shared_exact_topk(spark, sf, k)
     approx = {}
     for dims in (48, 32, 16):
         trunc = emb.select(
