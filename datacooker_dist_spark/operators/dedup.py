@@ -919,6 +919,94 @@ def containment_pairs(
     return verified
 
 
+def jaccard_pairs_allpairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold_num: int = 8,
+    threshold_den: int = 10,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT all-pairs n-gram Jaccard ≥ num/den — the GROUND-TRUTH pair
+    set the blocking families are graded against in
+    ``dedup_blocking_report`` (VERDICT r07 task 1). No blocking
+    heuristic in the loop: candidate generation is PREFIX FILTERING
+    (AllPairs/PPJoin, Bayardo et al. WWW 2007), which is LOSSLESS for
+    a Jaccard threshold — J(A,B) ≥ t implies |∩| ≥ t·|∪| ≥ t·|A|, so
+    |∩| ≥ ⌈t·|A|⌉ (integers), and a pair where B misses ALL of A's
+    (|A| − ⌈t·|A|⌉ + 1) rarest shingles can reach overlap at most
+    ⌈t·|A|⌉ − 1 — impossible. Only that prefix joins the inverted
+    index (rare-first global order keeps posting lists short), then
+    every candidate verifies by exact set Jaccard. The required
+    overlap uses exact integer arithmetic (⌈n·sz/d⌉ = (n·sz + d − 1)
+    div d), the :func:`containment_pairs` convention. Shuffle is
+    O(prefix rows + index rows + true-candidate rows) — never the
+    quadratic pair space, which is what lets the EXACT set double as
+    a per-round measurement at bench scale.
+    Output: (id_a < id_b, jaccard ≥ num/den)."""
+    from pyspark.sql import Window
+
+    rows = (
+        shingles
+        if shingles is not None
+        else shingle_rows(docs, id_col, text_col, shingle_n)
+    )
+    uniq = rows.select(F.col(id_col).alias("_id"), "_sh").distinct()
+    sizes = uniq.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    freq = uniq.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("_id").orderBy("_df", "_sh")
+    prefix = (
+        uniq.join(freq, "_sh")
+        .withColumn("_rn", F.row_number().over(w))
+        .join(sizes, "_id")
+        .filter(
+            F.col("_rn")
+            <= F.col("_sz")
+            - F.expr(
+                f"({threshold_num} * _sz + {threshold_den} - 1)"
+                f" div {threshold_den}"
+            )
+            + 1
+        )
+        .select(F.col("_id").alias("_ida"), "_sh")
+    )
+    cand = (
+        prefix.join(uniq.select(F.col("_id").alias("_idb"), "_sh"), "_sh")
+        .filter(F.col("_ida") != F.col("_idb"))
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+        )
+        .distinct()
+    )
+    return ngram_jaccard_pairs(
+        docs, cand, id_col, text_col, shingle_n,
+        threshold_num / threshold_den, shingles=rows,
+    )
+
+
+def snm_candidates(
+    docs: DataFrame,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key_len: int = 64,
+    reverse: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """One sorted-neighborhood CANDIDATE pass, unverified — the raw
+    (id_a < id_b) blocking output of :func:`sorted_neighborhood_pairs`
+    before its Jaccard verify, exposed so ``dedup_blocking_report`` can
+    grade the blocking itself (candidates vs ground truth) separately
+    from the verification it shares with every other family.
+    ``reverse=True`` is the multi-pass token-order-reversed key."""
+    return _snm_candidates(
+        docs, _snm_key(text_col, key_len, reverse),
+        window, id_col, num_partitions,
+    )
+
+
 def sorted_neighborhood_pairs(
     docs: DataFrame,
     window: int = 4,

@@ -725,28 +725,16 @@ def dhash_images(media: DataFrame, hash_size: int = 8) -> DataFrame:
     return media.mapInPandas(run, schema=DHASH_SCHEMA)
 
 
-def phash_dedup_pairs(
+def phash_candidate_pairs(
     hashes: DataFrame,
-    max_hamming: int = 4,
     n_chunks: int = 8,
     id_col: str = "media_id",
 ) -> DataFrame:
-    """Near-duplicate image pairs by perceptual-hash Hamming distance
-    (VERDICT r06 task 5) — the simhash pigeonhole plan over the dHash
-    table: the 64 bits split into ``n_chunks`` equal chunks; two
-    hashes within ``max_hamming`` bits MUST agree on ≥ 1 chunk
-    whenever ``max_hamming < n_chunks`` (pigeonhole — chunk blocking
-    is PROVABLY complete, not corpus-lucky), so candidates come from
-    ``n_chunks`` equi-joins on (chunk_id, chunk_value) — never an
-    all-pairs join — and verify by exact popcount(xor). Shuffle is
-    n_chunks × 16-byte rows per image; bucket skew is bounded by
-    16-bit chunk cardinality (salt the join at extreme corpus sizes).
-    Output: (id_a, id_b, hamming ≤ max_hamming), id_a < id_b."""
-    if max_hamming >= n_chunks:
-        raise ValueError(
-            f"pigeonhole completeness needs max_hamming < n_chunks "
-            f"({max_hamming} >= {n_chunks})"
-        )
+    """The pigeonhole chunk-join CANDIDATE set with exact Hamming
+    attached, UNFILTERED — :func:`phash_dedup_pairs` applies the
+    threshold; ``dedup_blocking_report`` grades this raw blocking
+    output (candidate count / recall / precision) against ground
+    truth. Output: (id_a < id_b, hamming), distinct pairs."""
     bits_per = 64 // n_chunks
     half_chunks = n_chunks // 2
     mask = (1 << bits_per) - 1
@@ -793,6 +781,33 @@ def phash_dedup_pairs(
                 + F.bit_count(F.col("_la").bitwiseXOR(F.col("_lb")))
             ).cast("long").alias("hamming"),
         )
-        .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def phash_dedup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 4,
+    n_chunks: int = 8,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Near-duplicate image pairs by perceptual-hash Hamming distance
+    (VERDICT r06 task 5) — the simhash pigeonhole plan over the dHash
+    table: the 64 bits split into ``n_chunks`` equal chunks; two
+    hashes within ``max_hamming`` bits MUST agree on ≥ 1 chunk
+    whenever ``max_hamming < n_chunks`` (pigeonhole — chunk blocking
+    is PROVABLY complete, not corpus-lucky), so candidates come from
+    ``n_chunks`` equi-joins on (chunk_id, chunk_value) — never an
+    all-pairs join (:func:`phash_candidate_pairs`) — and verify by
+    exact popcount(xor). Shuffle is n_chunks × 16-byte rows per image;
+    bucket skew is bounded by 16-bit chunk cardinality (salt the join
+    at extreme corpus sizes).
+    Output: (id_a, id_b, hamming ≤ max_hamming), id_a < id_b."""
+    if max_hamming >= n_chunks:
+        raise ValueError(
+            f"pigeonhole completeness needs max_hamming < n_chunks "
+            f"({max_hamming} >= {n_chunks})"
+        )
+    return phash_candidate_pairs(hashes, n_chunks, id_col).filter(
+        F.col("hamming") <= max_hamming
     )

@@ -821,6 +821,79 @@ def cosine_pairs(
     )
 
 
+def cosine_pairs_blocked(
+    emb: DataFrame,
+    threshold: float,
+    blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """EXACT all-pairs cosine ≥ threshold expressed WITHOUT a cartesian
+    product — the ground-truth pass for the semantic rows of
+    ``dedup_blocking_report`` (VERDICT r07 task 1). Work is the
+    inherent N²/2 dot products (this is ground truth, nothing is
+    pruned), but the PLAN is rectangle blocking: ids hash into
+    ``blocks`` buckets; each unordered bucket pair (i ≤ j) is one
+    group; every vector replicates to the ``blocks`` rectangles it
+    touches (one narrow explode), and each rectangle scores as ONE
+    numpy Gram slab inside applyInPandas — the SemDeDup pair-stage
+    lesson (15 s → 0.3 s vs interpreted expressions), with
+    blocks·(blocks+1)/2 evenly-sized partition-parallel groups and no
+    CartesianProduct node or single-partition gather anywhere. Each
+    pair lands in exactly one rectangle (the (min, max) of its two
+    blocks), so no dedup pass is needed. Shuffle is N·blocks
+    (id, vec) rows. Output: (id_a < id_b, cosine ≥ threshold)."""
+    e = emb.select(
+        F.col(id_col).alias("_id"),
+        as_double_array(vec_col).alias("_v"),
+        F.pmod(F.col(id_col).cast("long"), F.lit(blocks)).alias("_b"),
+    )
+    expl = e.select(
+        "_id", "_v", "_b",
+        F.explode(F.sequence(F.lit(0), F.lit(blocks - 1))).alias("_t"),
+    ).select(
+        "_id", "_v", "_b",
+        F.least("_b", "_t").alias("_ri"),
+        F.greatest("_b", "_t").alias("_rj"),
+    )
+
+    empty = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"),
+         "id_b": pd.Series(dtype="int64"),
+         "cosine": pd.Series(dtype="float64")}
+    )
+
+    def gram(pdf: pd.DataFrame) -> pd.DataFrame:
+        ri, rj = int(pdf["_ri"].iloc[0]), int(pdf["_rj"].iloc[0])
+        ids = pdf["_id"].to_numpy()
+        M = np.vstack(pdf["_v"].to_numpy())
+        nrm = np.sqrt((M * M).sum(axis=1))
+        if ri == rj:
+            G = np.round((M @ M.T) / np.outer(nrm, nrm), round_digits)
+            keep = np.triu(G >= threshold, k=1)
+            ia, ib = np.nonzero(keep)
+            pa, pb = ids[ia], ids[ib]
+        else:
+            left = pdf["_b"].to_numpy() == ri
+            if not left.any() or left.all():
+                return empty
+            A, B = M[left], M[~left]
+            G = np.round(
+                (A @ B.T) / np.outer(nrm[left], nrm[~left]), round_digits
+            )
+            ia, ib = np.nonzero(G >= threshold)
+            pa, pb = ids[left][ia], ids[~left][ib]
+        return pd.DataFrame(
+            {"id_a": np.minimum(pa, pb), "id_b": np.maximum(pa, pb),
+             "cosine": G[ia, ib]}
+        )
+
+    return expl.groupBy("_ri", "_rj").applyInPandas(
+        gram, "id_a long, id_b long, cosine double"
+    )
+
+
 def mine_hard_negatives(
     corpus: DataFrame,
     anchors: DataFrame,
@@ -2275,6 +2348,74 @@ def hyperplane_cells(
         bit = (F.round(_dot_unrolled(v, plane, dim), 6) >= 0).cast("int")
         cell = cell + F.lit(2 ** p) * bit
     return corpus.select(F.col(id_col), cell.alias("cell"))
+
+
+def hyperplane_cell_probes(
+    corpus: DataFrame,
+    dim: int,
+    planes: int,
+    n_probes: int = 1,
+    seed: int = 77,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe PROBE-side cell assignment for hyperplane SemDeDup
+    blocking (VERDICT r07 task 2 — the query-side multi-probe trade
+    ported to dedup): each vector emits its own cell PLUS the cells
+    reached by flipping its ``n_probes`` lowest-|margin| sign bits —
+    the planes it nearly straddles, exactly where a near-duplicate
+    most likely landed on the other side. The STANDING cell index
+    (:func:`hyperplane_cells`) is untouched — identical index size —
+    and pairs form via probe ⋈ index, so candidate growth is bounded
+    by (1 + n_probes)×. Margins reuse the rounded-dot convention, so
+    the probe decision sits on the same 1e-6 grid as the cell bits.
+    All JVM expressions (array_sort over (|margin|, plane) structs —
+    deterministic tiebreak), no Python.
+    Output: (id, cell), 1 + n_probes rows per vector."""
+    if n_probes > planes:
+        raise ValueError(
+            f"n_probes={n_probes} exceeds planes={planes} single-bit flips"
+        )
+    H = _hyperplane_matrix(dim, planes, 1, seed)
+    v = as_double_array(vec_col)
+    dots = [
+        F.round(
+            _dot_unrolled(
+                v, F.array(*[F.lit(float(x)) for x in H[:, p]]), dim
+            ),
+            6,
+        )
+        for p in range(planes)
+    ]
+    base = F.lit(0)
+    for p in range(planes):
+        base = base + F.lit(2 ** p) * (dots[p] >= 0).cast("int")
+    margins = F.array_sort(
+        F.array(*[
+            F.struct(
+                F.abs(dots[p]).alias("m"), F.lit(p).alias("p")
+            )
+            for p in range(planes)
+        ])
+    )
+    bitw = F.array(*[F.lit(1 << p) for p in range(planes)])
+    flips = F.transform(
+        F.slice(F.col("_margins"), 1, n_probes),
+        lambda s: F.element_at(bitw, s["p"] + 1).bitwiseXOR(
+            F.col("_cell")
+        ),
+    )
+    return (
+        corpus.select(
+            F.col(id_col), base.alias("_cell"), margins.alias("_margins")
+        )
+        .select(
+            id_col,
+            F.explode(
+                F.concat(F.array(F.col("_cell")), flips)
+            ).alias("cell"),
+        )
+    )
 
 
 def semantic_dedup_incremental(

@@ -1901,3 +1901,125 @@ def test_multiprobe_lsh_superset_and_probe_shape(spark):
     assert set(per_qt.values()) == {1 + deep}
     uniq = Counter((r.query_id, r.htable, r.sig) for r in rows)
     assert set(uniq.values()) == {1}
+
+
+def test_jaccard_allpairs_matches_bruteforce(spark):
+    """Prefix filtering must be LOSSLESS for a Jaccard threshold: the
+    AllPairs ground-truth operator returns exactly the brute-force
+    all-pairs set (crossJoin baseline) on a corpus with planted
+    duplicates, near-misses, and sub/superset pairs."""
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog tonight"),
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy cat tonight"),
+        (3, "completely different text about spark shuffles and joins"),
+        (4, "completely different text about spark shuffles and joins"),
+        (5, "the quick brown fox"),
+        (6, "one more unrelated document with its own words entirely"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    brute = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.ngram_jaccard_pairs(
+            docs, candidates=None, threshold=0.8
+        ).collect()
+    }
+    fast = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.jaccard_pairs_allpairs(docs).collect()
+    }
+    assert fast == brute
+    assert {(p[0], p[1]) for p in fast} >= {(0, 1), (3, 4)}
+
+
+def test_cosine_pairs_blocked_matches_crossjoin(spark):
+    """The rectangle-blocked exact all-pairs pass must return exactly
+    the crossJoin baseline's pairs (same rounding, same threshold) —
+    every pair lands in exactly one rectangle."""
+    from datacooker_dist_spark.operators.similarity import (
+        cosine_pairs,
+        cosine_pairs_blocked,
+    )
+
+    emb = spark.range(60).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda i: (
+                ((F.col("id") % 7) * 13 + i * 3).cast("double") / 17 - 1.2
+            ),
+        ).alias("embedding"),
+    )
+    base = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in cosine_pairs(emb, 0.9).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in cosine_pairs_blocked(emb, 0.9, blocks=4).collect()
+    }
+    assert blocked == base
+    assert len(base) > 0
+
+
+def test_hyperplane_cell_probes_shape(spark):
+    """Multi-probe cell probes: every vector emits exactly 1 + n_probes
+    rows, the base cell (hyperplane_cells) is always among them, every
+    probe differs from the base by exactly one plane bit, and
+    n_probes > planes fails loudly."""
+    from collections import Counter
+
+    from datacooker_dist_spark.operators.similarity import (
+        hyperplane_cell_probes,
+        hyperplane_cells,
+    )
+
+    emb = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda i: (
+                ((F.col("id") * 31 + i * 7) % 19).cast("double") / 19 - 0.5
+            ),
+        ).alias("embedding"),
+    )
+    base = {
+        r.vec_id: r.cell
+        for r in hyperplane_cells(emb, dim=8, planes=3).collect()
+    }
+    probes = [
+        (r.vec_id, r.cell)
+        for r in hyperplane_cell_probes(
+            emb, dim=8, planes=3, n_probes=2
+        ).collect()
+    ]
+    per_id = Counter(i for i, _ in probes)
+    assert set(per_id.values()) == {3}
+    for i, c in probes:
+        d = c ^ base[i]
+        assert d == 0 or (d & (d - 1)) == 0  # base or single-bit flip
+    assert all(base[i] in [c for j, c in probes if j == i] for i in base)
+    with pytest.raises(ValueError, match="planes"):
+        hyperplane_cell_probes(emb, dim=8, planes=3, n_probes=4)
+
+
+def test_phash_candidate_pairs_superset(spark):
+    """phash_dedup_pairs must equal phash_candidate_pairs filtered at
+    the threshold (the r08 factoring is behavior-preserving), and the
+    candidate set is a superset carrying exact Hamming."""
+    from datacooker_dist_spark.operators.multimodal import (
+        phash_candidate_pairs,
+        phash_dedup_pairs,
+    )
+
+    hashes = spark.createDataFrame(
+        [(0, 0b1111, 0), (1, 0b1110, 0), (2, 0b1111, 1 << 40),
+         (3, 0, 0), (4, 0b1111, 0)],
+        "media_id bigint, dhash_hi bigint, dhash_lo bigint",
+    )
+    cand = {(r.id_a, r.id_b, r.hamming)
+            for r in phash_candidate_pairs(hashes).collect()}
+    dedup = {(r.id_a, r.id_b, r.hamming)
+             for r in phash_dedup_pairs(hashes, max_hamming=2).collect()}
+    assert dedup == {t for t in cand if t[2] <= 2}
+    assert (0, 4, 0) in dedup and (0, 1, 1) in dedup
