@@ -2023,3 +2023,30 @@ def test_phash_candidate_pairs_superset(spark):
              for r in phash_dedup_pairs(hashes, max_hamming=2).collect()}
     assert dedup == {t for t in cand if t[2] <= 2}
     assert (0, 4, 0) in dedup and (0, 1, 1) in dedup
+
+
+def test_quality_classifier_learns_beyond_majority(spark):
+    """The learned quality classifier must (1) produce one weight per
+    hashed bucket + length + bias on the 1e-6 grid, (2) agree with its
+    Gopher-rule teacher strictly better than the majority-class
+    baseline (i.e. it actually learned, not saturated into a constant
+    predictor — the failure mode raw count features measurably hit),
+    and (3) have a score path whose confusion matrix covers every
+    document with a non-empty token list."""
+    from datacooker_dist_spark.suite.llm_quality import (
+        _QCLS_D,
+        quality_classifier_score,
+        quality_classifier_train,
+    )
+
+    w = quality_classifier_train(spark, SF_SMALL).collect()
+    assert len(w) == _QCLS_D + 2
+    assert all(abs(r.weight * 1e6 - round(r.weight * 1e6)) < 1e-3 for r in w)
+    assert any(r.weight != 0.0 for r in w)
+
+    rows = quality_classifier_score(spark, SF_SMALL).collect()
+    n = sum(r.n_docs for r in rows)
+    agree = sum(r.n_docs for r in rows if r.pred_keep == r.gopher_keep)
+    pos = sum(r.n_docs for r in rows if r.gopher_keep == 1)
+    assert n > 0
+    assert agree > max(pos, n - pos)  # beats always-keep / always-drop
