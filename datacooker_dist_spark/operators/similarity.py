@@ -2217,48 +2217,23 @@ def opq_rotate(
 # --------------------------------------------------------------------------
 
 
-def semantic_dedup_clusters(
+def semantic_cell_pairs(
     corpus: DataFrame,
     assignment: DataFrame,
     threshold: float,
-    dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    label_col: str = "label",
 ) -> DataFrame:
-    """SemDeDup-style SEMANTIC dedup (VERDICT r06 task 3; Abbas et al.
-    2023, *SemDeDup: Data-efficient learning at web-scale through
-    semantic deduplication*): candidate pairs form ONLY INSIDE a cell
-    of the given ``assignment`` (id → cell, one or more rows per id —
-    IVF cells, LSH buckets, any blocking), verify by EXACT rounded
-    cosine ≥ ``threshold``, merge into clusters via the shared
-    union-find :func:`~.dedup.connected_components`, and collapse each
-    cluster golden-record style (the ``dedup_golden_record`` shape:
-    cluster aggregate with a deterministic survivor — min id here;
-    the paper picks the member least similar to the cell centroid,
-    a policy swap on the same plan). Completes the dedup ladder:
-    exact → token n-gram → substring → embedding-pair →
-    semantic-cluster.
-
-    Scale shape: the pair stage groups members BY CELL — one shuffle
-    of (cell, id, vector) rows, never a corpus self-join — and each
-    cell's pairs score inside one Arrow batch as a row-blocked numpy
-    Gram product (``applyInPandas``: per-cell pair fanout is exactly
-    what grouped-vectorized execution is for; the first cut's
-    per-pair 64-term expression tree fell out of whole-stage codegen
-    and ran interpreted — measured 15 s for the ~500k sf0.1 pairs vs
-    ~0.3 s vectorized). Per-cell memory is blocked to 1024-row
-    slabs of the similarity matrix, and per-cell cost is bounded by
-    cell size² (the IVF balance contract — SemDeDup's own
-    within-cluster-only trade). Cosines round to the shared 1e-6
-    grid before the threshold, matching the SQL oracle's
-    ``round(dot/(|a||b|), 6)`` formula. CC is the single-job
-    union-find filter. Output: one row per cluster (singletons
-    included) — (cluster_id = min member id, n_members,
-    survivor_vec_id, n_dropped, labels = sorted distinct labels)."""
+    """The SemDeDup VERIFIED pair stage, standalone (factored out of
+    :func:`semantic_dedup_clusters` in r08 so the composed dedup
+    ladder shares it): pairs form only inside a cell of the given
+    assignment, each cell scores as row-blocked numpy Gram slabs in
+    one Arrow batch (never a corpus self-join; the interpreted
+    expression-tree form measured 15 s vs 0.3 s at sf0.1), cosines
+    round to the shared 1e-6 grid before the threshold. Output:
+    (id_a < id_b), distinct — spilled assignments can surface a pair
+    via two cells."""
     import pandas as pd
-
-    from .dedup import connected_components
 
     id_type = corpus.select(id_col).schema.fields[0].dataType.simpleString()
     v = as_double_array(vec_col)
@@ -2294,10 +2269,58 @@ def semantic_dedup_clusters(
             }
         )
 
-    pairs = (
+    return (
         members.groupBy("cell")
         .applyInPandas(cell_pairs, f"id_a {id_type}, id_b {id_type}")
-        .distinct()  # spilled assignments can surface a pair via 2 cells
+        .distinct()
+    )
+
+
+def semantic_dedup_clusters(
+    corpus: DataFrame,
+    assignment: DataFrame,
+    threshold: float,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """SemDeDup-style SEMANTIC dedup (VERDICT r06 task 3; Abbas et al.
+    2023, *SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication*): candidate pairs form ONLY INSIDE a cell
+    of the given ``assignment`` (id → cell, one or more rows per id —
+    IVF cells, LSH buckets, any blocking), verify by EXACT rounded
+    cosine ≥ ``threshold``, merge into clusters via the shared
+    union-find :func:`~.dedup.connected_components`, and collapse each
+    cluster golden-record style (the ``dedup_golden_record`` shape:
+    cluster aggregate with a deterministic survivor — min id here;
+    the paper picks the member least similar to the cell centroid,
+    a policy swap on the same plan). Completes the dedup ladder:
+    exact → token n-gram → substring → embedding-pair →
+    semantic-cluster. The verified pair stage is
+    :func:`semantic_cell_pairs` (shared with the composed
+    ``pipeline_dedup_ladder``, r08).
+
+    Scale shape: the pair stage groups members BY CELL — one shuffle
+    of (cell, id, vector) rows, never a corpus self-join — and each
+    cell's pairs score inside one Arrow batch as a row-blocked numpy
+    Gram product (``applyInPandas``: per-cell pair fanout is exactly
+    what grouped-vectorized execution is for; the first cut's
+    per-pair 64-term expression tree fell out of whole-stage codegen
+    and ran interpreted — measured 15 s for the ~500k sf0.1 pairs vs
+    ~0.3 s vectorized). Per-cell memory is blocked to 1024-row
+    slabs of the similarity matrix, and per-cell cost is bounded by
+    cell size² (the IVF balance contract — SemDeDup's own
+    within-cluster-only trade). Cosines round to the shared 1e-6
+    grid before the threshold, matching the SQL oracle's
+    ``round(dot/(|a||b|), 6)`` formula. CC is the single-job
+    union-find filter. Output: one row per cluster (singletons
+    included) — (cluster_id = min member id, n_members,
+    survivor_vec_id, n_dropped, labels = sorted distinct labels)."""
+    from .dedup import connected_components
+
+    pairs = semantic_cell_pairs(
+        corpus, assignment, threshold, id_col, vec_col
     )
     labels = connected_components(pairs)
     members = (

@@ -2397,6 +2397,172 @@ def pipeline_llm_prep(spark, sf):
     )
 
 
+_DEDUP_LADDER_ORACLE = f"""
+    WITH fp AS MATERIALIZED (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+      FROM documents),
+    s1 AS MATERIALIZED (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f),
+    d1 AS MATERIALIZED (
+      SELECT d.doc_id, d.text FROM documents d JOIN s1 USING (doc_id)),
+    sh AS MATERIALIZED (SELECT doc_id, {{SQL_SHINGLES}} AS s FROM d1),
+    jp AS MATERIALIZED (
+      SELECT a.doc_id AS ia, b.doc_id AS ib
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+            >= 0.8),
+    s2 AS MATERIALIZED (
+      SELECT doc_id FROM d1
+      WHERE doc_id NOT IN (SELECT DISTINCT ib FROM jp)),
+    t2 AS MATERIALIZED (
+      SELECT d.doc_id,
+             regexp_split_to_array(lower(trim(d.text)), '\\s+') AS toks
+      FROM documents d JOIN s2 USING (doc_id)),
+    g2 AS MATERIALIZED (
+      SELECT doc_id, u.i AS pos,
+             array_to_string(toks[u.i:u.i+9], ' ') AS gram
+      FROM t2, unnest(range(1, greatest(len(toks) - 9, 0) + 1)) AS u(i)),
+    keepg AS MATERIALIZED (
+      SELECT gram FROM g2 GROUP BY gram
+      HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 64),
+    m2 AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib, a.pos AS pa
+      FROM g2 a JOIN g2 b USING (gram)
+      JOIN keepg USING (gram)
+      WHERE a.doc_id < b.doc_id),
+    sp AS MATERIALIZED (
+      SELECT ia, ib FROM m2 GROUP BY ia, ib HAVING COUNT(*) >= 12),
+    s3 AS MATERIALIZED (
+      SELECT doc_id FROM s2
+      WHERE doc_id NOT IN (SELECT DISTINCT ib FROM sp)),
+    e3 AS MATERIALIZED (
+      SELECT e.vec_id AS doc_id, CAST(e.embedding AS DOUBLE[]) AS v
+      FROM embeddings e JOIN s3 ON e.vec_id = s3.doc_id),
+    c3 AS MATERIALIZED (
+      SELECT doc_id, v, {{BITS}} AS cell FROM e3),
+    semp AS MATERIALIZED (
+      SELECT a.doc_id AS ia, b.doc_id AS ib
+      FROM c3 a JOIN c3 b ON a.cell = b.cell AND a.doc_id < b.doc_id
+      WHERE round(list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.40),
+    s4 AS MATERIALIZED (
+      SELECT doc_id FROM s3
+      WHERE doc_id NOT IN (SELECT DISTINCT ib FROM semp)),
+    n AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n0,
+             (SELECT COUNT(*) FROM s1) AS n1,
+             (SELECT COUNT(*) FROM s2) AS n2,
+             (SELECT COUNT(*) FROM s3) AS n3,
+             (SELECT COUNT(*) FROM s4) AS n4)
+    SELECT CAST(UNNEST([1, 2, 3, 4]) AS INT) AS stage_id,
+           UNNEST(['exact', 'minhash_jaccard', 'substring', 'semantic'])
+             AS stage,
+           CAST(UNNEST([n0, n1, n2, n3]) AS BIGINT) AS rows_in,
+           CAST(UNNEST([n0 - n1, n1 - n2, n2 - n3, n3 - n4]) AS BIGINT)
+             AS rows_dropped,
+           CAST(UNNEST([n1, n2, n3, n4]) AS BIGINT) AS rows_out
+    FROM n
+    """
+
+
+@query(
+    "pipeline_dedup_ladder",
+    oracle=_DEDUP_LADDER_ORACLE.replace("{SQL_SHINGLES}", SQL_SHINGLES)
+    .replace("{BITS}", _hyperplane_bits_sql(2, 77)),
+)
+def pipeline_dedup_ladder(spark, sf):
+    """The full DEDUP LADDER as one composed, EXACT-oracled entry with
+    per-stage drop attribution (VERDICT r07 task 6 — the
+    ``pipeline_llm_prep`` shape for dedup): exact fingerprint →
+    n-gram Jaccard near-dup → verbatim-substring → semantic, each
+    stage operating on the previous stage's survivors and dropping
+    the HIGHER id of every verified pair (the simple order-free drop
+    rule — survivor-chained semantics live in the golden-record
+    entries). The oracle brute-replays all four stages end to end, so
+    the four (rows_in, rows_dropped, rows_out) rows pin the whole
+    composition, not just each stage in isolation.
+
+    Stage relations: (1) md5 of normalized text; (2) 3-gram Jaccard
+    ≥ 0.8 via the LOSSLESS AllPairs prefix filter
+    (:func:`~.operators.dedup.jaccard_pairs_allpairs` — chosen over
+    the LSH candidate path so oracle equality is structural, not
+    blocking-recall luck; the report grades the LSH blocking
+    separately); (3) ≥ 12 shared verbatim 10-token windows under the
+    df ≤ 64 stop-gram cap; (4) SemDeDup hyperplane-cell pairs at
+    cosine ≥ 0.40 over the survivors' embeddings (docs without an
+    embedding pass through — at scale the embedded slice is the
+    curated subset). Every stage is linear equi-join work on the
+    shrinking survivor set; survivor id-sets are localCheckpointed
+    (tiny) so later stages don't re-execute the whole prefix of the
+    ladder per consumer. Output: (stage_id, stage, rows_in,
+    rows_dropped, rows_out)."""
+    docs = table(spark, sf, "documents")
+    s1 = (
+        docs.select("doc_id", T.fingerprint("text").alias("_fp"))
+        .groupBy("_fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .localCheckpoint()
+    )
+    d1 = docs.join(s1, "doc_id")
+    jp = D.jaccard_pairs_allpairs(d1)
+    s2 = s1.join(
+        jp.select(F.col("id_b").alias("doc_id")).distinct(),
+        "doc_id", "left_anti",
+    ).localCheckpoint()
+    d2 = docs.join(s2, "doc_id")
+    sp = D.substring_span_pairs(d2, k=10, max_df=64).filter(
+        F.col("n_shared_windows") >= 12
+    )
+    s3 = s2.join(
+        sp.select(F.col("id_b").alias("doc_id")).distinct(),
+        "doc_id", "left_anti",
+    ).localCheckpoint()
+    emb = table(spark, sf, "embeddings")
+    e3 = emb.join(
+        s3.select(F.col("doc_id").alias("vec_id")), "vec_id"
+    )
+    cells = S.hyperplane_cells(e3, dim=64, planes=2)
+    semp = S.semantic_cell_pairs(e3, cells, threshold=0.40)
+    s4 = s3.join(
+        semp.select(F.col("id_b").alias("doc_id")).distinct(),
+        "doc_id", "left_anti",
+    )
+
+    def cnt(df, name):
+        return df.agg(F.count(F.lit(1)).cast("long").alias(name))
+
+    counts = (
+        cnt(docs, "n0")
+        .crossJoin(F.broadcast(cnt(s1, "n1")))
+        .crossJoin(F.broadcast(cnt(s2, "n2")))
+        .crossJoin(F.broadcast(cnt(s3, "n3")))
+        .crossJoin(F.broadcast(cnt(s4, "n4")))
+    )
+    stages = [
+        ("exact", "n0", "n1"),
+        ("minhash_jaccard", "n1", "n2"),
+        ("substring", "n2", "n3"),
+        ("semantic", "n3", "n4"),
+    ]
+    return counts.select(
+        F.inline(
+            F.array(*[
+                F.struct(
+                    F.lit(i + 1).cast("int").alias("stage_id"),
+                    F.lit(nm).alias("stage"),
+                    F.col(a).alias("rows_in"),
+                    (F.col(a) - F.col(b)).alias("rows_dropped"),
+                    F.col(b).alias("rows_out"),
+                )
+                for i, (nm, a, b) in enumerate(stages)
+            ])
+        )
+    )
+
+
 # ------------------------------------------------------------- UDF surface
 
 
