@@ -1697,3 +1697,160 @@ def search_hybrid_topk(spark, sf):
         fused.withColumn("rnk", F.row_number().over(wf).cast("long"))
         .filter(F.col("rnk") <= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# text_html_extract (round 8)
+# ---------------------------------------------------------------------------
+#
+# The crawl-side stage the refine pipeline assumed away: raw HTML → clean
+# text (WET-style extraction, the trafilatura/jusText niche). The corpus
+# has no HTML column, so — like text_url_canonicalize's synthetic URLs —
+# a deterministic page wraps each document's text in real boilerplate
+# (head/title, a script, a stylesheet, a nav bar, a link-farm div, a
+# footer, plus HTML entities in a content paragraph). Extraction is then
+# the published recipe: (1) drop <script>/<style> subtrees, (2) split on
+# block boundaries into candidate lines, (3) per line strip tags and
+# score LINK DENSITY = anchor-text chars / text chars (the jusText
+# boilerplate signal), (4) keep lines that are long enough and not
+# link-dominated, (5) decode entities. Every step is a pure column
+# expression in the RE2/Java-common regex dialect, so DuckDB replays the
+# whole byte pipeline exactly — and the density gate compares
+# 2·anchor_chars ≤ total_chars in INTEGER arithmetic, so no division
+# ever enters an oracled value.
+
+_HTML_MIN_LINE = 20  # chars of tag-stripped text below which a line drops
+
+# DuckDB twin of the synthetic page below (chr(10) = the line separator
+# the extractor splits on).
+_HTML_SQL = """
+    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+    || '</title><script type="text/javascript">var p='
+    || CAST(doc_id AS VARCHAR) || ';track(p);</script>'
+    || '<style>.m{margin:0}</style></head><body>' || chr(10)
+    || '<nav><a href="/">Home</a> <a href="/tags">Tags</a>'
+    || ' <a href="/login">Login</a></nav>' || chr(10)
+    || '<p>' || substr(text, 1, 120) || '</p>' || chr(10)
+    || '<p>Terms &amp; conditions &lt;apply&gt; for doc '
+    || CAST(doc_id AS VARCHAR) || '</p>' || chr(10)
+    || '<p>' || substr(text, 121) || '</p>' || chr(10)
+    || '<div class="rel"><a href="/d1">More stories</a>'
+    || '<a href="/d2">Trending now</a><a href="/d3">Subscribe</a></div>'
+    || chr(10)
+    || '<footer><a href="/about">About us</a> <a href="/p">Privacy</a>'
+    || ' &copy; Example</footer></body></html>'
+"""
+
+
+def _html_page_col():
+    """Spark twin of ``_HTML_SQL``: the deterministic synthetic page."""
+    did = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lit("<html><head><title>Doc "), did,
+        F.lit('</title><script type="text/javascript">var p='), did,
+        F.lit(";track(p);</script>"),
+        F.lit("<style>.m{margin:0}</style></head><body>\n"),
+        F.lit('<nav><a href="/">Home</a> <a href="/tags">Tags</a>'
+              ' <a href="/login">Login</a></nav>\n'),
+        F.lit("<p>"), F.substring(F.col("text"), 1, 120), F.lit("</p>\n"),
+        F.lit("<p>Terms &amp; conditions &lt;apply&gt; for doc "), did,
+        F.lit("</p>\n"),
+        F.lit("<p>"), F.col("text").substr(F.lit(121), F.length("text")),
+        F.lit("</p>\n"),
+        F.lit('<div class="rel"><a href="/d1">More stories</a>'
+              '<a href="/d2">Trending now</a><a href="/d3">Subscribe</a>'
+              "</div>\n"),
+        F.lit('<footer><a href="/about">About us</a> <a href="/p">Privacy'
+              "</a> &copy; Example</footer></body></html>"),
+    )
+
+
+@query(
+    "text_html_extract",
+    oracle=f"""
+    WITH page AS (SELECT doc_id, {_HTML_SQL} AS html FROM documents),
+    stripped AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(html, '(?s)<script.*?</script>', '', 'g'),
+               '(?s)<style.*?</style>', '', 'g') AS h
+      FROM page),
+    per_line AS (
+      SELECT doc_id,
+             list_transform(
+               string_split(h, chr(10)),
+               l -> struct_pack(
+                 plain := trim(regexp_replace(l, '<[^>]*>', '', 'g')),
+                 nonanchor := trim(regexp_replace(
+                   regexp_replace(l, '<a[^>]*>[^<]*</a>', '', 'g'),
+                   '<[^>]*>', '', 'g')))) AS ps
+      FROM stripped),
+    kept AS (
+      SELECT doc_id, ps,
+             list_filter(ps, p ->
+               length(p.plain) >= {_HTML_MIN_LINE}
+               AND 2 * (length(p.plain) - length(p.nonanchor))
+                   <= length(p.plain)) AS ks
+      FROM per_line)
+    SELECT doc_id,
+           array_to_string(
+             list_transform(ks, p ->
+               replace(replace(replace(p.plain, '&amp;', '&'),
+                       '&lt;', '<'), '&gt;', '>')),
+             chr(10)) AS clean_text,
+           CAST(len(ks) AS BIGINT) AS lines_kept,
+           CAST(len(ps) - len(ks) AS BIGINT) AS lines_dropped
+    FROM kept
+    """,
+)
+def text_html_extract(spark, sf):
+    """HTML → clean-text extraction (the WET stage of a crawl pipeline):
+    strip <script>/<style> subtrees, split on block boundaries, gate each
+    line on tag-stripped length ≥ 20 and jusText-style LINK DENSITY
+    (anchor-text chars over text chars, compared as
+    2·anchor ≤ total in integer arithmetic — no division), then decode
+    entities. On the synthetic page this provably drops the title line
+    (too short), the nav bar and link-farm div (density 1.0) and the
+    footer (density > 0.5), and keeps the three content paragraphs —
+    including the entity paragraph, whose &amp;/&lt;/&gt; decode AFTER
+    tag stripping so the decoded angle brackets survive. All narrow
+    column expressions (one whole-stage-codegen pass, no shuffle, no
+    Python): at 100 TB this runs at scan speed, which is exactly why
+    production extraction (CCNet, RefinedWeb) is regex/heuristic, not a
+    DOM parser, at the first pass. Reference has no text-extraction
+    stage (its columnar ops are CSV-level); this extends the surface on
+    the training-data axis."""
+    docs = table(spark, sf, "documents")
+    h = F.regexp_replace(
+        F.regexp_replace(
+            _html_page_col(), r"(?s)<script.*?</script>", ""),
+        r"(?s)<style.*?</style>", "")
+    strip = lambda c: F.trim(F.regexp_replace(c, r"<[^>]*>", ""))  # noqa: E731
+    ps = F.transform(
+        F.split(h, "\n"),
+        lambda l: F.struct(
+            strip(l).alias("plain"),
+            strip(F.regexp_replace(l, r"<a[^>]*>[^<]*</a>", ""))
+            .alias("nonanchor"),
+        ),
+    )
+    decoded = lambda p: F.replace(  # noqa: E731
+        F.replace(
+            F.replace(p["plain"], F.lit("&amp;"), F.lit("&")),
+            F.lit("&lt;"), F.lit("<")),
+        F.lit("&gt;"), F.lit(">"))
+    out = docs.select("doc_id", ps.alias("_ps")).select(
+        "doc_id", "_ps",
+        F.filter(
+            "_ps",
+            lambda p: (F.length(p["plain"]) >= _HTML_MIN_LINE)
+            & (2 * (F.length(p["plain"]) - F.length(p["nonanchor"]))
+               <= F.length(p["plain"])),
+        ).alias("_ks"),
+    )
+    return out.select(
+        "doc_id",
+        F.array_join(F.transform("_ks", decoded), "\n").alias("clean_text"),
+        F.size("_ks").cast("long").alias("lines_kept"),
+        (F.size("_ps") - F.size("_ks")).cast("long").alias("lines_dropped"),
+    )
