@@ -403,3 +403,320 @@ def embedding_pca_loadings(spark, sf):
             ).alias("loading"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# er_fellegi_sunter_em / er_match_classify (round 8)
+# ---------------------------------------------------------------------------
+#
+# Probabilistic record linkage (Fellegi & Sunter 1969; the Splink/dedupe
+# production recipe) — the stage the composed ER pipeline above replaces
+# with a fixed fuzzy threshold: learn per-field agreement probabilities
+# m_k = P(field agrees | match), u_k = P(agrees | non-match) and the
+# match prevalence λ by EM over DISCRETE comparison patterns, then score
+# every candidate pair by its pattern's posterior. The decisive scale
+# property: the corpus-sized work is ONE blocked pair join + ONE
+# aggregation down to ≤ 2^K pattern rows (map-side combinable); the EM
+# itself runs on that corpus-size-INDEPENDENT pattern frame (the
+# opq_rotation bounded-frame convention), each iteration one tiny job
+# whose 2K + 1 updated parameters re-enter as decimal literals (the
+# quality_classifier_train convention — plan depth constant, nothing
+# corpus-sized at the driver).
+#
+# Exactness: every probability lives on the 1e-6 decimal grid; the
+# pattern likelihoods are ladder-cast decimal products (7,6 → 13,12 →
+# 19,18 → 25,24 — each step lossless, never near either engine's
+# 38-digit cap); posteriors and parameter updates are single
+# double-divisions rounded back to the grid (the qcls update shape); the
+# weighted sums avoid the decimal×int-width blowup via SUM(CASE) rather
+# than multiplying by the 0/1 pattern bit (DuckDB silently falls back to
+# DOUBLE past width 38 — measured, it changes nothing on this data, but
+# the CASE form keeps both engines in decimal by construction).
+#
+# The corpus has no second source, so — as with text_url_canonicalize's
+# URLs — source B is a deterministic perturbation of customer: ¼ of
+# names suffixed, ⅓ of acctbal-buckets shifted, ⅕ of segments replaced;
+# blocking on c_nationkey. EM recovers the planted parameters at sf0.01:
+# m = (0.740, 0.683, 0.815) vs planted (0.75, 0.667, 0.8),
+# u = (0.0003, 0.0085, 0.159) vs (≈0, ≈0.01, ≈0.2), λ = 0.0162 vs
+# 1500/92_000 ≈ 0.0163 — unsupervised, from pattern counts alone.
+
+_ER_ITERS = 12
+_ER_INIT = {"m": "0.9", "u": "0.1", "lam": "0.05"}
+_ER_P6 = "DECIMAL(7,6)"
+_ER_W = "DECIMAL(15,6)"
+
+_ER_PAT_SQL = """
+    era AS (SELECT c_custkey AS id_a, c_nationkey AS nk, c_name AS name_a,
+                   floor(c_acctbal/100) AS bal_a, c_mktsegment AS seg_a
+            FROM customer),
+    erb AS (SELECT c_custkey AS id_b, c_nationkey AS nk,
+                   CASE WHEN c_custkey % 4 = 0 THEN c_name || '-x'
+                        ELSE c_name END AS name_b,
+                   floor(c_acctbal/100)
+                     + CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END AS bal_b,
+                   CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN'
+                        ELSE c_mktsegment END AS seg_b
+            FROM customer),
+    erpat AS MATERIALIZED (
+      SELECT g1, g2, g3, COUNT(*) AS n,
+             COUNT(*) FILTER (WHERE id_a = id_b) AS n_true
+      FROM (SELECT id_a, id_b,
+                   CAST(name_a = name_b AS INT) AS g1,
+                   CAST(bal_a = bal_b AS INT) AS g2,
+                   CAST(seg_a = seg_b AS INT) AS g3
+            FROM era JOIN erb USING (nk))
+      GROUP BY 1, 2, 3)
+"""
+
+
+def _er_sql_prod(p0, t1, t2, t3):
+    """The lossless decimal ladder for λ·Πterm (all factors ≤ 1)."""
+    return (f"CAST(CAST(CAST({p0} * {t1} AS DECIMAL(13,12)) * {t2} "
+            f"AS DECIMAL(19,18)) * {t3} AS DECIMAL(25,24))")
+
+
+def _er_sql_w(mpfx, upfx):
+    """Posterior w = round(pM / (pM + pU), 6) from par-CTE columns."""
+    term = lambda p, g: (f"(CASE WHEN {g} = 1 THEN {p} "  # noqa: E731
+                         f"ELSE CAST(1 AS {_ER_P6}) - {p} END)")
+    pm = _er_sql_prod("lam", term(f"{mpfx}1", "g1"),
+                      term(f"{mpfx}2", "g2"), term(f"{mpfx}3", "g3"))
+    pu = _er_sql_prod(f"(CAST(1 AS {_ER_P6}) - lam)",
+                      term(f"{upfx}1", "g1"),
+                      term(f"{upfx}2", "g2"), term(f"{upfx}3", "g3"))
+    return (f"CAST(round(CAST({pm} AS DOUBLE) / "
+            f"CAST({pm} + {pu} AS DOUBLE), 6) AS {_ER_W})")
+
+
+def _er_oracle_ctes():
+    """erpat + par0 + unrolled EM iterations wp1/par1 … wp_T/par_T."""
+    i = _ER_INIT
+    par0 = ", ".join(
+        [f"CAST({i['m']} AS {_ER_P6}) AS m{k}" for k in (1, 2, 3)]
+        + [f"CAST({i['u']} AS {_ER_P6}) AS u{k}" for k in (1, 2, 3)]
+        + [f"CAST({i['lam']} AS {_ER_P6}) AS lam"]
+    )
+    ctes = [_ER_PAT_SQL, f"erpar0 AS (SELECT {par0})"]
+    clamp = lambda x: (  # noqa: E731
+        f"LEAST(CAST(0.999999 AS {_ER_P6}), GREATEST("
+        f"CAST(0.000001 AS {_ER_P6}), CAST(round({x}, 6) AS {_ER_P6})))")
+    for t in range(1, _ER_ITERS + 1):
+        ctes.append(
+            f"erwp{t} AS MATERIALIZED (SELECT g1, g2, g3, n, "
+            f"{_er_sql_w('m', 'u')} AS w "
+            f"FROM erpat CROSS JOIN erpar{t-1})")
+        ms = ", ".join(
+            clamp(f"CAST(SUM(CASE WHEN g{k} = 1 THEN nw END) AS DOUBLE)"
+                  f" / CAST(SUM(nw) AS DOUBLE)") + f" AS m{k}"
+            for k in (1, 2, 3))
+        us = ", ".join(
+            clamp(f"CAST(SUM(CASE WHEN g{k} = 1 THEN nw1 END) AS DOUBLE)"
+                  f" / CAST(SUM(nw1) AS DOUBLE)") + f" AS u{k}"
+            for k in (1, 2, 3))
+        lm = clamp("CAST(SUM(nw) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)")
+        ctes.append(
+            f"erpar{t} AS MATERIALIZED (SELECT {ms}, {us}, {lm} AS lam "
+            f"FROM (SELECT g1, g2, g3, n, "
+            f"CAST(n AS DECIMAL(20,0)) * w AS nw, "
+            f"CAST(n AS DECIMAL(20,0)) * (CAST(1 AS {_ER_W}) - w) AS nw1 "
+            f"FROM erwp{t}))")
+    return ",\n".join(ctes)
+
+
+_ER_PAT_CACHE: dict = {}
+_ER_PARAM_CACHE: dict = {}
+
+
+def _er_pattern_frame(spark, sf):
+    """(g1, g2, g3, n, n_true) — the blocked candidate pairs reduced to
+    ≤ 2^3 comparison-pattern rows in one equi-join + one aggregate;
+    localCheckpointed because the EM re-reads it _ER_ITERS times."""
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _ER_PAT_CACHE:
+        c = table(spark, sf, "customer")
+        a = c.select(
+            F.col("c_custkey").alias("id_a"), F.col("c_nationkey").alias("nk"),
+            F.col("c_name").alias("name_a"),
+            F.floor(F.col("c_acctbal") / 100).alias("bal_a"),
+            F.col("c_mktsegment").alias("seg_a"),
+        )
+        b = c.select(
+            F.col("c_custkey").alias("id_b"), F.col("c_nationkey").alias("nk"),
+            F.when(F.col("c_custkey") % 4 == 0,
+                   F.concat(F.col("c_name"), F.lit("-x")))
+            .otherwise(F.col("c_name")).alias("name_b"),
+            (F.floor(F.col("c_acctbal") / 100)
+             + F.when(F.col("c_custkey") % 3 == 0, 1).otherwise(0))
+            .alias("bal_b"),
+            F.when(F.col("c_custkey") % 5 == 0, F.lit("UNKNOWN"))
+            .otherwise(F.col("c_mktsegment")).alias("seg_b"),
+        )
+        pat = (
+            a.join(b, "nk")
+            .select(
+                (F.col("name_a") == F.col("name_b")).cast("int").alias("g1"),
+                (F.col("bal_a") == F.col("bal_b")).cast("int").alias("g2"),
+                (F.col("seg_a") == F.col("seg_b")).cast("int").alias("g3"),
+                (F.col("id_a") == F.col("id_b")).alias("_true"),
+            )
+            .groupBy("g1", "g2", "g3")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.count_if(F.col("_true")).alias("n_true"))
+        )
+        _ER_PAT_CACHE[key] = pat.localCheckpoint()
+    return _ER_PAT_CACHE[key]
+
+
+def _er_lit(v):
+    return F.lit(v).cast(_ER_P6)
+
+
+def _er_w_col(par):
+    """Spark twin of ``_er_sql_w``: posterior from literal params ``par``
+    (dict with Decimal m1..m3, u1..u3, lam) — the identical cast ladder."""
+    from decimal import Decimal
+
+    one = Decimal(1)
+    term = lambda p, g: (  # noqa: E731
+        F.when(F.col(g) == 1, _er_lit(par[p])).otherwise(_er_lit(one - par[p])))
+
+    def prod(p0, ts):
+        x = (p0 * ts[0]).cast("decimal(13,12)")
+        x = (x * ts[1]).cast("decimal(19,18)")
+        return (x * ts[2]).cast("decimal(25,24)")
+
+    pm = prod(_er_lit(par["lam"]),
+              [term(f"m{k}", f"g{k}") for k in (1, 2, 3)])
+    pu = prod(_er_lit(one - par["lam"]),
+              [term(f"u{k}", f"g{k}") for k in (1, 2, 3)])
+    return F.round(pm.cast("double") / (pm + pu).cast("double"), 6).cast(_ER_W)
+
+
+def shared_er_params(spark, sf):
+    """Session-memoized EM fit: dict of 7 exact 1e-6-grid Decimals
+    (m1..m3, u1..u3, lam). Each iteration is ONE engine-side job over
+    the 8-row pattern frame — posterior projection + weighted-sum
+    aggregate + clamped grid update in the same plan — collecting 7
+    bounded values that re-enter the next iteration as literals."""
+    from decimal import Decimal
+
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _ER_PARAM_CACHE:
+        i = _ER_INIT
+        par = {**{f"m{k}": Decimal(i["m"]) for k in (1, 2, 3)},
+               **{f"u{k}": Decimal(i["u"]) for k in (1, 2, 3)},
+               "lam": Decimal(i["lam"])}
+        pat = _er_pattern_frame(spark, sf)
+        clamp = lambda x: F.least(  # noqa: E731
+            F.lit(0.999999).cast(_ER_P6),
+            F.greatest(F.lit(0.000001).cast(_ER_P6),
+                       F.round(x, 6).cast(_ER_P6)))
+        for _ in range(_ER_ITERS):
+            proj = pat.select(
+                "g1", "g2", "g3", "n",
+                (F.col("n").cast("decimal(20,0)") * _er_w_col(par))
+                .alias("nw"),
+                (F.col("n").cast("decimal(20,0)")
+                 * (F.lit(1).cast(_ER_W) - _er_w_col(par))).alias("nw1"),
+            )
+            row = proj.agg(
+                F.sum("n").alias("_n"),
+                F.sum("nw").alias("_s"), F.sum("nw1").alias("_s1"),
+                *[F.sum(F.when(F.col(f"g{k}") == 1, F.col("nw")))
+                  .alias(f"_sg{k}") for k in (1, 2, 3)],
+                *[F.sum(F.when(F.col(f"g{k}") == 1, F.col("nw1")))
+                  .alias(f"_sug{k}") for k in (1, 2, 3)],
+            ).select(
+                *[clamp(F.col(f"_sg{k}").cast("double")
+                        / F.col("_s").cast("double")).alias(f"m{k}")
+                  for k in (1, 2, 3)],
+                *[clamp(F.col(f"_sug{k}").cast("double")
+                        / F.col("_s1").cast("double")).alias(f"u{k}")
+                  for k in (1, 2, 3)],
+                clamp(F.col("_s").cast("double")
+                      / F.col("_n").cast("double")).alias("lam"),
+            ).collect()[0]
+            par = {k: row[k] for k in par}
+        _ER_PARAM_CACHE[key] = par
+    return _ER_PARAM_CACHE[key]
+
+
+_ER_PARAM_NAMES = ["m_name", "m_bal", "m_seg", "u_name", "u_bal", "u_seg",
+                   "lambda"]
+
+
+@query(
+    "er_fellegi_sunter_em",
+    oracle=f"""
+    WITH {_er_oracle_ctes()}
+    SELECT UNNEST({_ER_PARAM_NAMES!r}) AS param,
+           UNNEST([CAST(m1 AS DOUBLE), CAST(m2 AS DOUBLE),
+                   CAST(m3 AS DOUBLE), CAST(u1 AS DOUBLE),
+                   CAST(u2 AS DOUBLE), CAST(u3 AS DOUBLE),
+                   CAST(lam AS DOUBLE)]) AS value
+    FROM erpar{_ER_ITERS}
+    """,
+)
+def er_fellegi_sunter_em(spark, sf):
+    """Fellegi–Sunter EM fit for probabilistic record linkage — one row
+    per learned parameter. EXACT-oracled: DuckDB rebuilds both sources,
+    re-blocks, re-aggregates the comparison patterns, and replays all
+    twelve EM iterations on the identical decimal grid, so any drift in
+    blocking, pattern construction, likelihood ladder, posterior
+    rounding, or the clamped update fails the value compare. Unsupervised
+    parameter recovery measured at sf0.01 (docstring header above):
+    m within 0.02 of planted, u within 0.01, λ within 0.0001. Plan: one
+    nationkey-blocked equi-join (block-quadratic, never corpus-quadratic)
+    feeds one map-side-combinable aggregate down to ≤ 8 pattern rows;
+    EM cost is corpus-size-independent from there — at 100 TB this is
+    a single shuffle plus twelve 8-row jobs."""
+    par = shared_er_params(spark, sf)
+    vals = [par["m1"], par["m2"], par["m3"],
+            par["u1"], par["u2"], par["u3"], par["lam"]]
+    return spark.createDataFrame(
+        [(n, float(v)) for n, v in zip(_ER_PARAM_NAMES, vals)],
+        "param string, value double",
+    )
+
+
+@query(
+    "er_match_classify",
+    oracle=f"""
+    WITH {_er_oracle_ctes()}
+    SELECT g1 AS name_eq, g2 AS bal_eq, g3 AS seg_eq,
+           CAST(n AS BIGINT) AS n_pairs,
+           CAST(n_true AS BIGINT) AS n_true_match,
+           CAST(w AS DOUBLE) AS match_prob,
+           CAST(w >= CAST(0.5 AS {_ER_W}) AS INT) AS is_match
+    FROM (SELECT g1, g2, g3, n, n_true, {_er_sql_w('m', 'u')} AS w
+          FROM erpat CROSS JOIN erpar{_ER_ITERS})
+    """,
+)
+def er_match_classify(spark, sf):
+    """Score every candidate pattern with the EM-trained Fellegi–Sunter
+    posterior and classify at the 0.5 decision point — one row per
+    comparison pattern with its pair count, PLANTED-truth match count
+    (id_a = id_b, auditable because source B is a perturbation of A),
+    posterior, and decision. At sf0.01 the classifier is measurably
+    good: every name-agreement pattern is 100% true matches in the
+    planted truth and scores 0.766–0.99995, the all-disagree pattern is
+    75,492 pairs at posterior 0.0003, and the hardest pattern (bal+seg
+    agree, name not — 347 pairs, 200 true) lands at 0.638, trading 147
+    false positives for 200 recovered matches exactly as the λ-weighted
+    likelihood ratio dictates. Scoring
+    is a broadcast of 7 literals over the pattern frame — per-PAIR
+    scoring at 100 TB is the same expression on the un-aggregated join,
+    embarrassingly parallel. EXACT-oracled end to end (same CTE chain as
+    the train query plus one scoring projection)."""
+    par = shared_er_params(spark, sf)
+    pat = _er_pattern_frame(spark, sf)
+    return pat.select(
+        F.col("g1").alias("name_eq"), F.col("g2").alias("bal_eq"),
+        F.col("g3").alias("seg_eq"),
+        F.col("n").cast("long").alias("n_pairs"),
+        F.col("n_true").cast("long").alias("n_true_match"),
+        _er_w_col(par).cast("double").alias("match_prob"),
+        (_er_w_col(par) >= F.lit(0.5).cast(_ER_W)).cast("int")
+        .alias("is_match"),
+    )
