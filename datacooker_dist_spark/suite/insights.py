@@ -1340,3 +1340,113 @@ def timeseries_holt_trend(spark, sf):
     return holt_fixedpoint(
         daily, keys=["pri"], order_col="day", value_col="cents",
     )
+
+
+# ---------------------------------------------------------------------------
+# privacy_dp_noisy_count (round 8)
+# ---------------------------------------------------------------------------
+#
+# The release mechanism the k-anonymity / l-diversity / t-closeness
+# AUDITS above gate on: ε-differentially-private counts via the GEOMETRIC
+# MECHANISM (Ghosh, Roughgarden & Sundararajan 2009 — the discrete
+# Laplace, the utility-optimal mechanism for integer counts, sensitivity
+# 1). Noise is drawn by inverse-CDF over PRECOMPUTED integer breakpoints
+# on the [0, 1e6) grid: the two-sided geometric CDF with α = e^-ε is
+# evaluated once at import into 25 literal thresholds, so e^x never
+# enters either engine — noise is 25 integer comparisons, pure codegen.
+#
+# TESTABILITY vs PRIVACY, stated honestly: the uniform draw here is a
+# deterministic hash of the group key (the sample_hash_reproducible
+# convention), which makes the release replayable by the oracle but is
+# NOT private — a production release swaps `u` for a secure RNG draw per
+# release epoch and keeps everything else (same thresholds, same
+# truncation, same plan). Truncation at ±12 (CDF mass < 1e-5 per tail at
+# ε=1) is the standard bounded-noise variant; the ε accounting note is
+# that truncation costs a δ of the truncated mass.
+
+_DP_EPS = 1.0
+_DP_B = 12          # truncation bound: ±12 at ε=1 leaves <1e-5 per tail
+_DP_GRID = 1_000_000
+
+
+def _dp_breakpoints():
+    import math
+
+    alpha = math.exp(-_DP_EPS)
+    ws = [alpha ** abs(k) for k in range(-_DP_B, _DP_B + 1)]
+    z = sum(ws)
+    cum, bps = 0.0, []
+    for w in ws:
+        cum += w / z
+        bps.append(math.floor(cum * _DP_GRID))
+    return bps  # bps[i] = CDF threshold after noise value (-B + i)
+
+
+_DP_BPS = _dp_breakpoints()
+
+# noise(u) = -B + #(thresholds <= u) over the first 2B thresholds: the
+# inverse CDF as a sum of integer indicators, identical in both engines.
+_DP_NOISE_SQL = f"(-{_DP_B} + " + " + ".join(
+    f"CASE WHEN _u >= {c} THEN 1 ELSE 0 END" for c in _DP_BPS[:-1]
+) + ")"
+_DP_HASH_SQL = (
+    "(c_nationkey * 1000003 + "
+    "list_sum(list_transform(range(1, length(c_mktsegment) + 1), "
+    "i -> ascii(c_mktsegment[i:i]) * i)) * 2654435761) "
+    f"% {_DP_GRID}"
+)
+
+
+@query(
+    "privacy_dp_noisy_count",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+             {_DP_HASH_SQL} AS _u
+      FROM customer GROUP BY 1, 2)
+    SELECT c_nationkey, c_mktsegment,
+           CAST(n + {_DP_NOISE_SQL} AS BIGINT) AS noisy_count
+    FROM g
+    """,
+)
+def privacy_dp_noisy_count(spark, sf):
+    """ε-DP noisy group counts by the geometric mechanism (ε=1,
+    sensitivity 1, truncated at ±12): per (nation, segment) cohort,
+    count + two-sided-geometric noise drawn by inverse CDF over 24
+    import-time integer thresholds — no transcendental at query time, no
+    RNG in the engine, one hash aggregate + a codegen'd CASE chain. The
+    uniform draw is a DETERMINISTIC group-key hash so the oracle replays
+    the release bit-exactly (see the module comment for the honest
+    privacy caveat: production swaps the hash for a secure RNG per
+    release and keeps the identical plan). At 100 TB the aggregate is
+    map-side combinable and the noise stage is free; this is how DP
+    releases actually ship — noise added to AGGREGATES post-reduction,
+    never to rows. Reference has no privacy surface; this rounds out the
+    audit family (k-anonymity → l-diversity → t-closeness → release)."""
+    c = table(spark, sf, "customer")
+    segsum = F.aggregate(
+        F.transform(
+            F.split(F.col("c_mktsegment"), ""),
+            lambda ch, i: F.ascii(ch).cast("long") * (i + F.lit(1)),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    u = F.pmod(
+        F.col("c_nationkey").cast("long") * 1000003
+        + segsum * F.lit(2654435761),
+        F.lit(_DP_GRID),
+    )
+    noise = F.lit(-_DP_B) + sum(
+        (F.when(F.col("_u") >= c_, 1).otherwise(0) for c_ in _DP_BPS[:-1]),
+        F.lit(0),
+    )
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_u", u)  # group-key-only hash: post-aggregate, free
+        .select(
+            "c_nationkey", "c_mktsegment",
+            (F.col("_n") + noise).cast("long").alias("noisy_count"),
+        )
+    )
