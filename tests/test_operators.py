@@ -2050,3 +2050,90 @@ def test_quality_classifier_learns_beyond_majority(spark):
     pos = sum(r.n_docs for r in rows if r.gopher_keep == 1)
     assert n > 0
     assert agree > max(pos, n - pos)  # beats always-keep / always-drop
+
+
+def test_html_extract_gates(spark):
+    """The HTML extractor must, on every synthetic page: keep exactly the
+    three content paragraphs and drop the four boilerplate lines (title,
+    nav, link-farm div, footer); decode entities AFTER tag stripping so
+    the decoded angle brackets survive; and leave no markup in the
+    output."""
+    from datacooker_dist_spark.suite.llm_ext import text_html_extract
+
+    texts = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    }
+    rows = text_html_extract(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        # Paragraphs 1 (first 120 chars) and 2 (entities) always pass the
+        # 20-char gate; paragraph 3 (the remainder) only when long enough.
+        exp_kept = 2 + (len(texts[r.doc_id][120:].strip()) >= 20)
+        assert r.lines_kept == exp_kept
+        assert r.lines_kept + r.lines_dropped == 7
+        assert f"Terms & conditions <apply> for doc {r.doc_id}" \
+            in r.clean_text
+        assert "<nav" not in r.clean_text and "<a " not in r.clean_text
+        assert "Home Tags Login" not in r.clean_text      # nav dropped
+        assert "More storiesTrending" not in r.clean_text  # link farm
+        assert "About us Privacy" not in r.clean_text      # footer
+        assert "&amp;" not in r.clean_text                 # decoded
+
+
+def test_fellegi_sunter_recovers_planted_params(spark):
+    """Unsupervised EM must recover the PLANTED perturbation rates from
+    pattern counts alone: m ≈ (3/4, 2/3, 4/5) (the name/bal/seg survive
+    rates), u_name ≈ 0 (names unique across non-matches), and λ ≈ the
+    true match prevalence. The classifier must separate: every pattern
+    with name agreement is 100% true matches (uniqueness ⇒ no false
+    name collisions) and must classify as match; the all-disagree
+    pattern must score near zero."""
+    from datacooker_dist_spark.suite.embml import (
+        er_fellegi_sunter_em, er_match_classify)
+
+    par = {r.param: r.value for r in
+           er_fellegi_sunter_em(spark, SF_SMALL).collect()}
+    assert abs(par["m_name"] - 0.75) < 0.05
+    assert abs(par["m_bal"] - 2 / 3) < 0.05
+    assert abs(par["m_seg"] - 0.8) < 0.05
+    assert par["u_name"] < 0.01
+
+    pats = er_match_classify(spark, SF_SMALL).collect()
+    n_pairs = sum(p.n_pairs for p in pats)
+    n_true = sum(p.n_true_match for p in pats)
+    assert n_true > 0 and n_pairs > n_true
+    # λ must track the true prevalence (block density varies with sf:
+    # 1/6 at sf0.001, ~1/60 at sf0.01 — the bound is relative).
+    assert abs(par["lambda"] - n_true / n_pairs) < 0.05
+    assert 0 < par["lambda"] < 0.5
+    for p in pats:
+        assert 0.0 <= p.match_prob <= 1.0
+        if p.name_eq == 1:
+            assert p.n_true_match == p.n_pairs
+            assert p.is_match == 1
+        if (p.name_eq, p.bal_eq, p.seg_eq) == (0, 0, 0):
+            assert p.match_prob < 0.01 and p.is_match == 0
+
+
+def test_dp_noisy_count_bounded_and_deterministic(spark):
+    """The geometric-mechanism release must stay within the truncation
+    bound of the true counts, be replayable (two runs identical), and
+    actually perturb (not the identity on every group)."""
+    from datacooker_dist_spark.suite.insights import (
+        _DP_B, privacy_dp_noisy_count)
+
+    truth = {
+        (r.c_nationkey, r.c_mktsegment): r.n
+        for r in spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rel1 = {(r.c_nationkey, r.c_mktsegment): r.noisy_count
+            for r in privacy_dp_noisy_count(spark, SF_SMALL).collect()}
+    rel2 = {(r.c_nationkey, r.c_mktsegment): r.noisy_count
+            for r in privacy_dp_noisy_count(spark, SF_SMALL).collect()}
+    assert rel1 == rel2 and set(rel1) == set(truth)
+    noises = [rel1[k] - truth[k] for k in truth]
+    assert all(abs(d) <= _DP_B for d in noises)
+    assert any(d != 0 for d in noises)
