@@ -2137,3 +2137,24 @@ def test_dp_noisy_count_bounded_and_deterministic(spark):
     noises = [rel1[k] - truth[k] for k in truth]
     assert all(abs(d) <= _DP_B for d in noises)
     assert any(d != 0 for d in noises)
+
+
+def test_dsir_selection_enriches_target(spark):
+    """DSIR selection must be measurably enriched in the target domain:
+    the Gopher-keep rate of the selected set must exceed the corpus keep
+    rate (at sf0.001 the corpus is 50 docs and K=100 selects everything,
+    so assert on the top-10 instead — ranking still has to put keeps
+    first), and scores must be finite 1e-6-grid decimals."""
+    from datacooker_dist_spark.suite.llm_quality import (
+        dataset_importance_resample, quality_gopher_rules)
+
+    sel = dataset_importance_resample(spark, SF_SMALL).collect()
+    assert sel
+    assert all(abs(r.score * 1e6 - round(r.score * 1e6)) < 1e-3 for r in sel)
+    corpus_rate = (
+        quality_gopher_rules(spark, SF_SMALL)
+        .agg(F.avg(F.col("gopher_keep").cast("int"))).collect()[0][0]
+    )
+    top = sorted(sel, key=lambda r: (-r.score, r.doc_id))[:10]
+    top_rate = sum(r.gopher_keep for r in top) / len(top)
+    assert top_rate > corpus_rate
