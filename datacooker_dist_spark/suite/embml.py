@@ -458,15 +458,16 @@ _ER_PAT_SQL = """
                    CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN'
                         ELSE c_mktsegment END AS seg_b
             FROM customer),
+    erpairs AS (
+      SELECT id_a, id_b,
+             CAST(name_a = name_b AS INT) AS g1,
+             CAST(bal_a = bal_b AS INT) AS g2,
+             CAST(seg_a = seg_b AS INT) AS g3
+      FROM era JOIN erb USING (nk)),
     erpat AS MATERIALIZED (
       SELECT g1, g2, g3, COUNT(*) AS n,
              COUNT(*) FILTER (WHERE id_a = id_b) AS n_true
-      FROM (SELECT id_a, id_b,
-                   CAST(name_a = name_b AS INT) AS g1,
-                   CAST(bal_a = bal_b AS INT) AS g2,
-                   CAST(seg_a = seg_b AS INT) AS g3
-            FROM era JOIN erb USING (nk))
-      GROUP BY 1, 2, 3)
+      FROM erpairs GROUP BY 1, 2, 3)
 """
 
 
@@ -528,41 +529,47 @@ _ER_PAT_CACHE: dict = {}
 _ER_PARAM_CACHE: dict = {}
 
 
+def _er_pairs(spark, sf):
+    """(id_a, id_b, g1, g2, g3) — the nation-blocked candidate pairs with
+    their discrete comparison vectors; a lazy plan (one equi-join + narrow
+    projections), re-planned by each consumer."""
+    c = table(spark, sf, "customer")
+    a = c.select(
+        F.col("c_custkey").alias("id_a"), F.col("c_nationkey").alias("nk"),
+        F.col("c_name").alias("name_a"),
+        F.floor(F.col("c_acctbal") / 100).alias("bal_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id_b"), F.col("c_nationkey").alias("nk"),
+        F.when(F.col("c_custkey") % 4 == 0,
+               F.concat(F.col("c_name"), F.lit("-x")))
+        .otherwise(F.col("c_name")).alias("name_b"),
+        (F.floor(F.col("c_acctbal") / 100)
+         + F.when(F.col("c_custkey") % 3 == 0, 1).otherwise(0))
+        .alias("bal_b"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment")).alias("seg_b"),
+    )
+    return a.join(b, "nk").select(
+        "id_a", "id_b",
+        (F.col("name_a") == F.col("name_b")).cast("int").alias("g1"),
+        (F.col("bal_a") == F.col("bal_b")).cast("int").alias("g2"),
+        (F.col("seg_a") == F.col("seg_b")).cast("int").alias("g3"),
+    )
+
+
 def _er_pattern_frame(spark, sf):
-    """(g1, g2, g3, n, n_true) — the blocked candidate pairs reduced to
-    ≤ 2^3 comparison-pattern rows in one equi-join + one aggregate;
+    """(g1, g2, g3, n, n_true) — the candidate pairs reduced to ≤ 2^3
+    comparison-pattern rows in one map-side-combinable aggregate;
     localCheckpointed because the EM re-reads it _ER_ITERS times."""
     key = (spark.sparkContext.applicationId, sf)
     if key not in _ER_PAT_CACHE:
-        c = table(spark, sf, "customer")
-        a = c.select(
-            F.col("c_custkey").alias("id_a"), F.col("c_nationkey").alias("nk"),
-            F.col("c_name").alias("name_a"),
-            F.floor(F.col("c_acctbal") / 100).alias("bal_a"),
-            F.col("c_mktsegment").alias("seg_a"),
-        )
-        b = c.select(
-            F.col("c_custkey").alias("id_b"), F.col("c_nationkey").alias("nk"),
-            F.when(F.col("c_custkey") % 4 == 0,
-                   F.concat(F.col("c_name"), F.lit("-x")))
-            .otherwise(F.col("c_name")).alias("name_b"),
-            (F.floor(F.col("c_acctbal") / 100)
-             + F.when(F.col("c_custkey") % 3 == 0, 1).otherwise(0))
-            .alias("bal_b"),
-            F.when(F.col("c_custkey") % 5 == 0, F.lit("UNKNOWN"))
-            .otherwise(F.col("c_mktsegment")).alias("seg_b"),
-        )
         pat = (
-            a.join(b, "nk")
-            .select(
-                (F.col("name_a") == F.col("name_b")).cast("int").alias("g1"),
-                (F.col("bal_a") == F.col("bal_b")).cast("int").alias("g2"),
-                (F.col("seg_a") == F.col("seg_b")).cast("int").alias("g3"),
-                (F.col("id_a") == F.col("id_b")).alias("_true"),
-            )
+            _er_pairs(spark, sf)
             .groupBy("g1", "g2", "g3")
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.count_if(F.col("_true")).alias("n_true"))
+                 F.count_if(F.col("id_a") == F.col("id_b")).alias("n_true"))
         )
         _ER_PAT_CACHE[key] = pat.localCheckpoint()
     return _ER_PAT_CACHE[key]
@@ -719,4 +726,84 @@ def er_match_classify(spark, sf):
         _er_w_col(par).cast("double").alias("match_prob"),
         (_er_w_col(par) >= F.lit(0.5).cast(_ER_W)).cast("int")
         .alias("is_match"),
+    )
+
+
+@query(
+    "er_resolve_golden",
+    oracle=f"""
+    WITH {_er_oracle_ctes()},
+    erscored AS (
+      SELECT id_a, id_b, {_er_sql_w('m', 'u')} AS w
+      FROM erpairs CROSS JOIN erpar{_ER_ITERS}),
+    erm AS (
+      SELECT id_a, id_b FROM erscored
+      WHERE w >= CAST(0.5 AS {_ER_W}) AND id_a <> id_b),
+    eredges AS (
+      SELECT id_a AS u, id_b AS v FROM erm
+      UNION SELECT id_b, id_a FROM erm),
+    erreach AS (
+      WITH RECURSIVE rr(u, v) AS (
+        SELECT c_custkey, c_custkey FROM customer
+        UNION
+        SELECT rr.u, e.v FROM rr JOIN eredges e ON e.u = rr.v
+      ) SELECT u, MIN(v) AS root FROM rr GROUP BY u)
+    SELECT r.root AS entity_id, cn.c_name AS canonical_name,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           round(CAST(SUM(CAST(cc.c_acctbal AS DECIMAL(25,2)))
+                 AS DOUBLE), 2) AS total_acctbal
+    FROM erreach r
+    JOIN customer cc ON cc.c_custkey = r.u
+    JOIN customer cn ON cn.c_custkey = r.root
+    GROUP BY r.root, cn.c_name
+    """,
+)
+def er_resolve_golden(spark, sf):
+    """The probabilistic-ER pipeline end to end: Fellegi–Sunter posterior
+    decisions (w ≥ 0.5, non-self) become match edges, connected
+    components resolve entities (union-find-filtering operator;
+    singletons resolve to themselves), and a golden record rolls up per
+    entity — canonical name from the min-id representative, member
+    count, decimal-exact balance total. This is ``pipeline_entity_
+    resolution`` with the fixed fuzzy threshold replaced by the LEARNED
+    likelihood-ratio decision, i.e. Splink's architecture. EXACT-oracled:
+    the oracle replays blocking, the 12 EM iterations, pair scoring, and
+    closes the match graph with a recursive min-label CTE (feasible:
+    false-positive cross edges are a tiny fraction of pairs); the Spark
+    side's CC operator is the corpus-scale path. Plan: pair scoring is a
+    literal-weight projection on the blocked join (no re-aggregation),
+    edges collapse to ~1% of pairs before CC, golden rollup is one hash
+    aggregate + two broadcast-able dimension joins."""
+    from decimal import Decimal as _D
+
+    from ..operators.dedup import connected_components
+
+    par = shared_er_params(spark, sf)
+    scored = _er_pairs(spark, sf).withColumn("_w", _er_w_col(par))
+    m = scored.filter(
+        (F.col("_w") >= F.lit(_D("0.5")).cast(_ER_W))
+        & (F.col("id_a") != F.col("id_b"))
+    ).select("id_a", "id_b")
+    labels = connected_components(m)
+    c = table(spark, sf, "customer")
+    resolved = (
+        c.join(labels.withColumnRenamed("id_a", "c_custkey"),
+               "c_custkey", "left")
+        .withColumn("entity_id", F.coalesce("cluster_id", "c_custkey"))
+    )
+    canon = c.select(
+        F.col("c_custkey").alias("entity_id"),
+        F.col("c_name").alias("canonical_name"),
+    )
+    return (
+        resolved.groupBy("entity_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(25,2)"))
+                .cast("double"), 2,
+            ).alias("total_acctbal"),
+        )
+        .join(canon, "entity_id")
+        .select("entity_id", "canonical_name", "n_members", "total_acctbal")
     )
