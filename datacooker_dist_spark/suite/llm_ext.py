@@ -1854,3 +1854,136 @@ def text_html_extract(spark, sf):
         F.size("_ks").cast("long").alias("lines_kept"),
         (F.size("_ps") - F.size("_ks")).cast("long").alias("lines_dropped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_cdc_chunks (round 8)
+# ---------------------------------------------------------------------------
+#
+# Content-defined chunking (Rabin-style rolling hash — the LBFS/restic/
+# borg technique): chunk boundaries fall where a W-char polynomial hash
+# of the content hits 0 mod D, so an insertion early in a document
+# shifts only the chunk it lands in — unlike fixed-size segments
+# (dedup_segments), where one inserted byte re-aligns every later
+# segment and kills all downstream dedup. This is the missing rung of
+# the dedup ladder between exact whole-doc and substring-span dedup:
+# chunk-grain storage dedup. All integer modular arithmetic (B=31,
+# M=1000003 — products ≤ 255·1e6·16 ≈ 4e9, well inside int64), spelled
+# identically in both engines; expected chunk length = D = 64 chars
+# (measured 54.9 at sf0.01 — boundary clustering shortens slightly).
+
+_CDC_W, _CDC_B, _CDC_M, _CDC_D = 16, 31, 1000003, 64
+_CDC_POWS = [pow(_CDC_B, j, _CDC_M) for j in range(_CDC_W)]
+
+_CDC_HASH_SQL = " + ".join(
+    f"cs0[i - {j}] * {p}" for j, p in enumerate(_CDC_POWS)
+)
+
+
+@query(
+    "dedup_cdc_chunks",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, text AS t, length(text) AS n,
+             list_transform(range(1, length(text) + 1),
+                            k -> ascii(text[k:k])) AS cs0
+      FROM documents),
+    b AS (
+      SELECT doc_id, t, n,
+             list_filter(list_transform(range({_CDC_W}, n + 1),
+               i -> CASE WHEN ({_CDC_HASH_SQL}) % {_CDC_M} % {_CDC_D} = 0
+                         THEN i END), x -> x IS NOT NULL) AS bnds
+      FROM c),
+    cuts AS (
+      SELECT doc_id,  t,
+             list_concat(list_concat([CAST(0 AS BIGINT)], bnds),
+                         [CAST(n AS BIGINT)]) AS cs
+      FROM b),
+    ch AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, len(cs)),
+                    i -> t[cs[i] + 1 : cs[i + 1]])) AS chunk
+      FROM cuts),
+    chn AS (SELECT doc_id, chunk FROM ch WHERE chunk <> ''),
+    shared AS (
+      SELECT chunk FROM chn GROUP BY chunk
+      HAVING COUNT(DISTINCT doc_id) > 1)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(length(chunk)) AS BIGINT) AS sum_chunk_len,
+           CAST(COUNT(*) FILTER (WHERE chunk IN (SELECT chunk FROM shared))
+                AS BIGINT) AS n_shared_chunks
+    FROM chn GROUP BY doc_id
+    """,
+)
+def dedup_cdc_chunks(spark, sf):
+    """Content-defined chunking dedup audit (module comment above): per
+    document, the CDC chunk count, total chunked length (an integer —
+    no float enters the oracle), and how many of its chunks also occur
+    in ANOTHER document (the chunk-grain dedup opportunity). EXACT-
+    oracled: DuckDB replays the rolling hash, the boundary set, the
+    chunk extraction, and the cross-doc sharing join. Plan: boundary
+    detection is one narrow pass (codes array + unrolled 16-term
+    polynomial per position, whole-stage codegen, no Python); the
+    sharing check is one chunk-keyed aggregate + a semi join — at
+    100 TB chunks would be hashed to 16-byte fingerprints first
+    (the dedup_exact convention) so only fingerprints shuffle, and the
+    boundary pass streams at scan speed, which is exactly why CDC is
+    the storage-dedup standard (LBFS, Muthitacharoen et al. SOSP'01)."""
+    docs = table(spark, sf, "documents")
+    t = F.col("text")
+    n = F.length(t)
+    codes = F.transform(F.split(t, ""), lambda c: F.ascii(c).cast("long"))
+    base = docs.select("doc_id", t.alias("t"), n.alias("n"),
+                       codes.alias("cs0"))
+
+    def h(i):
+        expr = F.lit(0).cast("long")
+        for j, p in enumerate(_CDC_POWS):
+            expr = expr + F.element_at(F.col("cs0"), (i - F.lit(j))
+                                       .cast("int")) * F.lit(p)
+        return expr
+
+    bnds = F.filter(
+        F.when(
+            F.col("n") >= _CDC_W,
+            F.transform(
+                F.sequence(F.lit(_CDC_W).cast("long"), F.col("n")),
+                lambda i: F.when(
+                    h(i) % _CDC_M % _CDC_D == 0, i
+                ),
+            ),
+        ).otherwise(F.array().cast("array<long>")),
+        lambda x: x.isNotNull(),
+    )
+    cuts = F.concat(
+        F.array(F.lit(0).cast("long")), bnds,
+        F.array(F.col("n").cast("long")),
+    )
+    with_cuts = base.select("doc_id", "t", cuts.alias("cs"))
+    chunks = F.zip_with(
+        F.slice(F.col("cs"), 1, F.size("cs") - 1),
+        F.slice(F.col("cs"), 2, F.size("cs") - 1),
+        lambda a, b: F.substring("t", (a + 1).cast("int"),
+                                 (b - a).cast("int")),
+    )
+    ch = (
+        with_cuts.select("doc_id", F.explode(chunks).alias("chunk"))
+        .filter(F.col("chunk") != "")
+    )
+    shared = (
+        ch.groupBy("chunk")
+        .agg(F.countDistinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") > 1)
+        .select("chunk", F.lit(1).alias("_shared"))
+    )
+    return (
+        ch.join(shared, "chunk", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.length("chunk")).cast("long").alias("sum_chunk_len"),
+            F.count_if(F.col("_shared").isNotNull()).cast("long")
+            .alias("n_shared_chunks"),
+        )
+    )

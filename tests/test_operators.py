@@ -2158,3 +2158,42 @@ def test_dsir_selection_enriches_target(spark):
     top = sorted(sel, key=lambda r: (-r.score, r.doc_id))[:10]
     top_rate = sum(r.gopher_keep for r in top) / len(top)
     assert top_rate > corpus_rate
+
+
+def test_cdc_chunking_shift_invariant():
+    """The property that justifies content-defined over fixed-size
+    chunking: inserting one character re-chunks only the neighborhood
+    of the edit — every chunk that starts after the edit's hash window
+    is byte-identical. Replays the suite's exact rolling-hash constants
+    in plain Python on a word-soup string and its single-insertion
+    variant; a fixed-size segmenter provably fails this assertion."""
+    from datacooker_dist_spark.suite.llm_ext import (
+        _CDC_D, _CDC_M, _CDC_POWS, _CDC_W)
+
+    def chunks(s):
+        bnds = [
+            i for i in range(_CDC_W, len(s) + 1)
+            if sum(ord(s[i - 1 - j]) * p
+                   for j, p in enumerate(_CDC_POWS)) % _CDC_M % _CDC_D == 0
+        ]
+        cuts = [0] + bnds + [len(s)]
+        return [s[a:b] for a, b in zip(cuts, cuts[1:]) if a < b], bnds
+
+    base = ("the quick table scan joins a window batch merge sort row "
+            "group key value part hash stream spark order data column " * 6)
+    pos = 10
+    edited = base[:pos] + "X" + base[pos:]
+    c0, b0 = chunks(base)
+    c1, b1 = chunks(edited)
+    assert b0, "fixture must produce at least one boundary"
+    # Chunks that begin after the edit's influence (pos + window) must
+    # survive the insertion byte-for-byte.
+    tail0 = [c for c, start in zip(c0, [0] + b0) if start >= pos + _CDC_W]
+    tail1 = [c for c, start in zip(c1, [0] + b1)
+             if start >= pos + 1 + _CDC_W]
+    assert tail0 and tail0 == tail1
+    # A fixed-size segmenter re-aligns EVERY later segment: demonstrate
+    # the contrast the docstring claims.
+    fixed0 = [base[i:i + 64] for i in range(0, len(base), 64)]
+    fixed1 = [edited[i:i + 64] for i in range(0, len(edited), 64)]
+    assert all(a != b for a, b in zip(fixed0[1:], fixed1[1:]))
