@@ -522,3 +522,139 @@ def bpe_apply(
         ).cast("long").alias("n_bpe_tokens"),
         F.slice(F.flatten(enc), 1, preview).alias("tokens_preview"),
     )
+
+
+def unigram_em_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 48,
+    max_piece: int = 4,
+    iters: int = 3,
+    seed_size: int = 160,
+) -> list[tuple[int, str, float, int]]:
+    """Train a unigram-LM tokenizer vocabulary (Kudo 2018 — the
+    SentencePiece unigram model, the other half of the tokenizer family
+    next to ``bpe_merges``) by EM over Viterbi segmentations.
+
+    Distribution shape — the same reduction BPE uses: the corpus-sized
+    pass is ONE distinct-word count (explode + hash aggregate); every
+    EM step then runs over the DISTINCT-WORD frame (vocabulary-bounded,
+    not corpus-bounded), with the current piece table broadcast as a
+    plain dict (the bpe_apply broadcast-dict convention) and Viterbi
+    segmentation per word in an Arrow-batched pandas UDF. Per-iteration
+    driver traffic is the piece-usage table (≤ seed vocab rows) — never
+    corpus-sized.
+
+    Determinism: the E-step maximizes Σ log p with ties broken by fewer
+    pieces then the earlier split point; log probs derive from exact
+    integer usage counts via one IEEE division each, identical on every
+    partitioning (asserted by the determinism suite). Seed candidates =
+    all substrings ≤ ``max_piece`` chars of distinct words, weighted by
+    word frequency, top-``seed_size`` by (weighted count DESC, piece) —
+    plus every single character (so any word stays segmentable).
+    E-step usage counts are add-1 smoothed so no candidate dies mid-EM;
+    the final table keeps the top ``vocab_size`` by (usage DESC, piece),
+    single characters always retained.
+
+    Returns [(rank, piece, prob, usage), ...] — prob on the 1e-6 grid.
+    """
+    import math
+
+    import pandas as pd
+
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(tokens_col(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    ).localCheckpoint()
+
+    # Seed candidates: frequency-weighted substrings (one explode over
+    # the DISTINCT-word frame) + all single chars.
+    sub_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(max_piece), F.length("w") - i + 1),
+                ),
+                lambda l: F.substring(F.col("w"), i.cast("int"),
+                                      l.cast("int")),
+            ),
+        )
+    )
+    cand_counts = (
+        words.select(F.explode(sub_arr).alias("p"), "n")
+        .groupBy("p")
+        .agg(F.sum("n").alias("c"))
+    )
+    top = cand_counts.orderBy(F.desc("c"), "p").limit(seed_size).collect()
+    singles = {
+        r.p for r in cand_counts.filter(F.length("p") == 1).collect()
+    }
+    pieces = {r.p for r in top} | singles
+    # Init: uniform over the seed.
+    probs = {p: 1.0 / len(pieces) for p in sorted(pieces)}
+
+    def viterbi_counts(probs_bc):
+        def run(batches):
+            for pdf in batches:
+                usage: dict[str, int] = {}
+                P = probs_bc.value
+                for w, n in zip(pdf["w"], pdf["n"]):
+                    L = len(w)
+                    # best[i]: (logp, n_pieces, backptr) for prefix w[:i]
+                    best = [(-math.inf, 0, -1)] * (L + 1)
+                    best[0] = (0.0, 0, -1)
+                    for i in range(1, L + 1):
+                        for j in range(max(0, i - max_piece), i):
+                            pc = w[j:i]
+                            if pc in P and best[j][0] > -math.inf:
+                                lp = best[j][0] + math.log(P[pc])
+                                cand = (lp, best[j][1] + 1, j)
+                                # ties: fewer pieces, then earlier split
+                                if (lp > best[i][0]
+                                        or (lp == best[i][0]
+                                            and cand[1:] < best[i][1:])):
+                                    best[i] = cand
+                    i = L
+                    while i > 0:
+                        j = best[i][2]
+                        pc = w[j:i]
+                        usage[pc] = usage.get(pc, 0) + int(n)
+                        i = j
+                yield pd.DataFrame(
+                    {"p": list(usage), "u": list(usage.values())}
+                )
+
+        return run
+
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(probs)
+        usage_rows = (
+            words.mapInPandas(viterbi_counts(bc), schema="p string, u long")
+            .groupBy("p")
+            .agg(F.sum("u").alias("u"))
+            .collect()
+        )
+        bc.unpersist()
+        usage = {p: 0 for p in probs}
+        usage.update({r.p: r.u for r in usage_rows})
+        total = sum(usage.values()) + len(usage)  # add-1 smoothing
+        probs = {p: (u + 1) / total for p, u in sorted(usage.items())}
+
+    keep = sorted(
+        probs,
+        key=lambda p: (-(usage.get(p, 0)), p),
+    )
+    final = sorted(singles | set(keep[:vocab_size]))
+    table = sorted(
+        ((usage.get(p, 0), p) for p in final),
+        key=lambda t: (-t[0], t[1]),
+    )
+    return [
+        (rank + 1, p, round(probs[p], 6), int(u))
+        for rank, (u, p) in enumerate(table)
+    ]

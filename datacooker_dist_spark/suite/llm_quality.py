@@ -1025,3 +1025,23 @@ def dataset_importance_resample(spark, sf):
         .select("doc_id", F.col("y").alias("gopher_keep"), "score")
     )
     return sc.orderBy(F.desc("score"), "doc_id").limit(_DSIR_K)
+
+
+@query("tokenizer_unigram_em")  # rows-only: float Viterbi EM, no SQL form
+def tokenizer_unigram_em(spark, sf):
+    """Unigram-LM tokenizer vocabulary (Kudo 2018; SentencePiece's other
+    training objective, next to the BPE pair — see
+    ``operators.text.unigram_em_vocab`` for the distribution shape: one
+    corpus-sized distinct-word count, then EM entirely over the
+    vocabulary-bounded word frame with a broadcast piece table and
+    Arrow-batched Viterbi). Rows-only like the BPE twins — Viterbi EM
+    over float log-probs has no SQL form — but deterministic across
+    partitionings (tiebreaks: fewer pieces, earlier split; asserted by
+    the determinism test). Output: (rank, piece, prob, usage)."""
+    from ..operators.text import unigram_em_vocab
+
+    docs = table(spark, sf, "documents")
+    rows = unigram_em_vocab(docs, "text")
+    return spark.createDataFrame(
+        rows, "rank long, piece string, prob double, usage long"
+    )

@@ -28,3 +28,22 @@ def test_rows_only_query_is_deterministic(spark, name):
     second = sorted(map(tuple, QUERIES[name](spark, SF_SMALL).collect()))
     assert len(first) > 0, f"{name}: empty result"
     assert first == second, f"{name}: two evaluations differ"
+
+
+def test_unigram_em_vocab_partition_invariant(spark):
+    """Unigram-LM EM must produce the identical vocabulary table on any
+    partitioning: usage counts are exact integers (Σ over partitions),
+    probs derive from them by one division, and Viterbi ties break
+    structurally (fewer pieces, earlier split) — no float accumulation
+    order anywhere."""
+    from datacooker_dist_spark.operators.text import unigram_em_vocab
+
+    rows = [(i, "the table scan joins a row group " * (2 + i % 3),)
+            for i in range(40)]
+    df1 = spark.createDataFrame(rows, "id long, text string").repartition(1)
+    df8 = spark.createDataFrame(rows, "id long, text string").repartition(8)
+    t1 = unigram_em_vocab(df1, "text", vocab_size=24, iters=2)
+    t8 = unigram_em_vocab(df8, "text", vocab_size=24, iters=2)
+    assert t1 == t8
+    assert len(t1) >= 24
+    assert all(p == round(p, 6) for _, _, p, _ in t1)
