@@ -779,11 +779,22 @@ def er_resolve_golden(spark, sf):
     from ..operators.dedup import connected_components
 
     par = shared_er_params(spark, sf)
-    scored = _er_pairs(spark, sf).withColumn("_w", _er_w_col(par))
-    m = scored.filter(
-        (F.col("_w") >= F.lit(_D("0.5")).cast(_ER_W))
-        & (F.col("id_a") != F.col("id_b"))
-    ).select("id_a", "id_b")
+    # Score the ≤ 2^3 PATTERNS, not the pairs: the deep decimal posterior
+    # runs 8 times, and pairs reach their decision through a broadcast
+    # semi join on the pattern bits (measured at sf0.1: 40 s → ~3 s; the
+    # 9M-pair pass keeps only three tiny comparisons per row).
+    match_pats = (
+        _er_pattern_frame(spark, sf)
+        .withColumn("_w", _er_w_col(par))
+        .filter(F.col("_w") >= F.lit(_D("0.5")).cast(_ER_W))
+        .select("g1", "g2", "g3")
+    )
+    m = (
+        _er_pairs(spark, sf)
+        .join(F.broadcast(match_pats), ["g1", "g2", "g3"], "semi")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+    )
     labels = connected_components(m)
     c = table(spark, sf, "customer")
     resolved = (
