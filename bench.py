@@ -107,12 +107,15 @@ def _table_warmup(spark, sf_dir: str) -> None:
 
 
 def _is_build(name: str) -> bool:
-    """True for named one-time build queries (`*_build` or `*_build_<x>`,
-    e.g. the r07 per-index split similarity_index_build_pq/_ivf/_residual):
-    they sort first in their memo cluster and are retime-exempt (a re-run
-    hits the session memo and would measure probe-only)."""
+    """True for named one-time build/train queries (`*_build`,
+    `*_build_<x>`, or `*_train`): they sort first in their memo cluster
+    and are retime-exempt (a re-run hits the session memo and would
+    measure probe-only). `_train` joined the rule in r8: without it the
+    quality-classifier cluster ran alphabetically score-before-train, so
+    the SCORE entry was billed the whole 20-step EM fit (r8 measured:
+    score 40.2 s / train 1.6 s, exactly inverted from reality)."""
     import re
-    return re.search(r"_build(_|$)", name) is not None
+    return re.search(r"_build(_|$)|_train$", name) is not None
 
 def _memo_clusters(names: list[str]) -> dict[str, str]:
     """query name -> cluster anchor for queries sharing a session memo.

@@ -625,6 +625,19 @@ def _qcls_p_expr(wexprs):
 
 
 _QCLS_CACHE: dict = {}
+_QCLS_FEATS_CACHE: dict = {}
+
+
+def shared_qcls_features(spark, sf):
+    """Session-memoized CHECKPOINTED design matrix — train and score
+    consume the identical frame, so the corpus featurization (tokenize +
+    hash + conditional counts, the only corpus-sized pass) happens once
+    per session instead of once per consumer (r8: score re-paid ~10 s of
+    featurization at sf0.1 with the weights already memoized)."""
+    key = (session_key(spark), sf)
+    if key not in _QCLS_FEATS_CACHE:
+        _QCLS_FEATS_CACHE[key] = _qcls_features(spark, sf).localCheckpoint()
+    return _QCLS_FEATS_CACHE[key]
 
 
 def shared_quality_classifier(spark, sf):
@@ -639,7 +652,7 @@ def shared_quality_classifier(spark, sf):
 
     key = (session_key(spark), sf)
     if key not in _QCLS_CACHE:
-        feats = _qcls_features(spark, sf).localCheckpoint()
+        feats = shared_qcls_features(spark, sf)
         w = [Decimal(0)] * (_QCLS_D + 2)
         gcols = [f"g_{j}" for j in range(len(_QCLS_XCOLS))] + ["g_b"]
         for _ in range(_QCLS_ITERS):
@@ -849,7 +862,7 @@ def quality_classifier_score(spark, sf):
     the linear model and the rule gate split). Output: (pred_keep, gopher_keep, n_docs)."""
     from decimal import Decimal as _Dec
 
-    feats = _qcls_features(spark, sf)
+    feats = shared_qcls_features(spark, sf)
     w = shared_quality_classifier(spark, sf)
     p = _qcls_p_expr([F.lit(v).cast(_QCLS_DEC) for v in w])
     return (
