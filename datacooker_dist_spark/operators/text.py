@@ -595,6 +595,8 @@ def unigram_em_vocab(
         r.p for r in cand_counts.filter(F.length("p") == 1).collect()
     }
     pieces = {r.p for r in top} | singles
+    if not pieces:  # empty corpus: no vocabulary, not a crash
+        return []
     # Init: uniform over the seed.
     probs = {p: 1.0 / len(pieces) for p in sorted(pieces)}
 

@@ -353,3 +353,9 @@ def test_semantic_dedup_incremental_empty_batch(spark):
         threshold=0.4, dim=4,
     )
     assert rev.count() == 0
+
+
+def test_unigram_em_on_empty_corpus(spark):
+    from datacooker_dist_spark.operators.text import unigram_em_vocab
+
+    assert unigram_em_vocab(_empty_docs(spark), "text") == []
