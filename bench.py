@@ -370,15 +370,18 @@ def main() -> None:
     # Round-stamped archive (VERDICT r07 task 5): BENCH_DETAIL.json is
     # overwritten every run, which destroyed r6's per-query detail before
     # the r7 judge could diff it. Mirror each run's detail to
-    # BENCH_DETAIL_r0N.json, N inferred as one past the newest driver
-    # record BENCH_r0N.json — re-runs within a round overwrite their own
-    # round's archive, never a past round's.
+    # BENCH_DETAIL_r0N.json. N = one past the newest CORRECTNESS_r0N
+    # record — the driver writes CORRECTNESS at round END, so the stamp
+    # is stable for the WHOLE round; the previous rule (one past the
+    # newest BENCH_r0N) mislabeled any re-run that happened after the
+    # driver had already recorded the current round's bench, pushing the
+    # detail into the NEXT round's slot.
     import re as _re
 
     rounds = [
         int(m.group(1))
         for f in os.listdir(here)
-        if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f))
+        if (m := _re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f))
     ]
     archive_path = os.path.join(
         here, f"BENCH_DETAIL_r{(max(rounds, default=0) + 1):02d}.json"

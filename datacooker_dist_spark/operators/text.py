@@ -590,11 +590,22 @@ def unigram_em_vocab(
         .groupBy("p")
         .agg(F.sum("n").alias("c"))
     )
-    top = cand_counts.orderBy(F.desc("c"), "p").limit(seed_size).collect()
-    singles = {
-        r.p for r in cand_counts.filter(F.length("p") == 1).collect()
-    }
-    pieces = {r.p for r in top} | singles
+    # One job over the candidate aggregate: the top-seed_size pieces and
+    # ALL single chars (bounded by the char alphabet) in a single collect.
+    seed_rows = (
+        cand_counts.withColumn(
+            "_single", (F.length("p") == 1).cast("int")
+        )
+        .orderBy(F.desc("_single"), F.desc("c"), "p")
+        .limit(seed_size + 256)
+        .collect()
+    )
+    singles = {r.p for r in seed_rows if r._single == 1}
+    by_count = sorted(
+        (r for r in seed_rows if r._single == 0),
+        key=lambda r: (-r.c, r.p),
+    )
+    pieces = {r.p for r in by_count[:seed_size]} | singles
     if not pieces:  # empty corpus: no vocabulary, not a crash
         return []
     # Init: uniform over the seed.

@@ -529,18 +529,24 @@ _ER_PAT_CACHE: dict = {}
 _ER_PARAM_CACHE: dict = {}
 
 
-def _er_pairs(spark, sf):
-    """(id_a, id_b, g1, g2, g3) — the nation-blocked candidate pairs with
-    their discrete comparison vectors; a lazy plan (one equi-join + narrow
-    projections), re-planned by each consumer."""
-    c = table(spark, sf, "customer")
-    a = c.select(
+def er_source_a(cust):
+    """Source A: the reference records (shared by batch and streaming —
+    the single definition the `stream_er_match` parity invariant rests
+    on)."""
+    return cust.select(
         F.col("c_custkey").alias("id_a"), F.col("c_nationkey").alias("nk"),
         F.col("c_name").alias("name_a"),
         F.floor(F.col("c_acctbal") / 100).alias("bal_a"),
         F.col("c_mktsegment").alias("seg_a"),
     )
-    b = c.select(
+
+
+def er_source_b(cust):
+    """Source B: the planted deterministic perturbation of the customer
+    records (¼ names suffixed, ⅓ balance buckets shifted, ⅕ segments
+    replaced) — single-sourced so the batch pairs, the pattern frame,
+    and the streaming twin can never drift apart."""
+    return cust.select(
         F.col("c_custkey").alias("id_b"), F.col("c_nationkey").alias("nk"),
         F.when(F.col("c_custkey") % 4 == 0,
                F.concat(F.col("c_name"), F.lit("-x")))
@@ -551,12 +557,24 @@ def _er_pairs(spark, sf):
         F.when(F.col("c_custkey") % 5 == 0, F.lit("UNKNOWN"))
         .otherwise(F.col("c_mktsegment")).alias("seg_b"),
     )
-    return a.join(b, "nk").select(
+
+
+def er_gamma(joined):
+    """Discrete comparison vector over an A⋈B pair frame."""
+    return joined.select(
         "id_a", "id_b",
         (F.col("name_a") == F.col("name_b")).cast("int").alias("g1"),
         (F.col("bal_a") == F.col("bal_b")).cast("int").alias("g2"),
         (F.col("seg_a") == F.col("seg_b")).cast("int").alias("g3"),
     )
+
+
+def _er_pairs(spark, sf):
+    """(id_a, id_b, g1, g2, g3) — the nation-blocked candidate pairs with
+    their discrete comparison vectors; a lazy plan (one equi-join + narrow
+    projections), re-planned by each consumer."""
+    c = table(spark, sf, "customer")
+    return er_gamma(er_source_a(c).join(er_source_b(c), "nk"))
 
 
 def _er_pattern_frame(spark, sf):
@@ -687,9 +705,11 @@ def er_fellegi_sunter_em(spark, sf):
     )
 
 
-@query(
-    "er_match_classify",
-    oracle=f"""
+def er_classify_oracle():
+    """The pattern-classification oracle SQL — single-sourced for
+    ``er_match_classify`` AND its streaming twin (their documented
+    invariant is literally 'same oracle')."""
+    return f"""
     WITH {_er_oracle_ctes()}
     SELECT g1 AS name_eq, g2 AS bal_eq, g3 AS seg_eq,
            CAST(n AS BIGINT) AS n_pairs,
@@ -698,8 +718,31 @@ def er_fellegi_sunter_em(spark, sf):
            CAST(w >= CAST(0.5 AS {_ER_W}) AS INT) AS is_match
     FROM (SELECT g1, g2, g3, n, n_true, {_er_sql_w('m', 'u')} AS w
           FROM erpat CROSS JOIN erpar{_ER_ITERS})
-    """,
-)
+    """
+
+
+def er_classify_frame(pat, par):
+    """Score a (g1, g2, g3, n, n_true) pattern frame with the trained
+    posterior — the single Spark-side twin of ``er_classify_oracle``.
+    The deep decimal posterior is PROJECTED once and both match_prob
+    and the 0.5 decision derive from that column."""
+    from decimal import Decimal as _D
+
+    return (
+        pat.withColumn("_w", _er_w_col(par))
+        .select(
+            F.col("g1").alias("name_eq"), F.col("g2").alias("bal_eq"),
+            F.col("g3").alias("seg_eq"),
+            F.col("n").cast("long").alias("n_pairs"),
+            F.col("n_true").cast("long").alias("n_true_match"),
+            F.col("_w").cast("double").alias("match_prob"),
+            (F.col("_w") >= F.lit(_D("0.5")).cast(_ER_W)).cast("int")
+            .alias("is_match"),
+        )
+    )
+
+
+@query("er_match_classify", oracle=er_classify_oracle())
 def er_match_classify(spark, sf):
     """Score every candidate pattern with the EM-trained Fellegi–Sunter
     posterior and classify at the 0.5 decision point — one row per
@@ -716,16 +759,8 @@ def er_match_classify(spark, sf):
     scoring at 100 TB is the same expression on the un-aggregated join,
     embarrassingly parallel. EXACT-oracled end to end (same CTE chain as
     the train query plus one scoring projection)."""
-    par = shared_er_params(spark, sf)
-    pat = _er_pattern_frame(spark, sf)
-    return pat.select(
-        F.col("g1").alias("name_eq"), F.col("g2").alias("bal_eq"),
-        F.col("g3").alias("seg_eq"),
-        F.col("n").cast("long").alias("n_pairs"),
-        F.col("n_true").cast("long").alias("n_true_match"),
-        _er_w_col(par).cast("double").alias("match_prob"),
-        (_er_w_col(par) >= F.lit(0.5).cast(_ER_W)).cast("int")
-        .alias("is_match"),
+    return er_classify_frame(
+        _er_pattern_frame(spark, sf), shared_er_params(spark, sf)
     )
 
 

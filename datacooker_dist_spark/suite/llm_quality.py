@@ -696,6 +696,23 @@ def shared_quality_classifier(spark, sf):
     return _QCLS_CACHE[key]
 
 
+def _qcls_p_sql(wnames):
+    """The hard-sigmoid scoring SQL from weight-column names — the ONE
+    source for the train CTEs' per-iteration p and the score oracle's
+    final p (they must replay the identical activation)."""
+    z = " + ".join(
+        f"CAST({xc} * {wn} AS DECIMAL(20,12))"
+        for xc, wn in zip(_QCLS_XCOLS, wnames[:-1])
+    )
+    return (
+        f"LEAST(CAST(1 AS {_QCLS_DEC}), GREATEST("
+        f"CAST(0 AS {_QCLS_DEC}), CAST(round("
+        f"CAST(round(w_b + {z}, 6) AS {_QCLS_DEC})"
+        f" * CAST(0.25 AS DECIMAL(3,2)) + CAST(0.5 AS DECIMAL(2,1))"
+        f", 6) AS {_QCLS_DEC})))"
+    )
+
+
 def _qcls_oracle_ctes():
     """The unrolled train pipeline as DuckDB CTEs, shared by the train
     and score oracles: feats (doc_id, y, x_0..x_15, x_len) → w0
@@ -737,17 +754,7 @@ def _qcls_oracle_ctes():
         f"CAST(0 AS {_QCLS_DEC}) AS {wn}" for wn in wnames
     )
     ctes = [feats, f"w0 AS MATERIALIZED (SELECT {wzero})"]
-    z = " + ".join(
-        f"CAST({xc} * {wn} AS DECIMAL(20,12))"
-        for xc, wn in zip(_QCLS_XCOLS, wnames[:-1])
-    )
-    p_expr = (
-        f"LEAST(CAST(1 AS {_QCLS_DEC}), GREATEST("
-        f"CAST(0 AS {_QCLS_DEC}), CAST(round("
-        f"CAST(round(w_b + {z}, 6) AS {_QCLS_DEC})"
-        f" * CAST(0.25 AS DECIMAL(3,2)) + CAST(0.5 AS DECIMAL(2,1))"
-        f", 6) AS {_QCLS_DEC})))"
-    )
+    p_expr = _qcls_p_sql(wnames)
     for t in range(1, _QCLS_ITERS + 1):
         ctes.append(
             f"p{t} AS MATERIALIZED (SELECT doc_id, y, "
@@ -824,17 +831,7 @@ def quality_classifier_train(spark, sf):
 
 def _qcls_score_oracle():
     ctes, wnames = _qcls_oracle_ctes()
-    z = " + ".join(
-        f"CAST({xc} * {wn} AS DECIMAL(20,12))"
-        for xc, wn in zip(_QCLS_XCOLS, wnames[:-1])
-    )
-    p = (
-        f"LEAST(CAST(1 AS {_QCLS_DEC}), GREATEST("
-        f"CAST(0 AS {_QCLS_DEC}), CAST(round("
-        f"CAST(round(w_b + {z}, 6) AS {_QCLS_DEC})"
-        f" * CAST(0.25 AS DECIMAL(3,2)) + CAST(0.5 AS DECIMAL(2,1))"
-        f", 6) AS {_QCLS_DEC})))"
-    )
+    p = _qcls_p_sql(wnames)
     return f"""
     WITH {ctes},
     scored AS (

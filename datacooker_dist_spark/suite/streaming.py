@@ -1252,18 +1252,9 @@ def stream_semantic_dedup(spark, sf):
 
 
 def _stream_er_oracle():
-    from .embml import _ER_ITERS, _ER_W, _er_oracle_ctes, _er_sql_w
+    from .embml import er_classify_oracle
 
-    return f"""
-    WITH {_er_oracle_ctes()}
-    SELECT g1 AS name_eq, g2 AS bal_eq, g3 AS seg_eq,
-           CAST(n AS BIGINT) AS n_pairs,
-           CAST(n_true AS BIGINT) AS n_true_match,
-           CAST(w AS DOUBLE) AS match_prob,
-           CAST(w >= CAST(0.5 AS {_ER_W}) AS INT) AS is_match
-    FROM (SELECT g1, g2, g3, n, n_true, {_er_sql_w('m', 'u')} AS w
-          FROM erpat CROSS JOIN erpar{_ER_ITERS})
-    """
+    return er_classify_oracle()
 
 
 @query("stream_er_match", oracle=_stream_er_oracle())
@@ -1281,51 +1272,23 @@ def stream_er_match(spark, sf):
     ``er_match_classify``) applies unchanged. State is bounded by ≤ 2^3
     pattern rows no matter the stream length — the aggregate is the
     smallest stateful operator in the suite."""
-    from decimal import Decimal as _D
-
-    from .embml import _ER_W, _er_w_col, shared_er_params
+    from .embml import (
+        er_classify_frame, er_gamma, er_source_a, er_source_b,
+        shared_er_params)
     from . import table
 
     schema = ("c_custkey bigint, c_name string, c_nationkey int, "
               "c_acctbal double, c_mktsegment string")
     stream = file_stream(spark, f"{sf}/customer.parquet", schema)
-    b = stream.select(
-        F.col("c_custkey").alias("id_b"), F.col("c_nationkey").alias("nk"),
-        F.when(F.col("c_custkey") % 4 == 0,
-               F.concat(F.col("c_name"), F.lit("-x")))
-        .otherwise(F.col("c_name")).alias("name_b"),
-        (F.floor(F.col("c_acctbal") / 100)
-         + F.when(F.col("c_custkey") % 3 == 0, 1).otherwise(0))
-        .alias("bal_b"),
-        F.when(F.col("c_custkey") % 5 == 0, F.lit("UNKNOWN"))
-        .otherwise(F.col("c_mktsegment")).alias("seg_b"),
-    )
-    a = table(spark, sf, "customer").select(
-        F.col("c_custkey").alias("id_a"), F.col("c_nationkey").alias("nk"),
-        F.col("c_name").alias("name_a"),
-        F.floor(F.col("c_acctbal") / 100).alias("bal_a"),
-        F.col("c_mktsegment").alias("seg_a"),
-    )
+    b = er_source_b(stream)
+    a = er_source_a(table(spark, sf, "customer"))
     pat = (
-        b.join(a, "nk")
-        .select(
-            (F.col("name_a") == F.col("name_b")).cast("int").alias("g1"),
-            (F.col("bal_a") == F.col("bal_b")).cast("int").alias("g2"),
-            (F.col("seg_a") == F.col("seg_b")).cast("int").alias("g3"),
-            (F.col("id_a") == F.col("id_b")).alias("_true"),
-        )
+        er_gamma(b.join(a, "nk"))
+        .select("g1", "g2", "g3",
+                (F.col("id_a") == F.col("id_b")).alias("_true"))
         .groupBy("g1", "g2", "g3")
         .agg(F.count(F.lit(1)).alias("n"),
              F.count_if(F.col("_true")).alias("n_true"))
     )
     drained = run_available_now(pat, spark)
-    par = shared_er_params(spark, sf)
-    return drained.select(
-        F.col("g1").alias("name_eq"), F.col("g2").alias("bal_eq"),
-        F.col("g3").alias("seg_eq"),
-        F.col("n").cast("long").alias("n_pairs"),
-        F.col("n_true").cast("long").alias("n_true_match"),
-        _er_w_col(par).cast("double").alias("match_prob"),
-        (_er_w_col(par) >= F.lit(_D("0.5")).cast(_ER_W)).cast("int")
-        .alias("is_match"),
-    )
+    return er_classify_frame(drained, shared_er_params(spark, sf))
