@@ -729,12 +729,19 @@ def phash_candidate_pairs(
     hashes: DataFrame,
     n_chunks: int = 8,
     id_col: str = "media_id",
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """The pigeonhole chunk-join CANDIDATE set with exact Hamming
     attached, UNFILTERED — :func:`phash_dedup_pairs` applies the
     threshold; ``dedup_blocking_report`` grades this raw blocking
     output (candidate count / recall / precision) against ground
-    truth. Output: (id_a < id_b, hamming), distinct pairs."""
+    truth. Output: (id_a < id_b, hamming), distinct pairs.
+
+    With ``base`` given the join is ASYMMETRIC (the streaming-ingest
+    path): ``hashes`` is the probe side, ``base`` the standing index,
+    output (id_a = probe id, id_b = base id) over DISJOINT id sets —
+    completeness holds by the same pigeonhole argument, and the
+    standing side is untouched (no index growth per batch)."""
     bits_per = 64 // n_chunks
     half_chunks = n_chunks // 2
     mask = (1 << bits_per) - 1
@@ -752,27 +759,31 @@ def phash_candidate_pairs(
             for c in range(n_chunks)
         ])
     )
-    tagged = hashes.select(
-        F.col(id_col), "dhash_hi", "dhash_lo", chunks.alias("_c")
-    ).select(
-        id_col, "dhash_hi", "dhash_lo",
-        F.col("_c._ck").alias("_ck"), F.col("_c._cv").alias("_cv"),
-    )
-    a = tagged.select(
+    def tags(df):
+        return df.select(
+            F.col(id_col), "dhash_hi", "dhash_lo", chunks.alias("_c")
+        ).select(
+            id_col, "dhash_hi", "dhash_lo",
+            F.col("_c._ck").alias("_ck"), F.col("_c._cv").alias("_cv"),
+        )
+
+    a = tags(hashes).select(
         F.col(id_col).alias("_ida"),
         F.col("dhash_hi").alias("_ha"),
         F.col("dhash_lo").alias("_la"),
         "_ck", "_cv",
     )
-    b = tagged.select(
+    b = tags(base if base is not None else hashes).select(
         F.col(id_col).alias("_idb"),
         F.col("dhash_hi").alias("_hb"),
         F.col("dhash_lo").alias("_lb"),
         "_ck", "_cv",
     )
+    joined = a.join(b, ["_ck", "_cv"])
+    if base is None:
+        joined = joined.filter(F.col("_ida") < F.col("_idb"))
     return (
-        a.join(b, ["_ck", "_cv"])
-        .filter(F.col("_ida") < F.col("_idb"))
+        joined
         .select(
             F.col("_ida").alias("id_a"),
             F.col("_idb").alias("id_b"),

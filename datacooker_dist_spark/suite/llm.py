@@ -2762,9 +2762,11 @@ def multimodal_dedup_binary(spark, sf):
     )
 
 
-@query(
-    "multimodal_dedup_phash",
-    oracle="""
+# The arithmetic replay of the whole BMP byte pipeline (planted pixels →
+# 2×2 average pool → dHash gradient bits → hi/lo words) — shared by the
+# batch phash query and its streaming-ingest twin, whose oracles must
+# derive the identical hash table.
+PHASH_HH_CTES = """
     WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 600),
     px AS (
       SELECT doc_id, u.x AS x, v.y AS y,
@@ -2791,7 +2793,13 @@ def multimodal_dedup_binary(spark, sf):
              CAST(SUM(CASE WHEN gy >= 4
                   THEN bit * (2 ** ((gy - 4) * 8 + gx)) ELSE 0 END)
                   AS BIGINT) AS lo
-      FROM bits GROUP BY doc_id)
+      FROM bits GROUP BY doc_id)"""
+
+
+@query(
+    "multimodal_dedup_phash",
+    oracle=f"""
+    {PHASH_HH_CTES}
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.hi, b.hi))
                 + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming

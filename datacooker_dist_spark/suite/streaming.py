@@ -1292,3 +1292,84 @@ def stream_er_match(spark, sf):
     )
     drained = run_available_now(pat, spark)
     return er_classify_frame(drained, shared_er_params(spark, sf))
+
+
+def _stream_phash_oracle():
+    from .llm import PHASH_HH_CTES
+
+    return f"""
+    {PHASH_HH_CTES}
+    SELECT a.doc_id AS id_new, b.doc_id AS id_base,
+           CAST(bit_count(xor(a.hi, b.hi))
+                + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+    FROM hh a JOIN hh b
+      ON a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
+    WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 4
+    """
+
+
+@query("stream_dedup_phash", oracle=_stream_phash_oracle())
+def stream_dedup_phash(spark, sf):
+    """Streaming perceptual-hash image dedup — the ingest-time twin of
+    ``multimodal_dedup_phash`` (the multimodal family now ships batch +
+    streaming like the text dedup families): images ARRIVE as a stream
+    (docs with doc_id % 7 = 0 become BMP payloads in-batch — % 7 is
+    coprime with the planted % 50 group pattern, so every group
+    straddles the new/base split and cross-split near-dups exist), each
+    micro-batch hashes its images (16 bytes/image — pixels never leave
+    the batch) and probes the STANDING dHash index of the base corpus
+    (doc_id % 7 ≠ 0, built once before the stream starts) through the
+    ASYMMETRIC pigeonhole chunk join — completeness for Hamming ≤ 4 by
+    the same 8-chunk argument, zero index growth per batch. Exactly-once
+    via the batch-id-idempotent per-``b<batch_id>`` overwrite sink (the
+    stream_substring_dedup discipline). The drained sink provably equals
+    the batch pairs restricted to (new, base) — the EXACT oracle replays
+    the full pixel→pool→bits→hash→Hamming arithmetic for both sides."""
+    from ..operators import multimodal as M
+    from .llm import _bmp_fixture_payload_fn, shared_dhash_hashes
+
+    base_hashes = (
+        shared_dhash_hashes(spark, sf)
+        .filter(F.col("media_id") % 7 != 0)
+        .localCheckpoint()
+    )
+    base_dir = scratch_dir("sph")
+    target, ckpt = f"{base_dir}/pairs", f"{base_dir}/ckpt"
+    doc_schema = (
+        "doc_id bigint, text string, lang string, "
+        "source string, n_chars bigint"
+    )
+    stream = file_stream(spark, f"{sf}/documents.parquet", doc_schema)
+
+    def probe(batch_df, batch_id):
+        new = batch_df.filter(
+            (F.col("doc_id") % 7 == 0) & (F.col("doc_id") < 600)
+        ).select(
+            F.col("doc_id").alias("media_id"),
+            _bmp_fixture_payload_fn()("doc_id").alias("payload"),
+        )
+        pairs = (
+            M.phash_candidate_pairs(
+                M.dhash_images(new), base=base_hashes
+            )
+            .filter(F.col("hamming") <= 4)
+            .select(
+                F.col("id_a").alias("id_new"),
+                F.col("id_b").alias("id_base"),
+                "hamming",
+            )
+        )
+        pairs.write.mode("overwrite").parquet(f"{target}/b{batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .schema("id_new bigint, id_base bigint, hamming bigint")
+        .parquet(target)
+    )
