@@ -624,47 +624,52 @@ def shared_er_params(spark, sf):
     the 8-row pattern frame — posterior projection + weighted-sum
     aggregate + clamped grid update in the same plan — collecting 7
     bounded values that re-enter the next iteration as literals."""
-    from decimal import Decimal
-
     key = (spark.sparkContext.applicationId, sf)
     if key not in _ER_PARAM_CACHE:
-        i = _ER_INIT
-        par = {**{f"m{k}": Decimal(i["m"]) for k in (1, 2, 3)},
-               **{f"u{k}": Decimal(i["u"]) for k in (1, 2, 3)},
-               "lam": Decimal(i["lam"])}
-        pat = _er_pattern_frame(spark, sf)
-        clamp = lambda x: F.least(  # noqa: E731
-            F.lit(0.999999).cast(_ER_P6),
-            F.greatest(F.lit(0.000001).cast(_ER_P6),
-                       F.round(x, 6).cast(_ER_P6)))
-        for _ in range(_ER_ITERS):
-            proj = pat.select(
-                "g1", "g2", "g3", "n",
-                (F.col("n").cast("decimal(20,0)") * _er_w_col(par))
-                .alias("nw"),
-                (F.col("n").cast("decimal(20,0)")
-                 * (F.lit(1).cast(_ER_W) - _er_w_col(par))).alias("nw1"),
-            )
-            row = proj.agg(
-                F.sum("n").alias("_n"),
-                F.sum("nw").alias("_s"), F.sum("nw1").alias("_s1"),
-                *[F.sum(F.when(F.col(f"g{k}") == 1, F.col("nw")))
-                  .alias(f"_sg{k}") for k in (1, 2, 3)],
-                *[F.sum(F.when(F.col(f"g{k}") == 1, F.col("nw1")))
-                  .alias(f"_sug{k}") for k in (1, 2, 3)],
-            ).select(
-                *[clamp(F.col(f"_sg{k}").cast("double")
-                        / F.col("_s").cast("double")).alias(f"m{k}")
-                  for k in (1, 2, 3)],
-                *[clamp(F.col(f"_sug{k}").cast("double")
-                        / F.col("_s1").cast("double")).alias(f"u{k}")
-                  for k in (1, 2, 3)],
-                clamp(F.col("_s").cast("double")
-                      / F.col("_n").cast("double")).alias("lam"),
-            ).collect()[0]
-            par = {k: row[k] for k in par}
-        _ER_PARAM_CACHE[key] = par
+        _ER_PARAM_CACHE[key] = _er_em_fit(spark, _er_pattern_frame(spark, sf))
     return _ER_PARAM_CACHE[key]
+
+
+def _er_em_fit(spark, pat):
+    """The EM loop itself over ANY (g1, g2, g3, n, ...) pattern frame —
+    shared by the full fit and the incremental merged-counts refit."""
+    from decimal import Decimal
+
+    i = _ER_INIT
+    par = {**{f"m{k}": Decimal(i["m"]) for k in (1, 2, 3)},
+           **{f"u{k}": Decimal(i["u"]) for k in (1, 2, 3)},
+           "lam": Decimal(i["lam"])}
+    clamp = lambda x: F.least(  # noqa: E731
+        F.lit(0.999999).cast(_ER_P6),
+        F.greatest(F.lit(0.000001).cast(_ER_P6),
+                   F.round(x, 6).cast(_ER_P6)))
+    for _ in range(_ER_ITERS):
+        proj = pat.select(
+            "g1", "g2", "g3", "n",
+            (F.col("n").cast("decimal(20,0)") * _er_w_col(par))
+            .alias("nw"),
+            (F.col("n").cast("decimal(20,0)")
+             * (F.lit(1).cast(_ER_W) - _er_w_col(par))).alias("nw1"),
+        )
+        row = proj.agg(
+            F.sum("n").alias("_n"),
+            F.sum("nw").alias("_s"), F.sum("nw1").alias("_s1"),
+            *[F.sum(F.when(F.col(f"g{k}") == 1, F.col("nw")))
+              .alias(f"_sg{k}") for k in (1, 2, 3)],
+            *[F.sum(F.when(F.col(f"g{k}") == 1, F.col("nw1")))
+              .alias(f"_sug{k}") for k in (1, 2, 3)],
+        ).select(
+            *[clamp(F.col(f"_sg{k}").cast("double")
+                    / F.col("_s").cast("double")).alias(f"m{k}")
+              for k in (1, 2, 3)],
+            *[clamp(F.col(f"_sug{k}").cast("double")
+                    / F.col("_s1").cast("double")).alias(f"u{k}")
+              for k in (1, 2, 3)],
+            clamp(F.col("_s").cast("double")
+                  / F.col("_n").cast("double")).alias("lam"),
+        ).collect()[0]
+        par = {k: row[k] for k in par}
+    return par
 
 
 _ER_PARAM_NAMES = ["m_name", "m_bal", "m_seg", "u_name", "u_bal", "u_seg",
@@ -852,4 +857,60 @@ def er_resolve_golden(spark, sf):
         )
         .join(canon, "entity_id")
         .select("entity_id", "canonical_name", "n_members", "total_acctbal")
+    )
+
+
+@query(
+    "er_fellegi_incremental",
+    oracle=f"""
+    WITH {_er_oracle_ctes()}
+    SELECT UNNEST({_ER_PARAM_NAMES!r}) AS param,
+           UNNEST([CAST(m1 AS DOUBLE), CAST(m2 AS DOUBLE),
+                   CAST(m3 AS DOUBLE), CAST(u1 AS DOUBLE),
+                   CAST(u2 AS DOUBLE), CAST(u3 AS DOUBLE),
+                   CAST(lam AS DOUBLE)]) AS value
+    FROM erpar{_ER_ITERS}
+    """,
+)
+def er_fellegi_incremental(spark, sf):
+    """Incremental Fellegi–Sunter refit — the family's third form
+    (batch + incremental + streaming, the suite-wide dedup symmetry):
+    source-B records land in two INSTALLMENTS (custkey % 3 splits the
+    B side), each installment is blocked against the full A side and
+    reduced to its own pattern counts, the two count frames MERGE BY
+    ADDITION (comparison-pattern counts are associative — the whole
+    reason the EM state is pattern counts and not pairs), and the EM
+    refit runs on the merged frame. The refit over merged counts is
+    PROVABLY identical to the full-corpus fit, and the oracle IS the
+    full-corpus fit — value-equality here is the incremental-merge
+    correctness proof, not a re-derivation. At 100 TB this is the
+    nightly-ingest posture: yesterday's 8-row pattern frame + today's
+    delta aggregate, never a re-scan of history."""
+    c = table(spark, sf, "customer")
+    a = er_source_a(c)
+    parts = []
+    for r in (0, 1):  # two installments of the B side
+        b = er_source_b(
+            c.filter((F.col("c_custkey") % 3 == r)
+                     if r == 0 else (F.col("c_custkey") % 3 != 0))
+        )
+        parts.append(
+            er_gamma(a.join(b, "nk"))
+            .groupBy("g1", "g2", "g3")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.count_if(F.col("id_a") == F.col("id_b"))
+                 .alias("n_true"))
+        )
+    merged = (
+        parts[0].unionAll(parts[1])
+        .groupBy("g1", "g2", "g3")
+        .agg(F.sum("n").alias("n"), F.sum("n_true").alias("n_true"))
+        .localCheckpoint()
+    )
+    par = _er_em_fit(spark, merged)
+    vals = [par["m1"], par["m2"], par["m3"],
+            par["u1"], par["u2"], par["u3"], par["lam"]]
+    return spark.createDataFrame(
+        [(n, float(v)) for n, v in zip(_ER_PARAM_NAMES, vals)],
+        "param string, value double",
     )
