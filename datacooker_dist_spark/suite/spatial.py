@@ -239,3 +239,110 @@ def geo_cluster_radius(spark, sf):
             F.coalesce("cluster_id", "c_custkey").alias("cluster_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# geo_track_segments (round 8)
+# ---------------------------------------------------------------------------
+#
+# Track segmentation — the core operator of the reference's broader
+# ecosystem (datacooker's ETL sibling is a GPS-track analytics engine;
+# SURVEY §1.2's Point/track record family): an ordered point stream per
+# user splits into segments at dwell gaps (> 12 h) and teleports
+# (planar step > 50 units), then each segment rolls up to point count,
+# duration, and path length. Positions are a deterministic integer
+# random walk per user (centi-unit steps synthesized from event_id;
+# every 11th step is a planted ±100-unit teleport), so the step
+# geometry — and therefore the split decisions — is 64-bit-integer
+# exact; the ONE double op per step (sqrt, then /100.0 and a 6-digit
+# round in identical order) is correctly rounded on both engines, and
+# path lengths accumulate through the decimal-exact dsum so partition
+# order can't perturb the sum.
+
+_TRK_GAP_US = 43_200_000_000    # 12 h dwell gap, microseconds
+_TRK_TELEPORT_SQ = 25_000_000   # (50 units)² in centi-units²
+
+
+@query(
+    "geo_track_segments",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CASE WHEN event_id % 11 = 0
+                  THEN (event_id * 7919) % 20001 - 10000
+                  ELSE (event_id * 7919) % 201 - 100 END AS dx,
+             CASE WHEN event_id % 11 = 0
+                  THEN (event_id * 104729) % 20001 - 10000
+                  ELSE (event_id * 104729) % 201 - 100 END AS dy
+      FROM events),
+    w AS (
+      SELECT *, CASE
+          WHEN LAG(us) OVER win IS NULL THEN 1
+          WHEN us - LAG(us) OVER win > {_TRK_GAP_US} THEN 1
+          WHEN dx * dx + dy * dy > {_TRK_TELEPORT_SQ} THEN 1
+          ELSE 0 END AS ns
+      FROM e
+      WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id)),
+    s AS (
+      SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS seg
+      FROM w)
+    SELECT user_id, CAST(seg AS BIGINT) AS segment_id,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST((MAX(us) - MIN(us)) // 1000000 AS BIGINT) AS duration_s,
+           CAST(SUM(CAST(CASE WHEN ns = 1 THEN 0
+                ELSE round(sqrt(dx * dx + dy * dy) / 100.0, 6) END
+                AS DECIMAL(25,6))) AS DOUBLE) AS path_len
+    FROM s GROUP BY 1, 2
+    """,
+)
+def geo_track_segments(spark, sf):
+    """Segment per-user point tracks at dwell gaps and teleports, then
+    roll each segment up to (n_points, duration_s, path_len) — the
+    trajectory primitive under trip detection, stay-point mining, and
+    odometer features. Plan: ONE shuffle on user_id serves the lag, the
+    running segment counter, and (key-prefix) the rollup; step geometry
+    never leaves the row (dx/dy are per-row expressions), and the first
+    point of each segment contributes zero path (the step that CAUSED
+    the split — a gap or teleport — belongs to no segment). EXACT-
+    oracled including the double path sums (decimal-exact dsum).
+    At 100 TB tracks shard perfectly by user; no operator here sees
+    more than one user's points in order."""
+    from . import read_events
+    from ..functions.scalars import dsum
+    from pyspark.sql import Window
+
+    e = read_events(spark, sf).select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.when(F.col("event_id") % 11 == 0,
+               (F.col("event_id") * 7919) % 20001 - 10000)
+        .otherwise((F.col("event_id") * 7919) % 201 - 100).alias("dx"),
+        F.when(F.col("event_id") % 11 == 0,
+               (F.col("event_id") * 104729) % 20001 - 10000)
+        .otherwise((F.col("event_id") * 104729) % 201 - 100).alias("dy"),
+    )
+    win = Window.partitionBy("user_id").orderBy("us", "event_id")
+    step2 = F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy")
+    ns = (
+        F.when(F.lag("us").over(win).isNull(), 1)
+        .when(F.col("us") - F.lag("us").over(win) > _TRK_GAP_US, 1)
+        .when(step2 > _TRK_TELEPORT_SQ, 1)
+        .otherwise(0)
+    )
+    s = e.withColumn("ns", ns).withColumn(
+        "seg",
+        F.sum("ns").over(win.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    step_len = F.when(F.col("ns") == 1, F.lit(0.0)).otherwise(
+        F.round(F.sqrt(step2.cast("double")) / 100.0, 6)
+    )
+    return (
+        s.groupBy("user_id", F.col("seg").cast("long").alias("segment_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            ((F.max("us") - F.min("us")) / 1000000).cast("long")
+            .alias("duration_s"),
+            dsum(step_len, scale=6).alias("path_len"),
+        )
+    )
