@@ -109,6 +109,30 @@ GALLERY = [
      "cartesian) and the decision filter selects the shipped index "
      "inside the same stage; exact recall probes are bounded "
      "query-side broadcasts"),
+    ("er_resolve_golden",
+     "Fellegi-Sunter record linkage resolved to golden records (r08): "
+     "the nation-blocked pair join re-plans lazily, pairs reach their "
+     "match decision through a `BroadcastHashJoin ... LeftSemi` against "
+     "the <= 8 scored pattern rows (the deep decimal posterior runs 8 "
+     "times, never per pair), and the golden rollup is one hash "
+     "aggregate + broadcast dimension joins"),
+    ("dataset_importance_resample",
+     "DSIR selection (r08): the hashed-bigram LM is a 64-row "
+     "`BroadcastHashJoin` build side; corpus totals fold from those 64 "
+     "rows via a 1-row `BroadcastNestedLoopJoin` (constant, not a "
+     "cartesian); selection is `TakeOrderedAndProject` - no global "
+     "sort, no global window"),
+    ("dedup_cdc_chunks",
+     "content-defined chunking (r08): boundary detection is one "
+     "`ArrowEvalPython` (vectorized numpy correlation) inside the scan "
+     "stage; the cross-doc sharing check is a chunk-keyed aggregate "
+     "plus a left join - only chunks shuffle, never text positions"),
+    ("layout_skipping_report",
+     "data-skipping report (r08): three `repartitionByRange` exchanges "
+     "(the distributed global rank - per-partition row_number windows "
+     "partitioned BY spark_partition_id, never a single-partition "
+     "global window) feed min/max per simulated file and a 6-row "
+     "prune-count rollup"),
 ]
 
 
