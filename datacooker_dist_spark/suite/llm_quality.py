@@ -566,14 +566,21 @@ def _qcls_tok_hash(tok):
 
 
 def _qcls_features(spark, sf):
+    """(doc_id, y, x_0..x_{D-1}, x_len) over the corpus table — see
+    :func:`_qcls_features_from` for the construction."""
+    return _qcls_features_from(table(spark, sf, "documents"))
+
+
+def _qcls_features_from(docs):
     """(doc_id, y, x_0..x_{D-1}, x_len) — NORMALIZED hashed-unigram
     fractions (bucket count / token count, 1e-6 grid) plus the scaled
     length feature (token count / 100) and the Gopher keep label as
     the training target. One tokenize pass + one conditional-count
     aggregate; docs whose clean-token list is empty have no hash rows
     and are excluded in BOTH engines (the corpus has none — mirrored
-    by the oracle's inner join)."""
-    docs = table(spark, sf, "documents")
+    by the oracle's inner join). Takes the docs frame directly so the
+    streaming serving twin can featurize micro-batches with the SAME
+    definition."""
     toks = docs.select("doc_id", _clean_tokens().alias("toks"))
     *_, q_ok = _gopher_parts()
     labeled = toks.select(

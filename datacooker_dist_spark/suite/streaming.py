@@ -1373,3 +1373,71 @@ def stream_dedup_phash(spark, sf):
         .schema("id_new bigint, id_base bigint, hamming bigint")
         .parquet(target)
     )
+
+
+def _stream_qcls_oracle():
+    from .llm_quality import _qcls_score_oracle
+
+    return _qcls_score_oracle()
+
+
+@query("stream_quality_classifier", oracle=_stream_qcls_oracle())
+def stream_quality_classifier(spark, sf):
+    """Streaming twin of the LEARNED quality filter — model serving at
+    ingest: documents arrive as a stream, each micro-batch featurizes
+    with the IDENTICAL definition the trainer used
+    (``_qcls_features_from``) and scores against the BATCH-trained
+    weights compiled in as decimal literals (the stale-model serving
+    pattern; no training in the hot path), emitting its confusion-cell
+    partial counts to a batch-id-idempotent sink. Confusion counts are
+    ADDITIVE and each document appears in exactly one micro-batch, so
+    the drained sum provably equals the batch score — the EXACT batch
+    oracle applies unchanged (train replay + score replay in DuckDB).
+    Per-batch state: none beyond the batch itself; the weights are a
+    broadcast-sized literal expression. This closes the learned-filter
+    loop the way production runs it: train offline on the corpus,
+    serve online on the stream, audit with the same confusion
+    artifact."""
+    from decimal import Decimal as _Dec
+
+    from .llm_quality import (
+        _QCLS_DEC, _qcls_features_from, _qcls_p_expr,
+        shared_quality_classifier)
+
+    w = shared_quality_classifier(spark, sf)
+    p = _qcls_p_expr([F.lit(v).cast(_QCLS_DEC) for v in w])
+    base_dir = scratch_dir("sqc")
+    target, ckpt = f"{base_dir}/cells", f"{base_dir}/ckpt"
+    doc_schema = (
+        "doc_id bigint, text string, lang string, "
+        "source string, n_chars bigint"
+    )
+    stream = file_stream(spark, f"{sf}/documents.parquet", doc_schema)
+
+    def score(batch_df, batch_id):
+        cells = (
+            _qcls_features_from(batch_df)
+            .select(
+                (p >= F.lit(_Dec("0.5")).cast(_QCLS_DEC))
+                .cast("int").alias("pred_keep"),
+                F.col("y").cast("int").alias("gopher_keep"),
+            )
+            .groupBy("pred_keep", "gopher_keep")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+        cells.write.mode("overwrite").parquet(f"{target}/b{batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(score)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .schema("pred_keep int, gopher_keep int, n_docs bigint")
+        .parquet(target)
+        .groupBy("pred_keep", "gopher_keep")
+        .agg(F.sum("n_docs").cast("long").alias("n_docs"))
+    )

@@ -2197,3 +2197,18 @@ def test_cdc_chunking_shift_invariant():
     fixed0 = [base[i:i + 64] for i in range(0, len(base), 64)]
     fixed1 = [edited[i:i + 64] for i in range(0, len(edited), 64)]
     assert all(a != b for a, b in zip(fixed0[1:], fixed1[1:]))
+
+
+def test_kmv_merge_equals_direct_sketch():
+    """KMV mergeability — the property the set-ops query banks on:
+    the k smallest of a union equal the k smallest of the merged
+    per-part k-min sketches, for every split of the value set. Pure
+    arithmetic over the suite's real hash mix."""
+    K, MOD = 64, 4294967296
+    vals = sorted({(k * 2654435761 + 12345) % MOD for k in range(500)})
+    direct = vals[:K]
+    for cut in (1, 7, 250, 499):
+        a, b = set(vals[:cut]), set(vals[cut:])
+        ska, skb = sorted(a)[:K], sorted(b)[:K]
+        merged = sorted(set(ska) | set(skb))[:K]
+        assert merged == direct
