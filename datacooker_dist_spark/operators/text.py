@@ -524,6 +524,36 @@ def bpe_apply(
     )
 
 
+def _viterbi_pieces(w, P, max_piece):
+    """Best unigram-LM segmentation of word ``w`` under piece probs
+    ``P``: maximize Σ log p, ties to fewer pieces then the earlier
+    split. Returns the piece list in REVERSE order (backtrace order —
+    callers that only count don't care), or [] if unsegmentable."""
+    import math
+
+    L = len(w)
+    # best[i]: (logp, n_pieces, backptr) for prefix w[:i]
+    best = [(-math.inf, 0, -1)] * (L + 1)
+    best[0] = (0.0, 0, -1)
+    for i in range(1, L + 1):
+        for j in range(max(0, i - max_piece), i):
+            pc = w[j:i]
+            if pc in P and best[j][0] > -math.inf:
+                lp = best[j][0] + math.log(P[pc])
+                cand = (lp, best[j][1] + 1, j)
+                if (lp > best[i][0]
+                        or (lp == best[i][0] and cand[1:] < best[i][1:])):
+                    best[i] = cand
+    if best[L][0] == -math.inf:
+        return []
+    out, i = [], L
+    while i > 0:
+        j = best[i][2]
+        out.append(w[j:i])
+        i = j
+    return out
+
+
 def unigram_em_vocab(
     df: DataFrame,
     text_col: str = "text",
@@ -558,8 +588,6 @@ def unigram_em_vocab(
 
     Returns [(rank, piece, prob, usage), ...] — prob on the 1e-6 grid.
     """
-    import math
-
     import pandas as pd
 
     spark = df.sparkSession
@@ -617,27 +645,8 @@ def unigram_em_vocab(
                 usage: dict[str, int] = {}
                 P = probs_bc.value
                 for w, n in zip(pdf["w"], pdf["n"]):
-                    L = len(w)
-                    # best[i]: (logp, n_pieces, backptr) for prefix w[:i]
-                    best = [(-math.inf, 0, -1)] * (L + 1)
-                    best[0] = (0.0, 0, -1)
-                    for i in range(1, L + 1):
-                        for j in range(max(0, i - max_piece), i):
-                            pc = w[j:i]
-                            if pc in P and best[j][0] > -math.inf:
-                                lp = best[j][0] + math.log(P[pc])
-                                cand = (lp, best[j][1] + 1, j)
-                                # ties: fewer pieces, then earlier split
-                                if (lp > best[i][0]
-                                        or (lp == best[i][0]
-                                            and cand[1:] < best[i][1:])):
-                                    best[i] = cand
-                    i = L
-                    while i > 0:
-                        j = best[i][2]
-                        pc = w[j:i]
+                    for pc in _viterbi_pieces(w, P, max_piece):
                         usage[pc] = usage.get(pc, 0) + int(n)
-                        i = j
                 yield pd.DataFrame(
                     {"p": list(usage), "u": list(usage.values())}
                 )
@@ -671,3 +680,63 @@ def unigram_em_vocab(
         (rank + 1, p, round(probs[p], 6), int(u))
         for rank, (u, p) in enumerate(table)
     ]
+
+
+def unigram_apply(
+    df: DataFrame,
+    vocab: list[tuple[int, str, float, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_piece: int = 4,
+) -> DataFrame:
+    """Encode a corpus with a trained unigram-LM vocabulary (the APPLY
+    half, mirroring ``bpe_apply``): tokenization stays ENGINE-side (the
+    same ``tokens_col`` every trainer used — no Python re-tokenization
+    to drift), then an Arrow-batched pass Viterbi-segments each token
+    under the broadcast piece table (same DP, same tiebreaks as
+    training — shared ``_viterbi_pieces``). Output per document:
+    word count, character count, and unigram piece count — the token
+    economics a tokenizer choice is judged by. Unsegmentable words
+    (characters outside the vocab) count 1 piece per char, loudly
+    pessimal rather than silently dropped."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    probs = {p: pr for _, p, pr, _ in vocab}
+    bc = spark.sparkContext.broadcast(probs)
+
+    def run(batches):
+        P = bc.value
+        for pdf in batches:
+            ids, nw, nc, np_ = [], [], [], []
+            for did, grp in pdf.groupby(id_col, sort=False):
+                pieces = 0
+                chars = 0
+                for w in grp["w"]:
+                    chars += len(w)
+                    segs = _viterbi_pieces(w, P, max_piece)
+                    pieces += len(segs) if segs else len(w)
+                ids.append(did)
+                nw.append(len(grp))
+                nc.append(chars)
+                np_.append(pieces)
+            yield pd.DataFrame({
+                id_col: ids, "n_words": nw,
+                "n_chars_tok": nc, "n_pieces": np_,
+            })
+
+    words = df.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("w")
+    ).filter(F.col("w") != "").repartition(id_col)
+    partials = words.mapInPandas(
+        run,
+        schema=f"{id_col} bigint, n_words bigint, "
+               "n_chars_tok bigint, n_pieces bigint",
+    )
+    # Arrow batching may split one doc's rows across pandas batches —
+    # the per-batch rows are PARTIALS; fold them exactly (integer sums).
+    return partials.groupBy(id_col).agg(
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_chars_tok").alias("n_chars_tok"),
+        F.sum("n_pieces").alias("n_pieces"),
+    )

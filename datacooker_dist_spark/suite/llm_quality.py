@@ -1062,3 +1062,36 @@ def tokenizer_unigram_em(spark, sf):
     return spark.createDataFrame(
         rows, "rank long, piece string, prob double, usage long"
     )
+
+
+@query("tokenizer_unigram_apply")  # rows-only: Viterbi has no SQL form
+def tokenizer_unigram_apply(spark, sf):
+    """The APPLY half of the unigram-LM tokenizer (mirroring
+    ``tokenizer_bpe_apply``): encode the corpus with the vocabulary
+    ``tokenizer_unigram_em`` trains and report per-source token
+    economics — word count, character count, unigram piece count, and
+    pieces-per-char (the compression the learned multi-char pieces buy
+    over the char-level floor of 1.0). Trainer/encoder consistency is
+    structural: both sides share ``_viterbi_pieces`` (same DP, same
+    tiebreaks) and the ENGINE tokenizes in both paths. Rows-only like
+    the whole tokenizer family; deterministic across partitionings
+    (integer partial sums, the determinism suite asserts the trainer's
+    half)."""
+    from ..operators.text import unigram_apply, unigram_em_vocab
+
+    docs = table(spark, sf, "documents")
+    vocab = unigram_em_vocab(docs, "text")
+    enc = unigram_apply(docs, vocab)
+    return (
+        enc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_chars_tok").cast("long").alias("n_chars"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+        )
+        .withColumn(
+            "pieces_per_char",
+            F.round(F.col("n_pieces") / F.col("n_chars"), 6),
+        )
+    )
