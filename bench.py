@@ -108,14 +108,16 @@ def _table_warmup(spark, sf_dir: str) -> None:
 
 def _is_build(name: str) -> bool:
     """True for named one-time build/train queries (`*_build`,
-    `*_build_<x>`, or `*_train`): they sort first in their memo cluster
-    and are retime-exempt (a re-run hits the session memo and would
-    measure probe-only). `_train` joined the rule in r8: without it the
-    quality-classifier cluster ran alphabetically score-before-train, so
-    the SCORE entry was billed the whole 20-step EM fit (r8 measured:
-    score 40.2 s / train 1.6 s, exactly inverted from reality)."""
+    `*_build_<x>`, `*_train`, or the EM fits `*_em`): they sort first in
+    their memo cluster and are retime-exempt (a re-run hits the session
+    memo and would measure probe-only). `_train` joined the rule in r8:
+    without it the quality-classifier cluster ran alphabetically
+    score-before-train, so the SCORE entry was billed the whole 20-step
+    EM fit (r8 measured: score 40.2 s / train 1.6 s, exactly inverted
+    from reality); `_em` covers the unigram-tokenizer and
+    Fellegi–Sunter fits the same way."""
     import re
-    return re.search(r"_build(_|$)|_train$", name) is not None
+    return re.search(r"_build(_|$)|_train$|_em$", name) is not None
 
 def _memo_clusters(names: list[str]) -> dict[str, str]:
     """query name -> cluster anchor for queries sharing a session memo.
