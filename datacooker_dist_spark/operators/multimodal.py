@@ -748,8 +748,8 @@ def phash_candidate_pairs(
 
     def chunk(c):
         src = F.col("dhash_hi") if c < half_chunks else F.col("dhash_lo")
-        base = c if c < half_chunks else c - half_chunks
-        return F.shiftright(src, base * bits_per).bitwiseAND(F.lit(mask))
+        off = c if c < half_chunks else c - half_chunks
+        return F.shiftright(src, off * bits_per).bitwiseAND(F.lit(mask))
 
     chunks = F.explode(
         F.array(*[

@@ -725,9 +725,12 @@ def unigram_apply(
                 "n_chars_tok": nc, "n_pieces": np_,
             })
 
+    # No repartition: explode is narrow (a doc's tokens stay in its scan
+    # partition) and the exact partial-sum fold below makes co-location
+    # unnecessary anyway — a doc_id shuffle here would be a pure cost.
     words = df.select(
         F.col(id_col), F.explode(tokens_col(text_col)).alias("w")
-    ).filter(F.col("w") != "").repartition(id_col)
+    ).filter(F.col("w") != "")
     partials = words.mapInPandas(
         run,
         schema=f"{id_col} bigint, n_words bigint, "

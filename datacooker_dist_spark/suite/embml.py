@@ -626,11 +626,11 @@ def shared_er_params(spark, sf):
     bounded values that re-enter the next iteration as literals."""
     key = (spark.sparkContext.applicationId, sf)
     if key not in _ER_PARAM_CACHE:
-        _ER_PARAM_CACHE[key] = _er_em_fit(spark, _er_pattern_frame(spark, sf))
+        _ER_PARAM_CACHE[key] = _er_em_fit(_er_pattern_frame(spark, sf))
     return _ER_PARAM_CACHE[key]
 
 
-def _er_em_fit(spark, pat):
+def _er_em_fit(pat):
     """The EM loop itself over ANY (g1, g2, g3, n, ...) pattern frame —
     shared by the full fit and the incremental merged-counts refit."""
     from decimal import Decimal
@@ -907,7 +907,7 @@ def er_fellegi_incremental(spark, sf):
         .agg(F.sum("n").alias("n"), F.sum("n_true").alias("n_true"))
         .localCheckpoint()
     )
-    par = _er_em_fit(spark, merged)
+    par = _er_em_fit(merged)
     vals = [par["m1"], par["m2"], par["m3"],
             par["u1"], par["u2"], par["u3"], par["lam"]]
     return spark.createDataFrame(
