@@ -3827,3 +3827,193 @@ def similarity_index_append_ivf(spark, sf):
         F.sum("_n_a").alias("n_appended"),
         (F.sum("_n_a") > 0).alias("nonempty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_audio_fingerprint (round 8)
+# ---------------------------------------------------------------------------
+#
+# Spectral audio fingerprinting — the audio-side twin of the dHash image
+# near-dup pass (the family's last missing modality: binary-exact audio
+# dedup existed via checksums, PERCEPTUAL audio dedup did not). The
+# transform is the WALSH–HADAMARD spectrum over 64-sample frames:
+# X_k = Σ_n s_n·(−1)^popcount(k AND n) — pure INTEGER adds, so unlike an
+# FFT the whole pipeline (decode → spectrum → peaks → constellation
+# hash → match join) is exactly replayable by the oracle, popcount and
+# all. Each doc < 120 becomes a genuine RIFF/WAVE payload whose 128
+# samples carry a planted TWO-TONE Walsh spectrum per group
+# (doc_id % 12): tone A = 200·W_{1+g%4}, tone B = 120·W_{6+(g//4)·3},
+# plus three per-doc perturbations — a DC shift (provably invisible to
+# every k ≥ 1 bin: Σ_n (−1)^popcount(k&n) = 0), a weak per-doc third
+# tone (30·64 = 1 920 ≪ B·64 = 7 680), and a one-sample ±512 bump —
+# whose margins provably cannot reorder the top-2 bins (peak 12 800 vs
+# runner 7 680 vs rest ≤ 2 432). The fingerprint is the Shazam-style
+# constellation hash of (peak, runner-up) per frame; matching is an
+# equi-join on the hash — at 100 TB, 8 bytes per clip shuffle, never
+# samples.
+
+_AFP_GROUPS = 12
+_AFP_DOCS = 120
+_AFP_BINS = 16
+_AFP_SM_SQL = """
+    list_transform(range(0, 128), j ->
+      200 * (1 - 2 * (bit_count(CAST(1 + g % 4 AS BIGINT)
+                      & CAST(j % 64 AS BIGINT)) % 2))
+    + 120 * (1 - 2 * (bit_count(CAST(6 + (g // 4) * 3 AS BIGINT)
+                      & CAST(j % 64 AS BIGINT)) % 2))
+    + 30 * (1 - 2 * (bit_count(CAST(1 + doc_id % 16 AS BIGINT)
+                     & CAST(j % 64 AS BIGINT)) % 2))
+    + (doc_id // 12) % 64
+    + CASE WHEN j = doc_id % 128 THEN 512 ELSE 0 END)
+"""
+
+
+@query(
+    "multimodal_audio_fingerprint",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, doc_id % {_AFP_GROUPS} AS g
+               FROM documents WHERE doc_id < {_AFP_DOCS}),
+    s AS (SELECT doc_id, g, {_AFP_SM_SQL} AS sm FROM d),
+    wht AS (
+      SELECT doc_id, g, f.f AS frame,
+             list_transform(range(1, {_AFP_BINS + 1}), k ->
+               list_sum(list_transform(range(0, 64), n ->
+                 sm[f.f * 64 + n + 1]
+                 * (1 - 2 * (bit_count(CAST(k AS BIGINT)
+                             & CAST(n AS BIGINT)) % 2))))) AS xs
+      FROM s, (SELECT UNNEST(range(0, 2)) AS f) f),
+    pw AS (SELECT doc_id, g, frame,
+                  list_transform(xs, x -> x * x) AS ps FROM wht),
+    pk AS (
+      SELECT doc_id, g, frame,
+             list_position(ps, list_max(ps)) AS peak,
+             list_position(
+               list_transform(range(1, {_AFP_BINS + 1}), i ->
+                 CASE WHEN i = list_position(ps, list_max(ps))
+                      THEN -1 ELSE ps[i] END),
+               list_max(list_transform(range(1, {_AFP_BINS + 1}), i ->
+                 CASE WHEN i = list_position(ps, list_max(ps))
+                      THEN -1 ELSE ps[i] END))) AS runner
+      FROM pw),
+    fp AS (
+      SELECT doc_id, g,
+             SUM(CASE WHEN frame = 0
+                      THEN peak * 1000000 + runner * 10000
+                      ELSE peak * 100 + runner END) AS fp_hash
+      FROM pk GROUP BY doc_id, g)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(a.fp_hash AS BIGINT) AS fp_hash,
+           CAST(a.g = b.g AS INT) AS same_group
+    FROM fp a JOIN fp b
+      ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+    """,
+)
+def multimodal_audio_fingerprint(spark, sf):
+    """Perceptual audio near-dup pairs by Walsh–Hadamard constellation
+    fingerprint (module comment above). The Spark side decodes GENUINE
+    RIFF/WAVE bytes back to int16 samples (``extract_wav_samples`` —
+    the same dependency-free PCM walk the wav suite proves byte-exact),
+    computes the integer WHT per frame with higher-order functions
+    (bounded: 120 docs × 2 frames × 16 bins × 64 terms), hashes the
+    top-2 constellation, and equi-joins on the hash. EXACT-oracled end
+    to end — DuckDB re-derives the waveform arithmetically and replays
+    spectrum, peak order, hash, and join; at sf0.01 the match set is
+    exactly the 540 same-group pairs with zero cross-group collisions
+    (the margins are PROVED in the module comment, so this is a
+    structural check like dHash's pigeonhole completeness, not corpus
+    luck)."""
+    import struct
+
+    from pyspark.sql.types import BinaryType
+
+    docs = table(spark, sf, "documents").filter(
+        F.col("doc_id") < _AFP_DOCS
+    )
+
+    @F.pandas_udf(BinaryType())
+    def wav_payload(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for i in doc_id:
+            i = int(i)
+            g = i % _AFP_GROUPS
+            k1, k2, kd = 1 + g % 4, 6 + (g // 4) * 3, 1 + i % 16
+
+            def w(k, j):
+                return 1 - 2 * (bin(k & (j % 64)).count("1") % 2)
+
+            data = b"".join(
+                struct.pack(
+                    "<h",
+                    200 * w(k1, j) + 120 * w(k2, j) + 30 * w(kd, j)
+                    + (i // _AFP_GROUPS) % 64
+                    + (512 if j == i % 128 else 0),
+                )
+                for j in range(128)
+            )
+            fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+            body = (
+                b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data
+            )
+            out.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+        return pd.Series(out)
+
+    from ..operators import multimodal as M
+
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % _AFP_GROUPS).alias("g"),
+        wav_payload("doc_id").alias("payload"),
+    )
+    decoded = M.extract_wav_samples(media).join(
+        media.select("media_id", "g"), "media_id"
+    )
+
+    def wht_bin(frame, k):
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(63)),
+            F.lit(0).cast("long"),
+            lambda acc, n: acc
+            + F.element_at("samples", (frame * 64 + n + 1).cast("int"))
+            .cast("long")
+            * (1 - 2 * F.pmod(F.bit_count(n.bitwiseAND(F.lit(k))), 2)),
+        )
+
+    frames = []
+    for frame in (0, 1):
+        ps = F.array(*[
+            (lambda x: x * x)(wht_bin(frame, k))
+            for k in range(1, _AFP_BINS + 1)
+        ])
+        frames.append(ps.alias(f"_ps{frame}"))
+    spec = decoded.select("media_id", "g", *frames)
+
+    def peaks(col):
+        p = F.array_position(col, F.array_max(col))
+        masked = F.transform(
+            F.sequence(F.lit(1), F.lit(_AFP_BINS)),
+            lambda i: F.when(i == p, F.lit(-1).cast("long"))
+            .otherwise(F.element_at(col, i.cast("int"))),
+        )
+        r = F.array_position(masked, F.array_max(masked))
+        return p, r
+
+    p0, r0 = peaks(F.col("_ps0"))
+    p1, r1 = peaks(F.col("_ps1"))
+    fp = spec.select(
+        "media_id", "g",
+        (p0 * 1000000 + r0 * 10000 + p1 * 100 + r1).alias("fp_hash"),
+    )
+    a = fp.select(F.col("media_id").alias("id_a"),
+                  F.col("g").alias("_ga"), "fp_hash")
+    b = fp.select(F.col("media_id").alias("id_b"),
+                  F.col("g").alias("_gb"), "fp_hash")
+    return (
+        a.join(b, "fp_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.col("fp_hash").cast("long").alias("fp_hash"),
+            (F.col("_ga") == F.col("_gb")).cast("int").alias("same_group"),
+        )
+    )
