@@ -401,7 +401,14 @@ def main() -> None:
         "cpus": cpus,
         "session_chunk": chunk,
     }
-    for out_path in (detail_path, archive_path):
+    # A BENCH_QUERIES subset run is a dev loop, not the round record —
+    # it must never clobber the round archive with a 5-query detail
+    # (r8: exactly that happened during spot-checks).
+    out_paths = (
+        (detail_path,) if os.environ.get("BENCH_QUERIES")
+        else (detail_path, archive_path)
+    )
+    for out_path in out_paths:
         with open(out_path, "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)
 
