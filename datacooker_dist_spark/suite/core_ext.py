@@ -1747,7 +1747,11 @@ _KMVS_A, _KMVS_B = "1-URGENT", "2-HIGH"
            true_union,
            CAST(round(nb * (({_KMV_K} - 1) * {_KMV_MOD}.0 / uk)
                       / {_KMV_K}) AS BIGINT) AS est_intersect,
-           true_intersect
+           true_intersect,
+           CAST(round(({_KMV_K} - 1) * {_KMV_MOD}.0 / uk)
+                - round(nb * (({_KMV_K} - 1) * {_KMV_MOD}.0 / uk)
+                        / {_KMV_K}) AS BIGINT) AS est_sym_rest,
+           CAST(true_union - true_intersect AS BIGINT) AS true_sym_rest
     FROM kth, both_cnt, truth
     """,
 )
@@ -1815,5 +1819,15 @@ def sketch_kmv_set_ops(spark, sf):
                 / _KMV_K
             ).cast("long").alias("est_intersect"),
             "true_intersect",
+            (
+                est_u
+                - F.round(
+                    F.col("nb")
+                    * ((_KMV_K - 1) * F.lit(float(_KMV_MOD)) / F.col("uk"))
+                    / _KMV_K
+                )
+            ).cast("long").alias("est_sym_rest"),
+            (F.col("true_union") - F.col("true_intersect")).cast("long")
+            .alias("true_sym_rest"),
         )
     )
