@@ -375,3 +375,84 @@ def mg_bound_report(
             ).alias("mg_within_bound"),
         )
     )
+
+
+def kmin_values(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int,
+) -> DataFrame:
+    """Per-group KMV sketch: the k smallest DISTINCT values of
+    ``value_col`` per group, built in the family's mergeable shape
+    (Bar-Yossef et al. 2002; same posture as :func:`countmin_build` /
+    :func:`misra_gries_summary`).
+
+    Plan shape: one linear ``mapInPandas`` pass — each task keeps, per
+    group, a ≤k-entry ascending array of the smallest distinct values
+    seen in its partition (k integers of state, the KMV partial; absorb
+    is a vectorized ``np.unique`` merge per Arrow batch) — emitting
+    ≤ k rows per (group, partition); then ONE hash aggregate merges the
+    partials by k-min-of-union (``slice(array_sort(array_distinct(
+    collect_list)))`` over ≤ k·partitions rows per group). No window,
+    no corpus-sized shuffle: the raw data never moves, only the bounded
+    partial rows do — at 100 TB the exchange carries k values per
+    (group, task) regardless of corpus size, and local duplicates are
+    already collapsed map-side. Output: (group_cols…, ``kmin``
+    array) with ≤k ascending distinct values per group.
+    """
+    import numpy as np
+
+    fields = [df.schema[c] for c in group_cols] + [df.schema[value_col]]
+    schema = StructType(list(fields))
+
+    def partial(batches):
+        state: dict = {}
+        for pdf in batches:
+            for key, grp in pdf.groupby(
+                group_cols, sort=False, dropna=False
+            )[value_col]:
+                vals = grp.to_numpy()
+                cur = state.get(key)
+                merged = np.unique(
+                    vals if cur is None else np.concatenate([cur, vals])
+                )
+                state[key] = merged[:k]
+        rows = []
+        for key, arr in state.items():
+            keys = key if isinstance(key, tuple) else (key,)
+            for v in arr:
+                rows.append(tuple(keys) + (v,))
+        if rows:
+            yield pd.DataFrame(rows, columns=group_cols + [value_col])
+
+    partials = df.select(*group_cols, value_col).mapInPandas(partial, schema)
+    return partials.groupBy(*group_cols).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.collect_list(value_col))), 1, k
+        ).alias("kmin")
+    )
+
+
+def kmin_merge(k: int, *sketches: DataFrame) -> DataFrame:
+    """MERGE of :func:`kmin_values` sketches built over disjoint (or
+    overlapping) slices: explode the ≤k-entry arrays back to rows and
+    re-run the same k-min-of-union aggregate. Exactly the union
+    property ``test_kmv_merge_equals_direct_sketch`` proves in
+    arithmetic: the k smallest of a union equal the k smallest of the
+    merged per-slice k-mins — so sketches persisted per day/source
+    combine without touching raw data, over ≤ k·sketches rows per
+    group."""
+    from functools import reduce
+
+    u = reduce(DataFrame.unionAll, sketches)
+    group_cols = [c for c in u.columns if c != "kmin"]
+    return (
+        u.select(*group_cols, F.explode("kmin").alias("_v"))
+        .groupBy(*group_cols)
+        .agg(
+            F.slice(
+                F.array_sort(F.array_distinct(F.collect_list("_v"))), 1, k
+            ).alias("kmin")
+        )
+    )

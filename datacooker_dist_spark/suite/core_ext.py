@@ -1520,18 +1520,27 @@ _KMV_MOD = 4294967296  # 2^32 hash grid
 )
 def sketch_kmv_distinct(spark, sf):
     """KMV distinct-count sketch per order priority (module comment
-    above): distinct-hash the keys, take the k-th minimum per group via
-    a rank window (ONE shuffle on the group key; per-group state is k
-    integers), estimate NDV as (k−1)·2^32/u_k, and report it against
-    the exact distinct count with relative error. EXACT-oracled
-    end to end — including the estimate arithmetic — because the hash
-    is the suite's replayable multiplicative mix, not an engine
-    internal; this is the sketch-family entry the HLL rows can't give
-    an exact oracle for. Mergeability (the production property: k-min
-    of a union equals k-min of merged per-partition k-mins) is asserted
-    by the partition-invariance test. Measured at sf0.01: relative
+    above), in the MERGEABLE shape (VERDICT r08 task 1): the k-th
+    minimum comes from :func:`~...operators.sketches.kmin_values` — a
+    linear per-partition k-min partial pass (k integers of state per
+    group per task, local duplicates collapsed map-side) merged by
+    k-min-of-union over ≤ k·partitions bounded rows, the same posture
+    as ``countmin_build``/``misra_gries_summary``. NO window over the
+    group key and no corpus-sized shuffle: the raw hash set never
+    moves, so the plan matches the sketch's own scale claim even when
+    a group holds billions of distinct hashes. Estimate NDV as
+    (k−1)·2^32/u_k and report it against the exact distinct count with
+    relative error. EXACT-oracled end to end — including the estimate
+    arithmetic — because the hash is the suite's replayable
+    multiplicative mix, not an engine internal; this is the
+    sketch-family entry the HLL rows can't give an exact oracle for.
+    Merge ≡ rebuild is property-tested Spark-side
+    (``test_kmin_values_merge_equals_rebuild``) on top of the
+    arithmetic union property test. Measured at sf0.01: relative
     error ≤ 0.055 across all five groups at k=64 (theory: ~1/√(k−2) ≈
     0.127 expected)."""
+    from ..operators.sketches import kmin_values
+
     o = table(spark, sf, "orders")
     h = o.select(
         "o_orderpriority",
@@ -1539,12 +1548,14 @@ def sketch_kmv_distinct(spark, sf):
             F.col("o_custkey") * F.lit(2654435761) + 12345,
             F.lit(_KMV_MOD),
         ).alias("u"),
-    ).distinct()
-    w = Window.partitionBy("o_orderpriority").orderBy("u")
+    )
+    sk = kmin_values(h, ["o_orderpriority"], "u", _KMV_K)
     kth = (
-        h.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == _KMV_K)
-        .select("o_orderpriority", F.col("u").alias("kth_min"))
+        sk.filter(F.size("kmin") >= _KMV_K)
+        .select(
+            "o_orderpriority",
+            F.element_at("kmin", _KMV_K).alias("kth_min"),
+        )
     )
     truth = o.groupBy("o_orderpriority").agg(
         F.countDistinct("o_custkey").alias("true_distinct")
@@ -1757,16 +1768,22 @@ _KMVS_A, _KMVS_B = "1-URGENT", "2-HIGH"
 )
 def sketch_kmv_set_ops(spark, sf):
     """KMV sketch set operations (module comment above): build one k=64
-    sketch per priority group, merge to the union sketch with a
-    TakeOrdered over the ≤ 2k sketch values (never a global window over
-    data), estimate the union NDV from the merged k-th minimum, and the
-    intersection by the theta-sketch both-membership fraction — all
-    against exact truths in the same row. Measured at sf0.01: union
-    1431 est vs 1472 true (2.8% err), intersection 1028 vs 1120 (8.2% —
-    the J·union product compounds both errors, the known theta-sketch
-    trade). EXACT-oracled end to end including the estimate arithmetic.
+    sketch per priority group via the MERGEABLE
+    :func:`~...operators.sketches.kmin_values` partial aggregate
+    (VERDICT r08 task 1 — per-partition k-min partials merged by
+    k-min-of-union; no window over the group key, no corpus-sized
+    shuffle), merge to the union sketch with a TakeOrdered over the
+    ≤ 2k sketch values (never a global window over data), estimate the
+    union NDV from the merged k-th minimum, and the intersection by
+    the theta-sketch both-membership fraction — all against exact
+    truths in the same row. Measured at sf0.01: union 1431 est vs 1472
+    true (2.8% err), intersection 1028 vs 1120 (8.2% — the J·union
+    product compounds both errors, the known theta-sketch trade).
+    EXACT-oracled end to end including the estimate arithmetic.
     At 100 TB the raw scan happens once per group; every set operation
     after that runs on 64-integer sketches."""
+    from ..operators.sketches import kmin_values
+
     o = table(spark, sf, "orders").filter(
         F.col("o_orderpriority").isin(_KMVS_A, _KMVS_B)
     )
@@ -1777,12 +1794,18 @@ def sketch_kmv_set_ops(spark, sf):
             F.lit(_KMV_MOD),
         ).alias("u"),
     ).distinct()
-    w = Window.partitionBy("o_orderpriority").orderBy("u")
     sk = (
-        h.select("o_orderpriority", "u").distinct()
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _KMV_K)
-        .select("o_orderpriority", "u")
+        kmin_values(
+            o.select(
+                "o_orderpriority",
+                F.pmod(
+                    F.col("o_custkey") * F.lit(2654435761) + 12345,
+                    F.lit(_KMV_MOD),
+                ).alias("u"),
+            ),
+            ["o_orderpriority"], "u", _KMV_K,
+        )
+        .select("o_orderpriority", F.explode("kmin").alias("u"))
         .localCheckpoint()  # ≤ 2k rows; consumed four times below
     )
     merged = sk.select("u").distinct().orderBy("u").limit(_KMV_K)
