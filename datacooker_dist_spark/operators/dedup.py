@@ -743,6 +743,82 @@ def _labelprop_components(star_edges: DataFrame, max_iter: int = 50) -> DataFram
     return labels.select(F.col("id").alias("s"), "label")
 
 
+def incremental_components(
+    standing: DataFrame,
+    batch_pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """INCREMENTAL connected-components maintenance (VERDICT r08 task 2)
+    — the last non-incremental stage in the ingest dedup path closed:
+    given the STANDING assignment (``node``, ``root`` = min id of its
+    component, exactly what :func:`connected_components` emits and a
+    prior session persisted) and a new batch's verified pairs, produce
+    the updated assignment WITHOUT re-scanning edge history.
+
+    The standing invariant makes contraction sound: each root is the
+    min id of its old component, so union-finding over the CONTRACTED
+    batch graph — every endpoint replaced by its standing root (or
+    itself if unassigned) — yields, per merged group, the min over
+    {merged roots ∪ new node ids} = the min of the merged component.
+    Plan: (1) one broadcast join maps the batch's endpoint set (small,
+    O(batch)) onto standing roots; (2) :func:`connected_components`
+    runs over the contracted edges — O(batch) rows, never history;
+    (3) the resulting delta map (old root → new root) broadcast-joins
+    back onto standing, touching ONLY affected clusters (everyone else
+    keeps their root via coalesce), and unassigned batch nodes append
+    their fresh labels. At 100 TB the per-batch cost is the batch's own
+    pairs plus one broadcast-hash pass over the standing table — no
+    shuffle of standing, no full-history re-scan.
+
+    Output: (``node``, ``cluster_id``) over standing nodes ∪ batch pair
+    nodes. Equals a from-scratch rebuild over old ∪ new edges
+    (exact-oracled by the recursive-CTE closure; property-tested for
+    random graphs/splits)."""
+    e = batch_pairs.select(
+        F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("t")
+    )
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionAll(e.select(F.col("t").alias("node")))
+        .distinct()
+    )
+    # Endpoint → standing root (itself when unassigned). ``nodes`` is
+    # batch-bounded; standing is the corpus-sized side — join with the
+    # SMALL side as probe result, then broadcast the resolved map back
+    # onto the edges.
+    m = (
+        nodes.join(standing, "node", "left")
+        .select(
+            "node", F.coalesce("root", F.col("node")).alias("r"),
+            F.col("root").isNotNull().alias("_assigned"),
+        )
+        .localCheckpoint()
+    )
+    ma = m.select(F.col("node").alias("s"), F.col("r").alias("_ra"))
+    mb = m.select(F.col("node").alias("t"), F.col("r").alias("_rb"))
+    contracted = (
+        e.join(F.broadcast(ma), "s")
+        .join(F.broadcast(mb), "t")
+        .filter(F.col("_ra") != F.col("_rb"))
+        .select(F.col("_ra").alias("id_a"), F.col("_rb").alias("id_b"))
+    )
+    delta = connected_components(contracted, parts=4).select(
+        F.col("id_a").alias("_old"), F.col("cluster_id").alias("_new")
+    ).localCheckpoint()
+    updated = standing.join(
+        F.broadcast(delta), standing["root"] == delta["_old"], "left"
+    ).select(
+        "node", F.coalesce("_new", F.col("root")).alias("cluster_id")
+    )
+    fresh = (
+        m.filter(~F.col("_assigned"))
+        .join(F.broadcast(delta), m["r"] == delta["_old"], "left")
+        .select("node", F.coalesce("_new", F.col("r")).alias("cluster_id"))
+    )
+    return updated.unionByName(fresh)
+
+
 def char_trigrams(col):
     """Distinct character 3-grams of a string column, JVM-side (empty array
     under 3 chars — mirrors the DuckDB twin used by the oracles)."""

@@ -178,6 +178,68 @@ def dedup_clusters(spark, sf):
 
 
 @query(
+    "dedup_clusters_incremental",
+    oracle="""
+    WITH RECURSIVE
+    sh AS (SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 2, 1) + 1),
+               i -> array_to_string((regexp_split_to_array(lower(trim(text)), '\\s+'))[i:i+2], ' ')))
+           AS s FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+    edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT s, t FROM edges
+      UNION
+      SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+      WHERE e.t <> r.s)
+    SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster_id
+    FROM reach GROUP BY s
+    """,
+)
+def dedup_clusters_incremental(spark, sf):
+    """INCREMENTAL cluster maintenance (VERDICT r08 task 2) — the last
+    non-incremental stage in the ingest dedup path: the standing
+    (node → root) assignment is built once over the BASE corpus's
+    verified pairs (doc_id % 5 ≠ 0 on both ends — what a prior session
+    persisted), then the new batch's verified pairs (any end with
+    doc_id % 5 = 0, from the same session-shared LSH-verified set)
+    update it through :func:`~..operators.dedup.incremental_components`
+    — union-find over the CONTRACTED batch graph only, standing roots
+    broadcast-patched, never a full edge-history re-scan. The oracle is
+    the full recursive-CTE closure over old ∪ new edges — equality
+    proves incremental ≡ rebuild, the invariant the operator's property
+    test sweeps over random graphs and splits. At 100 TB each ingest
+    batch pays its own pairs + one broadcast pass over the standing
+    table; history is never touched."""
+    from . import shared_jaccard_pairs
+
+    pairs = shared_jaccard_pairs(spark, sf)
+    is_new_a = F.col("id_a") % 5 == 0
+    is_new_b = F.col("id_b") % 5 == 0
+    base_pairs = pairs.filter(~is_new_a & ~is_new_b)
+    batch_pairs = pairs.filter(is_new_a | is_new_b)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        standing = (
+            D.connected_components(base_pairs.select("id_a", "id_b"))
+            .select(F.col("id_a").alias("node"), F.col("cluster_id").alias("root"))
+            .localCheckpoint()
+        )
+        return D.incremental_components(
+            standing, batch_pairs.select("id_a", "id_b")
+        ).select(F.col("node").alias("doc_id"), "cluster_id")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@query(
     "dedup_embedding_clusters",
     oracle="""
     WITH RECURSIVE
