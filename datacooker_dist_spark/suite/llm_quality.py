@@ -880,6 +880,62 @@ def quality_classifier_score(spark, sf):
     )
 
 
+@query("quality_classifier_roundtrip", oracle=_qcls_score_oracle())
+def quality_classifier_roundtrip(spark, sf):
+    """Model-artifact ROUND-TRIP for the learned quality classifier
+    (VERDICT r08 task 3, the ``sketch_roundtrip`` /
+    ``dedup_index_roundtrip`` convention): the trained weights are
+    written to parquet through the engine's own hadoopParquet OUTPUT
+    adapter as a (idx, feature, weight DECIMAL(15,6)) table, read back
+    cold through the INPUT adapter (a lineage-free frame — exactly what
+    a later serving session sees), and THOSE weights compile into the
+    hard-sigmoid score expression as decimal literals. A production
+    filter is trained once and served for months; before this entry the
+    weights lived only in the session memo. The oracle is the same
+    exact train-replay + score-replay SQL as
+    ``quality_classifier_score`` — equality proves score ≡ in-session,
+    i.e. the persisted artifact loses nothing (parquet DECIMAL(15,6)
+    is exact, and the read-back collect is D + 2 = 18 bounded rows).
+    The serving plan is unchanged: one codegen'd projection, no join,
+    no UDF."""
+    from decimal import Decimal as _Dec
+
+    from ..model import DataStream, StreamType
+    from ..registry import resolve_input, resolve_output
+    from . import scratch_dir
+
+    w = shared_quality_classifier(spark, sf)
+    names = [f"h_{j:02d}" for j in range(_QCLS_D)] + ["len", "bias"]
+    wdf = spark.createDataFrame(
+        [(i, n, v) for i, (n, v) in enumerate(zip(names, w))],
+        f"idx int, feature string, weight {_QCLS_DEC.lower()}",
+    )
+    base_dir = scratch_dir("qclsw")
+    out = resolve_output("hadoopParquet")().configure({}).initialize(
+        spark, base_dir
+    )
+    out.save(
+        "qcls_weights", DataStream("qcls_weights", wdf, StreamType.COLUMNAR)
+    )
+    inp = resolve_input("hadoopColumnar")().configure(
+        {"parquet": True}
+    ).initialize(spark, base_dir)
+    [ds] = inp.load("qcls_weights").values()
+    cold = sorted(ds.df.collect(), key=lambda r: r["idx"])  # 18 rows
+    w_cold = [r["weight"] for r in cold]
+    feats = shared_qcls_features(spark, sf)
+    p = _qcls_p_expr([F.lit(v).cast(_QCLS_DEC) for v in w_cold])
+    return (
+        feats.select(
+            (p >= F.lit(_Dec("0.5")).cast(_QCLS_DEC))
+            .cast("int").alias("pred_keep"),
+            F.col("y").cast("int").alias("gopher_keep"),
+        )
+        .groupBy("pred_keep", "gopher_keep")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # dataset_importance_resample (round 8)
 # ---------------------------------------------------------------------------
