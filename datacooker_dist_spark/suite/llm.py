@@ -2951,7 +2951,10 @@ def dedup_blocking_report(spark, sf):
     growth — the r07-task-2 target ≥ 13/14, met with the exact
     verify unchanged); dhash_chunks recall 1.0 (pigeonhole
     completeness witnessed) at precision 0.167 — the measured
-    candidate cost of the chunk join.
+    candidate cost of the chunk join; wht_constellation (r08 task 4)
+    540/540 recall 1.0 at precision 1.0 — the audio hash join finds
+    every planted same-group pair with zero cross-group collisions,
+    the proved-margin prediction now a tracked measurement.
     Output: (family, n_candidates, n_true, n_hit, recall, precision)."""
     from functools import reduce
 
@@ -3014,6 +3017,13 @@ def dedup_blocking_report(spark, sf):
     _, assigned = shared_ivf_index(spark, sf)
     hashes = shared_dhash_hashes(spark, sf)
     dh_cand = M.phash_candidate_pairs(hashes).localCheckpoint()
+    afp = shared_afp_hashes(spark, sf)
+    afp_a = afp.select(F.col("media_id").alias("_ida"),
+                       F.col("g").alias("_g1"),
+                       F.col("fp_hash").alias("_h1"))
+    afp_b = afp.select(F.col("media_id").alias("_idb"),
+                       F.col("g").alias("_g2"),
+                       F.col("fp_hash").alias("_h2"))
     planted = _snm_planted_corpus(spark)
     truth_p = (
         D.jaccard_pairs_allpairs(planted)
@@ -3061,6 +3071,20 @@ def dedup_blocking_report(spark, sf):
             truth_cos.filter(F.col("cosine") >= 0.45)),
         row("dhash_chunks", dh_cand,
             dh_cand.filter(F.col("hamming") <= 4)),
+        # r08 task 4: the audio family graded like the image family —
+        # candidates are the constellation-hash equi-join, truth is
+        # the exact planted per-group relation (doc_id % 12) over the
+        # WAV fixture corpus. The proved peak margins predict recall
+        # 1.0 / precision 1.0; the row keeps that a MEASURED fact.
+        row("wht_constellation",
+            afp_a.join(afp_b, afp_a["_h1"] == afp_b["_h2"])
+            .filter(F.col("_ida") < F.col("_idb"))
+            .select(F.col("_ida").alias("id_a"),
+                    F.col("_idb").alias("id_b")),
+            afp_a.join(afp_b, afp_a["_g1"] == afp_b["_g2"])
+            .filter(F.col("_ida") < F.col("_idb"))
+            .select(F.col("_ida").alias("id_a"),
+                    F.col("_idb").alias("id_b"))),
         row("snm_prefix_planted", p1, truth_p),
         row("snm_multipass_planted", p1.unionByName(p2), truth_p),
     ]
@@ -3868,6 +3892,121 @@ _AFP_SM_SQL = """
 """
 
 
+def _wav_fixture_payload_fn():
+    """pandas_udf: doc_id → genuine RIFF/WAVE payload carrying the
+    planted two-tone Walsh spectrum (module comment above) — shared by
+    the batch fingerprint query, the blocking report's
+    ``wht_constellation`` row, and the streaming probe twin (the
+    ``_bmp_fixture_payload_fn`` convention: fixture bytes are built
+    inside a batched pandas_udf, never per-row driver Python)."""
+    import struct
+
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def wav_payload(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for i in doc_id:
+            i = int(i)
+            g = i % _AFP_GROUPS
+            k1, k2, kd = 1 + g % 4, 6 + (g // 4) * 3, 1 + i % 16
+
+            def w(k, j):
+                return 1 - 2 * (bin(k & (j % 64)).count("1") % 2)
+
+            data = b"".join(
+                struct.pack(
+                    "<h",
+                    200 * w(k1, j) + 120 * w(k2, j) + 30 * w(kd, j)
+                    + (i // _AFP_GROUPS) % 64
+                    + (512 if j == i % 128 else 0),
+                )
+                for j in range(128)
+            )
+            fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+            body = (
+                b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data
+            )
+            out.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+        return pd.Series(out)
+
+    return wav_payload
+
+
+def afp_fingerprints(media):
+    """(media_id, g, fp_hash) from (media_id, g, payload): decode the
+    REAL WAV bytes back to int16 samples (``extract_wav_samples`` —
+    the dependency-free PCM walk the wav suite proves byte-exact),
+    then WHT + top-2 constellation inside ONE Arrow pass (the
+    dhash_images convention: numpy int64 matrix algebra with the
+    decode's batch — the HOF spelling of the same 2,048-term spectrum
+    cost ~19 s of interpreted evaluation for 120 rows; this is ~0.3 s
+    with identical integers). Takes the media frame directly so the
+    streaming twin can fingerprint micro-batches with the SAME
+    arithmetic."""
+    import numpy as np
+
+    decoded = M.extract_wav_samples(media).join(
+        media.select("media_id", "g"), "media_id"
+    )
+    ks = np.arange(1, _AFP_BINS + 1)
+    ns = np.arange(64)
+    popc = np.vectorize(lambda x: bin(x).count("1"))
+    W = 1 - 2 * (popc(ks[:, None] & ns[None, :]) % 2)  # 16×64 sign matrix
+
+    def fp_run(batches):
+        for pdf in batches:
+            hashes = []
+            for sm in pdf["samples"]:
+                sm = np.asarray(sm, dtype=np.int64)
+                h = 0
+                for frame in (0, 1):
+                    x = W @ sm[frame * 64:(frame + 1) * 64]
+                    ps = x * x
+                    p = int(np.argmax(ps))          # first max = lowest bin
+                    masked = ps.copy()
+                    masked[p] = -1
+                    r = int(np.argmax(masked))
+                    h = h * 10000 + (p + 1) * 100 + (r + 1)
+                hashes.append(h)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"], "g": pdf["g"],
+                "fp_hash": hashes,
+            })
+
+    return decoded.select("media_id", "g", "samples").mapInPandas(
+        fp_run, schema="media_id bigint, g bigint, fp_hash bigint"
+    )
+
+
+_AFP_CACHE: dict = {}
+
+
+def shared_afp_hashes(spark, sf):
+    """Session-memoized WHT constellation fingerprints over the WAV
+    fixture corpus (doc_id < 120): (media_id, g, fp_hash) — 8 bytes
+    per clip. The batch pair query, the blocking report's
+    ``wht_constellation`` row, and the streaming twin's standing index
+    all grade the identical table, so the byte-level WAV build +
+    decode + WHT pass runs once per session (the
+    ``shared_dhash_hashes`` convention)."""
+    key = (session_key(spark), sf)
+    if key not in _AFP_CACHE:
+        media = (
+            table(spark, sf, "documents")
+            .filter(F.col("doc_id") < _AFP_DOCS)
+            .select(
+                F.col("doc_id").alias("media_id"),
+                (F.col("doc_id") % _AFP_GROUPS).alias("g"),
+                _wav_fixture_payload_fn()("doc_id").alias("payload"),
+            )
+        )
+        _AFP_CACHE[key] = afp_fingerprints(media).localCheckpoint()
+    return _AFP_CACHE[key]
+
+
 @query(
     "multimodal_audio_fingerprint",
     oracle=f"""
@@ -3921,90 +4060,11 @@ def multimodal_audio_fingerprint(spark, sf):
     exactly the 540 same-group pairs with zero cross-group collisions
     (the margins are PROVED in the module comment, so this is a
     structural check like dHash's pigeonhole completeness, not corpus
-    luck)."""
-    import struct
-
-    from pyspark.sql.types import BinaryType
-
-    docs = table(spark, sf, "documents").filter(
-        F.col("doc_id") < _AFP_DOCS
-    )
-
-    @F.pandas_udf(BinaryType())
-    def wav_payload(doc_id: pd.Series) -> pd.Series:
-        out = []
-        for i in doc_id:
-            i = int(i)
-            g = i % _AFP_GROUPS
-            k1, k2, kd = 1 + g % 4, 6 + (g // 4) * 3, 1 + i % 16
-
-            def w(k, j):
-                return 1 - 2 * (bin(k & (j % 64)).count("1") % 2)
-
-            data = b"".join(
-                struct.pack(
-                    "<h",
-                    200 * w(k1, j) + 120 * w(k2, j) + 30 * w(kd, j)
-                    + (i // _AFP_GROUPS) % 64
-                    + (512 if j == i % 128 else 0),
-                )
-                for j in range(128)
-            )
-            fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
-            body = (
-                b"WAVE"
-                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-                + b"data" + struct.pack("<I", len(data)) + data
-            )
-            out.append(b"RIFF" + struct.pack("<I", len(body)) + body)
-        return pd.Series(out)
-
-    from ..operators import multimodal as M
-
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        (F.col("doc_id") % _AFP_GROUPS).alias("g"),
-        wav_payload("doc_id").alias("payload"),
-    )
-    decoded = M.extract_wav_samples(media).join(
-        media.select("media_id", "g"), "media_id"
-    )
-
-    # WHT + constellation inside ONE Arrow pass (the dhash_images
-    # convention: transform with the decode's batch, numpy int64 matrix
-    # algebra — the HOF spelling of the same 2,048-term spectrum cost
-    # ~19 s of interpreted evaluation + analysis for 120 rows; this is
-    # ~0.3 s with identical integers).
-    import numpy as np
-
-    ks = np.arange(1, _AFP_BINS + 1)
-    ns = np.arange(64)
-    popc = np.vectorize(lambda x: bin(x).count("1"))
-    W = 1 - 2 * (popc(ks[:, None] & ns[None, :]) % 2)  # 16×64 sign matrix
-
-    def fp_run(batches):
-        for pdf in batches:
-            hashes = []
-            for sm in pdf["samples"]:
-                sm = np.asarray(sm, dtype=np.int64)
-                h = 0
-                for frame in (0, 1):
-                    x = W @ sm[frame * 64:(frame + 1) * 64]
-                    ps = x * x
-                    p = int(np.argmax(ps))          # first max = lowest bin
-                    masked = ps.copy()
-                    masked[p] = -1
-                    r = int(np.argmax(masked))
-                    h = h * 10000 + (p + 1) * 100 + (r + 1)
-                hashes.append(h)
-            yield pd.DataFrame({
-                "media_id": pdf["media_id"], "g": pdf["g"],
-                "fp_hash": hashes,
-            })
-
-    fp = decoded.select("media_id", "g", "samples").mapInPandas(
-        fp_run, schema="media_id bigint, g bigint, fp_hash bigint"
-    )
+    luck). The fingerprint table is session-shared
+    (``shared_afp_hashes``) with the blocking report's
+    ``wht_constellation`` row and the ``stream_audio_fingerprint``
+    probe twin."""
+    fp = shared_afp_hashes(spark, sf)
     a = fp.select(F.col("media_id").alias("id_a"),
                   F.col("g").alias("_ga"), "fp_hash")
     b = fp.select(F.col("media_id").alias("id_b"),
