@@ -784,3 +784,15 @@ def test_round6_wave_plan_discipline(spark):
     kg = executed_plan(spark, "kgram_rows_build")
     assert "Python" not in kg and "Arrow" not in kg
     assert "CartesianProduct" not in kg
+
+
+def test_polygon_join_grid_equi_join(spark):
+    """geo_polygon_join (r09): the polygon-cell cover and the edge table
+    both broadcast as hash equi-joins (cell ids / pid), the crossing
+    count keeps a map-side partial, and no shape falls into a
+    cartesian/nested-loop plan."""
+    plan = executed_plan(spark, "geo_polygon_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "partial_sum" in plan
