@@ -3092,6 +3092,300 @@ def dedup_blocking_report(spark, sf):
 
 
 @query(
+    "engine_scorecard",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('lsh_jaccard', 'capped_candidates_lossless', true),
+      ('snm_planted', 'multipass_closes_window_misses', true),
+      ('kgram_index', 'stop_gram_cap_lossless', true),
+      ('dhash_chunks', 'planted_groups_complete', true),
+      ('wht_constellation', 'planted_groups_exact', true),
+      ('hyperplane_multiprobe', 'superset_of_base_recall', true),
+      ('ivf_multiprobe', 'superset_of_spilled_recall', true),
+      ('quality_classifier', 'roundtrip_score_identical', true),
+      ('dsir_selection', 'target_enriched', true),
+      ('kmv_sketch', 'merge_equals_rebuild', true)
+    ) AS t(component, invariant, passed)
+    """,
+)
+def engine_scorecard(spark, sf):
+    """ONE driver-sampleable row per measured-quality surface (VERDICT
+    r08 task 7): the numbers that previously lived only in rows-only
+    reports (blocking recalls, multiprobe lifts, classifier round-trip,
+    DSIR enrichment, sketch mergeability) folded into a single oracled
+    entry. Every row RE-MEASURES its invariant engine-side from the
+    real shared artifacts — nothing is asserted from constants — and
+    the oracle is the STRUCTURAL expectation (each invariant holds by
+    proof or construction at every scale, so the literal is
+    SF-independent): capped LSH covers all true Jaccard pairs;
+    multipass SNM reaches recall 1.0 on the planted prefix-template
+    corpus where single-pass provably misses; the kgram stop-gram cap
+    drops nothing on this corpus; the dHash chunk join finds every
+    planted same-group image pair (bump ≤ 2 bits ⟹ pair ≤ 4); the WHT
+    constellation matches exactly the planted audio groups (proved
+    peak margins); both multiprobe blockings dominate their base
+    blockings (probe sets are supersets by construction); the
+    cold-read classifier weights score identically to the in-session
+    memo (parquet DECIMAL is exact); DSIR's selected set is at least
+    as Gopher-keep-rich as the corpus (integer cross-multiplied — no
+    float ratio); and the KMV k-min sketch merged from two halves
+    equals the rebuild (k-min-of-union). A regression in ANY of those
+    pipelines flips its boolean and fails the value compare. One-time
+    measurement artifact by contract (the dedup_blocking_report
+    budget class) — it rebuilds nothing that is session-shared."""
+    from functools import reduce
+
+    from ..operators.sketches import kmin_merge, kmin_values
+    from . import shared_lsh_candidates, shared_shingles
+
+    docs = table(spark, sf, "documents")
+    emb = table(spark, sf, "embeddings")
+    sh = shared_shingles(spark, sf)
+
+    def pairset(df):
+        return df.select("id_a", "id_b").distinct()
+
+    def hitcounts(cand, truth):
+        c = pairset(cand).withColumn("_c", F.lit(1))
+        t = pairset(truth).withColumn("_t", F.lit(1))
+        return c.join(t, ["id_a", "id_b"], "full_outer").agg(
+            F.coalesce(F.sum("_c"), F.lit(0)).alias("n_cand"),
+            F.coalesce(F.sum("_t"), F.lit(0)).alias("n_true"),
+            F.count_if(
+                F.col("_c").isNotNull() & F.col("_t").isNotNull()
+            ).alias("n_hit"),
+        )
+
+    def row(component, invariant, passed_frame):
+        return passed_frame.select(
+            F.lit(component).alias("component"),
+            F.lit(invariant).alias("invariant"),
+            F.coalesce(F.col("passed"), F.lit(False)).alias("passed"),
+        )
+
+    parts = []
+
+    # 1. Capped LSH candidates cover every true all-pairs Jaccard pair.
+    truth_j = (
+        D.jaccard_pairs_allpairs(docs, shingles=sh)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    parts.append(row(
+        "lsh_jaccard", "capped_candidates_lossless",
+        hitcounts(shared_lsh_candidates(spark, sf), truth_j)
+        .select((F.col("n_hit") == F.col("n_true")).alias("passed")),
+    ))
+
+    # 2. Planted SNM: multipass recall 1.0 AND >= single-pass.
+    planted = _snm_planted_corpus(spark)
+    truth_p = D.jaccard_pairs_allpairs(planted).select(
+        "id_a", "id_b"
+    ).localCheckpoint()
+    p1 = D.snm_candidates(planted, window=2, key_len=64)
+    p2 = D.snm_candidates(planted, window=2, key_len=64, reverse=True)
+    single = hitcounts(p1, truth_p).select(
+        F.col("n_hit").alias("_h1"), F.col("n_true").alias("_t1")
+    )
+    multi = hitcounts(p1.unionByName(p2), truth_p).select(
+        F.col("n_hit").alias("_h2"), F.col("n_true").alias("_t2")
+    )
+    parts.append(row(
+        "snm_planted", "multipass_closes_window_misses",
+        multi.crossJoin(single).select(
+            (
+                (F.col("_h2") == F.col("_t2"))
+                & (F.col("_h2") >= F.col("_h1"))
+            ).alias("passed")
+        ),
+    ))
+
+    # 3. kgram stop-gram cap loses nothing on this corpus.
+    g = shared_kgram_rows(spark, sf)
+    parts.append(row(
+        "kgram_index", "stop_gram_cap_lossless",
+        hitcounts(
+            D.substring_span_pairs(docs, k=10, max_df=64, grams=g),
+            D.substring_span_pairs(docs, k=10, max_df=None, grams=g),
+        ).select(
+            (
+                (F.col("n_hit") == F.col("n_true"))
+                & (F.col("n_cand") == F.col("n_true"))
+            ).alias("passed")
+        ),
+    ))
+
+    # 4. dHash chunk join finds every planted same-group image pair.
+    hashes = shared_dhash_hashes(spark, sf)
+    ga = hashes.select(F.col("media_id").alias("id_a"),
+                       (F.col("media_id") % 50).alias("_g1"))
+    gb = hashes.select(F.col("media_id").alias("id_b"),
+                       (F.col("media_id") % 50).alias("_g2"))
+    dh_groups = ga.join(gb, ga["_g1"] == gb["_g2"]).filter(
+        F.col("id_a") < F.col("id_b")
+    ).select("id_a", "id_b")
+    parts.append(row(
+        "dhash_chunks", "planted_groups_complete",
+        hitcounts(
+            M.phash_candidate_pairs(hashes).filter(F.col("hamming") <= 4),
+            dh_groups,
+        ).select((F.col("n_hit") == F.col("n_true")).alias("passed")),
+    ))
+
+    # 5. WHT constellation == the planted audio groups, exactly.
+    afp = shared_afp_hashes(spark, sf)
+    fa = afp.select(F.col("media_id").alias("id_a"),
+                    F.col("g").alias("_g1"),
+                    F.col("fp_hash").alias("_h1"))
+    fb = afp.select(F.col("media_id").alias("id_b"),
+                    F.col("g").alias("_g2"),
+                    F.col("fp_hash").alias("_h2"))
+    parts.append(row(
+        "wht_constellation", "planted_groups_exact",
+        hitcounts(
+            fa.join(fb, fa["_h1"] == fb["_h2"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b"),
+            fa.join(fb, fa["_g1"] == fb["_g2"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b"),
+        ).select(
+            (
+                (F.col("n_hit") == F.col("n_true"))
+                & (F.col("n_cand") == F.col("n_true"))
+            ).alias("passed")
+        ),
+    ))
+
+    # 6/7. Multiprobe blockings dominate their base blockings on the
+    # shared exact-cosine truth (supersets by construction — the probe
+    # set always contains the indexed cell).
+    truth_cos = S.cosine_pairs_blocked(emb, 0.40).localCheckpoint()
+    hp_cells = S.hyperplane_cells(emb, dim=64, planes=2)
+    hp_base = hitcounts(_cocell_pairs(hp_cells), truth_cos).select(
+        F.col("n_hit").alias("_hb")
+    )
+    hp_mp = hitcounts(
+        _probe_pairs(
+            S.hyperplane_cell_probes(emb, dim=64, planes=2, n_probes=1),
+            hp_cells,
+        ),
+        truth_cos,
+    ).select(F.col("n_hit").alias("_hm"))
+    parts.append(row(
+        "hyperplane_multiprobe", "superset_of_base_recall",
+        hp_mp.crossJoin(hp_base).select(
+            (F.col("_hm") >= F.col("_hb")).alias("passed")
+        ),
+    ))
+    centroids, assigned = shared_ivf_index(spark, sf)
+    t45 = truth_cos.filter(F.col("cosine") >= 0.45)
+    ivf_base = hitcounts(
+        _cocell_pairs(assigned.select("vec_id", "cell")), t45
+    ).select(F.col("n_hit").alias("_hb"))
+    ivf_mp = hitcounts(
+        _probe_pairs(
+            S.ivf_assign(emb, centroids, assign_spill=4)
+            .select("vec_id", "cell"),
+            assigned.select("vec_id", "cell"),
+        ),
+        t45,
+    ).select(F.col("n_hit").alias("_hm"))
+    parts.append(row(
+        "ivf_multiprobe", "superset_of_spilled_recall",
+        ivf_mp.crossJoin(ivf_base).select(
+            (F.col("_hm") >= F.col("_hb")).alias("passed")
+        ),
+    ))
+
+    # 8. Cold-read classifier weights score identically to the memo.
+    from .llm_quality import (
+        quality_classifier_roundtrip,
+        quality_classifier_score,
+    )
+
+    warm = quality_classifier_score(spark, sf).withColumnRenamed(
+        "n_docs", "_nw"
+    )
+    cold = quality_classifier_roundtrip(spark, sf).withColumnRenamed(
+        "n_docs", "_nc"
+    )
+    parts.append(row(
+        "quality_classifier", "roundtrip_score_identical",
+        warm.join(cold, ["pred_keep", "gopher_keep"], "full_outer").agg(
+            (
+                F.count_if(
+                    F.coalesce(F.col("_nw"), F.lit(-1))
+                    != F.coalesce(F.col("_nc"), F.lit(-1))
+                )
+                == 0
+            ).alias("passed")
+        ),
+    ))
+
+    # 9. DSIR selected set at least as keep-rich as the corpus
+    # (integer cross-multiplication — no float ratio compare).
+    from .llm_quality import dataset_importance_resample, shared_qcls_features
+
+    sel = dataset_importance_resample(spark, sf).agg(
+        F.count(F.lit(1)).alias("_ns"),
+        F.sum("gopher_keep").alias("_ks"),
+    )
+    corpus = shared_qcls_features(spark, sf).agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("y").alias("_k")
+    )
+    parts.append(row(
+        "dsir_selection", "target_enriched",
+        sel.crossJoin(corpus).select(
+            (
+                F.col("_ks") * F.col("_n") >= F.col("_k") * F.col("_ns")
+            ).alias("passed")
+        ),
+    ))
+
+    # 10. KMV k-min sketch: merge of two halves == rebuild.
+    o = table(spark, sf, "orders")
+    h = o.select(
+        "o_orderpriority", "o_orderkey",
+        F.pmod(
+            F.col("o_custkey") * F.lit(2654435761) + 12345,
+            F.lit(4294967296),
+        ).alias("u"),
+    )
+    full = kmin_values(
+        h.select("o_orderpriority", "u"), ["o_orderpriority"], "u", 64
+    ).withColumnRenamed("kmin", "_kf")
+    merged = kmin_merge(
+        64,
+        kmin_values(
+            h.filter(F.col("o_orderkey") % 2 == 0)
+            .select("o_orderpriority", "u"),
+            ["o_orderpriority"], "u", 64,
+        ),
+        kmin_values(
+            h.filter(F.col("o_orderkey") % 2 != 0)
+            .select("o_orderpriority", "u"),
+            ["o_orderpriority"], "u", 64,
+        ),
+    ).withColumnRenamed("kmin", "_km")
+    parts.append(row(
+        "kmv_sketch", "merge_equals_rebuild",
+        full.join(merged, "o_orderpriority", "full_outer").agg(
+            (
+                F.count_if(
+                    F.col("_kf").isNull()
+                    | F.col("_km").isNull()
+                    | (F.col("_kf") != F.col("_km"))
+                )
+                == 0
+            ).alias("passed")
+        ),
+    ))
+
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+@query(
     "text_langid_confusion",
     oracle=f"""
     WITH s AS (
