@@ -769,6 +769,46 @@ def er_match_classify(spark, sf):
     )
 
 
+@query("er_params_roundtrip", oracle=er_classify_oracle())
+def er_params_roundtrip(spark, sf):
+    """Model-artifact ROUND-TRIP for the EM-trained Fellegi–Sunter
+    parameters (round 9 — the ``quality_classifier_roundtrip`` /
+    ``sketch_roundtrip`` convention extended to the linkage model): the
+    7 learned decimals (m1..m3, u1..u3, λ) are written to parquet
+    through the engine's own hadoopParquet OUTPUT adapter, read back
+    cold through the INPUT adapter (a lineage-free frame — exactly
+    what a later linkage session sees), and THOSE decimals score the
+    comparison-pattern frame. A production linkage model is trained
+    once and classifies for months; before this entry the parameters
+    lived only in the session memo (``_ER_PARAM_CACHE``). The oracle
+    is the same exact train-replay + classify SQL as
+    ``er_match_classify`` — equality proves classify ≡ in-session,
+    i.e. parquet DECIMAL(7,6) round-trips the grid exactly and the
+    cold-read serving plan (7 broadcast literals over ≤ 8 pattern
+    rows) is unchanged."""
+    from ..model import DataStream, StreamType
+    from ..registry import resolve_input, resolve_output
+    from . import scratch_dir
+
+    par = shared_er_params(spark, sf)
+    order = ["m1", "m2", "m3", "u1", "u2", "u3", "lam"]
+    pdf = spark.createDataFrame(
+        [(i, k, par[k]) for i, k in enumerate(order)],
+        f"idx int, param string, value {_ER_P6.lower()}",
+    )
+    base_dir = scratch_dir("erpar")
+    out = resolve_output("hadoopParquet")().configure({}).initialize(
+        spark, base_dir
+    )
+    out.save("er_params", DataStream("er_params", pdf, StreamType.COLUMNAR))
+    inp = resolve_input("hadoopColumnar")().configure(
+        {"parquet": True}
+    ).initialize(spark, base_dir)
+    [ds] = inp.load("er_params").values()
+    cold = {r["param"]: r["value"] for r in ds.df.collect()}  # 7 rows
+    return er_classify_frame(_er_pattern_frame(spark, sf), cold)
+
+
 @query(
     "er_resolve_golden",
     oracle=f"""
