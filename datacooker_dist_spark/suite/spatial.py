@@ -445,7 +445,20 @@ def geo_polygon_join(spark, sf):
         "c_custkey",
         F.expr(_XC.format(k="c_custkey")).alias("px"),
         F.expr(_YC.format(k="c_custkey")).alias("py"),
-    ).withColumn(
+    )
+    return polygon_contains(spark, pts, "c_custkey").select(
+        "polygon_id", "c_custkey"
+    )
+
+
+def polygon_contains(spark, pts, key_col):
+    """The containment join itself, shared by ``geo_polygon_join`` and
+    the streaming geofence twin: ``pts`` is (key_col, px, py) integer
+    centi-units; returns (polygon_id, key_col) for every fixture
+    polygon containing the point. Grid-bucketed candidates over the
+    broadcast bbox-cell cover, broadcast edge join, one
+    partial-aggregated integer ray-cast crossing count."""
+    pts = pts.withColumn(
         "cell_x", F.expr(f"px div {_PIP_CELL}")
     ).withColumn(
         "cell_y", F.expr(f"py div {_PIP_CELL}")
@@ -474,8 +487,8 @@ def geo_polygon_join(spark, sf):
     crossing = F.expr(_PIP_CROSS_SQL.replace("<>", "!="))
     return (
         cand.join(F.broadcast(edges_df), "pid")
-        .groupBy("c_custkey", "pid")
+        .groupBy(key_col, "pid")
         .agg(F.sum(F.when(crossing, 1).otherwise(0)).alias("nc"))
         .filter(F.col("nc") % 2 == 1)
-        .select(F.col("pid").alias("polygon_id"), "c_custkey")
+        .select(F.col("pid").alias("polygon_id"), key_col)
     )

@@ -1777,3 +1777,77 @@ def stream_kmv_sketch(spark, sf):
             ).alias("rel_err"),
         )
     )
+
+
+def _stream_fence_oracle():
+    from .spatial import _PIP_CROSS_SQL, _PIP_DIRS_SQL, _PIP_N, _XC, _YC
+
+    return f"""
+    WITH pts AS (
+      SELECT event_id, {_XC.format(k="event_id")} AS px,
+             {_YC.format(k="event_id")} AS py
+      FROM events),
+    dirs AS (SELECT * FROM ({_PIP_DIRS_SQL}) AS t(k, dx, dy)),
+    verts AS (
+      SELECT p.pid, d.k,
+             (p.pid * 37199) % 80000 + 10000
+               + d.dx * (8000 + ((p.pid * 31 + d.k * 17) % 8) * 1000) AS vx,
+             (p.pid * 63839) % 80000 + 10000
+               + d.dy * (8000 + ((p.pid * 31 + d.k * 17) % 8) * 1000) AS vy
+      FROM (SELECT UNNEST(range(0, {_PIP_N})) AS pid) p, dirs d),
+    edges AS (
+      SELECT a.pid, a.vx AS x1, a.vy AS y1, b.vx AS x2, b.vy AS y2
+      FROM verts a JOIN verts b
+        ON b.pid = a.pid AND b.k = (a.k + 1) % {_PIP_N}),
+    crossings AS (
+      SELECT event_id, pid,
+             SUM(CASE WHEN {_PIP_CROSS_SQL} THEN 1 ELSE 0 END) AS nc
+      FROM pts, edges GROUP BY 1, 2)
+    SELECT CAST(pid AS BIGINT) AS polygon_id, event_id
+    FROM crossings WHERE nc % 2 = 1
+    """
+
+
+@query("stream_geo_fence", oracle=_stream_fence_oracle())
+def stream_geo_fence(spark, sf):
+    """Streaming GEOFENCE — the ingest-time twin of ``geo_polygon_join``
+    and the geo family's first streaming entry (every other operator
+    family already ships one): events ARRIVE as a stream, each
+    micro-batch derives its points (the suite's deterministic planar
+    fixture keyed on event_id) and runs the SAME grid-bucketed
+    broadcast containment join against the static polygon fences —
+    per-batch cost is O(batch + candidates·edges), the fences are a
+    broadcast dimension, and no state accumulates stream-side (a
+    containment event depends only on its own row, so batch boundaries
+    cannot split or duplicate one). Exactly-once via the
+    batch-id-idempotent per-``b<batch_id>`` overwrite sink. The oracle
+    brute-forces every event × every edge with the identical int64
+    ray-cast — drained ≡ batch, exactly. This is the fleet/geofence
+    alerting shape: polygons change rarely (re-broadcast), position
+    streams are unbounded."""
+    from .spatial import _XC, _YC, polygon_contains
+
+    base_dir = scratch_dir("sfence")
+    target, ckpt = f"{base_dir}/hits", f"{base_dir}/ckpt"
+    stream = file_stream(spark, f"{sf}/events.parquet", "event_id bigint")
+
+    def fence(batch_df, batch_id):
+        pts = batch_df.select(
+            "event_id",
+            F.expr(_XC.format(k="event_id")).alias("px"),
+            F.expr(_YC.format(k="event_id")).alias("py"),
+        )
+        polygon_contains(spark, pts, "event_id").write.mode(
+            "overwrite"
+        ).parquet(f"{target}/b{batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(fence)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_parquet_or_empty(
+        spark, "polygon_id bigint, event_id bigint", target, recursive=True
+    )
