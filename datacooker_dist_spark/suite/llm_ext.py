@@ -2055,3 +2055,75 @@ def dedup_cdc_chunks(spark, sf):
             .alias("n_shared_chunks"),
         )
     )
+
+
+@query(
+    "search_phrase_positions",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents),
+    tok AS (
+      SELECT doc_id, u.i AS pos, toks[u.i] AS t
+      FROM raw, unnest(range(1, len(toks) + 1)) AS u(i)),
+    q AS (
+      SELECT a.doc_id AS qid, a.t AS t1, b.t AS t2
+      FROM tok a JOIN tok b
+        ON b.doc_id = a.doc_id AND a.pos = 1 AND b.pos = 2
+      WHERE a.doc_id < 3)
+    SELECT q.qid, a.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM q
+    JOIN tok a ON a.t = q.t1
+    JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.t = q.t2
+    GROUP BY 1, 2
+    """,
+)
+def search_phrase_positions(spark, sf):
+    """PHRASE search over positional postings — the exact-match leg the
+    lexical family lacked (BM25 and the hybrid fusion are bag-of-words;
+    a production retrieval stack also needs "these words, adjacent, in
+    order": quote queries, code identifiers, entity names). Postings
+    carry (doc_id, pos, term) — ONE tokenize + posexplode pass; each
+    query phrase is the first bigram of docs 0-2 (data-derived like the
+    hybrid query set, so the fixture is corpus-valid at every SF). The
+    match plan is the classic positional-index intersection: the tiny
+    query table broadcast-joins postings on the FIRST term (cost =
+    matched postings, never the corpus), then ONE equi-join back to
+    postings on (doc_id, pos + 1) checks adjacency — at 100 TB both
+    joins are hash equi-joins keyed on (term) and (doc, position), the
+    exact shape Lucene's phrase scorer resolves per segment. Counts
+    are integers; the oracle replays tokenization, positions, and the
+    intersection exactly. Output: (qid, doc_id, n_hits ≥ 1) — the
+    query doc itself matches its own phrase by construction, an
+    embedded correctness witness."""
+    docs = table(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.lower(F.trim("text")), r"\s+")
+        ).alias("pos", "t"),
+    )
+    first_two = tok.filter(F.col("pos") <= 1)
+    q = (
+        first_two.filter(F.col("doc_id") < 3)
+        .groupBy(F.col("doc_id").alias("qid"))
+        .agg(
+            F.min(F.when(F.col("pos") == 0, F.col("t"))).alias("t1"),
+            F.min(F.when(F.col("pos") == 1, F.col("t"))).alias("t2"),
+        )
+    )
+    a = tok.join(
+        F.broadcast(q), tok["t"] == q["t1"]
+    ).select("qid", "doc_id", (F.col("pos") + 1).alias("_next"), "t2")
+    b = tok.select(
+        F.col("doc_id").alias("doc_id"),
+        F.col("pos").alias("_next"),
+        F.col("t").alias("_tb"),
+    )
+    return (
+        a.join(b, ["doc_id", "_next"])
+        .filter(F.col("_tb") == F.col("t2"))
+        .groupBy("qid", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
