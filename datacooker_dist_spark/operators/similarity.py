@@ -122,6 +122,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int | None = 6,
+    match_col: str | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -132,6 +133,14 @@ def cosine_topk(
     engines and partitionings. Self-matches are excluded.
     Output: (query_id, neighbor_id, rnk, cosine).
 
+    ``match_col`` (round 9) makes this a FILTERED exact search: only
+    corpus rows whose ``match_col`` equals the query's are eligible —
+    the single-stage pre-filter (the predicate restricts candidates
+    BEFORE ranking, so every query still gets k results from its
+    eligible set; post-filtering a top-k can come up short). The
+    equality turns the broadcast join into a hash equi-join on the
+    attribute — strictly cheaper than the unfiltered scan.
+
     Scale contract: the plan is a BroadcastNestedLoopJoin whose BUILD side
     is the query set — cost is |corpus| × |queries|, linear in the corpus
     for a bounded query set (pinned by ``test_plans.py``). This is the
@@ -141,17 +150,26 @@ def cosine_topk(
     """
     from pyspark.sql.window import Window
 
+    extra_q = [F.col(match_col).alias("_qm")] if match_col else []
+    extra_c = [F.col(match_col).alias("_cm")] if match_col else []
     q = queries.select(
-        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"),
+        as_double_array(vec_col).alias("_qv"),
+        *extra_q,
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("_cv")
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(vec_col).alias("_cv"),
+        *extra_c,
     )
     cos = cosine_expr(F.col("_qv"), F.col("_cv"))
     if round_digits is not None:
         cos = F.round(cos, round_digits)
+    cond = F.col("query_id") != F.col("neighbor_id")
+    if match_col:
+        cond = cond & (F.col("_cm") == F.col("_qm"))
     scored = (
-        c.join(F.broadcast(q), on=F.col("query_id") != F.col("neighbor_id"))
+        c.join(F.broadcast(q), on=cond)
         .select("query_id", "neighbor_id", cos.alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(
