@@ -3017,6 +3017,47 @@ def _probe_pairs(probe, base, id_col="vec_id"):
     )
 
 
+_JTRUTH_CACHE: dict = {}
+
+
+def shared_jaccard_truth(spark, sf):
+    """Session-memoized EXACT blocking-free Jaccard ≥ 0.8 ground truth
+    (lossless AllPairs prefix filter) — the measurement artifact both
+    ``dedup_blocking_report`` and ``engine_scorecard`` grade against;
+    the quadratic-by-contract pass runs once per session instead of
+    once per grader (r09: the scorecard would otherwise re-pay the
+    report's whole truth build in the same bench chunk)."""
+    from . import shared_shingles
+
+    key = (session_key(spark), sf)
+    if key not in _JTRUTH_CACHE:
+        _JTRUTH_CACHE[key] = (
+            D.jaccard_pairs_allpairs(
+                table(spark, sf, "documents"),
+                shingles=shared_shingles(spark, sf),
+            )
+            .select("id_a", "id_b")
+            .localCheckpoint()
+        )
+    return _JTRUTH_CACHE[key]
+
+
+_COSTRUTH_CACHE: dict = {}
+
+
+def shared_cosine_truth(spark, sf):
+    """Session-memoized exact all-pairs cosine ≥ 0.40 ground truth
+    (rectangle-blocked Gram slabs) — shared by the blocking report's
+    semantic rows and the scorecard's multiprobe invariants, same
+    rationale as :func:`shared_jaccard_truth`."""
+    key = (session_key(spark), sf)
+    if key not in _COSTRUTH_CACHE:
+        _COSTRUTH_CACHE[key] = S.cosine_pairs_blocked(
+            table(spark, sf, "embeddings"), 0.40
+        ).localCheckpoint()
+    return _COSTRUTH_CACHE[key]
+
+
 @query("dedup_blocking_report")  # rows-only: measurement artifact
 def dedup_blocking_report(spark, sf):
     """Dedup BLOCKING QUALITY GATE (VERDICT r07 tasks 1 and 7) — the
@@ -3074,11 +3115,10 @@ def dedup_blocking_report(spark, sf):
     Output: (family, n_candidates, n_true, n_hit, recall, precision)."""
     from functools import reduce
 
-    from . import shared_lsh_candidates, shared_shingles
+    from . import shared_lsh_candidates
 
     docs = table(spark, sf, "documents")
     emb = table(spark, sf, "embeddings")
-    sh = shared_shingles(spark, sf)
 
     def row(name, cand, truth):
         c = cand.select("id_a", "id_b").distinct().withColumn(
@@ -3112,13 +3152,9 @@ def dedup_blocking_report(spark, sf):
             )
         )
 
-    # Text ground truth: exact all-pairs Jaccard >= 0.8, shared by the
-    # three text blockings (O(dups) rows — checkpoint once).
-    truth_j = (
-        D.jaccard_pairs_allpairs(docs, shingles=sh)
-        .select("id_a", "id_b")
-        .localCheckpoint()
-    )
+    # Text ground truth: exact all-pairs Jaccard >= 0.8, session-shared
+    # with engine_scorecard (O(dups) rows, checkpointed in the memo).
+    truth_j = shared_jaccard_truth(spark, sf)
     # Each SNM pass feeds two rows (own + the multipass union) — the
     # candidate sets are O(window·n) ids, checkpoint-cheap.
     c1 = D.snm_candidates(docs, window=4, key_len=64).localCheckpoint()
@@ -3127,8 +3163,9 @@ def dedup_blocking_report(spark, sf):
     ).localCheckpoint()
     g = shared_kgram_rows(spark, sf)
     # Semantic ground truth: one exact blocked pass keeps the cosine, so
-    # both thresholds (0.40 hyperplane twin, 0.45 IVF twin) filter it.
-    truth_cos = S.cosine_pairs_blocked(emb, 0.40).localCheckpoint()
+    # both thresholds (0.40 hyperplane twin, 0.45 IVF twin) filter it;
+    # session-shared with engine_scorecard.
+    truth_cos = shared_cosine_truth(spark, sf)
     hp_cells = S.hyperplane_cells(emb, dim=64, planes=2)
     _, assigned = shared_ivf_index(spark, sf)
     hashes = shared_dhash_hashes(spark, sf)
@@ -3252,11 +3289,10 @@ def engine_scorecard(spark, sf):
     from functools import reduce
 
     from ..operators.sketches import kmin_merge, kmin_values
-    from . import shared_lsh_candidates, shared_shingles
+    from . import shared_lsh_candidates
 
     docs = table(spark, sf, "documents")
     emb = table(spark, sf, "embeddings")
-    sh = shared_shingles(spark, sf)
 
     def pairset(df):
         return df.select("id_a", "id_b").distinct()
@@ -3281,12 +3317,9 @@ def engine_scorecard(spark, sf):
 
     parts = []
 
-    # 1. Capped LSH candidates cover every true all-pairs Jaccard pair.
-    truth_j = (
-        D.jaccard_pairs_allpairs(docs, shingles=sh)
-        .select("id_a", "id_b")
-        .localCheckpoint()
-    )
+    # 1. Capped LSH candidates cover every true all-pairs Jaccard pair
+    # (truth session-shared with dedup_blocking_report).
+    truth_j = shared_jaccard_truth(spark, sf)
     parts.append(row(
         "lsh_jaccard", "capped_candidates_lossless",
         hitcounts(shared_lsh_candidates(spark, sf), truth_j)
@@ -3376,7 +3409,7 @@ def engine_scorecard(spark, sf):
     # 6/7. Multiprobe blockings dominate their base blockings on the
     # shared exact-cosine truth (supersets by construction — the probe
     # set always contains the indexed cell).
-    truth_cos = S.cosine_pairs_blocked(emb, 0.40).localCheckpoint()
+    truth_cos = shared_cosine_truth(spark, sf)
     hp_cells = S.hyperplane_cells(emb, dim=64, planes=2)
     hp_base = hitcounts(_cocell_pairs(hp_cells), truth_cos).select(
         F.col("n_hit").alias("_hb")
