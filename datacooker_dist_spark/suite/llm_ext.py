@@ -240,6 +240,83 @@ def dedup_clusters_incremental(spark, sf):
 
 
 @query(
+    "dedup_clusters_roundtrip",
+    oracle="""
+    WITH RECURSIVE
+    sh AS (SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 2, 1) + 1),
+               i -> array_to_string((regexp_split_to_array(lower(trim(text)), '\\s+'))[i:i+2], ' ')))
+           AS s FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+    edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT s, t FROM edges
+      UNION
+      SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+      WHERE e.t <> r.s)
+    SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster_id
+    FROM reach GROUP BY s
+    """,
+)
+def dedup_clusters_roundtrip(spark, sf):
+    """STATE-TABLE round-trip for incremental clustering (round 9 —
+    completes the task-2 operational loop): the standing (node → root)
+    assignment is written through the engine's own hadoopParquet OUTPUT
+    adapter, read back cold through the INPUT adapter (a lineage-free
+    table — exactly what the NEXT ingest session sees), and the new
+    batch's pairs update THAT via
+    :func:`~..operators.dedup.incremental_components`. This is the real
+    cross-session shape: cluster state lives in storage between
+    ingests, not in a session memo — the cycle is read state → patch
+    with the batch → write state back. The oracle is the same
+    recursive-CTE closure over old ∪ new edges as
+    ``dedup_clusters_incremental`` — equality proves the persisted
+    assignment is patch-compatible across sessions (plain int64
+    columns, no engine-internal state)."""
+    from ..model import DataStream, StreamType
+    from ..registry import resolve_input, resolve_output
+    from . import scratch_dir, shared_jaccard_pairs
+
+    pairs = shared_jaccard_pairs(spark, sf)
+    is_new_a = F.col("id_a") % 5 == 0
+    is_new_b = F.col("id_b") % 5 == 0
+    base_pairs = pairs.filter(~is_new_a & ~is_new_b)
+    batch_pairs = pairs.filter(is_new_a | is_new_b)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        standing = (
+            D.connected_components(base_pairs.select("id_a", "id_b"))
+            .select(
+                F.col("id_a").alias("node"),
+                F.col("cluster_id").alias("root"),
+            )
+        )
+        base_dir = scratch_dir("ccstate")
+        out = resolve_output("hadoopParquet")().configure({}).initialize(
+            spark, base_dir
+        )
+        out.save(
+            "cc_state", DataStream("cc_state", standing, StreamType.COLUMNAR)
+        )
+        inp = resolve_input("hadoopColumnar")().configure(
+            {"parquet": True}
+        ).initialize(spark, base_dir)
+        [ds] = inp.load("cc_state").values()
+        return D.incremental_components(
+            ds.df, batch_pairs.select("id_a", "id_b")
+        ).select(F.col("node").alias("doc_id"), "cluster_id")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@query(
     "dedup_embedding_clusters",
     oracle="""
     WITH RECURSIVE
