@@ -796,3 +796,13 @@ def test_polygon_join_grid_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("BroadcastHashJoin") == 2
     assert "partial_sum" in plan
+
+
+def test_filtered_topk_no_cartesian(spark):
+    """similarity_topk_filtered (r09): the label equality in the
+    broadcast join condition must keep the plan cartesian-free (hash
+    equi-join on the attribute, or a conditioned BNLJ with the query
+    set as build side — never CartesianProduct)."""
+    plan = executed_plan(spark, "similarity_topk_filtered")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
