@@ -2257,3 +2257,50 @@ def test_incremental_components_equals_rebuild(spark):
             for r in connected_components(all_df).collect()
         }
         assert inc == full, f"seed {seed}: incremental != rebuild"
+
+
+def test_incremental_components_iterated_patches(spark):
+    """The operational loop: standing state patched by SUCCESSIVE
+    batches (each output becomes the next standing input) must equal
+    the from-scratch rebuild over all edges — i.e. the incremental
+    form is closed under iteration, which is what lets a 100 TB ingest
+    path run it per batch forever. Seeded random graphs split into
+    three waves; also exercises outputs-as-inputs column compatibility
+    ((node, cluster_id) → (node, root))."""
+    import random
+
+    from datacooker_dist_spark.operators.dedup import (
+        connected_components,
+        incremental_components,
+    )
+
+    for seed in (5, 77):
+        rng = random.Random(seed)
+        n = 50
+        edges = sorted(
+            {tuple(sorted(rng.sample(range(n), 2))) for _ in range(40)}
+        )
+        w1, w2 = len(edges) // 3, 2 * len(edges) // 3
+        waves = [edges[:w1] or [(0, 1)],
+                 edges[w1:w2] or [(2, 3)],
+                 edges[w2:] or [(4, 5)]]
+        standing = connected_components(
+            spark.createDataFrame(waves[0], "id_a long, id_b long")
+        ).select(
+            F.col("id_a").alias("node"), F.col("cluster_id").alias("root")
+        )
+        for wave in waves[1:]:
+            standing = incremental_components(
+                standing,
+                spark.createDataFrame(wave, "id_a long, id_b long"),
+            ).select(
+                "node", F.col("cluster_id").alias("root")
+            ).localCheckpoint()
+        inc = {r["node"]: r["root"] for r in standing.collect()}
+        full = {
+            r["id_a"]: r["cluster_id"]
+            for r in connected_components(
+                spark.createDataFrame(edges, "id_a long, id_b long")
+            ).collect()
+        }
+        assert inc == full, f"seed {seed}: iterated patches != rebuild"
