@@ -549,6 +549,66 @@ _QCLS_HASH_SQL = (
 _QCLS_XCOLS = [f"x_{j}" for j in range(_QCLS_D)] + ["x_len"]
 
 
+@query("tokenizer_bpe_roundtrip")  # rows-only: adaptive argmax, no SQL form
+def tokenizer_bpe_roundtrip(spark, sf):
+    """Merge-table ROUND-TRIP for the BPE tokenizer (round 9 — the last
+    artifact family without a persisted contract; LSH/PQ/gram/CMS/
+    classifier/ER/cluster-state all have one): the trained merge table
+    is written through the engine's own hadoopParquet OUTPUT adapter as
+    (merge_rank, left, right, pair_count) rows, read back cold through
+    the INPUT adapter, re-ordered by rank, and compiled into the SAME
+    fold expression — then BOTH tokenizers encode the corpus slice and
+    the entry emits their per-source token counts side by side with an
+    equality flag. A tokenizer is trained once and must encode
+    identically for the lifetime of the model that consumed it; the
+    self-witnessing row (``roundtrip_identical``) makes any
+    serialization drift (rank order, symbol escaping) visible to the
+    driver's rows-only check without needing a SQL form for the
+    adaptive trainer."""
+    from ..model import DataStream, StreamType
+    from ..operators.text import bpe_apply, bpe_merges
+    from ..registry import resolve_input, resolve_output
+    from . import scratch_dir
+
+    docs = table(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    merges = bpe_merges(docs, rounds=5, batch=4)
+    mdf = spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, pair_count long"
+    )
+    base_dir = scratch_dir("bpem")
+    out = resolve_output("hadoopParquet")().configure({}).initialize(
+        spark, base_dir
+    )
+    out.save("bpe_merges", DataStream("bpe_merges", mdf, StreamType.COLUMNAR))
+    inp = resolve_input("hadoopColumnar")().configure(
+        {"parquet": True}
+    ).initialize(spark, base_dir)
+    [ds] = inp.load("bpe_merges").values()
+    cold = [
+        (r["merge_rank"], r["left"], r["right"], r["pair_count"])
+        for r in sorted(ds.df.collect(), key=lambda r: r["merge_rank"])
+    ]  # bounded: rounds rows
+    src = docs.select("doc_id", "source")
+
+    def economics(table_rows, suffix):
+        return (
+            bpe_apply(docs, table_rows)
+            .join(src, "doc_id")
+            .groupBy("source")
+            .agg(F.sum("n_bpe_tokens").alias(f"n_bpe_tokens_{suffix}"))
+        )
+
+    warm = economics(merges, "warm")
+    coldf = economics(cold, "cold")
+    return warm.join(coldf, "source", "full_outer").select(
+        "source", "n_bpe_tokens_warm", "n_bpe_tokens_cold",
+        (
+            F.coalesce(F.col("n_bpe_tokens_warm"), F.lit(-1))
+            == F.coalesce(F.col("n_bpe_tokens_cold"), F.lit(-2))
+        ).alias("roundtrip_identical"),
+    )
+
+
 def _qcls_tok_hash(tok):
     """Position-weighted codepoint hash mod D — exact integer twin of
     ``_QCLS_HASH_SQL`` (transform-with-index is 0-based here, 1-based
