@@ -401,6 +401,26 @@ def kmin_values(
     already collapsed map-side. Output: (group_cols…, ``kmin``
     array) with ≤k ascending distinct values per group.
     """
+    return kmin_partials(df, group_cols, value_col, k).groupBy(
+        *group_cols
+    ).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.collect_list(value_col))), 1, k
+        ).alias("kmin")
+    )
+
+
+def kmin_partials(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int,
+) -> DataFrame:
+    """The partial stage of :func:`kmin_values`, exposed so the scale
+    test can assert its physical bound directly: one linear
+    ``mapInPandas`` pass emitting, per (group, partition), the ≤k
+    smallest DISTINCT values seen in that partition — these rows are
+    the ONLY thing that ever shuffles, ≤ partitions·groups·k total."""
     import numpy as np
 
     fields = [df.schema[c] for c in group_cols] + [df.schema[value_col]]
@@ -426,12 +446,7 @@ def kmin_values(
         if rows:
             yield pd.DataFrame(rows, columns=group_cols + [value_col])
 
-    partials = df.select(*group_cols, value_col).mapInPandas(partial, schema)
-    return partials.groupBy(*group_cols).agg(
-        F.slice(
-            F.array_sort(F.array_distinct(F.collect_list(value_col))), 1, k
-        ).alias("kmin")
-    )
+    return df.select(*group_cols, value_col).mapInPandas(partial, schema)
 
 
 def kmin_merge(k: int, *sketches: DataFrame) -> DataFrame:

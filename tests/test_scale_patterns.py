@@ -376,3 +376,50 @@ def test_aqe_skew_join_splits_hot_partition(spark):
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_kmin_values_partial_rows_bounded(spark):
+    """The mergeable KMV shape's scale claim, asserted physically: the
+    mapInPandas partial emits at most groups×k rows PER PARTITION (the
+    only rows that ever shuffle), regardless of how many raw rows a
+    partition holds — so the exchange is corpus-size-independent. Also
+    re-checks the merged sketch is unaffected by partitioning."""
+    from pyspark.sql import functions as F
+
+    from datacooker_dist_spark.operators.sketches import kmin_values
+
+    k, parts, groups = 8, 6, 3
+    df = (
+        spark.range(30_000)
+        .select(
+            (F.col("id") % groups).cast("string").alias("g"),
+            # heavy duplication: only 100 distinct values per group
+            (F.col("id") % 100 * 37 % 1000).alias("v"),
+        )
+        .repartition(parts)
+    )
+    from datacooker_dist_spark.operators.sketches import kmin_partials
+
+    sketch = kmin_values(df, ["g"], "v", k)
+    # Physical bound on the ONLY rows that shuffle: the partial stage
+    # emits at most k distinct values per (group, partition).
+    n_partial = kmin_partials(df, ["g"], "v", k).count()
+    assert n_partial <= parts * groups * k
+    got = {r["g"]: list(r["kmin"]) for r in sketch.collect()}
+    import itertools
+
+    brute = {}
+    for g, vals in itertools.groupby(
+        sorted(
+            ((str(i % groups), i % 100 * 37 % 1000) for i in range(30_000))
+        ),
+        key=lambda t: t[0],
+    ):
+        brute[g] = sorted({v for _, v in vals})[:k]
+    assert got == brute
+    # Repartitioning must not change the sketch.
+    got17 = {
+        r["g"]: list(r["kmin"])
+        for r in kmin_values(df.repartition(17), ["g"], "v", k).collect()
+    }
+    assert got17 == got
