@@ -1846,3 +1846,156 @@ def timeseries_resample_interp(spark, sf):
         .alias("interp_value"),
         F.col("cents").isNull().alias("is_interpolated"),
     )
+
+
+@query(
+    "snapshot_diff",
+    oracle="""
+    WITH v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0
+                  THEN o_totalprice + 50.0 ELSE o_totalprice END
+               AS o_totalprice,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 101 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 103 = 0),
+    j AS (
+      SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+             a.o_orderkey IS NULL AS only_new,
+             b.o_orderkey IS NULL AS only_old,
+             a.o_totalprice AS p1, b.o_totalprice AS p2
+      FROM orders a FULL OUTER JOIN v2 b USING (o_orderkey))
+    SELECT CASE WHEN only_new THEN 'added'
+                WHEN only_old THEN 'removed'
+                WHEN p1 <> p2 THEN 'changed' END AS change_type,
+           o_orderkey
+    FROM j
+    WHERE only_new OR only_old OR p1 <> p2
+    """,
+)
+def snapshot_diff(spark, sf):
+    """Table-version DIFF (snapshot CDC) — the lakehouse operation that
+    answers "what changed between version N and N+1": a full outer join
+    on the key classifies every row as added / removed / changed
+    (value drift on a tracked column), emitting only the delta. The
+    v2 snapshot is simulated deterministically from v1 (price bump on
+    key % 97, deletes on % 101, inserts on % 103) so the oracle
+    replays both versions and the classification exactly. At warehouse
+    scale the join runs key-partitioned (both versions cluster on the
+    same key) and the delta is the ONLY thing that leaves the
+    exchange — this is how Delta/Iceberg CDF is materialized when the
+    log isn't available. Complements merge_upsert_scd1 (which APPLIES
+    a changelog; this RECOVERS one)."""
+    o = table(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    v2 = (
+        o.filter(F.col("o_orderkey") % 101 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + 50.0
+            ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+            "o_orderpriority",
+        )
+        .unionAll(
+            o.filter(F.col("o_orderkey") % 103 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                "o_totalprice", "o_orderpriority",
+            )
+        )
+    )
+    a = o.select(
+        F.col("o_orderkey").alias("k1"), F.col("o_totalprice").alias("p1")
+    )
+    b = v2.select(
+        F.col("o_orderkey").alias("k2"), F.col("o_totalprice").alias("p2")
+    )
+    j = a.join(b, a["k1"] == b["k2"], "full_outer")
+    change = (
+        F.when(F.col("k1").isNull(), "added")
+        .when(F.col("k2").isNull(), "removed")
+        .when(F.col("p1") != F.col("p2"), "changed")
+    )
+    return (
+        j.select(
+            change.alias("change_type"),
+            F.coalesce(F.col("k1"), F.col("k2")).alias("o_orderkey"),
+        )
+        .filter(F.col("change_type").isNotNull())
+    )
+
+
+@query(
+    "privacy_forget_cascade",
+    oracle="""
+    WITH forget AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 53 = 0),
+    o AS (SELECT o_orderkey, o_custkey FROM orders),
+    purged_o AS (SELECT o_orderkey FROM o
+                 WHERE o_custkey IN (SELECT c_custkey FROM forget)),
+    counts AS (
+      SELECT 'customer' AS table_name,
+             (SELECT COUNT(*) FROM forget) AS n_purged,
+             (SELECT COUNT(*) FROM customer)
+               - (SELECT COUNT(*) FROM forget) AS n_kept
+      UNION ALL
+      SELECT 'orders',
+             (SELECT COUNT(*) FROM purged_o),
+             (SELECT COUNT(*) FROM o) - (SELECT COUNT(*) FROM purged_o)
+      UNION ALL
+      SELECT 'lineitem',
+             (SELECT COUNT(*) FROM lineitem
+              WHERE l_orderkey IN (SELECT o_orderkey FROM purged_o)),
+             (SELECT COUNT(*) FROM lineitem)
+               - (SELECT COUNT(*) FROM lineitem
+                  WHERE l_orderkey IN (SELECT o_orderkey FROM purged_o)))
+    SELECT table_name, CAST(n_purged AS BIGINT) AS n_purged,
+           CAST(n_kept AS BIGINT) AS n_kept
+    FROM counts
+    """,
+)
+def privacy_forget_cascade(spark, sf):
+    """Right-to-be-forgotten CASCADE audit — the compliance op every
+    data platform needs before it deletes anything: given a forget-set
+    of subjects (c_custkey % 53 = 0 here), report exactly how many rows
+    each table in the foreign-key chain would purge and keep
+    (customer → orders via o_custkey → lineitem via l_orderkey). The
+    plan is the deletion plan itself run in audit mode: each hop is a
+    LEFT SEMI join on the parent's purged keys (broadcast when the
+    forget-set is small — the common case; hash otherwise), one
+    conditional-count aggregate per table, no row ever leaves the
+    executor. Executing the purge is the same plans with anti instead
+    of semi + a partition-overwrite write. EXACT-oracled end to end —
+    integer counts, replayable key arithmetic."""
+    c = table(spark, sf, "customer")
+    forget = c.filter(F.col("c_custkey") % 53 == 0).select("c_custkey")
+    o = table(spark, sf, "orders")
+    purged_o = o.join(
+        F.broadcast(forget),
+        o["o_custkey"] == forget["c_custkey"],
+        "left_semi",
+    ).select("o_orderkey")
+    li = table(spark, sf, "lineitem")
+    purged_li = li.join(
+        F.broadcast(purged_o),
+        li["l_orderkey"] == purged_o["o_orderkey"],
+        "left_semi",
+    )
+
+    def counts(name, total_df, purged_df):
+        t = total_df.agg(F.count(F.lit(1)).alias("_n"))
+        p = purged_df.agg(F.count(F.lit(1)).alias("n_purged"))
+        return p.crossJoin(F.broadcast(t)).select(
+            F.lit(name).alias("table_name"),
+            F.col("n_purged").cast("long").alias("n_purged"),
+            (F.col("_n") - F.col("n_purged")).cast("long").alias("n_kept"),
+        )
+
+    return (
+        counts("customer", c, forget)
+        .unionByName(counts("orders", o, purged_o))
+        .unionByName(counts("lineitem", li, purged_li))
+    )
