@@ -1849,86 +1849,6 @@ def timeseries_resample_interp(spark, sf):
 
 
 @query(
-    "snapshot_diff",
-    oracle="""
-    WITH v2 AS (
-      SELECT o_orderkey,
-             CASE WHEN o_orderkey % 97 = 0
-                  THEN o_totalprice + 50.0 ELSE o_totalprice END
-               AS o_totalprice,
-             o_orderpriority
-      FROM orders WHERE o_orderkey % 101 <> 0
-      UNION ALL
-      SELECT o_orderkey + 10000000, o_totalprice, o_orderpriority
-      FROM orders WHERE o_orderkey % 103 = 0),
-    j AS (
-      SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
-             a.o_orderkey IS NULL AS only_new,
-             b.o_orderkey IS NULL AS only_old,
-             a.o_totalprice AS p1, b.o_totalprice AS p2
-      FROM orders a FULL OUTER JOIN v2 b USING (o_orderkey))
-    SELECT CASE WHEN only_new THEN 'added'
-                WHEN only_old THEN 'removed'
-                WHEN p1 <> p2 THEN 'changed' END AS change_type,
-           o_orderkey
-    FROM j
-    WHERE only_new OR only_old OR p1 <> p2
-    """,
-)
-def snapshot_diff(spark, sf):
-    """Table-version DIFF (snapshot CDC) — the lakehouse operation that
-    answers "what changed between version N and N+1": a full outer join
-    on the key classifies every row as added / removed / changed
-    (value drift on a tracked column), emitting only the delta. The
-    v2 snapshot is simulated deterministically from v1 (price bump on
-    key % 97, deletes on % 101, inserts on % 103) so the oracle
-    replays both versions and the classification exactly. At warehouse
-    scale the join runs key-partitioned (both versions cluster on the
-    same key) and the delta is the ONLY thing that leaves the
-    exchange — this is how Delta/Iceberg CDF is materialized when the
-    log isn't available. Complements merge_upsert_scd1 (which APPLIES
-    a changelog; this RECOVERS one)."""
-    o = table(spark, sf, "orders").select(
-        "o_orderkey", "o_totalprice", "o_orderpriority"
-    )
-    v2 = (
-        o.filter(F.col("o_orderkey") % 101 != 0)
-        .select(
-            "o_orderkey",
-            F.when(
-                F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + 50.0
-            ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
-            "o_orderpriority",
-        )
-        .unionAll(
-            o.filter(F.col("o_orderkey") % 103 == 0).select(
-                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
-                "o_totalprice", "o_orderpriority",
-            )
-        )
-    )
-    a = o.select(
-        F.col("o_orderkey").alias("k1"), F.col("o_totalprice").alias("p1")
-    )
-    b = v2.select(
-        F.col("o_orderkey").alias("k2"), F.col("o_totalprice").alias("p2")
-    )
-    j = a.join(b, a["k1"] == b["k2"], "full_outer")
-    change = (
-        F.when(F.col("k1").isNull(), "added")
-        .when(F.col("k2").isNull(), "removed")
-        .when(F.col("p1") != F.col("p2"), "changed")
-    )
-    return (
-        j.select(
-            change.alias("change_type"),
-            F.coalesce(F.col("k1"), F.col("k2")).alias("o_orderkey"),
-        )
-        .filter(F.col("change_type").isNotNull())
-    )
-
-
-@query(
     "privacy_forget_cascade",
     oracle="""
     WITH forget AS (
