@@ -19,6 +19,15 @@ def query(name: str, oracle: str | None = None):
     """Register a suite query and optionally its DuckDB oracle SQL."""
 
     def deco(fn):
+        if name in QUERIES:
+            # A silent overwrite ships DEAD CODE: the later import wins,
+            # the shadowed query never runs, and both authors think
+            # theirs is registered (r09: a second snapshot_diff rode
+            # green for a commit because the incumbent also passed).
+            raise ValueError(
+                f"duplicate query registration: {name!r} "
+                f"(already registered by {QUERIES[name].__module__})"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
