@@ -784,11 +784,16 @@ def incremental_components(
         .distinct()
     )
     # Endpoint → standing root (itself when unassigned). ``nodes`` is
-    # batch-bounded; standing is the corpus-sized side — join with the
-    # SMALL side as probe result, then broadcast the resolved map back
-    # onto the edges.
+    # batch-bounded; standing is the corpus-sized side — so standing is
+    # first RESTRICTED by a broadcast left-semi on the batch's node set
+    # (one scan, no shuffle: LeftSemi builds the broadcast right) and
+    # only the O(batch) surviving rows join back. The naive
+    # ``nodes LEFT JOIN standing`` spelling sort-merge-shuffled ALL of
+    # standing on node per batch — the exact cost this operator exists
+    # to avoid (caught by plan audit, r09).
+    hits = standing.join(F.broadcast(nodes), "node", "left_semi")
     m = (
-        nodes.join(standing, "node", "left")
+        nodes.join(F.broadcast(hits), "node", "left")
         .select(
             "node", F.coalesce("root", F.col("node")).alias("r"),
             F.col("root").isNotNull().alias("_assigned"),
