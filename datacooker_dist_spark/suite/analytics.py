@@ -1884,23 +1884,26 @@ def privacy_forget_cascade(spark, sf):
     each table in the foreign-key chain would purge and keep
     (customer → orders via o_custkey → lineitem via l_orderkey). The
     plan is the deletion plan itself run in audit mode: each hop is a
-    LEFT SEMI join on the parent's purged keys (broadcast when the
-    forget-set is small — the common case; hash otherwise), one
-    conditional-count aggregate per table, no row ever leaves the
-    executor. Executing the purge is the same plans with anti instead
-    of semi + a partition-overwrite write. EXACT-oracled end to end —
-    integer counts, replayable key arithmetic."""
+    LEFT SEMI join on the parent's purged keys — deliberately
+    UN-hinted: a real forget-set ranges from a handful of subjects
+    (AQE converts the semi to a broadcast at runtime) to a court-order
+    sweep where the purged-order set is corpus-proportional and MUST
+    shuffle (a hardcoded broadcast hint would OOM the driver there) —
+    then one conditional-count aggregate per table; no row ever leaves
+    the executors. Executing the purge is the same plans with anti
+    instead of semi + a partition-overwrite write. EXACT-oracled end
+    to end — integer counts, replayable key arithmetic."""
     c = table(spark, sf, "customer")
     forget = c.filter(F.col("c_custkey") % 53 == 0).select("c_custkey")
     o = table(spark, sf, "orders")
     purged_o = o.join(
-        F.broadcast(forget),
+        forget,
         o["o_custkey"] == forget["c_custkey"],
         "left_semi",
     ).select("o_orderkey")
     li = table(spark, sf, "lineitem")
     purged_li = li.join(
-        F.broadcast(purged_o),
+        purged_o,
         li["l_orderkey"] == purged_o["o_orderkey"],
         "left_semi",
     )
