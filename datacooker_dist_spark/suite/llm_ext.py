@@ -2204,3 +2204,80 @@ def search_phrase_positions(spark, sf):
         .groupBy("qid", "doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+
+
+@query(
+    "dataset_token_budget_mix",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             CAST(SUM(len(regexp_split_to_array(lower(trim(text)), '\\s+')))
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    w AS (
+      SELECT source, n_tokens,
+             CAST(FLOOR(SQRT(CAST(n_tokens * 10000 AS DOUBLE)))
+                  AS BIGINT) AS wgt
+      FROM t),
+    s AS (SELECT SUM(wgt) AS sw, SUM(n_tokens) // 2 AS budget FROM w),
+    a AS (
+      SELECT source, n_tokens, wgt,
+             LEAST(budget * wgt // sw, (3 * n_tokens) // 2) AS alloc_tokens,
+             budget * wgt // sw > (3 * n_tokens) // 2 AS capped
+      FROM w, s)
+    SELECT source, n_tokens, wgt,
+           CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+           CAST(alloc_tokens * 1000 // n_tokens AS BIGINT) AS epochs_milli,
+           capped
+    FROM a
+    """,
+)
+def dataset_token_budget_mix(spark, sf):
+    """TOKEN-BUDGET data-mix recipe (round 9) — the allocation table an
+    LLM pre-training run is actually configured from (the published
+    LLaMA/Pile-style per-source rows: tokens available, sampling
+    weight, tokens allocated, effective epochs): given a total token
+    budget (half the corpus here), allocate per-source budgets
+    ∝ sqrt(source tokens) — temperature T = 0.5 upweighting at TOKEN
+    grain, where ``dataset_mix_temperature`` selects documents — with
+    a 1.5-epoch repetition cap per source (the over-sampling guard;
+    the ``capped`` flag shows where the cap binds and the shortfall
+    would be redistributed by re-running the recipe on the uncapped
+    remainder). All arithmetic is integer (the floor(sqrt(n·10⁴))
+    trick keeps the fractional power exact in both engines), so the
+    oracle replays the whole recipe bit for bit. Plan: one tokenize +
+    per-source aggregate (10 rows), then pure scalar algebra on the
+    broadcast totals — at 100 TB the corpus pass is the token count
+    the run needs anyway; the recipe itself is free."""
+    docs = table(spark, sf, "documents")
+    t = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.lower(F.trim("text")), r"\s+")))
+        .cast("long").alias("n_tokens")
+    )
+    w = t.select(
+        "source", "n_tokens",
+        F.floor(F.sqrt((F.col("n_tokens") * 10000).cast("double")))
+        .cast("long").alias("wgt"),
+    )
+    s = w.agg(
+        F.sum("wgt").alias("sw"),
+        F.expr("sum(n_tokens) div 2").alias("budget"),
+    )
+    a = w.crossJoin(F.broadcast(s)).select(
+        "source", "n_tokens", "wgt",
+        F.least(
+            F.expr("budget * wgt div sw"),
+            F.expr("(3 * n_tokens) div 2"),
+        ).alias("alloc_tokens"),
+        (
+            F.expr("budget * wgt div sw")
+            > F.expr("(3 * n_tokens) div 2")
+        ).alias("capped"),
+    )
+    return a.select(
+        "source", "n_tokens", "wgt",
+        F.col("alloc_tokens").cast("long").alias("alloc_tokens"),
+        F.expr("alloc_tokens * 1000 div n_tokens").cast("long")
+        .alias("epochs_milli"),
+        "capped",
+    )
