@@ -1225,3 +1225,130 @@ def tokenizer_unigram_apply(spark, sf):
             F.round(F.col("n_pieces") / F.col("n_chars"), 6),
         )
     )
+
+
+@query(
+    "pipeline_ingest_incremental",
+    oracle=f"""
+    WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+    fpn AS (SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                     AS f
+            FROM newd),
+    fpb AS (SELECT DISTINCT
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                     AS f
+            FROM documents WHERE doc_id % 5 <> 0),
+    s1 AS (SELECT t.doc_id FROM fpn t
+           WHERE t.f NOT IN (SELECT f FROM fpb)
+             AND t.doc_id = (SELECT MIN(x.doc_id) FROM fpn x
+                             WHERE x.f = t.f)),
+    sh AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM documents),
+    near AS (SELECT DISTINCT n.doc_id
+             FROM sh n JOIN sh b
+               ON n.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+             WHERE len(list_intersect(n.s, b.s))
+                   / (len(n.s) + len(b.s) - len(list_intersect(n.s, b.s)))
+                   >= 0.8),
+    s2 AS (SELECT doc_id FROM s1
+           WHERE doc_id NOT IN (SELECT doc_id FROM near)),
+    tok AS (SELECT doc_id, list_filter({SQL_TOKENS}, t -> t <> '') AS toks
+            FROM newd),
+    q AS (SELECT doc_id FROM tok
+          WHERE len(toks) BETWEEN {_W_MIN} AND {_W_MAX}
+            AND CAST(list_sum(list_transform(toks, t -> length(t)))
+                     AS DOUBLE) / len(toks)
+                BETWEEN {_LEN_MIN} AND {_LEN_MAX}
+            AND CAST(len(list_filter(toks,
+                         t -> regexp_matches(t, '^[a-z]+$'))) AS DOUBLE)
+                / len(toks) > {_ALPHA_MIN}
+            AND len(list_filter(toks, t -> t IN {_STOP_SQL}))
+                >= {_STOP_MIN}),
+    s3 AS (SELECT doc_id FROM s2
+           WHERE doc_id IN (SELECT doc_id FROM q)),
+    c AS (SELECT (SELECT COUNT(*) FROM newd) AS n0,
+                 (SELECT COUNT(*) FROM s1) AS n1,
+                 (SELECT COUNT(*) FROM s2) AS n2,
+                 (SELECT COUNT(*) FROM s3) AS n3)
+    SELECT stage_id, stage, CAST(rows_in AS BIGINT) AS rows_in,
+           CAST(rows_dropped AS BIGINT) AS rows_dropped,
+           CAST(rows_out AS BIGINT) AS rows_out
+    FROM (
+      SELECT 1 AS stage_id, 'exact_vs_standing' AS stage,
+             n0 AS rows_in, n0 - n1 AS rows_dropped, n1 AS rows_out FROM c
+      UNION ALL
+      SELECT 2, 'near_vs_standing', n1, n1 - n2, n2 FROM c
+      UNION ALL
+      SELECT 3, 'quality_gate', n2, n2 - n3, n3 FROM c)
+    """,
+)
+def pipeline_ingest_incremental(spark, sf):
+    """The INCREMENTAL INGEST pipeline as one composed, exact-oracled
+    entry (round 9 capstone — the ``pipeline_dedup_ladder`` shape for
+    the operational per-batch path every other r09 piece serves): a new
+    batch (doc_id % 5 = 0) flows exact-dedup → near-dedup → quality
+    gate, each stage probing only STANDING state, with per-stage drop
+    attribution. Stage 1: within-batch exact collapse (min doc_id per
+    normalized-text fingerprint) + anti join against the standing
+    fingerprint set — 16-byte keys, never raw text. Stage 2: drop
+    survivors with a verified 3-gram Jaccard ≥ 0.8 match in the BASE
+    corpus (the session-shared LSH-verified pair set, whose losslessness
+    the blocking report and scorecard attest — the oracle brute-forces
+    the new×base space). Stage 3: the Gopher keep gate on the
+    survivors. The oracle replays all three compositions end to end, so
+    the ledger pins the PIPELINE, not just each operator. At 100 TB the
+    per-batch cost is batch fingerprints + batch signatures probing
+    standing indexes + pure column-expression gating; history is only
+    ever touched through its indexes. Cluster maintenance for what
+    survives is ``dedup_clusters_incremental``; this entry is the
+    admission path in front of it."""
+    from ..operators import text as _T
+    from . import shared_jaccard_pairs
+
+    docs = table(spark, sf, "documents")
+    newd = docs.filter(F.col("doc_id") % 5 == 0)
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    fpn = newd.select("doc_id", _T.fingerprint("text").alias("f"))
+    fpb = base.select(_T.fingerprint("text").alias("f")).distinct()
+    s1 = (
+        fpn.groupBy("f").agg(F.min("doc_id").alias("doc_id"))
+        .join(fpb, "f", "left_anti")
+        .select("doc_id")
+        .localCheckpoint()
+    )
+    pairs = shared_jaccard_pairs(spark, sf)
+    near_new = (
+        pairs.filter((F.col("id_a") % 5 == 0) != (F.col("id_b") % 5 == 0))
+        .select(
+            F.when(F.col("id_a") % 5 == 0, F.col("id_a"))
+            .otherwise(F.col("id_b")).alias("doc_id")
+        )
+        .distinct()
+    )
+    s2 = s1.join(near_new, "doc_id", "left_anti").localCheckpoint()
+    toks = newd.select("doc_id", _clean_tokens().alias("toks"))
+    *_, q_ok = _gopher_parts()
+    keep = toks.filter(q_ok).select("doc_id")
+    s3 = s2.join(keep, "doc_id", "left_semi")
+
+    def n(df, name):
+        return df.agg(F.count(F.lit(1)).alias(name))
+
+    c = (
+        n(newd, "n0")
+        .crossJoin(n(s1, "n1"))
+        .crossJoin(n(s2, "n2"))
+        .crossJoin(n(s3, "n3"))
+    )
+    return c.selectExpr(
+        "stack(3, "
+        "1, 'exact_vs_standing', n0, n0 - n1, n1, "
+        "2, 'near_vs_standing',  n1, n1 - n2, n2, "
+        "3, 'quality_gate',      n2, n2 - n3, n3) "
+        "AS (stage_id, stage, rows_in, rows_dropped, rows_out)"
+    ).select(
+        "stage_id", "stage",
+        F.col("rows_in").cast("long").alias("rows_in"),
+        F.col("rows_dropped").cast("long").alias("rows_dropped"),
+        F.col("rows_out").cast("long").alias("rows_out"),
+    )
