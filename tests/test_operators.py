@@ -2304,3 +2304,63 @@ def test_incremental_components_iterated_patches(spark):
             ).collect()
         }
         assert inc == full, f"seed {seed}: iterated patches != rebuild"
+
+
+def test_phrase_positions_match_brute_string_scan(spark):
+    """search_phrase_positions vs an independent derivation: a plain
+    Python scan over the raw token lists (no positions table, no joins)
+    must produce the identical (qid, doc_id, n_hits) set — including
+    overlapping occurrences ('x x x' contains 'x x' twice) and the
+    query doc matching itself."""
+    rows = [
+        (0, "alpha beta gamma alpha beta"),
+        (1, "x x x y"),
+        (2, "alpha beta"),
+        (3, "beta alpha beta gamma"),
+        (4, "x x"),
+        (5, "nothing shared here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from pyspark.sql import functions as F
+
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim("text")), r"\s+"))
+        .alias("pos", "t"),
+    )
+    first_two = tok.filter(F.col("pos") <= 1)
+    q = (
+        first_two.filter(F.col("doc_id") < 3)
+        .groupBy(F.col("doc_id").alias("qid"))
+        .agg(
+            F.min(F.when(F.col("pos") == 0, F.col("t"))).alias("t1"),
+            F.min(F.when(F.col("pos") == 1, F.col("t"))).alias("t2"),
+        )
+    )
+    a = tok.join(F.broadcast(q), tok["t"] == q["t1"]).select(
+        "qid", "doc_id", (F.col("pos") + 1).alias("_next"), "t2"
+    )
+    b = tok.select(
+        F.col("doc_id"), F.col("pos").alias("_next"), F.col("t").alias("_tb")
+    )
+    got = {
+        (r["qid"], r["doc_id"]): r["n_hits"]
+        for r in a.join(b, ["doc_id", "_next"])
+        .filter(F.col("_tb") == F.col("t2"))
+        .groupBy("qid", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .collect()
+    }
+    brute = {}
+    toks = {i: t.lower().strip().split() for i, t in rows}
+    for qid in (0, 1, 2):
+        t1, t2 = toks[qid][0], toks[qid][1]
+        for d, ts in toks.items():
+            n = sum(
+                1 for i in range(len(ts) - 1)
+                if ts[i] == t1 and ts[i + 1] == t2
+            )
+            if n:
+                brute[(qid, d)] = n
+    assert got == brute
+    assert got[(1, 1)] == 2  # overlapping 'x x' in 'x x x'
