@@ -637,6 +637,7 @@ def cosine_topk_ivf(
     refine_iters: int = 0,
     cells: tuple[DataFrame, DataFrame] | None = None,
     spilled: bool = False,
+    match_col: str | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe only the ``nprobe`` cells nearest each
     query. The index build is one linear pass (``refine_iters`` adds
@@ -645,7 +646,16 @@ def cosine_topk_ivf(
     parquet-persisted index is probed instead of rebuilt); each query
     scores |corpus|·nprobe/n_cells candidates via an equi-join on cell id
     — the classic inverted-file trade of recall for a bounded candidate
-    list."""
+    list.
+
+    ``match_col`` (round 9) makes the probe a PRE-FILTERED constrained
+    search over the UNCHANGED shared index: corpus attributes join onto
+    the assignment rows (one linear equi-join on id) and candidates
+    drop before ranking unless their attribute equals the query's — so
+    each query still ranks a full k from its eligible candidates, at
+    zero index growth (the alternative — a per-attribute index — pays
+    storage per distinct value; the over-fetch post-filter alternative
+    is graded by ``similarity_filtered_recall``)."""
     from pyspark.sql import Window
 
     centroids, assigned = (
@@ -653,21 +663,31 @@ def cosine_topk_ivf(
         if cells is not None
         else ivf_cells(corpus, n_cells, id_col, vec_col, refine_iters)
     )
-    qv = queries.select(
+    qsel = [
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("_qv")
-    )
+    ]
+    if match_col:
+        qsel.append(F.col(match_col).alias("_qm"))
+        assigned = assigned.join(
+            corpus.select(F.col(id_col), F.col(match_col).alias("_cm")),
+            id_col,
+        )
+    qv = queries.select(*qsel)
     qc = qv.join(F.broadcast(centroids))
     w = Window.partitionBy("query_id").orderBy(
         F.desc(cosine_expr(F.col("_qv"), F.col("_cv"))), F.col("cell")
     )
-    probes = (
-        qc.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= nprobe)
-        .select("query_id", "_qv", "cell")
+    probes = qc.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= nprobe
+    )
+    probes = probes.select(
+        "query_id", "_qv", "cell", *(["_qm"] if match_col else [])
     )
     cand = probes.join(assigned, "cell").filter(
         F.col("query_id") != F.col(id_col)
     )
+    if match_col:
+        cand = cand.filter(F.col("_cm") == F.col("_qm"))
     cos = cosine_expr(F.col("_qv"), F.col("vector"))
     if round_digits is not None:
         cos = F.round(cos, round_digits)
