@@ -1851,3 +1851,117 @@ def stream_geo_fence(spark, sf):
     return read_parquet_or_empty(
         spark, "polygon_id bigint, event_id bigint", target, recursive=True
     )
+
+
+def _stream_forget_oracle():
+    return """
+    WITH forget AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 53 = 0),
+    o AS (SELECT o_orderkey, o_custkey FROM orders),
+    purged_o AS (SELECT o_orderkey FROM o
+                 WHERE o_custkey IN (SELECT c_custkey FROM forget)),
+    counts AS (
+      SELECT 'customer' AS table_name,
+             (SELECT COUNT(*) FROM forget) AS n_purged,
+             (SELECT COUNT(*) FROM customer)
+               - (SELECT COUNT(*) FROM forget) AS n_kept
+      UNION ALL
+      SELECT 'orders',
+             (SELECT COUNT(*) FROM purged_o),
+             (SELECT COUNT(*) FROM o) - (SELECT COUNT(*) FROM purged_o)
+      UNION ALL
+      SELECT 'lineitem',
+             (SELECT COUNT(*) FROM lineitem
+              WHERE l_orderkey IN (SELECT o_orderkey FROM purged_o)),
+             (SELECT COUNT(*) FROM lineitem)
+               - (SELECT COUNT(*) FROM lineitem
+                  WHERE l_orderkey IN (SELECT o_orderkey FROM purged_o)))
+    SELECT table_name, CAST(n_purged AS BIGINT) AS n_purged,
+           CAST(n_kept AS BIGINT) AS n_kept
+    FROM counts
+    """
+
+
+@query("stream_forget_cascade", oracle=_stream_forget_oracle())
+def stream_forget_cascade(spark, sf):
+    """Streaming twin of ``privacy_forget_cascade`` — deletion requests
+    ARRIVE as a stream (the real GDPR topology: a requests queue, not a
+    batch sweep): each micro-batch extracts its forget-set slice
+    (c_custkey % 53 = 0), walks the FK chain for ONLY those subjects
+    (semi joins against static orders/lineitem — per-batch cost is
+    proportional to the batch's subjects, AQE broadcasts the tiny key
+    sets at runtime), and lands its per-table purge counts as a
+    per-``b<batch_id>`` idempotent artifact. Purge sets of distinct
+    subjects are DISJOINT (an order has one customer; a lineitem one
+    order), so the drained per-table sums provably equal the batch
+    sweep — the exact oracle is ``privacy_forget_cascade``'s, unchanged.
+    Kept counts fold in the static table totals at drain. At 100 TB
+    this is the deletion-ledger pattern: requests amortize continuously
+    instead of a monthly corpus-wide sweep, and the ledger itself is
+    the compliance artifact."""
+    from . import table
+
+    base_dir = scratch_dir("sforget")
+    target, ckpt = f"{base_dir}/counts", f"{base_dir}/ckpt"
+    o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf, "lineitem").select("l_orderkey")
+    cust_schema = (
+        "c_custkey bigint, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string"
+    )
+    stream = file_stream(spark, f"{sf}/customer.parquet", cust_schema)
+
+    def audit(batch_df, batch_id):
+        forget = batch_df.filter(F.col("c_custkey") % 53 == 0).select(
+            "c_custkey"
+        )
+        purged_o = o.join(
+            forget, o["o_custkey"] == forget["c_custkey"], "left_semi"
+        ).select("o_orderkey")
+        purged_li = li.join(
+            purged_o, li["l_orderkey"] == purged_o["o_orderkey"], "left_semi"
+        )
+        row = (
+            forget.agg(F.count(F.lit(1)).alias("c"))
+            .crossJoin(purged_o.agg(F.count(F.lit(1)).alias("po")))
+            .crossJoin(purged_li.agg(F.count(F.lit(1)).alias("pl")))
+            .selectExpr(
+                "stack(3, 'customer', c, 'orders', po, 'lineitem', pl) "
+                "AS (table_name, n_purged)"
+            )
+        )
+        row.write.mode("overwrite").parquet(f"{target}/b{batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(audit)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = read_parquet_or_empty(
+        spark, "table_name string, n_purged bigint", target, recursive=True
+    ).groupBy("table_name").agg(F.sum("n_purged").alias("n_purged"))
+    c = table(spark, sf, "customer")
+    totals = (
+        c.agg(F.count(F.lit(1)).alias("n_total"))
+        .selectExpr("'customer' AS table_name", "n_total")
+        .unionByName(
+            o.agg(F.count(F.lit(1)).alias("n_total"))
+            .selectExpr("'orders' AS table_name", "n_total")
+        )
+        .unionByName(
+            li.agg(F.count(F.lit(1)).alias("n_total"))
+            .selectExpr("'lineitem' AS table_name", "n_total")
+        )
+    )
+    return (
+        totals.join(drained, "table_name", "left")
+        .select(
+            "table_name",
+            F.coalesce(F.col("n_purged"), F.lit(0)).cast("long")
+            .alias("n_purged"),
+            (F.col("n_total") - F.coalesce(F.col("n_purged"), F.lit(0)))
+            .cast("long").alias("n_kept"),
+        )
+    )
