@@ -768,7 +768,9 @@ def incremental_components(
     back onto standing, touching ONLY affected clusters (everyone else
     keeps their root via coalesce), and unassigned batch nodes append
     their fresh labels. At 100 TB the per-batch cost is the batch's own
-    pairs plus one broadcast-hash pass over the standing table — no
+    pairs plus two broadcast-hash passes over the standing table — the
+    left-semi restriction in (1) and the delta patch scan in (3); both
+    stream standing once each with only O(batch) state broadcast — no
     shuffle of standing, no full-history re-scan.
 
     Output: (``node``, ``cluster_id``) over standing nodes ∪ batch pair

@@ -215,8 +215,17 @@ def dedup_clusters_incremental(spark, sf):
     the full recursive-CTE closure over old ∪ new edges — equality
     proves incremental ≡ rebuild, the invariant the operator's property
     test sweeps over random graphs and splits. At 100 TB each ingest
-    batch pays its own pairs + one broadcast pass over the standing
-    table; history is never touched."""
+    batch pays its own pairs + two broadcast passes over the standing
+    table; history is never touched.
+
+    Exactness caveat (shared with every LSH-fed entry): the Spark side
+    clusters the LSH-verified pair set while the oracle brute-forces
+    ALL pairs, so the oracle equality additionally attests LSH recall
+    losslessness on this corpus — a true Jaccard-0.8 pair misses all
+    16 bands with prob (1−0.8⁴)¹⁶ ≈ 2·10⁻⁴, so a statistical miss at
+    an untested fixture vintage diverges the closure, not the
+    incremental ≡ rebuild invariant (that one is exact by the property
+    test regardless of which pairs feed it)."""
     from . import shared_jaccard_pairs
 
     pairs = shared_jaccard_pairs(spark, sf)
@@ -278,7 +287,10 @@ def dedup_clusters_roundtrip(spark, sf):
     recursive-CTE closure over old ∪ new edges as
     ``dedup_clusters_incremental`` — equality proves the persisted
     assignment is patch-compatible across sessions (plain int64
-    columns, no engine-internal state)."""
+    columns, no engine-internal state). Same LSH-losslessness caveat
+    as ``dedup_clusters_incremental``: the oracle brute-forces all
+    pairs, so its equality also attests the ~2·10⁻⁴-per-pair band-miss
+    event did not occur on this corpus."""
     from ..model import DataStream, StreamType
     from ..registry import resolve_input, resolve_output
     from . import scratch_dir, shared_jaccard_pairs
@@ -2220,11 +2232,15 @@ def search_phrase_positions(spark, sf):
                   AS BIGINT) AS wgt
       FROM t),
     s AS (SELECT SUM(wgt) AS sw, SUM(n_tokens) // 2 AS budget FROM w),
+    r AS (
+      SELECT source, n_tokens, wgt,
+             wgt * (budget // sw) + (wgt * (budget % sw)) // sw AS raw
+      FROM w, s),
     a AS (
       SELECT source, n_tokens, wgt,
-             LEAST(budget * wgt // sw, (3 * n_tokens) // 2) AS alloc_tokens,
-             budget * wgt // sw > (3 * n_tokens) // 2 AS capped
-      FROM w, s)
+             LEAST(raw, (3 * n_tokens) // 2) AS alloc_tokens,
+             raw > (3 * n_tokens) // 2 AS capped
+      FROM r)
     SELECT source, n_tokens, wgt,
            CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
            CAST(alloc_tokens * 1000 // n_tokens AS BIGINT) AS epochs_milli,
@@ -2245,7 +2261,13 @@ def dataset_token_budget_mix(spark, sf):
     would be redistributed by re-running the recipe on the uncapped
     remainder). All arithmetic is integer (the floor(sqrt(n·10⁴))
     trick keeps the fractional power exact in both engines), so the
-    oracle replays the whole recipe bit for bit. Plan: one tokenize +
+    oracle replays the whole recipe bit for bit. The allocation
+    divides BEFORE multiplying — ``wgt·(budget div sw) +
+    (wgt·(budget mod sw)) div sw``, an exact floor-div identity with
+    ``budget·wgt div sw`` — because the naive product overflows int64
+    at corpus scale (n_tokens ~2.5e13 → wgt ~5e8, budget ~1.25e13 →
+    ~6e21 > 2⁶³); the rearranged worst term is wgt·(sw−1) ≈ 2.5e18,
+    inside int64 for any corpus ≤ ~10¹⁵ tokens. Plan: one tokenize +
     per-source aggregate (10 rows), then pure scalar algebra on the
     broadcast totals — at 100 TB the corpus pass is the token count
     the run needs anyway; the recipe itself is free."""
@@ -2263,16 +2285,13 @@ def dataset_token_budget_mix(spark, sf):
         F.sum("wgt").alias("sw"),
         F.expr("sum(n_tokens) div 2").alias("budget"),
     )
+    raw = F.expr(
+        "wgt * (budget div sw) + (wgt * (budget % sw)) div sw"
+    )
     a = w.crossJoin(F.broadcast(s)).select(
         "source", "n_tokens", "wgt",
-        F.least(
-            F.expr("budget * wgt div sw"),
-            F.expr("(3 * n_tokens) div 2"),
-        ).alias("alloc_tokens"),
-        (
-            F.expr("budget * wgt div sw")
-            > F.expr("(3 * n_tokens) div 2")
-        ).alias("capped"),
+        F.least(raw, F.expr("(3 * n_tokens) div 2")).alias("alloc_tokens"),
+        (raw > F.expr("(3 * n_tokens) div 2")).alias("capped"),
     )
     return a.select(
         "source", "n_tokens", "wgt",

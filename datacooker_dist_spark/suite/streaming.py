@@ -1489,7 +1489,10 @@ def stream_clusters_incremental(spark, sf):
     over the contracted batch graph, standing roots broadcast-patched,
     never a full-history re-scan. The oracle is the recursive-CTE
     closure over base ∪ (new↔base) edges — drained ≡ batch-incremental
-    ≡ rebuild, exactly. At 100 TB: per-batch cost is the batch's
+    ≡ rebuild, exactly — with the family's LSH-losslessness caveat:
+    the oracle brute-forces the new↔base space, so equality also
+    attests no qualifying pair hit the ~2·10⁻⁴ all-bands-miss event
+    on this corpus. At 100 TB: per-batch cost is the batch's
     signatures + one index equi-join; the cluster patch runs once per
     maintenance window over O(drained pairs), not history."""
     from ..operators import dedup as D
