@@ -405,6 +405,32 @@ def test_kmin_values_partial_rows_bounded(spark):
     # emits at most k distinct values per (group, partition).
     n_partial = kmin_partials(df, ["g"], "v", k).count()
     assert n_partial <= parts * groups * k
+    # Hierarchical fold bound (VERDICT r09 task 2): the final per-group
+    # merge consumes at most B folded rows per group, each a ≤k-entry
+    # array — so no aggregation buffer ever holds more than k·B values
+    # regardless of upstream task count P (B = ceil(sqrt(P)) by default).
+    fold_b = 2
+    folded = (
+        kmin_partials(df, ["g"], "v", k)
+        .groupBy(
+            "g",
+            F.pmod(F.spark_partition_id(), F.lit(fold_b)).alias("_fold"),
+        )
+        .agg(
+            F.slice(
+                F.array_sort(F.array_distinct(F.collect_list("v"))), 1, k
+            ).alias("_kmin")
+        )
+    )
+    assert folded.count() <= groups * fold_b
+    assert folded.select(F.max(F.size("_kmin"))).first()[0] <= k
+    # ...and an explicit tiny-bucket fold yields the identical sketch
+    # (k-min-of-union is associative — any bucketing merges to the same
+    # k smallest distinct values).
+    got_b2 = {
+        r["g"]: list(r["kmin"])
+        for r in kmin_values(df, ["g"], "v", k, fold_buckets=fold_b).collect()
+    }
     got = {r["g"]: list(r["kmin"]) for r in sketch.collect()}
     import itertools
 
@@ -417,6 +443,7 @@ def test_kmin_values_partial_rows_bounded(spark):
     ):
         brute[g] = sorted({v for _, v in vals})[:k]
     assert got == brute
+    assert got_b2 == brute
     # Repartitioning must not change the sketch.
     got17 = {
         r["g"]: list(r["kmin"])
