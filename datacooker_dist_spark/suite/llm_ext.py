@@ -2033,6 +2033,36 @@ _CDC_HASH_SQL = " + ".join(
 )
 
 
+def cdc_boundaries_udf():
+    """The CDC rolling-hash boundary detector as an Arrow-batched pandas
+    UDF — module-level so ``dedup_cdc_chunks`` and the scorecard's
+    shift-invariance row run the SAME engine artifact: positions (1-based,
+    window END) where the W-term polynomial hash ≡ 0 mod D."""
+    from pyspark.sql.functions import pandas_udf
+
+    pows = np.array(_CDC_POWS, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def cdc_boundaries(texts: pd.Series) -> pd.Series:
+        out = []
+        for s in texts:
+            if s is None or len(s) < _CDC_W:
+                out.append([])
+                continue
+            # codepoints == ascii() for this corpus; ord() keeps parity
+            # with the engines' codepoint semantics beyond ASCII too.
+            codes = np.fromiter((ord(c) for c in s), dtype=np.int64,
+                                count=len(s))
+            # h for the window ENDING at 1-based position i lands at
+            # conv[i - W]; max term 255·1e6·16 ≈ 4e9 — exact int64.
+            conv = np.convolve(codes, pows, mode="valid")
+            hits = np.nonzero(conv % _CDC_M % _CDC_D == 0)[0] + _CDC_W
+            out.append(hits.tolist())
+        return pd.Series(out)
+
+    return cdc_boundaries
+
+
 @query(
     "dedup_cdc_chunks",
     oracle=f"""
@@ -2088,27 +2118,7 @@ def dedup_cdc_chunks(spark, sf):
     (the dedup_exact convention) so only fingerprints shuffle, and the
     boundary pass streams at scan speed, which is exactly why CDC is
     the storage-dedup standard (LBFS, Muthitacharoen et al. SOSP'01)."""
-    from pyspark.sql.functions import pandas_udf
-
-    pows = np.array(_CDC_POWS, dtype=np.int64)
-
-    @pandas_udf("array<long>")
-    def cdc_boundaries(texts: pd.Series) -> pd.Series:
-        out = []
-        for s in texts:
-            if s is None or len(s) < _CDC_W:
-                out.append([])
-                continue
-            # codepoints == ascii() for this corpus; ord() keeps parity
-            # with the engines' codepoint semantics beyond ASCII too.
-            codes = np.fromiter((ord(c) for c in s), dtype=np.int64,
-                                count=len(s))
-            # h for the window ENDING at 1-based position i lands at
-            # conv[i - W]; max term 255·1e6·16 ≈ 4e9 — exact int64.
-            conv = np.convolve(codes, pows, mode="valid")
-            hits = np.nonzero(conv % _CDC_M % _CDC_D == 0)[0] + _CDC_W
-            out.append(hits.tolist())
-        return pd.Series(out)
+    cdc_boundaries = cdc_boundaries_udf()
 
     docs = table(spark, sf, "documents")
     t = F.col("text")
