@@ -2559,3 +2559,265 @@ def semantic_dedup_incremental(
         )
         .distinct()  # spilled assignments can surface a pair via 2 cells
     )
+
+
+# ---------------------------------------------------------------------------
+# NN-descent kNN graph (round 10, VERDICT r09 task 1) — the graph-based ANN
+# family beside LSH/IVF/PQ/OPQ/SQ8. Reference semantics: Dong, Charikar, Li,
+# "Efficient K-Nearest Neighbor Graph Construction for Generic Similarity
+# Measures" (WWW 2011) — local joins over the evolving neighbor lists;
+# re-expressed Spark-first as bounded self-equi-joins, never a sequential
+# per-node heap walk.
+# ---------------------------------------------------------------------------
+
+
+def _knn_vectors(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(_id, _v double-array) projection shared by the graph family."""
+    return corpus.select(
+        F.col(id_col).alias("_id"), as_double_array(vec_col).alias("_v")
+    )
+
+
+def _knn_score_pairs(
+    pairs: DataFrame, vectors: DataFrame, round_digits: int | None = 6
+) -> DataFrame:
+    """Exact-cosine score an (src, dst) id-pair frame via two hash
+    equi-joins onto the vector table — no broadcast assumption (both
+    sides may be corpus-sized; the PAIR LIST is the bounded thing, the
+    caller's fanout caps guarantee it). Scores are rounded to the
+    suite's deterministic 6-digit grid before any ranking."""
+    va = vectors.select(F.col("_id").alias("src"), F.col("_v").alias("_va"))
+    vb = vectors.select(F.col("_id").alias("dst"), F.col("_v").alias("_vb"))
+    cos = cosine_expr(F.col("_va"), F.col("_vb"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    return (
+        pairs.join(va, "src").join(vb, "dst")
+        .select("src", "dst", cos.alias("cosine"))
+    )
+
+
+def _knn_truncate(scored: DataFrame, k: int) -> DataFrame:
+    """Per-source top-k truncation by (cosine desc, dst asc) — the graph
+    invariant every round re-establishes. Deterministic: rounded scores,
+    id tiebreak."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy(
+        F.col("cosine").desc(), F.col("dst").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("src", "dst", "cosine")
+    )
+
+
+def nndescent_round(
+    graph: DataFrame,
+    vectors: DataFrame,
+    k: int,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """ONE NN-descent round as pure DataFrame algebra (exposed so the
+    plan test audits a round's executed plan directly): candidates are
+    neighbors-of-neighbors under the SYMMETRIZED current graph — the
+    paper's local join — generated by a self-equi-join on the shared
+    pivot node, exact-scored, unioned with the standing edges, and
+    re-truncated to per-node top-k.
+
+    Scale bounds, per round: the reverse adjacency is capped at k per
+    node (the paper's reverse sampling ρ=1), so the symmetrized
+    adjacency holds ≤ 2k rows per node and the pivot self-join fans out
+    ≤ (2k)² candidate pairs per node — n·4k² scored pairs worst case,
+    all hash equi-joins (no cartesian, no broadcast of a corpus-sized
+    side). Already-present edges are anti-joined out before scoring so
+    converged regions cost nothing. The k-NN list of every node can
+    only improve (union ∪ re-truncate is monotone in rounded cosine) —
+    the monotonicity the build test asserts."""
+    from pyspark.sql import Window
+
+    w_rev = Window.partitionBy("src").orderBy(
+        F.col("cosine").desc(), F.col("dst").asc()
+    )
+    rev = (
+        graph.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "cosine"
+        )
+        .withColumn("_rn", F.row_number().over(w_rev))
+        .filter(F.col("_rn") <= k)
+        .select("src", "dst")
+    )
+    adj = graph.select("src", "dst").unionAll(rev).distinct()
+    c1 = adj.select(F.col("src").alias("_p"), F.col("dst").alias("src"))
+    c2 = adj.select(F.col("src").alias("_p"), F.col("dst").alias("dst"))
+    cand = (
+        c1.join(c2, "_p")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .join(graph.select("src", "dst"), ["src", "dst"], "left_anti")
+    )
+    fresh = _knn_score_pairs(cand, vectors, round_digits)
+    return _knn_truncate(graph.unionAll(fresh), k)
+
+
+def knn_graph_build(
+    corpus: DataFrame,
+    k: int = 10,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cells: tuple[DataFrame, DataFrame] | None = None,
+    n_cells: int = 16,
+    seed_cap: int | None = None,
+    pool_cap: int | None = None,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Build a per-node top-k cosine kNN GRAPH by IVF-seeded NN-descent
+    (round 10, VERDICT r09 task 1) — the substrate graph-ANN search,
+    SemDeDup-style curation, and label propagation consume.
+
+    Seeding (instead of the paper's uniform-random k): co-cell pairs
+    from the (prebuilt or fresh) IVF assignment, DOUBLY capped so no
+    cell size ever goes quadratic — each cell exposes a deterministic
+    ≤``pool_cap`` candidate pool (xxhash64 rank within cell), each node
+    scores ≤``seed_cap`` pool members (xxhash64 rank per node). The
+    seeded graph then runs ``rounds`` NN-descent local-join rounds
+    (:func:`nndescent_round`; each round's lineage is cut with an eager
+    ``localCheckpoint`` — the iterative-algorithm convention of
+    ``connected_components``). Every stage is hash equi-joins +
+    bounded-partition windows; nothing broadcasts a corpus-sized frame
+    and nothing collects to the driver. Cost at 100 TB: seed n·seed_cap
+    scored pairs, then ≤ n·4k² scored pairs per round — linear in n
+    with small constants, the reason NN-descent is the standard
+    batch-kNN-graph algorithm.
+
+    Determinism: cosines round to the 6-digit grid, every rank breaks
+    ties by id, hash caps are xxhash64-keyed — the graph is a pure
+    function of (corpus, parameters), invariant to partitioning
+    (asserted by the build test under repartition).
+
+    Output: (vec_id, neighbor_id, rnk, cosine) — ≤k ascending-rank
+    exact-cosine-verified out-neighbors per node."""
+    from pyspark.sql import Window
+
+    seed_cap = seed_cap if seed_cap is not None else 2 * k
+    pool_cap = pool_cap if pool_cap is not None else 4 * k
+    vectors = _knn_vectors(corpus, id_col, vec_col).localCheckpoint()
+    if cells is None:
+        cells = ivf_cells(corpus, n_cells, id_col, vec_col)
+    _, assigned = cells
+    a = assigned.select(F.col(id_col).alias("src"), "cell")
+    b = assigned.select(F.col(id_col).alias("dst"), "cell")
+    w_pool = Window.partitionBy("cell").orderBy(F.xxhash64("dst"), "dst")
+    pool = (
+        b.withColumn("_pn", F.row_number().over(w_pool))
+        .filter(F.col("_pn") <= pool_cap)
+        .select("dst", "cell")
+    )
+    w_seed = Window.partitionBy("src").orderBy(
+        F.xxhash64("src", "dst"), "dst"
+    )
+    seed_pairs = (
+        a.join(pool, "cell")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()  # spilled assignment surfaces a pair via 2 cells
+        .withColumn("_rn", F.row_number().over(w_seed))
+        .filter(F.col("_rn") <= seed_cap)
+        .select("src", "dst")
+    )
+    g = _knn_truncate(
+        _knn_score_pairs(seed_pairs, vectors, round_digits), k
+    ).localCheckpoint()
+    for _ in range(rounds):
+        g = nndescent_round(g, vectors, k, round_digits).localCheckpoint()
+    w_out = Window.partitionBy("src").orderBy(
+        F.col("cosine").desc(), F.col("dst").asc()
+    )
+    return g.select(
+        F.col("src").alias("vec_id"), F.col("dst").alias("neighbor_id"),
+        F.row_number().over(w_out).alias("rnk"),
+        "cosine",
+    )
+
+
+def cosine_topk_graph(
+    corpus: DataFrame,
+    queries: DataFrame,
+    graph: DataFrame,
+    cells: tuple[DataFrame, DataFrame],
+    k: int = 5,
+    nprobe: int = 4,
+    hops: int = 1,
+    entry_cap: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+    spilled: bool = False,
+) -> DataFrame:
+    """Graph-AUGMENTED IVF top-k search over a standing
+    :func:`knn_graph_build` graph: entry points are the plain IVF probe
+    path's top-``entry_cap`` candidates (:func:`cosine_topk_ivf`, same
+    cells/nprobe — so this search's candidate set is a SUPERSET of the
+    IVF top-k's and its recall@k dominates it structurally, the
+    invariant the scorecard row re-measures); each of ``hops`` rounds
+    then expands the frontier through the kNN graph's out-edges
+    (bounded: ≤k new ids per frontier row, one hash equi-join on the
+    graph — the batch formulation of greedy graph search), and every
+    expanded candidate is exact-cosine scored against its query before
+    the final deterministic top-k. Recovers cross-cell neighbors that
+    IVF's probe list misses at the same nprobe — measured in
+    ``similarity_recall_report``. Queries are a bounded broadcast; the
+    graph and corpus never broadcast.
+
+    Output: (query_id, neighbor_id, rnk, cosine)."""
+    from pyspark.sql import Window
+
+    entry_cap = entry_cap if entry_cap is not None else 2 * k
+    entry = cosine_topk_ivf(
+        corpus, queries, k=entry_cap, nprobe=nprobe, cells=cells,
+        id_col=id_col, vec_col=vec_col, round_digits=round_digits,
+        spilled=spilled,
+    ).select("query_id", "neighbor_id", "cosine")
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("_qv")
+    )
+    vectors = _knn_vectors(corpus, id_col, vec_col)
+    scored = entry
+    frontier = entry.select("query_id", F.col("neighbor_id").alias("cand"))
+    seen = frontier
+    edges = graph.select(
+        F.col("vec_id").alias("cand"), F.col("neighbor_id").alias("_n")
+    )
+    for _ in range(hops):
+        nxt = (
+            frontier.join(edges, "cand")
+            .select("query_id", F.col("_n").alias("cand"))
+            .distinct()
+            .join(seen, ["query_id", "cand"], "left_anti")
+            .filter(F.col("query_id") != F.col("cand"))
+        )
+        cos = cosine_expr(F.col("_qv"), F.col("_v"))
+        if round_digits is not None:
+            cos = F.round(cos, round_digits)
+        hop_scored = (
+            nxt.join(vectors.withColumnRenamed("_id", "cand"), "cand")
+            .join(F.broadcast(qv), "query_id")
+            .select(
+                "query_id", F.col("cand").alias("neighbor_id"),
+                cos.alias("cosine"),
+            )
+        )
+        scored = scored.unionAll(hop_scored)
+        seen = seen.unionAll(nxt.select("query_id", "cand"))
+        frontier = nxt.select("query_id", "cand")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

@@ -2364,3 +2364,107 @@ def test_phrase_positions_match_brute_string_scan(spark):
                 brute[(qid, d)] = n
     assert got == brute
     assert got[(1, 1)] == 2  # overlapping 'x x' in 'x x x'
+
+
+def _knn_toy_vectors(spark, n=60, dim=8, n_parts=4):
+    """Deterministic clustered toy vectors: 4 well-separated axis
+    clusters with small integer jitter, so true neighbors are
+    unambiguous and everything stays exact-arithmetic-friendly."""
+    rows = []
+    for i in range(n):
+        c = i % 4
+        v = [0.0] * dim
+        v[c * 2] = 10.0
+        v[c * 2 + 1] = float((i * 7) % 5)  # deterministic jitter
+        rows.append((i, v))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(n_parts)
+
+
+def test_knn_graph_build_monotone_and_deterministic(spark):
+    """NN-descent structure (round 10): out-degree ≤ k everywhere; each
+    round's union∪re-truncate can only improve the per-node lists (the
+    summed rounded edge cosine is non-decreasing in rounds); and the
+    graph is a pure function of (corpus, params) — identical under a
+    different partitioning."""
+    from pyspark.sql import functions as F
+
+    from datacooker_dist_spark.operators import similarity as S
+
+    emb = _knn_toy_vectors(spark)
+    k = 5
+    sums = []
+    for rounds in (0, 1, 2):
+        g = S.knn_graph_build(emb, k=k, rounds=rounds, n_cells=4)
+        deg = g.groupBy("vec_id").count().agg(F.max("count")).first()[0]
+        assert deg <= k
+        sums.append(
+            g.agg(F.sum((F.col("cosine") * 1e6).cast("long"))).first()[0]
+        )
+    assert sums[0] <= sums[1] <= sums[2]
+    g2 = S.knn_graph_build(emb, k=k, rounds=2, n_cells=4)
+    g2b = S.knn_graph_build(emb.repartition(13), k=k, rounds=2, n_cells=4)
+    assert sorted(map(tuple, g2.collect())) == sorted(
+        map(tuple, g2b.collect())
+    )
+
+
+def test_knn_graph_round_plan_no_cartesian(spark):
+    """Every NN-descent round is hash equi-joins only — the round's
+    EXECUTED plan (audited directly on the exposed round builder, since
+    the build checkpoints each round and would hide it from the suite
+    sweep) contains no CartesianProduct and no corpus-sized
+    BroadcastNestedLoopJoin."""
+    from datacooker_dist_spark.operators import similarity as S
+    from datacooker_dist_spark.operators.similarity import (
+        _knn_vectors,
+        nndescent_round,
+    )
+
+    emb = _knn_toy_vectors(spark)
+    g0 = S.knn_graph_build(emb, k=5, rounds=0, n_cells=4).select(
+        F.col("vec_id").alias("src"),
+        F.col("neighbor_id").alias("dst"),
+        "cosine",
+    ).localCheckpoint()
+    r1 = nndescent_round(g0, _knn_vectors(emb, "vec_id", "embedding"), 5)
+    r1.foreach(lambda _: None)
+    plan = r1._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_graph_search_superset_dominates_ivf(spark):
+    """cosine_topk_graph candidates ⊇ same-parameter IVF top-k under the
+    identical rounded-score/id-tiebreak ranking, so exact-truth overlap
+    never drops — asserted on the toy corpus where exact truth is a
+    brute-force cosine_topk."""
+    from pyspark.sql import functions as F
+
+    from datacooker_dist_spark.operators import similarity as S
+
+    emb = _knn_toy_vectors(spark)
+    q = emb.filter(F.col("vec_id") < 6)
+    cells = S.ivf_cells(emb, n_cells=4)
+    graph = S.knn_graph_build(emb, k=5, rounds=2, cells=cells)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(emb, q, k=3).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk_ivf(
+            emb, q, k=3, nprobe=1, cells=cells
+        ).collect()
+    }
+    gs = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk_graph(
+            emb, q, graph=graph, cells=cells, k=3, nprobe=1, hops=2,
+            entry_cap=6,
+        ).collect()
+    }
+    assert len(gs & exact) >= len(ivf & exact)
+    # each query still returns a full k
+    assert len(gs) == 6 * 3
