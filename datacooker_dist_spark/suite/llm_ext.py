@@ -1358,9 +1358,7 @@ def text_ngram_topk(spark, sf):
     )
 
 
-@query(
-    "dedup_golden_record",
-    oracle="""
+_GOLDEN_ORACLE = """
     WITH RECURSIVE
     sh AS (SELECT doc_id,
            list_distinct(list_transform(
@@ -1400,8 +1398,10 @@ def text_ngram_topk(spark, sf):
              AS sources
     FROM ranked m
     GROUP BY m.cluster_id
-    """,
-)
+    """
+
+
+@query("dedup_golden_record", oracle=_GOLDEN_ORACLE)
 def dedup_golden_record(spark, sf):
     """Golden-record SURVIVORSHIP merge — what record-linkage pipelines do
     AFTER clustering: each near-dup cluster collapses to one canonical
@@ -1431,6 +1431,16 @@ def dedup_golden_record(spark, sf):
             F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
         )
     )
+    return golden_rollup(members)
+
+
+def golden_rollup(members):
+    """Survivorship ROLLUP shared by the full and incremental golden-
+    record paths: collapse a (doc_id, text, n_chars, source, cluster_id)
+    member frame to one canonical row per cluster — longest-text
+    survivor with a doc_id tiebreak (a rank window with a TOTAL order;
+    'pick any' survivorship is nondeterministic at any scale), min id as
+    the stable key, summed volume, sorted source provenance."""
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("n_chars").desc(), "doc_id"
     )
@@ -1442,6 +1452,177 @@ def dedup_golden_record(spark, sf):
         F.sum("n_chars").alias("total_chars"),
         F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources"),
     )
+
+
+def _golden_incremental(spark, sf, roundtrip_state=False):
+    """Shared builder for the incremental golden-record entries (round
+    10, VERDICT r09 task 3): build the BASE state — standing (node →
+    root) assignment over the base corpus's verified pairs plus the
+    standing golden table its survivorship rules produce — optionally
+    round-trip that state through the engine's own parquet adapters
+    (the cross-session shape), then patch it with the new batch:
+
+    1. ``incremental_components`` updates the assignment (batch-graph
+       union-find + broadcast root patch — never an edge-history scan);
+    2. AFFECTED clusters = new cluster ids holding ≥1 batch node or ≥1
+       standing node whose root changed; every other cluster kept its
+       id AND its member set, so its golden row is provably unchanged;
+    3. survivorship re-derives ONLY over affected members
+       (:func:`golden_rollup` on a batch-bounded frame), old golden
+       rows of absorbed/regrown clusters drop by one broadcast
+       anti-join, new-doc singletons append.
+
+    At 100 TB the nightly MDM bill is: the batch's own pairs, the
+    incremental assignment's two broadcast passes over standing, one
+    broadcast anti-join pass over the standing GOLDEN table, and a
+    rollup of only the touched clusters — survivorship never recomputes
+    over the untouched corpus (``dedup_golden_record`` recomputes all
+    clusters every run; this is its affected-only form)."""
+    from . import shared_jaccard_pairs
+
+    docs = table(spark, sf, "documents")
+    base_docs = docs.filter(F.col("doc_id") % 5 != 0)
+    new_docs = docs.filter(F.col("doc_id") % 5 == 0)
+    pairs = shared_jaccard_pairs(spark, sf)
+    is_new_a = F.col("id_a") % 5 == 0
+    is_new_b = F.col("id_b") % 5 == 0
+    base_pairs = pairs.filter(~is_new_a & ~is_new_b)
+    batch_pairs = pairs.filter(is_new_a | is_new_b)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        standing = (
+            D.connected_components(base_pairs.select("id_a", "id_b"))
+            .select(
+                F.col("id_a").alias("node"),
+                F.col("cluster_id").alias("root"),
+            )
+            .localCheckpoint()
+        )
+        standing_golden = golden_rollup(
+            base_docs.join(
+                standing.withColumnRenamed("node", "doc_id"),
+                "doc_id", "left",
+            ).select(
+                "doc_id", "text", "n_chars", "source",
+                F.coalesce("root", "doc_id").alias("cluster_id"),
+            )
+        ).localCheckpoint()
+
+        if roundtrip_state:
+            from ..model import DataStream, StreamType
+            from ..registry import resolve_input, resolve_output
+            from . import scratch_dir
+
+            base_dir = scratch_dir("goldenstate")
+            out = resolve_output("hadoopParquet")().configure(
+                {}
+            ).initialize(spark, base_dir)
+            # Sub-stream names land each state table in its own
+            # subdirectory (a plain name writes to the base dir itself,
+            # so two plain saves would overwrite each other).
+            out.save(
+                "state/cc",
+                DataStream("state/cc", standing, StreamType.COLUMNAR),
+            )
+            out.save(
+                "state/golden",
+                DataStream(
+                    "state/golden", standing_golden, StreamType.COLUMNAR
+                ),
+            )
+            standing = resolve_input("hadoopColumnar")().configure(
+                {"parquet": True}
+            ).initialize(spark, f"{base_dir}/cc").load("cc")["cc"].df
+            standing_golden = resolve_input("hadoopColumnar")().configure(
+                {"parquet": True}
+            ).initialize(
+                spark, f"{base_dir}/golden"
+            ).load("golden")["golden"].df
+
+        updated = D.incremental_components(
+            standing, batch_pairs.select("id_a", "id_b")
+        ).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    # Affected clusters = new cluster ids holding a BATCH-EDGE endpoint:
+    # a standing node's root changes ONLY through a merge path that
+    # crosses a batch edge, so every merged/extended cluster contains an
+    # endpoint — no standing-vs-updated comparison join needed (the
+    # naive `updated JOIN standing ON node` spelling shuffles two
+    # corpus-sized assignments against each other; this is one
+    # broadcast left-semi pass over `updated` instead).
+    e_nodes = (
+        batch_pairs.select(F.col("id_a").alias("node"))
+        .unionAll(batch_pairs.select(F.col("id_b").alias("node")))
+        .distinct()
+    )
+    affected = (
+        updated.join(F.broadcast(e_nodes), "node", "left_semi")
+        .select("cluster_id")
+        .distinct()
+    )
+    members_a = updated.join(F.broadcast(affected), "cluster_id", "left_semi")
+    # Old golden rows to drop: the OLD labels of affected members —
+    # standing restricted by broadcast left-semi first (the
+    # incremental_components discipline: a LEFT OUTER against standing
+    # can only broadcast its right side, which is the corpus-sized one,
+    # so restrict-then-join keeps standing un-shuffled).
+    st_hits = standing.join(
+        F.broadcast(members_a.select("node")), "node", "left_semi"
+    )
+    old_ids = (
+        members_a.filter(F.col("node") % 5 != 0)
+        .join(F.broadcast(st_hits), "node", "left")
+        .select(F.coalesce("root", F.col("node")).alias("cluster_id"))
+        .distinct()
+    )
+    affected_members = docs.withColumnRenamed("doc_id", "node").join(
+        F.broadcast(members_a), "node"
+    ).select(
+        F.col("node").alias("doc_id"), "text", "n_chars", "source",
+        "cluster_id",
+    )
+    singles = new_docs.join(
+        updated.withColumnRenamed("node", "doc_id"), "doc_id", "left_anti"
+    ).select(
+        "doc_id", "text", "n_chars", "source",
+        F.col("doc_id").alias("cluster_id"),
+    )
+    return (
+        standing_golden.join(F.broadcast(old_ids), "cluster_id", "left_anti")
+        .unionByName(golden_rollup(affected_members))
+        .unionByName(golden_rollup(singles))
+    )
+
+
+@query("dedup_golden_incremental", oracle=_GOLDEN_ORACLE)
+def dedup_golden_incremental(spark, sf):
+    """INCREMENTAL golden-record maintenance (round 10, VERDICT r09 task
+    3) — survivorship patched for AFFECTED clusters only when a batch
+    merges or extends them (builder: :func:`_golden_incremental`). The
+    oracle is the full survivorship recompute over old ∪ new edges —
+    equality proves patched ≡ rebuild, i.e. the affected-cluster
+    restriction loses nothing. Same LSH-losslessness caveat as
+    ``dedup_clusters_incremental`` (the oracle brute-forces all
+    pairs)."""
+    return _golden_incremental(spark, sf, roundtrip_state=False)
+
+
+@query("dedup_golden_roundtrip", oracle=_GOLDEN_ORACLE)
+def dedup_golden_roundtrip(spark, sf):
+    """STATE-TABLE round-trip for incremental golden records (round 10
+    — the ``dedup_clusters_roundtrip`` convention): the standing
+    assignment AND the standing golden table are written through the
+    engine's own hadoopParquet OUTPUT adapter, read back cold through
+    the INPUT adapter (lineage-free — what the next MDM session sees),
+    and the batch patches THOSE. Equality against the full-recompute
+    oracle proves the persisted survivorship state is patch-compatible
+    across sessions (longs, strings, and the comma-joined provenance
+    survive parquet byte-exactly)."""
+    return _golden_incremental(spark, sf, roundtrip_state=True)
 
 
 @query(
