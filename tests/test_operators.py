@@ -2468,3 +2468,37 @@ def test_graph_search_superset_dominates_ivf(spark):
     assert len(gs & exact) >= len(ivf & exact)
     # each query still returns a full k
     assert len(gs) == 6 * 3
+
+
+def test_quantized_prefilter_label_respect_and_plan(spark):
+    """match_col on the ADC scorers (round 10): every returned neighbor
+    carries the query's label, each query ranks a full k from its
+    eligible set (pre-filter, never a starved post-filter), and the
+    executed plans stay equi-join-only — no CartesianProduct from the
+    label predicate."""
+    from pyspark.sql import functions as F
+
+    from datacooker_dist_spark.operators import similarity as S
+
+    emb = _knn_toy_vectors(spark).withColumn(
+        "label", (F.col("vec_id") % 3).cast("int")
+    )
+    q = emb.filter(F.col("vec_id") < 6)
+    labels = {r.vec_id: r.label for r in emb.collect()}  # 60-row fixture
+    cells = S.ivf_cells(emb, n_cells=4)
+    k = 3
+    sq8 = S.cosine_topk_sq8(emb, q, k=k, match_col="label")
+    pq = S.cosine_topk_ivfpq(
+        emb, q, dim=8, k=k, nprobe=4, m=4, n_codes=8, cells=cells,
+        spilled=False, match_col="label",
+    )
+    for res in (sq8, pq):
+        rows = res.collect()
+        per_q = {}
+        for r in rows:
+            assert labels[r.neighbor_id] == labels[r.query_id]
+            per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+        # 20 eligible per label (60/3) minus self — full k everywhere
+        assert per_q and all(v == k for v in per_q.values())
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
