@@ -1922,3 +1922,108 @@ def privacy_forget_cascade(spark, sf):
         .unionByName(counts("orders", o, purged_o))
         .unionByName(counts("lineitem", li, purged_li))
     )
+
+
+@query(
+    "privacy_forget_execute",
+    oracle="""
+    WITH forget AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 53 = 0),
+    purged_o AS (SELECT o_orderkey FROM orders
+                 WHERE o_custkey IN (SELECT c_custkey FROM forget))
+    SELECT 'customer' AS table_name,
+           CAST((SELECT COUNT(*) FROM customer)
+                - (SELECT COUNT(*) FROM forget) AS BIGINT) AS n_kept,
+           CAST(0 AS BIGINT) AS n_purged_rerun
+    UNION ALL
+    SELECT 'orders',
+           CAST((SELECT COUNT(*) FROM orders)
+                - (SELECT COUNT(*) FROM purged_o) AS BIGINT),
+           CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem',
+           CAST((SELECT COUNT(*) FROM lineitem)
+                - (SELECT COUNT(*) FROM lineitem
+                   WHERE l_orderkey IN (SELECT o_orderkey FROM purged_o))
+             AS BIGINT),
+           CAST(0 AS BIGINT)
+    """,
+)
+def privacy_forget_execute(spark, sf):
+    """Right-to-be-forgotten EXECUTE mode (round 10, VERDICT r09 task 6)
+    — the purge ``privacy_forget_cascade`` audits, actually run: the
+    same FK chain with LEFT ANTI in place of LEFT SEMI lands a purged
+    COPY of each table (customer → orders via o_custkey → lineitem via
+    l_orderkey) through the ``backfill_partition_overwrite`` machinery
+    — hive-partitioned dynamic-overwrite parquet writes, the idempotent
+    lake rewrite primitive. The returned ledger is measured from the
+    WRITTEN FILES, cold: per table, n_kept = the purged copy's row
+    count — the oracle recomputes the audit's n_kept from the original
+    tables, so equality reconciles the executed deletion with the
+    audit — and n_purged_rerun = the full purge chain RE-RUN against
+    the purged copy (forget-set scan → order semi → lineitem semi),
+    provably 0: re-running the purge deletes nothing, the compliance
+    idempotence a regulator asks for. Anti joins stay deliberately
+    un-hinted for the same reason the audit's semis do (AQE broadcasts
+    a handful-of-subjects forget-set; a court-order sweep must
+    shuffle); the writes rewrite each partition once; nothing collects
+    to the driver."""
+    base = scratch_dir("forgetexec")
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders")
+    li = table(spark, sf, "lineitem")
+    forget = c.filter(F.col("c_custkey") % 53 == 0).select("c_custkey")
+    purged_o_keys = o.join(
+        forget, o["o_custkey"] == forget["c_custkey"], "left_semi"
+    ).select("o_orderkey")
+    kept_c = c.join(
+        forget.withColumnRenamed("c_custkey", "_fk"),
+        c["c_custkey"] == F.col("_fk"), "left_anti",
+    )
+    kept_o = o.join(
+        forget, o["o_custkey"] == forget["c_custkey"], "left_anti"
+    )
+    kept_li = li.join(
+        purged_o_keys, li["l_orderkey"] == purged_o_keys["o_orderkey"],
+        "left_anti",
+    )
+    targets = {
+        "customer": (kept_c, "c_mktsegment"),
+        "orders": (kept_o, "o_orderpriority"),
+        "lineitem": (kept_li, "l_returnflag"),
+    }
+    for name, (df, pcol) in targets.items():
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(pcol)
+            .parquet(f"{base}/{name}")
+        )
+    cold_c = spark.read.parquet(f"{base}/customer")
+    cold_o = spark.read.parquet(f"{base}/orders")
+    cold_li = spark.read.parquet(f"{base}/lineitem")
+    forget2 = cold_c.filter(F.col("c_custkey") % 53 == 0).select("c_custkey")
+    purged_o2 = cold_o.join(
+        forget2, cold_o["o_custkey"] == forget2["c_custkey"], "left_semi"
+    ).select("o_orderkey")
+    purged_li2 = cold_li.join(
+        purged_o2, cold_li["l_orderkey"] == purged_o2["o_orderkey"],
+        "left_semi",
+    )
+
+    def ledger(name, kept_df, rerun_df):
+        k = kept_df.agg(F.count(F.lit(1)).alias("n_kept"))
+        r = rerun_df.agg(
+            F.count(F.lit(1)).alias("n_purged_rerun")
+        )
+        return k.crossJoin(F.broadcast(r)).select(
+            F.lit(name).alias("table_name"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+            F.col("n_purged_rerun").cast("long").alias("n_purged_rerun"),
+        )
+
+    return (
+        ledger("customer", cold_c, forget2)
+        .unionByName(ledger("orders", cold_o, purged_o2))
+        .unionByName(ledger("lineitem", cold_li, purged_li2))
+    )
