@@ -1968,3 +1968,95 @@ def stream_forget_cascade(spark, sf):
             .cast("long").alias("n_kept"),
         )
     )
+
+
+@query(
+    "stream_artifact_vacuum",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS c FROM documents)
+    SELECT 'drained_rows' AS check_name, CAST(c AS BIGINT) AS n_rows FROM n
+    UNION ALL SELECT 'post_vacuum_rows', CAST(c AS BIGINT) FROM n
+    UNION ALL SELECT 'revacuum_extra_rows', CAST(0 AS BIGINT)
+    UNION ALL SELECT 'replay_extra_rows', CAST(0 AS BIGINT)
+    UNION ALL SELECT 'file_count_reduced', CAST(1 AS BIGINT)
+    """,
+)
+def stream_artifact_vacuum(spark, sf):
+    """Streaming-artifact RETENTION (round 10, VERDICT r09 task 8): every
+    foreachBatch twin lands per-``b<batch_id>`` parquet dirs that
+    accumulate forever; this entry drives the vacuum op
+    (:func:`~..streaming.pipeline.vacuum_batch_artifacts`) end to end
+    and pins its whole contract in one exact-oracled ledger. A real
+    4-micro-batch drained stream (documents resharded to 4 source
+    files, maxFilesPerTrigger=1, the twins' idempotent per-batch
+    overwrite sink) lands b0..b3; the vacuum compacts batches ≤
+    watermark 1 into one coalesced partition. Ledger rows, all
+    oracle-pinned: the drained row count (≡ COUNT(documents) — the
+    landing loses nothing), the post-vacuum count (≡ the same —
+    compaction is LOSSLESS), re-vacuum extra rows = 0 (IDEMPOTENT), the
+    extra rows after REPLAYING an already-compacted batch (the
+    crash-recovery case: the idempotent sink rewrites identical content
+    under the same batch id) and re-vacuuming = 0 (the per-batch origin
+    tag dedupes the fold), and file_count_reduced = 1 (the compacted
+    store holds fewer files than the dirs it merged — structural:
+    coalesce(1) over ≥2 one-file batch dirs). The five counts collected
+    driver-side are five scalars — bounded by construction."""
+    import glob
+
+    from ..streaming.pipeline import (
+        read_batch_artifacts,
+        vacuum_batch_artifacts,
+    )
+    from . import table
+
+    docs = table(spark, sf, "documents")
+    base_dir = scratch_dir("svac")
+    src, target = f"{base_dir}/src", f"{base_dir}/art"
+    ckpt = f"{base_dir}/ckpt"
+    docs.select("doc_id", "n_chars", "source").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    schema = "doc_id bigint, n_chars bigint, source string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+    def land(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(f"{target}/b{batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(land)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def n_files():
+        return len(
+            glob.glob(f"{target}/**/part-*.parquet", recursive=True)
+        )
+
+    n_drained = read_batch_artifacts(spark, target).count()
+    pre_files = n_files()
+    # Capture b1 before it is vacuumed away — the replay simulation
+    # rewrites exactly what the idempotent sink would after a crash.
+    b1 = spark.read.parquet(f"{target}/b1").localCheckpoint()
+    vacuum_batch_artifacts(spark, target, watermark=1)
+    n_post = read_batch_artifacts(spark, target).count()
+    post_files = n_files()
+    vacuum_batch_artifacts(spark, target, watermark=1)
+    n_re = read_batch_artifacts(spark, target).count()
+    b1.write.mode("overwrite").parquet(f"{target}/b1")
+    vacuum_batch_artifacts(spark, target, watermark=1)
+    n_replay = read_batch_artifacts(spark, target).count()
+    rows = [
+        ("drained_rows", n_drained),
+        ("post_vacuum_rows", n_post),
+        ("revacuum_extra_rows", n_re - n_post),
+        ("replay_extra_rows", n_replay - n_post),
+        ("file_count_reduced", 1 if post_files < pre_files else 0),
+    ]
+    return spark.createDataFrame(rows, "check_name string, n_rows long")
