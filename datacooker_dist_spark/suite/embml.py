@@ -133,6 +133,56 @@ def knn_label_vote(spark, sf):
     )
 
 
+@query("knn_graph_label_vote")  # rows-only: the graph build is iterative
+def knn_graph_label_vote(spark, sf):
+    """FULL-CORPUS leave-one-out label vote over the standing NN-descent
+    graph (round 10 — the probe ``knn_label_vote`` can only run on a
+    bounded query set, because exact kNN per query scans the corpus):
+    every node's predicted label is the modal label of its ≤k graph
+    out-neighbors (smallest-label tiebreak, the sibling's argmax), and
+    the report aggregates per true label — coverage, correct votes, and
+    the micro-accuracy numerator/denominator. This is the
+    embedding-quality audit at 100% coverage: one label equi-join onto
+    the graph's edge list + two hash aggregates, linear in n·k — at
+    100 TB the standing graph makes corpus-wide LOO classification an
+    equi-join problem instead of n exact searches. Rows-only by the
+    graph family's convention; determinism inherits the graph's
+    (rounded cosines, id tiebreaks)."""
+    from .llm import shared_knn_graph
+
+    emb = table(spark, sf, "embeddings")
+    g = shared_knn_graph(spark, sf)
+    labels = emb.select("vec_id", "label")
+    votes = (
+        g.join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("_nl"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy("vec_id", "_nl")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    best = votes.groupBy("vec_id").agg(
+        F.min(F.struct((-F.col("votes")).alias("_nv"), F.col("_nl")))
+        .alias("_b")
+    )
+    per_node = best.join(labels, "vec_id").select(
+        "vec_id", "label",
+        F.col("_b._nl").alias("predicted_label"),
+        (F.col("_b._nl") == F.col("label")).cast("int").alias("correct"),
+    )
+    return (
+        per_node.groupBy(F.col("label").alias("true_label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("correct").cast("long").alias("n_correct"),
+        )
+        .orderBy("true_label")
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity_topk_mmr (rows-only: greedy selection is not SQL-expressible)
 # ---------------------------------------------------------------------------
