@@ -2862,3 +2862,89 @@ def cosine_topk_graph(
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
+
+
+def knn_graph_append(
+    graph: DataFrame,
+    base: DataFrame,
+    new: DataFrame,
+    cells: tuple[DataFrame, DataFrame],
+    k: int = 10,
+    nprobe: int = 4,
+    hops: int = 2,
+    entry_cap: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+    spilled: bool = False,
+) -> DataFrame:
+    """INCREMENTAL kNN-graph maintenance (round 10 — the graph family's
+    append path, the ``ivf_assign``-alone analog): a new vector batch
+    joins the STANDING NN-descent graph without any rebuild.
+
+    1. OUT-edges for new nodes: the graph-augmented search itself
+       (:func:`cosine_topk_graph` over the standing graph + cells)
+       finds each new vector's top-k base neighbors — plus an exact
+       within-batch pass (:func:`cosine_topk` with the batch broadcast
+       as its own bounded query set) so new↔new duplicates connect;
+    2. REVERSE patch: each (new → base) edge proposes the mirrored
+       (base → new) edge; only base nodes actually TOUCHED by a
+       proposal re-truncate (their standing out-edges ∪ proposals,
+       per-node top-k) — restricted by one broadcast left-semi over
+       the standing graph, every untouched node's list is returned
+       byte-identical (broadcast anti).
+
+    Per-batch cost: the batch's own search + O(batch·k) proposal rows +
+    two broadcast passes over the standing graph — never a rebuild,
+    never a corpus shuffle. Output: the updated (vec_id, neighbor_id,
+    rnk, cosine) graph over base ∪ new nodes."""
+    from pyspark.sql import Window
+
+    entry_cap = entry_cap if entry_cap is not None else 2 * k
+    new_base = cosine_topk_graph(
+        base, new, graph=graph, cells=cells, k=k, nprobe=nprobe,
+        hops=hops, entry_cap=entry_cap, id_col=id_col, vec_col=vec_col,
+        round_digits=round_digits, spilled=spilled,
+    ).select("query_id", "neighbor_id", "cosine")
+    new_new = cosine_topk(
+        new, new, k=k, id_col=id_col, vec_col=vec_col,
+        round_digits=round_digits,
+    ).select("query_id", "neighbor_id", "cosine")
+    new_out = _knn_truncate(
+        new_base.unionAll(new_new).select(
+            F.col("query_id").alias("src"),
+            F.col("neighbor_id").alias("dst"), "cosine",
+        ),
+        k,
+    ).localCheckpoint()
+    # Mirror of every (new -> base) edge proposes (base -> new) at the
+    # same exact rounded cosine (symmetry of the metric).
+    base_props = (
+        new_out.join(
+            new.select(F.col(id_col).alias("dst")), "dst", "left_anti"
+        )
+        .select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "cosine"
+        )
+        .localCheckpoint()
+    )
+    g_edges = graph.select(
+        F.col(id_col).alias("src"),
+        F.col("neighbor_id").alias("dst"), "cosine",
+    )
+    touched_ids = base_props.select("src").distinct()
+    touched = _knn_truncate(
+        g_edges.join(F.broadcast(touched_ids), "src", "left_semi")
+        .unionAll(base_props)
+        .dropDuplicates(["src", "dst"]),
+        k,
+    )
+    untouched = g_edges.join(F.broadcast(touched_ids), "src", "left_anti")
+    merged = untouched.unionAll(touched).unionAll(new_out)
+    w_out = Window.partitionBy("src").orderBy(
+        F.col("cosine").desc(), F.col("dst").asc()
+    )
+    return merged.select(
+        F.col("src").alias(id_col), F.col("dst").alias("neighbor_id"),
+        F.row_number().over(w_out).alias("rnk"), "cosine",
+    )

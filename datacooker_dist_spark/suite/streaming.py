@@ -2060,3 +2060,93 @@ def stream_artifact_vacuum(spark, sf):
         ("file_count_reduced", 1 if post_files < pre_files else 0),
     ]
     return spark.createDataFrame(rows, "check_name string, n_rows long")
+
+
+@query(
+    "stream_knn_graph_probe",
+    oracle="""
+    WITH q AS (SELECT COUNT(*) AS c FROM embeddings WHERE vec_id % 5 = 0)
+    SELECT CAST(c AS BIGINT) AS n_queries,
+           CAST(5 * c AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS n_mismatch
+    FROM q
+    """,
+)
+def stream_knn_graph_probe(spark, sf):
+    """Streaming twin of the graph-ANN search (round 10): new vectors
+    (vec_id % 5 = 0) ARRIVE as a stream and each micro-batch probes the
+    STANDING base-corpus NN-descent graph + IVF cells (both built once
+    before the stream starts) via
+    :func:`~..operators.similarity.cosine_topk_graph`, landing its
+    top-5 per query as per-``b<batch_id>`` idempotent parquet artifacts
+    (the family's overwrite discipline — and the layout
+    ``stream_artifact_vacuum`` retains). Per-query results depend only
+    on the query vector and the static index, so batch boundaries
+    cannot change them: the ledger's n_mismatch compares the DRAINED
+    sink against the same search run in one batch over all new vectors
+    — 0 by construction, with n_queries pinned by the oracle's key
+    arithmetic and n_rows = 5·n_queries (every query's candidate pool
+    — 10 IVF entries + two k=10 graph hops over the 400+-vector base —
+    exceeds k at every SF). At 100 TB each batch pays one broadcast of
+    its own query rows against the standing index; the graph never
+    rebuilds."""
+    from ..operators import similarity as S
+    from . import table
+
+    emb = table(spark, sf, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    cells = S.ivf_cells(base, n_cells=16)
+    cells = (cells[0].localCheckpoint(), cells[1].localCheckpoint())
+    graph = S.knn_graph_build(base, k=10, rounds=2, cells=cells)
+
+    base_dir = scratch_dir("sknng")
+    target, ckpt = f"{base_dir}/topk", f"{base_dir}/ckpt"
+    stream = file_stream(
+        spark, f"{sf}/embeddings.parquet",
+        "vec_id bigint, embedding array<float>, label int",
+    ).filter(F.col("vec_id") % 5 == 0)
+
+    def probe(batch_df, batch_id):
+        S.cosine_topk_graph(
+            base, batch_df, graph=graph, cells=cells,
+            k=5, nprobe=4, hops=2, entry_cap=10,
+        ).write.mode("overwrite").parquet(f"{target}/b{batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = read_parquet_or_empty(
+        spark,
+        "query_id bigint, neighbor_id bigint, cosine double, rnk int",
+        target, recursive=True,
+    )
+    batch_mode = S.cosine_topk_graph(
+        base, emb.filter(F.col("vec_id") % 5 == 0), graph=graph,
+        cells=cells, k=5, nprobe=4, hops=2, entry_cap=10,
+    )
+    cmp_cols = ["query_id", "neighbor_id", "rnk", "cosine"]
+    mism = (
+        drained.select(*cmp_cols).withColumn("_a", F.lit(1))
+        .join(
+            batch_mode.select(
+                "query_id", "neighbor_id",
+                F.col("rnk").cast("int").alias("rnk"), "cosine",
+            ).withColumn("_b", F.lit(1)),
+            cmp_cols, "full_outer",
+        )
+        .agg(
+            F.count_if(F.col("_a").isNotNull()).cast("long")
+            .alias("n_rows"),
+            F.count_if(
+                F.col("_a").isNull() | F.col("_b").isNull()
+            ).alias("n_mismatch"),
+        )
+    )
+    nq = drained.agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries")
+    )
+    return nq.crossJoin(mism).select("n_queries", "n_rows", "n_mismatch")
