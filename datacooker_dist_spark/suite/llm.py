@@ -240,6 +240,27 @@ def shared_knn_graph(spark, sf):
     return _KNN_GRAPH_CACHE[key]
 
 
+_BASE_KNN_CACHE: dict = {}
+
+
+def shared_base_knn_graph(spark, sf, k=10):
+    """Session-memoized BASE-corpus (vec_id % 5 ≠ 0) IVF cells +
+    NN-descent graph — the standing index the streaming graph probe
+    and the incremental append path both consume (each previously
+    built its own: two ~15 s sf0.1 builds for one artifact)."""
+    key = (session_key(spark), sf, k)
+    if key not in _BASE_KNN_CACHE:
+        emb = table(spark, sf, "embeddings")
+        base = emb.filter(F.col("vec_id") % 5 != 0)
+        cells = S.ivf_cells(base, n_cells=16)
+        cells = (cells[0].localCheckpoint(), cells[1].localCheckpoint())
+        graph = S.knn_graph_build(
+            base, k=k, rounds=2, cells=cells
+        ).localCheckpoint()
+        _BASE_KNN_CACHE[key] = (cells, graph)
+    return _BASE_KNN_CACHE[key]
+
+
 _RESID_INDEX_CACHE: dict = {}
 
 
@@ -4310,10 +4331,8 @@ def knn_graph_append(spark, sf):
     emb = table(spark, sf, "embeddings")
     base = emb.filter(F.col("vec_id") % 5 != 0)
     new = emb.filter(F.col("vec_id") % 5 == 0)
-    cells = S.ivf_cells(base, n_cells=16)
-    cells = (cells[0].localCheckpoint(), cells[1].localCheckpoint())
     k = 10
-    graph = S.knn_graph_build(base, k=k, rounds=2, cells=cells)
+    cells, graph = shared_base_knn_graph(spark, sf, k=k)
     appended = S.knn_graph_append(
         graph, base, new, cells=cells, k=k
     ).localCheckpoint()

@@ -2092,12 +2092,11 @@ def stream_knn_graph_probe(spark, sf):
     rebuilds."""
     from ..operators import similarity as S
     from . import table
+    from .llm import shared_base_knn_graph
 
     emb = table(spark, sf, "embeddings")
     base = emb.filter(F.col("vec_id") % 5 != 0)
-    cells = S.ivf_cells(base, n_cells=16)
-    cells = (cells[0].localCheckpoint(), cells[1].localCheckpoint())
-    graph = S.knn_graph_build(base, k=10, rounds=2, cells=cells)
+    cells, graph = shared_base_knn_graph(spark, sf, k=10)
 
     base_dir = scratch_dir("sknng")
     target, ckpt = f"{base_dir}/topk", f"{base_dir}/ckpt"
