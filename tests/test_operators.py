@@ -2502,3 +2502,39 @@ def test_quantized_prefilter_label_respect_and_plan(spark):
         assert per_q and all(v == k for v in per_q.values())
         plan = res._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
+
+
+def test_knn_graph_append_patches_only_touched(spark):
+    """knn_graph_append (round 10): new nodes enter with ≤k out-edges,
+    untouched base nodes keep byte-identical lists, and only base nodes
+    targeted by a (new → base) edge may change — the ledger entry's
+    invariants asserted directly on the toy fixture."""
+    from pyspark.sql import functions as F
+
+    from datacooker_dist_spark.operators import similarity as S
+
+    emb = _knn_toy_vectors(spark)
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    k = 4
+    cells = S.ivf_cells(base, n_cells=4)
+    graph = S.knn_graph_build(base, k=k, rounds=2, cells=cells)
+    appended = S.knn_graph_append(graph, base, new, cells=cells, k=k)
+    old = {(r.vec_id, r.neighbor_id, r.cosine) for r in graph.collect()}
+    rows = appended.collect()
+    new_ids = {r.vec_id for r in new.collect()}
+    per_node = {}
+    for r in rows:
+        per_node.setdefault(r.vec_id, set()).add((r.neighbor_id, r.cosine))
+    assert new_ids <= set(per_node)          # every new node has edges
+    assert all(len(v) <= k for v in per_node.values())
+    targets = {
+        r.neighbor_id for r in rows
+        if r.vec_id in new_ids and r.neighbor_id not in new_ids
+    }
+    old_per_node = {}
+    for s, d, c in old:
+        old_per_node.setdefault(s, set()).add((d, c))
+    for node, edges in old_per_node.items():
+        if node not in targets:
+            assert per_node[node] == edges   # untouched ⇒ identical
