@@ -3384,6 +3384,19 @@ def dedup_blocking_report(spark, sf):
                     F.col("_idb").alias("id_b"))),
         row("snm_prefix_planted", p1, truth_p),
         row("snm_multipass_planted", p1.unionByName(p2), truth_p),
+        # r10: the NN-descent graph as a semantic BLOCKING — its ≥0.45
+        # edges graded against the same exact cosine truth as the cell
+        # rows; unlike the cell blockings, pair generation costs
+        # nothing extra (edges come pre-scored from the standing
+        # graph), and the top-k truncation is its recall trade.
+        row("knn_graph_edges",
+            shared_knn_graph(spark, sf)
+            .filter(F.col("cosine") >= 0.45)
+            .select(
+                F.least("vec_id", "neighbor_id").alias("id_a"),
+                F.greatest("vec_id", "neighbor_id").alias("id_b"),
+            ),
+            truth_cos.filter(F.col("cosine") >= 0.45)),
     ]
     return reduce(lambda a, b: a.unionByName(b), parts)
 
