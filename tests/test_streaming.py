@@ -507,3 +507,97 @@ def test_retrain_loop_from_artifacts_retrain_branch(spark, tmp_path):
     assert rows[0]["retrain_triggered"] is True
     assert rows[0]["index_source"] == "retrained"
     assert out.count() == 360
+
+
+def _land_batch(spark, target, bid, rows):
+    spark.createDataFrame(rows, "k bigint, v string").write.mode(
+        "overwrite"
+    ).parquet(f"{target}/b{bid}")
+
+
+def test_vacuum_folds_across_advancing_watermarks(spark, tmp_path):
+    """ADVICE r10 (medium): a batch replayed after being compacted under
+    an OLDER watermark must fold into the new store without duplicating —
+    every existing compacted_w* store is merged, not just the
+    same-watermark one, and the superseded store is removed."""
+    from datacooker_dist_spark.streaming.pipeline import (
+        read_batch_artifacts,
+        vacuum_batch_artifacts,
+    )
+
+    target = str(tmp_path / "art")
+    for bid in range(4):
+        _land_batch(spark, target, bid, [(bid * 10 + i, "x") for i in range(3)])
+    assert read_batch_artifacts(spark, target).count() == 12
+
+    vacuum_batch_artifacts(spark, target, watermark=1)  # b0,b1 → w1
+    assert read_batch_artifacts(spark, target).count() == 12
+    # Replay b1 (idempotent sink rewrites identical content), then vacuum
+    # under an ADVANCED watermark: w1's store must fold into w3.
+    _land_batch(spark, target, 1, [(10 + i, "x") for i in range(3)])
+    vacuum_batch_artifacts(spark, target, watermark=3)
+    assert read_batch_artifacts(spark, target).count() == 12
+    assert not os.path.isdir(f"{target}/compacted_w1")
+    assert os.path.isdir(f"{target}/compacted_w3")
+    # Idempotent re-run under the advanced watermark.
+    vacuum_batch_artifacts(spark, target, watermark=3)
+    assert read_batch_artifacts(spark, target).count() == 12
+
+
+def test_vacuum_swap_crash_leaves_readable_copy(spark, tmp_path):
+    """ADVICE r10 (low): a crash mid-swap must never lose previously
+    compacted rows — __old backups stay readable (read path) and are
+    repaired by the next vacuum; __tmp leftovers are ignored/cleared."""
+    import shutil
+
+    from datacooker_dist_spark.streaming.pipeline import (
+        read_batch_artifacts,
+        vacuum_batch_artifacts,
+    )
+
+    target = str(tmp_path / "art")
+    for bid in range(2):
+        _land_batch(spark, target, bid, [(bid * 10 + i, "x") for i in range(3)])
+    vacuum_batch_artifacts(spark, target, watermark=1)
+    comp = f"{target}/compacted_w1"
+    # Simulate the crash window: old store renamed aside, replacement
+    # not yet in place, plus a half-written __tmp.
+    os.rename(comp, comp + "__old")
+    os.makedirs(comp + "__tmp", exist_ok=True)
+    assert read_batch_artifacts(spark, target).count() == 6  # __old read
+    _land_batch(spark, target, 2, [(20 + i, "x") for i in range(3)])
+    vacuum_batch_artifacts(spark, target, watermark=2)  # repairs + folds
+    assert read_batch_artifacts(spark, target).count() == 9
+    assert not os.path.isdir(comp + "__old")
+    assert not os.path.isdir(comp + "__tmp")
+    shutil.rmtree(target)
+
+
+def test_read_batch_artifacts_empty_target_raises(spark, tmp_path):
+    """ADVICE r10 (low): an empty/never-landed target raises a clear
+    error instead of TypeError (the schema is unknowable)."""
+    import pytest
+
+    from datacooker_dist_spark.streaming.pipeline import read_batch_artifacts
+
+    empty = str(tmp_path / "nothing")
+    os.makedirs(empty, exist_ok=True)
+    with pytest.raises(FileNotFoundError, match="no batch artifacts"):
+        read_batch_artifacts(spark, empty)
+
+
+def test_read_dedupes_replayed_batch_against_compacted(spark, tmp_path):
+    """The drained VIEW is replay-safe even before the next vacuum: a
+    batch dir rewritten after its content was compacted contributes no
+    duplicate rows (tagged-row dedupe in read_batch_artifacts)."""
+    from datacooker_dist_spark.streaming.pipeline import (
+        read_batch_artifacts,
+        vacuum_batch_artifacts,
+    )
+
+    target = str(tmp_path / "art")
+    for bid in range(3):
+        _land_batch(spark, target, bid, [(bid * 10 + i, "x") for i in range(3)])
+    vacuum_batch_artifacts(spark, target, watermark=2)
+    _land_batch(spark, target, 1, [(10 + i, "x") for i in range(3)])  # replay
+    assert read_batch_artifacts(spark, target).count() == 9
