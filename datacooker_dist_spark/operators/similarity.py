@@ -2703,6 +2703,42 @@ def nndescent_round(
     return _knn_truncate(graph.unionAll(fresh), k)
 
 
+def _cocell_pairs(
+    assigned: DataFrame, pool_cap: int, seed_cap: int
+) -> DataFrame:
+    """DOUBLY-capped co-cell candidate pairs from a (node, cell)
+    assignment — the seeding machinery :func:`knn_graph_build` uses and
+    :func:`knn_graph_append` reuses for its within-batch pass (round
+    11, VERDICT r10 task 3). No cell size ever goes quadratic: each
+    cell exposes a deterministic ≤``pool_cap`` candidate pool (xxhash64
+    rank within cell), each node scores ≤``seed_cap`` pool members
+    (xxhash64 rank per node) — ≤ n·seed_cap pairs total, all hash
+    equi-joins. A spilled assignment (one node in ≥2 cells) surfaces a
+    pair through each shared cell; the distinct collapses it."""
+    from pyspark.sql import Window
+
+    a = assigned.select(F.col("node").alias("src"), "cell")
+    b = assigned.select(F.col("node").alias("dst"), "cell")
+    w_pool = Window.partitionBy("cell").orderBy(F.xxhash64("dst"), "dst")
+    pool = (
+        b.withColumn("_pn", F.row_number().over(w_pool))
+        .filter(F.col("_pn") <= pool_cap)
+        .select("dst", "cell")
+    )
+    w_seed = Window.partitionBy("src").orderBy(
+        F.xxhash64("src", "dst"), "dst"
+    )
+    return (
+        a.join(pool, "cell")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .withColumn("_rn", F.row_number().over(w_seed))
+        .filter(F.col("_rn") <= seed_cap)
+        .select("src", "dst")
+    )
+
+
 def knn_graph_build(
     corpus: DataFrame,
     k: int = 10,
@@ -2749,25 +2785,9 @@ def knn_graph_build(
     if cells is None:
         cells = ivf_cells(corpus, n_cells, id_col, vec_col)
     _, assigned = cells
-    a = assigned.select(F.col(id_col).alias("src"), "cell")
-    b = assigned.select(F.col(id_col).alias("dst"), "cell")
-    w_pool = Window.partitionBy("cell").orderBy(F.xxhash64("dst"), "dst")
-    pool = (
-        b.withColumn("_pn", F.row_number().over(w_pool))
-        .filter(F.col("_pn") <= pool_cap)
-        .select("dst", "cell")
-    )
-    w_seed = Window.partitionBy("src").orderBy(
-        F.xxhash64("src", "dst"), "dst"
-    )
-    seed_pairs = (
-        a.join(pool, "cell")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()  # spilled assignment surfaces a pair via 2 cells
-        .withColumn("_rn", F.row_number().over(w_seed))
-        .filter(F.col("_rn") <= seed_cap)
-        .select("src", "dst")
+    seed_pairs = _cocell_pairs(
+        assigned.select(F.col(id_col).alias("node"), "cell"),
+        pool_cap, seed_cap,
     )
     g = _knn_truncate(
         _knn_score_pairs(seed_pairs, vectors, round_digits), k
@@ -2884,9 +2904,13 @@ def knn_graph_append(
 
     1. OUT-edges for new nodes: the graph-augmented search itself
        (:func:`cosine_topk_graph` over the standing graph + cells)
-       finds each new vector's top-k base neighbors — plus an exact
-       within-batch pass (:func:`cosine_topk` with the batch broadcast
-       as its own bounded query set) so new↔new duplicates connect;
+       finds each new vector's top-k base neighbors — plus a
+       within-batch pass so new↔new duplicates connect: the batch is
+       assigned to the STANDING cells (``ivf_assign``, spill 2) and
+       candidate pairs come from the same doubly-capped co-cell
+       machinery the build's seeding uses (:func:`_cocell_pairs` —
+       round 11, VERDICT r10 task 3: ≤ batch·seed_cap exact-scored
+       pairs instead of the previous all-pairs batch²);
     2. REVERSE patch: each (new → base) edge proposes the mirrored
        (base → new) edge; only base nodes actually TOUCHED by a
        proposal re-truncate (their standing out-edges ∪ proposals,
@@ -2894,10 +2918,11 @@ def knn_graph_append(
        the standing graph, every untouched node's list is returned
        byte-identical (broadcast anti).
 
-    Per-batch cost: the batch's own search + O(batch·k) proposal rows +
-    two broadcast passes over the standing graph — never a rebuild,
-    never a corpus shuffle. Output: the updated (vec_id, neighbor_id,
-    rnk, cosine) graph over base ∪ new nodes."""
+    Per-batch cost: the batch's own search + ≤ batch·2k within-batch
+    scored pairs + O(batch·k) proposal rows + two broadcast passes over
+    the standing graph — never a rebuild, never a corpus shuffle,
+    nothing super-linear in the batch. Output: the updated (vec_id,
+    neighbor_id, rnk, cosine) graph over base ∪ new nodes."""
     from pyspark.sql import Window
 
     entry_cap = entry_cap if entry_cap is not None else 2 * k
@@ -2906,10 +2931,21 @@ def knn_graph_append(
         hops=hops, entry_cap=entry_cap, id_col=id_col, vec_col=vec_col,
         round_digits=round_digits, spilled=spilled,
     ).select("query_id", "neighbor_id", "cosine")
-    new_new = cosine_topk(
-        new, new, k=k, id_col=id_col, vec_col=vec_col,
-        round_digits=round_digits,
-    ).select("query_id", "neighbor_id", "cosine")
+    centroids, _ = cells
+    batch_assigned = ivf_assign(
+        new, centroids, id_col, vec_col, assign_spill=2
+    ).select(F.col(id_col).alias("node"), "cell")
+    nn_pairs = _cocell_pairs(batch_assigned, pool_cap=4 * k,
+                             seed_cap=2 * k)
+    new_new = _knn_truncate(
+        _knn_score_pairs(
+            nn_pairs, _knn_vectors(new, id_col, vec_col), round_digits
+        ),
+        k,
+    ).select(
+        F.col("src").alias("query_id"),
+        F.col("dst").alias("neighbor_id"), "cosine",
+    )
     new_out = _knn_truncate(
         new_base.unionAll(new_new).select(
             F.col("query_id").alias("src"),

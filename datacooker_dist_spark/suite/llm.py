@@ -4330,8 +4330,10 @@ def knn_graph_append(spark, sf):
     ``similarity_index_append``): the standing NN-descent graph is
     built over the BASE corpus (vec_id % 5 ≠ 0); the new batch joins
     through :func:`~..operators.similarity.knn_graph_append` — its own
-    graph-augmented search finds each new vector's out-edges, an exact
-    within-batch pass connects new↔new, and only the base nodes a
+    graph-augmented search finds each new vector's out-edges, a
+    co-cell-capped within-batch pass connects new↔new (standing-cell
+    assignment + the build's doubly-capped seeding — ≤ batch·2k scored
+    pairs, round 11), and only the base nodes a
     mirrored proposal actually touches re-truncate their lists (two
     broadcast passes over the standing graph, no rebuild). The oracle
     pins the structural contract: every new node enters the graph with
