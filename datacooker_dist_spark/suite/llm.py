@@ -3202,6 +3202,73 @@ def shared_cosine_truth(spark, sf):
     return _COSTRUTH_CACHE[key]
 
 
+@query(
+    "shared_jaccard_truth_build",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s)) * 10
+            >= 8 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+            FROM (SELECT id_a AS doc_id FROM pairs
+                  UNION ALL SELECT id_b FROM pairs)) AS n_docs
+    FROM pairs
+    """,
+)
+def jaccard_truth_build(spark, sf):
+    """The session's exact blocking-free Jaccard ground truth as a NAMED
+    build deliverable (round 11, VERDICT r10 task 5 — the
+    ``candidate_pairs_build`` attribution convention): materializes the
+    lossless AllPairs prefix-filter pass
+    (:func:`~..operators.dedup.jaccard_pairs_allpairs`) that
+    ``dedup_blocking_report`` and ``engine_scorecard`` both grade
+    against, so the quadratic-by-contract truth build bills to THIS row
+    instead of whichever grader happens to touch the memo first (the
+    adjudicated r09/r10 bench-drift class). The oracle brute-forces the
+    same pair space in integer arithmetic (|∩|·den ≥ num·|∪| — no
+    float division) — equality proves the prefix filter lost nothing."""
+    truth = shared_jaccard_truth(spark, sf)
+    ids = truth.select(F.col("id_a").alias("doc_id")).unionByName(
+        truth.select(F.col("id_b").alias("doc_id"))
+    )
+    return truth.agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    ).crossJoin(
+        F.broadcast(ids.agg(F.countDistinct("doc_id").alias("n_docs")))
+    ).select("n_pairs", "n_docs")
+
+
+@query("shared_cosine_truth_build")  # rows-only: float Gram-slab truth
+def cosine_truth_build(spark, sf):
+    """The session's exact all-pairs cosine ≥ 0.40 ground truth as a
+    NAMED build deliverable (round 11, VERDICT r10 task 5 — twin of
+    ``shared_jaccard_truth_build`` for the semantic graders):
+    materializes the rectangle-blocked Gram-slab pass
+    (:func:`~..operators.similarity.cosine_pairs_blocked`) shared by
+    ``dedup_blocking_report``'s semantic rows, ``engine_scorecard``'s
+    multiprobe invariants, and ``similarity_recall_report``, and
+    reports its measured shape: pair count, distinct vectors involved,
+    and the min/max surviving cosine on the integer-micro grid (the
+    6-digit rounding grid ×10⁶ — no float aggregate). Rows-only by the
+    transcendental discipline: the truth itself is numpy float dot
+    products, deliberately not replayed in a second engine."""
+    truth = shared_cosine_truth(spark, sf)
+    ids = truth.select(F.col("id_a").alias("vec_id")).unionByName(
+        truth.select(F.col("id_b").alias("vec_id"))
+    )
+    micro = F.round(F.col("cosine") * 1000000).cast("long")
+    return truth.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min(micro).alias("min_cosine_micro"),
+        F.max(micro).alias("max_cosine_micro"),
+    ).crossJoin(
+        F.broadcast(ids.agg(F.countDistinct("vec_id").alias("n_docs")))
+    ).select("n_pairs", "n_docs", "min_cosine_micro", "max_cosine_micro")
+
+
 @query("dedup_blocking_report")  # rows-only: measurement artifact
 def dedup_blocking_report(spark, sf):
     """Dedup BLOCKING QUALITY GATE (VERDICT r07 tasks 1 and 7) — the
