@@ -81,6 +81,91 @@ def bm25_term_scores(
     )
 
 
+def token_sign_embeddings(
+    tokens: DataFrame, dim: int = 16, token_col: str = "t"
+) -> DataFrame:
+    """Deterministic per-token ±1 sign embeddings from md5 hex digits —
+    the multi-vector leg's token encoder. Dimension j ∈ 1..dim reads the
+    j-th hex digit of md5(token): digits 0-7 (ascii ≤ 55) → +1.0, else
+    −1.0 (dim ≤ 32, one digit each). Every vector has identical norm
+    √dim, so dot/dim IS the cosine, and with dim a power of two every
+    similarity is an exact dyadic rational — bit-reproducible in any
+    engine, no transcendental ever enters a score. A trained encoder
+    (ColBERT-style) drops in by replacing this one projection; the
+    retrieval algebra downstream is encoder-agnostic."""
+    h = F.md5(F.col(token_col))
+    v = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda j: F.when(
+            F.ascii(F.substring(h, j, F.lit(1))) <= 55, F.lit(1.0)
+        ).otherwise(F.lit(-1.0)),
+    )
+    return tokens.select(F.col(token_col).alias("t"), v.alias("v"))
+
+
+def maxsim_topk(
+    doc_tokens: DataFrame,
+    qtokens: DataFrame,
+    k: int = 5,
+    dim: int = 16,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim) top-k retrieval — the
+    multi-vector third leg of the hybrid stack beside BM25 and pooled
+    dense cosine: score(q, d) = Σ_{qt ∈ q} max_{dt ∈ d} cos(qt, dt),
+    each token encoded by :func:`token_sign_embeddings`.
+
+    Inputs: ``doc_tokens`` (doc_id, t) — duplicates allowed, max makes
+    them free; ``qtokens`` (qid, t). Plan shape: per-token cosines are
+    computed once per DISTINCT (query_token, vocab_token) pair — the
+    tiny query-token frame broadcasts against the distinct-token vocab
+    (a BroadcastNestedLoopJoin over the VOCAB, never the corpus), the
+    dot is a codegen'd zip_with/aggregate, and the corpus only ever
+    joins by hash EQUI-join on the token — so corpus-side cost is one
+    pass over the token rows regardless of vocabulary math. Two
+    aggregates finish it: max per (qid, query_token, doc), sum per
+    (qid, doc), then a per-query top-k window (WindowGroupLimit — no
+    global sort). Exactness: cos = dot/dim with dim a power of two and
+    ±1 entries — every score and every ≤|q|-term sum is an exact dyadic
+    rational, identical in any engine without rounding. At 100 TB the
+    exact form is one corpus-token-scan per query batch; the scale path
+    swaps the vocab-sim stage for per-token ANN over the same algebra.
+    Output: (qid, doc_id, maxsim, rnk ≤ k)."""
+    from pyspark.sql import Window
+
+    toks = doc_tokens.select("doc_id", "t").distinct()
+    vocab_emb = token_sign_embeddings(toks.select("t").distinct(), dim=dim)
+    q_emb = (
+        qtokens.select("qid", "t").distinct()
+        .join(token_sign_embeddings(
+            qtokens.select("t").distinct(), dim=dim
+        ), "t")
+        .select("qid", F.col("t").alias("qt"), F.col("v").alias("qv"))
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sims = vocab_emb.crossJoin(F.broadcast(q_emb)).select(
+        "qid", "qt", "t", (dot / dim).alias("_sim")
+    )
+    per_qt = (
+        toks.join(sims, "t")
+        .groupBy("qid", "qt", "doc_id")
+        .agg(F.max("_sim").alias("_mx"))
+    )
+    sc = per_qt.groupBy("qid", "doc_id").agg(
+        F.sum("_mx").alias("maxsim")
+    )
+    if exclude_self:
+        sc = sc.filter(F.col("doc_id") != F.col("qid"))
+    w = Window.partitionBy("qid").orderBy(F.desc("maxsim"), "doc_id")
+    return sc.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )
+
+
 def bm25_topk(
     tf: DataFrame,
     dl: DataFrame,
