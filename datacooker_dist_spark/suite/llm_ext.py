@@ -1919,6 +1919,98 @@ def search_bm25_topk(spark, sf):
 
 
 @query(
+    "search_bm25_append",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+      FROM documents),
+    tok2 AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+    tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok2 GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+           FROM tok2 GROUP BY 1),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+                     CAST(SUM(dl) AS DOUBLE) AS tt FROM dl),
+    q(qid, t) AS (VALUES (1, 'hash'), (1, 'join'), (2, 'vector'),
+                         (2, 'scan'), (3, 'merge'), (3, 'sort'),
+                         (3, 'batch')),
+    terms AS (SELECT DISTINCT t FROM q),
+    post AS (SELECT tf.* FROM tf JOIN terms USING (t)),
+    dft AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY 1),
+    ts AS (SELECT p.doc_id, p.t,
+                  round(round(ln((s.nd - d.df + 0.5) / (d.df + 0.5) + 1.0), 9)
+                        * (p.tf * 2.2)
+                        / round(p.tf + 1.2 * (0.25 + 0.75 * l.dl
+                                              / (s.tt / s.nd)), 9),
+                        9) AS tsc
+           FROM post p JOIN dft d USING (t) JOIN dl l USING (doc_id),
+                stats s),
+    sc AS (SELECT q.qid, ts.doc_id, round(SUM(tsc), 6) AS bm25
+           FROM ts JOIN q USING (t) GROUP BY 1, 2),
+    r AS (SELECT qid, doc_id, bm25,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY bm25 DESC, doc_id) AS rnk
+          FROM sc)
+    SELECT qid, doc_id, bm25, rnk FROM r WHERE rnk <= 5
+    """,
+)
+def search_bm25_append(spark, sf):
+    """BM25 postings APPEND ≡ REBUILD (round 11, VERDICT r10 task 2 —
+    the lexical leg was the only standing index family without
+    incremental maintenance): the base index (doc_id % 5 ≠ 0) is built,
+    persisted through the engine's own hadoopParquet OUTPUT adapter,
+    and read back COLD through the INPUT adapter (the lineage-free
+    artifacts a serving session holds); the batch (doc_id % 5 = 0)
+    builds its own partial triple from its documents alone; the two
+    merge by addition (:func:`~..operators.retrieval.merge_postings` —
+    tf/dl sums, element-wise stats, df re-derived at probe time). The
+    probe then runs the standard query set over the MERGED index, and
+    the oracle replays full-corpus BM25 from scratch — equality IS the
+    append ≡ rebuild proof, through a persistence round-trip: integer
+    tf/dl counts and exact double stat sums make the merged index
+    value-identical to the rebuild, so every score matches to the bit.
+    At 100 TB each ingest batch pays one linear pass over ITS OWN
+    documents plus a doc-keyed merge shuffle of partial rows; the
+    standing corpus is never re-tokenized."""
+    from ..model import DataStream, StreamType
+    from ..operators.retrieval import (
+        bm25_topk,
+        build_postings,
+        merge_postings,
+    )
+    from ..registry import resolve_input, resolve_output
+    from . import scratch_dir
+
+    docs = table(spark, sf, "documents")
+    base_docs = docs.filter(F.col("doc_id") % 5 != 0)
+    batch_docs = docs.filter(F.col("doc_id") % 5 == 0)
+
+    base_dir = scratch_dir("bm25idx")
+    out = resolve_output("hadoopParquet")().configure({}).initialize(
+        spark, base_dir
+    )
+    names = ("tf", "dl", "stats")
+    for name, df in zip(names, build_postings(base_docs)):
+        out.save(
+            f"idx/{name}", DataStream(f"idx/{name}", df, StreamType.COLUMNAR)
+        )
+    cold = tuple(
+        resolve_input("hadoopColumnar")().configure(
+            {"parquet": True}
+        ).initialize(spark, f"{base_dir}/{name}").load(name)[name].df
+        for name in names
+    )
+    merged = merge_postings(cold, build_postings(batch_docs))
+    qterms = spark.createDataFrame(
+        [(1, "hash"), (1, "join"), (2, "vector"), (2, "scan"),
+         (3, "merge"), (3, "sort"), (3, "batch")],
+        "qid int, t string",
+    )
+    return bm25_topk(*merged, qterms, k=5)
+
+
+@query(
     "search_hybrid_topk",
     oracle="""
     WITH tok AS (
