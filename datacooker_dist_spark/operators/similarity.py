@@ -2953,8 +2953,32 @@ def knn_graph_append(
         ),
         k,
     ).localCheckpoint()
-    # Mirror of every (new -> base) edge proposes (base -> new) at the
-    # same exact rounded cosine (symmetry of the metric).
+    return knn_graph_patch(graph, new_out, new, k=k, id_col=id_col)
+
+
+def knn_graph_patch(
+    graph: DataFrame,
+    new_out: DataFrame,
+    new: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The REVERSE touched-only patch shared by :func:`knn_graph_append`
+    and its streaming twin (round 11, VERDICT r10 task 4): given the
+    new nodes' out-edge lists ``new_out`` (src, dst, cosine — ≤ k per
+    src, however they were computed: one batch append or a drained
+    union of per-micro-batch searches), mirror each (new → base) edge
+    into a (base → new) proposal at the same exact rounded cosine
+    (metric symmetry), re-truncate ONLY the base nodes a proposal
+    actually touches (their standing out-edges ∪ proposals, per-node
+    top-k; restricted by one broadcast left-semi over the standing
+    graph), and return the merged graph — every untouched node's list
+    byte-identical (broadcast anti), ranks re-derived deterministically
+    (cosine desc, dst asc). Pure deterministic function of (graph,
+    new_out), so two paths that agree on new_out agree on the whole
+    patched graph. Output: (vec_id, neighbor_id, rnk, cosine)."""
+    from pyspark.sql import Window
+
     base_props = (
         new_out.join(
             new.select(F.col(id_col).alias("dst")), "dst", "left_anti"

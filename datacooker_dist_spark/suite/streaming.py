@@ -2246,3 +2246,115 @@ def stream_knn_graph_probe(spark, sf):
         F.countDistinct("query_id").cast("long").alias("n_queries")
     )
     return nq.crossJoin(mism).select("n_queries", "n_rows", "n_mismatch")
+
+
+@query(
+    "stream_knn_graph_append",
+    oracle="""
+    WITH q AS (SELECT COUNT(*) AS c FROM embeddings WHERE vec_id % 5 = 0)
+    SELECT CAST(c AS BIGINT) AS n_new_nodes,
+           CAST(0 AS BIGINT) AS n_mismatch,
+           CAST(1 AS BIGINT) AS degree_bound_ok
+    FROM q
+    """,
+)
+def stream_knn_graph_append(spark, sf):
+    """Streaming twin of the graph APPEND (round 11, VERDICT r10 task 4
+    — completing the family convention: batch build + incremental
+    append + streaming): new vectors (vec_id % 5 = 0) arrive as a
+    stream; each micro-batch runs the graph-augmented search of ITS OWN
+    rows against the STANDING base graph + cells and lands the
+    resulting out-edge lists as per-``b<batch_id>`` idempotent parquet
+    artifacts (the vacuum-compatible layout — a replayed batch
+    overwrites its own rows). Per-query results depend only on the
+    query vector and the static index, so the DRAINED edge set is
+    value-identical to the one-shot search over all new vectors; the
+    maintenance window then applies the shared reverse touched-only
+    patch (:func:`~..operators.similarity.knn_graph_patch`) ONCE over
+    the drained edges — the ledger diffs the resulting graph against
+    the batch path's (same search in one batch + same patch): 0
+    mismatches, every new node present (key arithmetic), no node over
+    k out-edges. New↔new edges are out of scope by the streaming
+    contract (the ``stream_clusters_incremental`` convention: dedup
+    the batch first / route cross-batch new↔new through the batch
+    append at the maintenance window). At 100 TB each batch pays one
+    broadcast of its own query rows; the patch is O(drained·k) with
+    two broadcast passes over the standing graph — history never
+    rebuilds."""
+    from ..operators import similarity as S
+    from . import table
+    from .llm import shared_base_knn_graph
+
+    emb = table(spark, sf, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    new_all = emb.filter(F.col("vec_id") % 5 == 0)
+    k = 10
+    cells, graph = shared_base_knn_graph(spark, sf, k=k)
+
+    base_dir = scratch_dir("sknnga")
+    target, ckpt = f"{base_dir}/edges", f"{base_dir}/ckpt"
+    stream = file_stream(
+        spark, f"{sf}/embeddings.parquet",
+        "vec_id bigint, embedding array<float>, label int",
+    ).filter(F.col("vec_id") % 5 == 0)
+
+    def land_edges(batch_df, batch_id):
+        S.cosine_topk_graph(
+            base, batch_df, graph=graph, cells=cells,
+            k=k, nprobe=4, hops=2, entry_cap=2 * k,
+        ).select("query_id", "neighbor_id", "cosine").write.mode(
+            "overwrite"
+        ).parquet(f"{target}/b{batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(land_edges)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = read_parquet_or_empty(
+        spark, "query_id bigint, neighbor_id bigint, cosine double",
+        target, recursive=True,
+    ).select(
+        F.col("query_id").alias("src"),
+        F.col("neighbor_id").alias("dst"), "cosine",
+    ).localCheckpoint()
+    final_stream = S.knn_graph_patch(graph, drained, new_all, k=k)
+    batch_out = S.cosine_topk_graph(
+        base, new_all, graph=graph, cells=cells,
+        k=k, nprobe=4, hops=2, entry_cap=2 * k,
+    ).select(
+        F.col("query_id").alias("src"),
+        F.col("neighbor_id").alias("dst"), "cosine",
+    ).localCheckpoint()
+    final_batch = S.knn_graph_patch(graph, batch_out, new_all, k=k)
+
+    cmp_cols = ["vec_id", "neighbor_id", "rnk", "cosine"]
+    mism = (
+        final_stream.select(*cmp_cols).withColumn("_a", F.lit(1))
+        .join(
+            final_batch.select(*cmp_cols).withColumn("_b", F.lit(1)),
+            cmp_cols, "full_outer",
+        )
+        .agg(
+            F.count_if(
+                F.col("_a").isNull() | F.col("_b").isNull()
+            ).alias("n_mismatch")
+        )
+    )
+    nn = (
+        final_stream.join(
+            F.broadcast(new_all.select("vec_id")), "vec_id", "left_semi"
+        )
+        .select("vec_id").distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new_nodes"))
+    )
+    deg_ok = (
+        final_stream.groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .agg((F.max("_d") <= k).cast("long").alias("degree_bound_ok"))
+    )
+    return nn.crossJoin(mism).crossJoin(deg_ok).select(
+        "n_new_nodes", "n_mismatch", "degree_bound_ok"
+    )
