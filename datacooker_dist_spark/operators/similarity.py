@@ -2956,6 +2956,109 @@ def knn_graph_append(
     return knn_graph_patch(graph, new_out, new, k=k, id_col=id_col)
 
 
+def knn_graph_forget(
+    graph: DataFrame,
+    forget: DataFrame,
+    corpus: DataFrame,
+    cells: tuple[DataFrame, DataFrame],
+    k: int = 10,
+    nprobe: int = 4,
+    hops: int = 2,
+    entry_cap: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+    spilled: bool = False,
+) -> DataFrame:
+    """Right-to-be-forgotten DELETE + REPAIR for the standing kNN graph
+    (round 11, VERDICT r10 task 1) — the inverse of
+    :func:`knn_graph_append`'s touched-only patch: at 100 TB an index
+    cannot rebuild per forget request, so the purge must be an
+    incremental patch with the same locality guarantees.
+
+    1. DELETE: drop every forgotten node's out-edge list AND every
+       surviving node's edge that points at a forgotten id — after
+       this no row of the artifact references a forgotten subject.
+    2. REPAIR: only the nodes that actually LOST an edge (their list
+       referenced a forgotten id) re-truncate, from their REMAINING
+       out-edges ∪ a bounded graph-augmented re-search
+       (:func:`cosine_topk_graph` over the PURGED graph and PURGED
+       corpus — hops cannot traverse a forgotten node's list and the
+       scoring join cannot resurrect a forgotten vector, because both
+       are already gone). Every untouched node's list is returned
+       byte-identical (broadcast anti + deterministic re-rank).
+
+    ``corpus`` must be the PURGED vector table (forgotten rows already
+    anti-joined out — the relational purge this composes with). Cost:
+    two broadcast passes of the forget set over the standing graph +
+    one bounded search for the touched nodes (≈ reverse-degree ·
+    |forget| queries, O(k·|forget|) in the steady state) — never a
+    rebuild, never a corpus shuffle. Output: (vec_id, neighbor_id,
+    rnk, cosine) over the surviving nodes."""
+    from pyspark.sql import Window
+
+    entry_cap = entry_cap if entry_cap is not None else 2 * k
+    fids = forget.select(
+        F.col(forget.columns[0]).alias("_fid")
+    ).distinct()
+    # The IVF assignment table CARRIES the vectors (it is the searchable
+    # artifact the probe paths score from), so the re-search must run
+    # over its PURGED form — otherwise a forgotten vector resurfaces as
+    # an entry candidate straight out of the standing index.
+    centroids, assigned = cells
+    assigned = assigned.join(
+        F.broadcast(fids), assigned[id_col] == F.col("_fid"), "left_anti"
+    )
+    cells = (centroids, assigned)
+    g_edges = graph.select(
+        F.col(id_col).alias("src"),
+        F.col("neighbor_id").alias("dst"), "cosine",
+    )
+    kept_nodes = g_edges.join(
+        F.broadcast(fids), g_edges["src"] == F.col("_fid"), "left_anti"
+    )
+    touched_ids = (
+        kept_nodes.join(
+            F.broadcast(fids), kept_nodes["dst"] == F.col("_fid"),
+            "left_semi",
+        )
+        .select("src").distinct()
+    )
+    remaining = kept_nodes.join(
+        F.broadcast(fids), kept_nodes["dst"] == F.col("_fid"), "left_anti"
+    ).localCheckpoint()
+    purged_graph = remaining.select(
+        F.col("src").alias(id_col), F.col("dst").alias("neighbor_id")
+    )
+    touched_q = corpus.join(
+        F.broadcast(touched_ids.withColumnRenamed("src", id_col)),
+        id_col, "left_semi",
+    )
+    research = cosine_topk_graph(
+        corpus, touched_q, graph=purged_graph, cells=cells, k=k,
+        nprobe=nprobe, hops=hops, entry_cap=entry_cap, id_col=id_col,
+        vec_col=vec_col, round_digits=round_digits, spilled=spilled,
+    ).select(
+        F.col("query_id").alias("src"),
+        F.col("neighbor_id").alias("dst"), "cosine",
+    )
+    repaired = _knn_truncate(
+        remaining.join(F.broadcast(touched_ids), "src", "left_semi")
+        .unionAll(research)
+        .dropDuplicates(["src", "dst"]),
+        k,
+    )
+    untouched = remaining.join(F.broadcast(touched_ids), "src", "left_anti")
+    merged = untouched.unionAll(repaired)
+    w_out = Window.partitionBy("src").orderBy(
+        F.col("cosine").desc(), F.col("dst").asc()
+    )
+    return merged.select(
+        F.col("src").alias(id_col), F.col("dst").alias("neighbor_id"),
+        F.row_number().over(w_out).alias("rnk"), "cosine",
+    )
+
+
 def knn_graph_patch(
     graph: DataFrame,
     new_out: DataFrame,

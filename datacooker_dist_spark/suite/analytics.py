@@ -2027,3 +2027,404 @@ def privacy_forget_execute(spark, sf):
         .unionByName(ledger("orders", cold_o, purged_o2))
         .unionByName(ledger("lineitem", cold_li, purged_li2))
     )
+
+
+@query(
+    "privacy_forget_index",
+    oracle="""
+    WITH fd AS (SELECT CAST(COUNT(*) AS BIGINT) AS c
+                FROM documents WHERE doc_id % 53 = 0),
+         fv AS (SELECT CAST(COUNT(*) AS BIGINT) AS c
+                FROM embeddings WHERE vec_id % 53 = 0)
+    SELECT 'bm25_postings' AS artifact, fd.c AS n_forgotten_subjects,
+           CAST(0 AS BIGINT) AS n_refs_left,
+           CAST(0 AS BIGINT) AS n_mismatch_rebuild
+    FROM fd
+    UNION ALL SELECT 'golden_record', fd.c, CAST(0 AS BIGINT),
+                     CAST(0 AS BIGINT) FROM fd
+    UNION ALL SELECT 'ivf_assignment', fv.c, CAST(0 AS BIGINT),
+                     CAST(0 AS BIGINT) FROM fv
+    UNION ALL SELECT 'knn_graph', fv.c, CAST(0 AS BIGINT),
+                     CAST(0 AS BIGINT) FROM fv
+    UNION ALL SELECT 'lsh_band_index', fd.c, CAST(0 AS BIGINT),
+                     CAST(0 AS BIGINT) FROM fd
+    UNION ALL SELECT 'pq_codes', fv.c, CAST(0 AS BIGINT),
+                     CAST(0 AS BIGINT) FROM fv
+    UNION ALL SELECT 'sq8_codes', fv.c, CAST(0 AS BIGINT),
+                     CAST(0 AS BIGINT) FROM fv
+    UNION ALL SELECT 'substring_gram_index', fd.c, CAST(0 AS BIGINT),
+                     CAST(0 AS BIGINT) FROM fd
+    """,
+)
+def privacy_forget_index(spark, sf):
+    """INDEX-SIDE right-to-be-forgotten (round 11, VERDICT r10 task 1 —
+    the one compliance hole the relational purge left): every persisted
+    standing artifact the engine maintains RETAINED the forgotten
+    subjects' content after ``privacy_forget_execute``; at 100 TB none
+    of them can rebuild per request, so each gets an incremental purge
+    with an exact oracle. Forget sets mirror the relational family's
+    key arithmetic: doc_id % 53 = 0 (text artifacts), vec_id % 53 = 0
+    (vector artifacts). Per artifact, the purged copy is WRITTEN to
+    parquet and read back COLD (the ``privacy_forget_execute``
+    measured-from-written-files discipline), then the ledger reports:
+
+    - ``n_refs_left`` — rows in the cold purged artifact still
+      referencing a forgotten subject (id, neighbor id, posting,
+      band row, code row, golden survivor/cluster key): 0. This is
+      also exactly what a RE-RUN of the purge would delete, so 0 is
+      the idempotence proof.
+    - ``n_mismatch_rebuild`` — full diff of the cold purged artifact
+      against a REBUILD-FROM-PURGED-CORPUS under the artifact's
+      RETAINED trained parameters: 0, by construction at every SF.
+
+    The retained-parameter convention (the position a production
+    pipeline takes): PQ codebooks, SQ8 min/max params, and the gram
+    index's stop-gram list are AGGREGATE trained state, not subject
+    content — they are kept, and the rebuild comparisons encode under
+    them (``similarity_index_append`` ≡ re-encode, inverted). Per
+    artifact:
+
+    - BM25 postings: anti-join tf/dl, (nd, tt) re-derived from the
+      purged doc-length table (one bounded aggregate — never a corpus
+      re-tokenize); ≡ rebuild because tokenization is per-doc.
+    - LSH band index / substring gram index / PQ / SQ8 codes / IVF
+      assignment (the searchable cell table CARRIES the vectors — a
+      first-class purge target): per-row anti-joins; ≡ rebuild because
+      signatures, grams (under the retained stop-list: capped_index −
+      forgotten ≡ (uncapped over purged) − stop_list, by set algebra),
+      encodings, and cell argmaxes are per-row functions of the
+      subject row alone under retained trained state.
+    - kNN graph: DELETE + REPAIR via
+      :func:`~..operators.similarity.knn_graph_forget` (the inverse of
+      the append's touched-only patch — only nodes that LOST an edge
+      re-truncate from remaining edges ∪ a bounded re-search over the
+      purged graph). An NN-descent rebuild is iterative and would not
+      match row-for-row, so its mismatch column is the honest
+      structural triple: untouched nodes byte-identical + no degree
+      over k + no forgotten reference (the ``knn_graph_append``
+      oracle convention, inverted).
+    - Golden record: survivors re-derive for AFFECTED clusters only
+      (clusters holding a forgotten member; components re-run on the
+      bounded surviving sub-graph — the ``dedup_golden_incremental``
+      machinery inverted, handling splits); ≡ full golden rebuild
+      because unaffected components keep both members and min-id
+      labels.
+
+    Every purge is an anti-join against a broadcastable forget set;
+    every repair is bounded by the touched set — nothing rescans or
+    reshuffles the standing corpus."""
+    from ..operators import dedup as D
+    from ..operators import similarity as S
+    from ..operators.retrieval import build_postings
+    from . import shared_jaccard_pairs, shared_shingles
+    from .llm import (
+        IVF_SPILL,
+        KNN_GRAPH_K,
+        shared_ivf_index,
+        shared_kgram_rows,
+        shared_knn_graph,
+        shared_pq_index,
+        shared_sq8_index,
+    )
+    from .llm_ext import golden_rollup
+
+    docs = table(spark, sf, "documents")
+    emb = table(spark, sf, "embeddings")
+    forget_docs = docs.filter(F.col("doc_id") % 53 == 0).select("doc_id")
+    forget_vecs = emb.filter(F.col("vec_id") % 53 == 0).select("vec_id")
+    purged_docs = docs.join(F.broadcast(forget_docs), "doc_id", "left_anti")
+    purged_emb = emb.join(F.broadcast(forget_vecs), "vec_id", "left_anti")
+    base = scratch_dir("forgetidx")
+
+    def cold(df, name):
+        df.write.mode("overwrite").parquet(f"{base}/{name}")
+        return spark.read.parquet(f"{base}/{name}")
+
+    def n_diff(a, b, alias="n_mismatch_rebuild"):
+        # exceptAll is POSITIONAL; a using-key anti-join reorders its key
+        # column first, so align the rebuild's columns to the cold copy's
+        # by name before diffing.
+        b = b.select(*a.columns)
+        return (
+            a.exceptAll(b).unionAll(b.exceptAll(a))
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    def n_semi(df, keys, col_, alias="n_refs_left"):
+        return df.join(
+            F.broadcast(keys.withColumnRenamed(keys.columns[0], col_)),
+            col_, "left_semi",
+        ).agg(F.count(F.lit(1)).alias(alias))
+
+    nfd = forget_docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_forgotten_subjects")
+    ).localCheckpoint()
+    nfv = forget_vecs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_forgotten_subjects")
+    ).localCheckpoint()
+
+    def row(name, subj, refs, mism):
+        return subj.crossJoin(F.broadcast(refs)).crossJoin(
+            F.broadcast(mism)
+        ).select(
+            F.lit(name).alias("artifact"),
+            "n_forgotten_subjects",
+            F.col("n_refs_left").cast("long").alias("n_refs_left"),
+            F.col("n_mismatch_rebuild").cast("long")
+            .alias("n_mismatch_rebuild"),
+        )
+
+    rows = []
+
+    # --- BM25 postings: anti-join + stats re-derived from purged dl.
+    tf, dl, _stats = build_postings(docs)
+    ptf = cold(
+        tf.join(F.broadcast(forget_docs), "doc_id", "left_anti"), "bm_tf"
+    )
+    pdl = cold(
+        dl.join(F.broadcast(forget_docs), "doc_id", "left_anti"), "bm_dl"
+    )
+    pstats = cold(
+        pdl.agg(
+            F.count(F.lit(1)).cast("double").alias("nd"),
+            F.sum("dl").cast("double").alias("tt"),
+        ),
+        "bm_stats",
+    )
+    rtf, rdl, rstats = build_postings(purged_docs)
+    bm_mism = (
+        n_diff(ptf, rtf, "a").crossJoin(n_diff(pdl, rdl, "b"))
+        .crossJoin(n_diff(pstats, rstats, "c"))
+        .select(
+            (F.col("a") + F.col("b") + F.col("c"))
+            .alias("n_mismatch_rebuild")
+        )
+    )
+    bm_refs = (
+        n_semi(ptf, forget_docs, "doc_id", "a").crossJoin(
+            n_semi(pdl, forget_docs, "doc_id", "b")
+        ).select((F.col("a") + F.col("b")).alias("n_refs_left"))
+    )
+    rows.append(row("bm25_postings", nfd, bm_refs, bm_mism))
+
+    # --- LSH band index: per-doc signatures, anti-join == rebuild.
+    sh = shared_shingles(spark, sf)
+    sh_purged = sh.join(F.broadcast(forget_docs), "doc_id", "left_anti")
+    lsh_cold = cold(
+        D.lsh_band_index(docs, shingles=sh).join(
+            F.broadcast(forget_docs), "doc_id", "left_anti"
+        ),
+        "lsh",
+    )
+    lsh_rebuild = D.lsh_band_index(purged_docs, shingles=sh_purged)
+    rows.append(row(
+        "lsh_band_index", nfd,
+        n_semi(lsh_cold, forget_docs, "doc_id"),
+        n_diff(lsh_cold, lsh_rebuild),
+    ))
+
+    # --- Substring gram index: retained stop-gram list; set algebra
+    # makes (capped − forgotten) ≡ ((uncapped over purged) − stop).
+    grams = shared_kgram_rows(spark, sf, k=10)
+    gram_idx = D.substring_gram_index(None, grams=grams, max_df=64)
+    gram_cold = cold(
+        gram_idx.join(
+            F.broadcast(
+                forget_docs.withColumnRenamed("doc_id", "id_base")
+            ),
+            "id_base", "left_anti",
+        ),
+        "grams",
+    )
+    uncapped = D.substring_gram_index(None, grams=grams, max_df=None)
+    stop = (
+        uncapped.groupBy("_gh").agg(F.count(F.lit(1)).alias("_ddf"))
+        .filter(F.col("_ddf") > 64).select("_gh")
+    )
+    gram_rebuild = D.substring_gram_index(
+        None,
+        grams=grams.join(F.broadcast(forget_docs), "doc_id", "left_anti"),
+        max_df=None,
+    ).join(stop, "_gh", "left_anti")
+    rows.append(row(
+        "substring_gram_index", nfd,
+        n_semi(gram_cold, forget_docs, "id_base"),
+        n_diff(gram_cold, gram_rebuild),
+    ))
+
+    # --- PQ / SQ8 code tables: retained codebooks/params, re-encode.
+    cb, pq_enc = shared_pq_index(spark, sf)
+    pq_cold = cold(
+        pq_enc.join(F.broadcast(forget_vecs), "vec_id", "left_anti"), "pq"
+    )
+    pq_rebuild = S.pq_encode(purged_emb, cb, dim=64, m=32)
+    rows.append(row(
+        "pq_codes", nfv,
+        n_semi(pq_cold, forget_vecs, "vec_id"),
+        n_diff(pq_cold, pq_rebuild),
+    ))
+
+    sq_params, sq_enc = shared_sq8_index(spark, sf)
+    sq_cold = cold(
+        sq_enc.join(F.broadcast(forget_vecs), "vec_id", "left_anti"), "sq8"
+    )
+    sq_rebuild = S.sq8_encode(purged_emb, sq_params)
+    rows.append(row(
+        "sq8_codes", nfv,
+        n_semi(sq_cold, forget_vecs, "vec_id"),
+        n_diff(sq_cold, sq_rebuild),
+    ))
+
+    # --- IVF assignment: the searchable artifact CARRIES the vectors,
+    # so it is a first-class purge target; retained centroids re-assign
+    # the purged corpus identically (per-row argmax under standing
+    # centroids — the ivf_cells build step itself).
+    cells = shared_ivf_index(spark, sf)
+    centroids, assigned = cells
+    ivf_cold = cold(
+        assigned.join(F.broadcast(forget_vecs), "vec_id", "left_anti"),
+        "ivfassign",
+    )
+    ivf_rebuild = S.ivf_assign(
+        purged_emb, centroids, assign_spill=IVF_SPILL
+    )
+    rows.append(row(
+        "ivf_assignment", nfv,
+        n_semi(ivf_cold, forget_vecs, "vec_id"),
+        n_diff(ivf_cold, ivf_rebuild),
+    ))
+
+    # --- kNN graph: delete + repair, structural mismatch triple.
+    g = shared_knn_graph(spark, sf)
+    g_cold = cold(
+        S.knn_graph_forget(
+            g, forget_vecs, purged_emb, cells, k=KNN_GRAPH_K, spilled=True
+        ),
+        "knng",
+    )
+    g_refs = (
+        n_semi(g_cold, forget_vecs, "vec_id", "a").crossJoin(
+            n_semi(g_cold, forget_vecs, "neighbor_id", "b")
+        ).select((F.col("a") + F.col("b")).alias("n_refs_left"))
+    )
+    touched = (
+        g.join(
+            F.broadcast(
+                forget_vecs.withColumnRenamed("vec_id", "neighbor_id")
+            ),
+            "neighbor_id", "left_semi",
+        )
+        .select("vec_id").distinct()
+    )
+    untouched_old = g.join(
+        F.broadcast(forget_vecs), "vec_id", "left_anti"
+    ).join(F.broadcast(touched), "vec_id", "left_anti")
+    untouched_new = g_cold.join(F.broadcast(touched), "vec_id", "left_anti")
+    deg_viol = (
+        g_cold.groupBy("vec_id").agg(F.count(F.lit(1)).alias("_d"))
+        .agg(
+            F.count_if(F.col("_d") > KNN_GRAPH_K).alias("v")
+        )
+    )
+    g_mism = (
+        n_diff(untouched_new, untouched_old, "u").crossJoin(
+            F.broadcast(deg_viol)
+        ).select((F.col("u") + F.col("v")).alias("n_mismatch_rebuild"))
+    )
+    rows.append(row("knn_graph", nfv, g_refs, g_mism))
+
+    # --- Golden record: affected-clusters-only survivorship re-derive.
+    pairs = shared_jaccard_pairs(spark, sf)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        labels = D.connected_components(pairs.select("id_a", "id_b"))
+        members = (
+            docs.join(
+                labels.withColumnRenamed("id_a", "doc_id"),
+                "doc_id", "left",
+            )
+            .select(
+                "doc_id", "text", "n_chars", "source",
+                F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        standing_golden = golden_rollup(members).localCheckpoint()
+        affected = (
+            members.join(F.broadcast(forget_docs), "doc_id", "left_semi")
+            .select("cluster_id").distinct()
+        )
+        surv_aff = members.join(
+            F.broadcast(affected), "cluster_id", "left_semi"
+        ).join(F.broadcast(forget_docs), "doc_id", "left_anti")
+        aff_ids = surv_aff.select("doc_id")
+        sub_pairs = (
+            pairs.select("id_a", "id_b")
+            .join(
+                F.broadcast(aff_ids.withColumnRenamed("doc_id", "id_a")),
+                "id_a", "left_semi",
+            )
+            .join(
+                F.broadcast(aff_ids.withColumnRenamed("doc_id", "id_b")),
+                "id_b", "left_semi",
+            )
+        )
+        relabels = D.connected_components(sub_pairs)
+        patched_aff = golden_rollup(
+            surv_aff.drop("cluster_id")
+            .join(
+                relabels.withColumnRenamed("id_a", "doc_id"),
+                "doc_id", "left",
+            )
+            .select(
+                "doc_id", "text", "n_chars", "source",
+                F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            )
+        )
+        golden_cold = cold(
+            standing_golden.join(
+                F.broadcast(affected), "cluster_id", "left_anti"
+            ).unionByName(patched_aff),
+            "golden",
+        )
+        labels_r = D.connected_components(
+            pairs.select("id_a", "id_b")
+            .join(
+                F.broadcast(
+                    forget_docs.withColumnRenamed("doc_id", "id_a")
+                ),
+                "id_a", "left_anti",
+            )
+            .join(
+                F.broadcast(
+                    forget_docs.withColumnRenamed("doc_id", "id_b")
+                ),
+                "id_b", "left_anti",
+            )
+        )
+        golden_rebuild = golden_rollup(
+            purged_docs.join(
+                labels_r.withColumnRenamed("id_a", "doc_id"),
+                "doc_id", "left",
+            ).select(
+                "doc_id", "text", "n_chars", "source",
+                F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    golden_refs = (
+        n_semi(golden_cold, forget_docs, "cluster_id", "a").crossJoin(
+            n_semi(golden_cold, forget_docs, "golden_doc_id", "b")
+        ).select((F.col("a") + F.col("b")).alias("n_refs_left"))
+    )
+    rows.append(row(
+        "golden_record", nfd, golden_refs,
+        n_diff(golden_cold, golden_rebuild),
+    ))
+
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
