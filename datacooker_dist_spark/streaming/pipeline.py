@@ -92,15 +92,50 @@ def _recover_compacted_stores(target: str) -> None:
     import os
     import shutil
 
-    for old in glob.glob(f"{target}/compacted_w*__old"):
+    stores = glob.glob(f"{target}/compacted_w*__old") + glob.glob(
+        f"{target}/forgotten__old"
+    )
+    for old in stores:
         base = old[: -len("__old")]
         if os.path.isdir(base):
             shutil.rmtree(old)
         else:
             os.rename(old, base)
-    for tmp in glob.glob(f"{target}/compacted_w*__tmp"):
+    for tmp in glob.glob(f"{target}/compacted_w*__tmp") + glob.glob(
+        f"{target}/forgotten__tmp"
+    ):
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)
+
+
+def _forgotten_store_dir(target: str) -> str | None:
+    """The readable tombstone store under a target, if any: the base
+    ``forgotten`` dir, else its ``__old`` backup when a swap crashed
+    mid-flight (read-only recovery, same contract as the compacted
+    stores)."""
+    import os
+
+    base = f"{target}/forgotten"
+    if os.path.isdir(base):
+        return base
+    if os.path.isdir(base + "__old"):
+        return base + "__old"
+    return None
+
+
+def _swap_dir(tmp: str, base: str) -> None:
+    """Crash-safe directory swap: rename the old store aside, the
+    rewrite into place, then drop the backup — a readable copy exists
+    at every step (:func:`_recover_compacted_stores` repairs
+    leftovers)."""
+    import os
+    import shutil
+
+    if os.path.isdir(base):
+        os.rename(base, base + "__old")
+    os.rename(tmp, base)
+    if os.path.isdir(base + "__old"):
+        shutil.rmtree(base + "__old")
 
 
 def _compacted_store_dirs(target: str) -> list:
@@ -123,7 +158,10 @@ def _compacted_store_dirs(target: str) -> list:
 
 
 def vacuum_batch_artifacts(
-    spark: SparkSession, target: str, watermark: int
+    spark: SparkSession,
+    target: str,
+    watermark: int,
+    forget: DataFrame | None = None,
 ) -> None:
     """RETENTION/COMPACTION for the per-``b<batch_id>`` artifact layout
     every foreachBatch twin lands (round 10, VERDICT r09 task 8): merge
@@ -155,13 +193,49 @@ def vacuum_batch_artifacts(
     (``__old``), the rewrite renamed into place, and only then is the
     backup deleted — a crash anywhere leaves data recoverable by
     :func:`_recover_compacted_stores` (run on entry here and honoured
-    read-only by :func:`read_batch_artifacts`)."""
+    read-only by :func:`read_batch_artifacts`).
+
+    ``forget`` (round 11, VERDICT r10 task 8 — right-to-be-forgotten on
+    the per-batch layout): a key frame whose columns are a subset of
+    the artifact's; its rows are anti-joined out of the compaction AND
+    recorded additively in a persisted TOMBSTONE store
+    (``<target>/forgotten``, same crash-safe swap). Every later vacuum
+    re-applies the cumulative tombstones — so a batch dir REPLAYED
+    after its content was purged (the idempotent sink rewriting the
+    ORIGINAL rows) folds in WITHOUT resurrecting a purged row — and
+    :func:`read_batch_artifacts` applies them read-side, so the drained
+    VIEW is purged immediately, even for still-raw batch dirs outside
+    the compaction window (their physical files purge when the
+    watermark reaches them). Purge is idempotent: re-vacuuming with the
+    same (or no) forget set changes nothing."""
     import glob
     import os
     import shutil
     from functools import reduce
 
     _recover_compacted_stores(target)
+    # Cumulative tombstones: existing store ∪ this call's forget keys,
+    # persisted first so the purge survives a crash mid-compaction.
+    forg_dir = f"{target}/forgotten"
+    existing = _forgotten_store_dir(target)
+    tombstones = None
+    if forget is not None:
+        new_keys = forget.distinct()
+        if existing is not None:
+            new_keys = (
+                spark.read.parquet(existing)
+                .unionByName(new_keys.select(
+                    *spark.read.parquet(existing).columns
+                ))
+                .distinct()
+            )
+        new_keys.coalesce(1).write.mode("overwrite").parquet(
+            forg_dir + "__tmp"
+        )
+        _swap_dir(forg_dir + "__tmp", forg_dir)
+        tombstones = spark.read.parquet(forg_dir)
+    elif existing is not None:
+        tombstones = spark.read.parquet(existing)
     comp = f"{target}/compacted_w{watermark}"
     batch_dirs = sorted(
         d for d in glob.glob(f"{target}/b[0-9]*")
@@ -178,6 +252,10 @@ def vacuum_batch_artifacts(
     if not parts:
         return
     merged = reduce(DataFrame.unionByName, parts).distinct()
+    if tombstones is not None:
+        merged = merged.join(
+            F.broadcast(tombstones), tombstones.columns, "left_anti"
+        )
     tmp = f"{comp}__tmp"
     # Read-before-overwrite: the compacted stores feed their own
     # rewrite, so land in a temp dir and swap via rename.
@@ -225,6 +303,15 @@ def read_batch_artifacts(spark: SparkSession, target: str) -> DataFrame:
         raise FileNotFoundError(
             f"no batch artifacts (b<id>/ or compacted_w*/) under {target}"
         )
-    return (
+    out = (
         reduce(DataFrame.unionByName, parts).distinct().drop("_vac_batch")
     )
+    # Persisted tombstones (landed by a forget-aware vacuum) apply
+    # read-side, so a purged row never reappears in the drained view —
+    # not even from a raw batch dir the idempotent sink replayed after
+    # the purge (round 11, VERDICT r10 task 8).
+    forg = _forgotten_store_dir(target)
+    if forg is not None:
+        tomb = spark.read.parquet(forg)
+        out = out.join(F.broadcast(tomb), tomb.columns, "left_anti")
+    return out

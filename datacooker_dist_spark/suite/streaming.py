@@ -2160,6 +2160,93 @@ def stream_artifact_vacuum(spark, sf):
 
 
 @query(
+    "stream_artifact_forget",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS c FROM documents),
+         f AS (SELECT COUNT(*) AS c FROM documents WHERE doc_id % 53 = 0)
+    SELECT 'post_purge_rows' AS check_name,
+           CAST(n.c - f.c AS BIGINT) AS n_rows FROM n, f
+    UNION ALL SELECT 'forgotten_rows_left', CAST(0 AS BIGINT)
+    UNION ALL SELECT 'replay_resurrected_rows', CAST(0 AS BIGINT)
+    UNION ALL SELECT 'revacuum_extra_rows', CAST(0 AS BIGINT)
+    """,
+)
+def stream_artifact_forget(spark, sf):
+    """Forget-aware RETENTION (round 11, VERDICT r10 task 8 — the
+    composition of ``privacy_forget_index`` with
+    ``stream_artifact_vacuum``): right-to-be-forgotten must also work
+    on the per-``b<batch_id>`` artifact layout the streaming twins
+    land, where the idempotent sink can REPLAY a batch dir containing
+    the original (purged) rows after a crash. The vacuum op takes a
+    forget-key frame: purged rows are anti-joined out of the
+    compaction AND recorded in a persisted cumulative TOMBSTONE store
+    that (a) every later vacuum re-applies — a replayed batch folds in
+    without resurrecting a purged row — and (b)
+    ``read_batch_artifacts`` applies read-side, so the drained VIEW is
+    purged immediately even while a replayed raw dir still sits on
+    disk. Ledger, all oracle-pinned by key arithmetic: post-purge
+    drained rows = COUNT(documents) − COUNT(forgotten); zero forgotten
+    rows anywhere in the drained view; zero rows resurrected by
+    replaying an already-purged batch (checked BEFORE the next vacuum
+    — the read-side guarantee — and the re-vacuum then physically
+    re-purges it); re-vacuum extra rows = 0 (idempotent under the
+    standing tombstones)."""
+    from ..streaming.pipeline import (
+        read_batch_artifacts,
+        vacuum_batch_artifacts,
+    )
+    from . import table
+
+    docs = table(spark, sf, "documents")
+    base_dir = scratch_dir("sforg")
+    src, target = f"{base_dir}/src", f"{base_dir}/art"
+    ckpt = f"{base_dir}/ckpt"
+    docs.select("doc_id", "n_chars", "source").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    schema = "doc_id bigint, n_chars bigint, source string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+    def land(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(f"{target}/b{batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(land)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    forget = docs.filter(F.col("doc_id") % 53 == 0).select("doc_id")
+    # Capture b1's ORIGINAL content (incl. soon-to-be-purged rows) —
+    # the replay simulation rewrites exactly what the idempotent sink
+    # would after a crash that predates the purge.
+    b1 = spark.read.parquet(f"{target}/b1").localCheckpoint()
+    vacuum_batch_artifacts(spark, target, watermark=10, forget=forget)
+    post = read_batch_artifacts(spark, target).localCheckpoint()
+    n_post = post.count()
+    n_left = post.join(F.broadcast(forget), "doc_id", "left_semi").count()
+    b1.write.mode("overwrite").parquet(f"{target}/b1")
+    n_replay_extra = (
+        read_batch_artifacts(spark, target).count() - n_post
+    )
+    vacuum_batch_artifacts(spark, target, watermark=10)
+    n_re_extra = read_batch_artifacts(spark, target).count() - n_post
+    rows = [
+        ("post_purge_rows", n_post),
+        ("forgotten_rows_left", n_left),
+        ("replay_resurrected_rows", n_replay_extra),
+        ("revacuum_extra_rows", n_re_extra),
+    ]
+    return spark.createDataFrame(rows, "check_name string, n_rows long")
+
+
+@query(
     "stream_knn_graph_probe",
     oracle="""
     WITH q AS (SELECT COUNT(*) AS c FROM embeddings WHERE vec_id % 5 = 0)
