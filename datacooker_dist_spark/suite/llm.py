@@ -3512,7 +3512,10 @@ def _sc_row(component, invariant, passed_frame):
       ('kmv_sketch', 'merge_equals_rebuild', true),
       ('cdc_chunking', 'shift_invariant_tail_chunks', true),
       ('substring_spans', 'planted_spans_exact', true),
-      ('knn_graph', 'superset_of_ivf_recall', true)
+      ('knn_graph', 'superset_of_ivf_recall', true),
+      ('knn_graph_append', 'untouched_nodes_byte_identical', true),
+      ('knn_graph_forget', 'purged_untouched_byte_identical', true),
+      ('artifact_vacuum', 'lossless_idempotent_replay_safe', true)
     ) AS t(component, invariant, passed)
     """,
 )
@@ -3919,6 +3922,160 @@ def engine_scorecard(spark, sf):
         "knn_graph", "superset_of_ivf_recall",
         _hg.crossJoin(_hi).select(
             (F.col("_g") >= F.col("_i")).alias("passed")
+        ),
+    ))
+
+    # 13. Graph APPEND's touched-only bound (round 11, VERDICT r10 task
+    # 7): after appending a bounded batch to the shared standing base
+    # graph, every base node NOT targeted by a mirrored proposal keeps
+    # its out-edge list byte-identical — the patch's locality contract,
+    # re-measured from the real shared artifacts (structural: untouched
+    # rows pass through a broadcast anti + deterministic re-rank).
+    cells_b, graph_b = shared_base_knn_graph(spark, sf, k=KNN_GRAPH_K)
+    base_b = emb.filter(F.col("vec_id") % 5 != 0)
+    new_b = emb.filter(
+        (F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 250)
+    )
+    appended = S.knn_graph_append(
+        graph_b, base_b, new_b, cells=cells_b, k=KNN_GRAPH_K
+    ).localCheckpoint()
+    new_ids_b = new_b.select("vec_id")
+    targets_b = (
+        appended.join(F.broadcast(new_ids_b), "vec_id", "left_semi")
+        .join(
+            new_ids_b.withColumnRenamed("vec_id", "neighbor_id"),
+            "neighbor_id", "left_anti",
+        )
+        .select(F.col("neighbor_id").alias("vec_id"))
+        .distinct()
+    )
+    unt_new = (
+        appended.join(F.broadcast(new_ids_b), "vec_id", "left_anti")
+        .join(F.broadcast(targets_b), "vec_id", "left_anti")
+        .withColumn("_a", F.lit(1))
+    )
+    unt_old = (
+        graph_b.join(F.broadcast(targets_b), "vec_id", "left_anti")
+        .withColumn("_b", F.lit(1))
+    )
+    parts.append(row(
+        "knn_graph_append", "untouched_nodes_byte_identical",
+        unt_new.join(
+            unt_old, ["vec_id", "neighbor_id", "rnk", "cosine"],
+            "full_outer",
+        ).agg(
+            (
+                F.count_if(
+                    F.col("_a").isNull() | F.col("_b").isNull()
+                )
+                == 0
+            ).alias("passed")
+        ),
+    ))
+
+    # 14. Graph FORGET's delete+repair bound (round 11 — the inverse
+    # patch shipped this round): after purging a bounded forget set
+    # from the shared full-corpus graph, no row references a forgotten
+    # id, no node exceeds k out-edges, and every node that did NOT
+    # lose an edge keeps its list byte-identical.
+    g_full = shared_knn_graph(spark, sf)
+    forget_v = emb.filter(F.col("vec_id") % 499 == 0).select("vec_id")
+    g_forgot = S.knn_graph_forget(
+        g_full, forget_v,
+        emb.join(F.broadcast(forget_v), "vec_id", "left_anti"),
+        shared_ivf_index(spark, sf), k=KNN_GRAPH_K, spilled=True,
+    ).localCheckpoint()
+    touched_f = (
+        g_full.join(
+            F.broadcast(
+                forget_v.withColumnRenamed("vec_id", "neighbor_id")
+            ),
+            "neighbor_id", "left_semi",
+        )
+        .join(F.broadcast(forget_v), "vec_id", "left_anti")
+        .select("vec_id").distinct()
+    )
+    funt_new = g_forgot.join(
+        F.broadcast(touched_f), "vec_id", "left_anti"
+    ).withColumn("_a", F.lit(1))
+    funt_old = (
+        g_full.join(F.broadcast(forget_v), "vec_id", "left_anti")
+        .join(F.broadcast(touched_f), "vec_id", "left_anti")
+        .withColumn("_b", F.lit(1))
+    )
+    f_unt = funt_new.join(
+        funt_old, ["vec_id", "neighbor_id", "rnk", "cosine"],
+        "full_outer",
+    ).agg(
+        F.count_if(
+            F.col("_a").isNull() | F.col("_b").isNull()
+        ).alias("_u")
+    )
+    f_refs = (
+        g_forgot.join(F.broadcast(forget_v), "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("_r1"))
+        .crossJoin(
+            g_forgot.join(
+                F.broadcast(
+                    forget_v.withColumnRenamed("vec_id", "neighbor_id")
+                ),
+                "neighbor_id", "left_semi",
+            ).agg(F.count(F.lit(1)).alias("_r2"))
+        )
+    )
+    f_deg = g_forgot.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("_d")
+    ).agg((F.max("_d") <= KNN_GRAPH_K).alias("_dok"))
+    parts.append(row(
+        "knn_graph_forget", "purged_untouched_byte_identical",
+        f_unt.crossJoin(f_refs).crossJoin(f_deg).select(
+            (
+                (F.col("_u") == 0)
+                & (F.col("_r1") + F.col("_r2") == 0)
+                & F.col("_dok")
+            ).alias("passed")
+        ),
+    ))
+
+    # 15. Artifact vacuum's lossless/idempotent/replay-safe triple
+    # (round 11 — proven in tests since r10, now a driver-sampleable
+    # row): a real bounded per-batch layout is compacted, re-compacted,
+    # and replayed; the drained view must hold the identical row count
+    # through all three (the tagged-row fold's contract).
+    import glob as _glob
+
+    from ..streaming.pipeline import (
+        read_batch_artifacts,
+        vacuum_batch_artifacts,
+    )
+    from . import scratch_dir
+
+    _vt = scratch_dir("scvac") + "/art"
+    _vdocs = docs.filter(F.col("doc_id") < 300).select("doc_id", "n_chars")
+    for b in range(3):
+        _vdocs.filter(F.col("doc_id") % 3 == b).write.mode(
+            "overwrite"
+        ).parquet(f"{_vt}/b{b}")
+    _n_pre = read_batch_artifacts(spark, _vt).count()
+    _b1 = spark.read.parquet(f"{_vt}/b1").localCheckpoint()
+    vacuum_batch_artifacts(spark, _vt, watermark=2)
+    _n_post = read_batch_artifacts(spark, _vt).count()
+    vacuum_batch_artifacts(spark, _vt, watermark=2)
+    _n_re = read_batch_artifacts(spark, _vt).count()
+    _b1.write.mode("overwrite").parquet(f"{_vt}/b1")
+    vacuum_batch_artifacts(spark, _vt, watermark=2)
+    _n_replay = read_batch_artifacts(spark, _vt).count()
+    _one_store = len(_glob.glob(f"{_vt}/b[0-9]*")) == 0
+    parts.append(row(
+        "artifact_vacuum", "lossless_idempotent_replay_safe",
+        spark.createDataFrame(
+            [(
+                _n_post == _n_pre
+                and _n_re == _n_post
+                and _n_replay == _n_post
+                and _one_store,
+            )],
+            "passed boolean",
         ),
     ))
 
