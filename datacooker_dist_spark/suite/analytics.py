@@ -2120,6 +2120,7 @@ def privacy_forget_index(spark, sf):
     from .llm import (
         IVF_SPILL,
         KNN_GRAPH_K,
+        shared_forgotten_knn_graph,
         shared_ivf_index,
         shared_kgram_rows,
         shared_knn_graph,
@@ -2294,14 +2295,10 @@ def privacy_forget_index(spark, sf):
         n_diff(ivf_cold, ivf_rebuild),
     ))
 
-    # --- kNN graph: delete + repair, structural mismatch triple.
+    # --- kNN graph: delete + repair, structural mismatch triple (the
+    # purged graph itself is session-shared with the probe entry).
     g = shared_knn_graph(spark, sf)
-    g_cold = cold(
-        S.knn_graph_forget(
-            g, forget_vecs, purged_emb, cells, k=KNN_GRAPH_K, spilled=True
-        ),
-        "knng",
-    )
+    g_cold = cold(shared_forgotten_knn_graph(spark, sf), "knng")
     g_refs = (
         n_semi(g_cold, forget_vecs, "vec_id", "a").crossJoin(
             n_semi(g_cold, forget_vecs, "neighbor_id", "b")
@@ -2428,3 +2425,194 @@ def privacy_forget_index(spark, sf):
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@query(
+    "privacy_forget_probe",
+    oracle="""
+    WITH fd AS (SELECT CAST(COUNT(*) AS BIGINT) AS c
+                FROM documents WHERE doc_id % 53 = 0),
+    fv AS (SELECT CAST(COUNT(*) AS BIGINT) AS c
+           FROM embeddings WHERE vec_id % 53 = 0),
+    tok_all AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+      FROM documents),
+    tok2_all AS (SELECT doc_id, t FROM tok_all WHERE t <> ''),
+    presence AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS c
+                 FROM tok2_all WHERE doc_id % 53 = 0),
+    tok2 AS (SELECT doc_id, t FROM tok2_all WHERE doc_id % 53 <> 0),
+    tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok2 GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+           FROM tok2 GROUP BY 1),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+                     CAST(SUM(dl) AS DOUBLE) AS tt FROM dl),
+    q AS (SELECT qid, t FROM (
+            SELECT doc_id AS qid, t,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY t) AS rn
+            FROM (SELECT DISTINCT doc_id, t FROM tok2_all
+                  WHERE doc_id % 53 = 0)) WHERE rn <= 8),
+    terms AS (SELECT DISTINCT t FROM q),
+    post AS (SELECT tf.* FROM tf JOIN terms USING (t)),
+    dft AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY 1),
+    ts AS (SELECT p.doc_id, p.t,
+                  round(round(ln((s.nd - d.df + 0.5) / (d.df + 0.5) + 1.0), 9)
+                        * (p.tf * 2.2)
+                        / round(p.tf + 1.2 * (0.25 + 0.75 * l.dl
+                                              / (s.tt / s.nd)), 9),
+                        9) AS tsc
+           FROM post p JOIN dft d USING (t) JOIN dl l USING (doc_id),
+                stats s),
+    sc AS (SELECT q.qid, ts.doc_id, round(SUM(tsc), 6) AS bm25
+           FROM ts JOIN q USING (t) GROUP BY 1, 2),
+    r AS (SELECT qid, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY bm25 DESC, doc_id) AS rnk
+          FROM sc),
+    bmres AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     CAST(COUNT(*) FILTER (WHERE doc_id % 53 = 0)
+                          AS BIGINT) AS hits
+              FROM r WHERE rnk <= 5)
+    SELECT 'bm25_presence_unpurged' AS surface, fd.c AS n_queries,
+           presence.c AS n_rows, presence.c AS n_forgotten_hits
+    FROM fd, presence
+    UNION ALL SELECT 'bm25_probe_purged', fd.c, bmres.n_rows, bmres.hits
+    FROM fd, bmres
+    UNION ALL SELECT 'dense_probe_purged', fv.c, 5 * fv.c,
+                     CAST(0 AS BIGINT) FROM fv
+    UNION ALL SELECT 'graph_probe_purged', fv.c, 5 * fv.c,
+                     CAST(0 AS BIGINT) FROM fv
+    """,
+)
+def privacy_forget_probe(spark, sf):
+    """ADVERSARIAL search probe of the purged indexes (round 11 — the
+    end-to-end companion of ``privacy_forget_index``): a regulator's
+    question is not only "are the rows gone from the artifact" but
+    "can search still SURFACE the forgotten subject". Each probe
+    queries a purged index with the queries MOST likely to find the
+    forgotten subjects — their own content:
+
+    - ``bm25_presence_unpurged`` — positive control: before the purge,
+      every tokenized forgotten doc is present in the postings (the
+      oracle computes the same presence count from raw text, so the
+      control is exact, not assumed).
+    - ``bm25_probe_purged`` — each forgotten doc's own
+      alphabetically-first-8 tokens query the PURGED postings, top-5:
+      zero forgotten docs in any result; the oracle replays the whole
+      BM25 ranking over the purged corpus, so n_rows is exact too.
+    - ``dense_probe_purged`` — each forgotten VECTOR (the request
+      carries the subject's data transiently) searches the purged
+      corpus exact-cosine, top-5: 5 rows per query (the eligible pool
+      exceeds k at every SF — 490+ vectors after the ~1/53 purge),
+      zero forgotten neighbors.
+    - ``graph_probe_purged`` — the same forgotten vectors search the
+      PURGED standing graph (:func:`shared_forgotten_knn_graph`,
+      session-shared with the index entry) through purged cells: same
+      5-per-query bound, zero forgotten neighbors — hops cannot
+      traverse a forgotten node's list and scoring cannot resurrect a
+      forgotten vector, by the delete+repair construction.
+
+    Every probe is the standard bounded-broadcast search shape; the
+    entry adds no new index builds beyond the session-shared purged
+    graph."""
+    from ..operators import similarity as S
+    from ..operators.retrieval import bm25_topk, build_postings
+    from .llm import (
+        IVF_SPILL,  # noqa: F401  (documents the spill contract)
+        shared_forgotten_knn_graph,
+        shared_ivf_index,
+    )
+
+    docs = table(spark, sf, "documents")
+    emb = table(spark, sf, "embeddings")
+    forget_docs = docs.filter(F.col("doc_id") % 53 == 0).select("doc_id")
+    forget_vecs = emb.filter(F.col("vec_id") % 53 == 0).select("vec_id")
+    purged_docs = docs.join(F.broadcast(forget_docs), "doc_id", "left_anti")
+    purged_emb = emb.join(F.broadcast(forget_vecs), "vec_id", "left_anti")
+
+    nfd = forget_docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries")
+    ).localCheckpoint()
+    nfv = forget_vecs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries")
+    ).localCheckpoint()
+
+    def probe_row(surface, nq, res, hit_col, hit_keys):
+        n_rows = res.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        hits = res.join(
+            F.broadcast(
+                hit_keys.withColumnRenamed(hit_keys.columns[0], hit_col)
+            ),
+            hit_col, "left_semi",
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_forgotten_hits"))
+        return nq.crossJoin(F.broadcast(n_rows)).crossJoin(
+            F.broadcast(hits)
+        ).select(
+            F.lit(surface).alias("surface"),
+            "n_queries", "n_rows", "n_forgotten_hits",
+        )
+
+    from ..operators.dedup import tokens_col
+
+    tok2_all = (
+        docs.select(
+            "doc_id", F.explode(tokens_col("text")).alias("t")
+        )
+        .filter(F.col("t") != "")
+        .distinct()
+    )
+    # Positive control: forgotten docs ARE in the unpurged postings.
+    present = (
+        tok2_all.join(F.broadcast(forget_docs), "doc_id", "left_semi")
+        .select("doc_id").distinct()
+    )
+    control = nfd.crossJoin(
+        F.broadcast(
+            present.agg(F.count(F.lit(1)).cast("long").alias("_p"))
+        )
+    ).select(
+        F.lit("bm25_presence_unpurged").alias("surface"),
+        "n_queries",
+        F.col("_p").alias("n_rows"),
+        F.col("_p").alias("n_forgotten_hits"),
+    )
+
+    wq = Window.partitionBy("doc_id").orderBy("t")
+    qterms = (
+        tok2_all.join(F.broadcast(forget_docs), "doc_id", "left_semi")
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= 8)
+        .select(F.col("doc_id").alias("qid"), "t")
+    )
+    bm = bm25_topk(*build_postings(purged_docs), qterms, k=5)
+    bm_row = probe_row(
+        "bm25_probe_purged", nfd, bm, "doc_id", forget_docs
+    )
+
+    fq = emb.join(F.broadcast(forget_vecs), "vec_id", "left_semi")
+    dense = S.cosine_topk(purged_emb, fq, k=5)
+    dense_row = probe_row(
+        "dense_probe_purged", nfv, dense, "neighbor_id", forget_vecs
+    )
+
+    centroids, assigned = shared_ivf_index(spark, sf)
+    purged_cells = (
+        centroids,
+        assigned.join(F.broadcast(forget_vecs), "vec_id", "left_anti"),
+    )
+    graph = S.cosine_topk_graph(
+        purged_emb, fq, graph=shared_forgotten_knn_graph(spark, sf),
+        cells=purged_cells, k=5, nprobe=4, hops=2, entry_cap=10,
+        spilled=True,
+    )
+    graph_row = probe_row(
+        "graph_probe_purged", nfv, graph, "neighbor_id", forget_vecs
+    )
+
+    return (
+        control.unionByName(bm_row)
+        .unionByName(dense_row)
+        .unionByName(graph_row)
+    )

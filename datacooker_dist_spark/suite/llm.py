@@ -240,6 +240,29 @@ def shared_knn_graph(spark, sf):
     return _KNN_GRAPH_CACHE[key]
 
 
+_FORGOT_GRAPH_CACHE: dict = {}
+
+
+def shared_forgotten_knn_graph(spark, sf):
+    """Session-memoized FORGOTTEN-PURGED kNN graph (round 11): the
+    shared full-corpus graph with the forget set (vec_id % 53 = 0)
+    removed via :func:`~..operators.similarity.knn_graph_forget`
+    (delete + touched-only repair over the purged corpus/cells).
+    Consumed by ``privacy_forget_index`` (written cold + invariant-
+    diffed) and ``privacy_forget_probe`` (searched), so the bounded
+    repair pass runs once per session."""
+    key = (session_key(spark), sf)
+    if key not in _FORGOT_GRAPH_CACHE:
+        emb = table(spark, sf, "embeddings")
+        forget = emb.filter(F.col("vec_id") % 53 == 0).select("vec_id")
+        purged = emb.join(F.broadcast(forget), "vec_id", "left_anti")
+        _FORGOT_GRAPH_CACHE[key] = S.knn_graph_forget(
+            shared_knn_graph(spark, sf), forget, purged,
+            shared_ivf_index(spark, sf), k=KNN_GRAPH_K, spilled=True,
+        ).localCheckpoint()
+    return _FORGOT_GRAPH_CACHE[key]
+
+
 _BASE_KNN_CACHE: dict = {}
 
 

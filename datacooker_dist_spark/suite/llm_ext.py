@@ -2806,3 +2806,205 @@ def dataset_token_budget_mix(spark, sf):
         .alias("epochs_milli"),
         "capped",
     )
+
+
+_SQL_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+
+@query(
+    "split_leakage_safe",
+    oracle=f"""
+    WITH RECURSIVE
+    sh AS (SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, greatest(len({_SQL_TOKS}) - 2, 1) + 1),
+               i -> array_to_string(({_SQL_TOKS})[i:i+2], ' ')))
+           AS s FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+            >= 0.8),
+    edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT s, t FROM edges
+      UNION
+      SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+      WHERE e.t <> r.s),
+    cc AS (SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster_id
+           FROM reach GROUP BY s),
+    sides AS (SELECT d.doc_id,
+                     COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+                     CASE WHEN COALESCE(cc.cluster_id, d.doc_id) % 10 = 0
+                          THEN 'eval' ELSE 'train' END AS side
+              FROM documents d LEFT JOIN cc USING (doc_id)),
+    xp AS (SELECT CAST(COUNT(*) AS BIGINT) AS c
+           FROM pairs p
+           JOIN sides a ON p.id_a = a.doc_id
+           JOIN sides b ON p.id_b = b.doc_id
+           WHERE a.side <> b.side)
+    SELECT side, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           (SELECT c FROM xp) AS n_cross_pairs
+    FROM sides GROUP BY side
+    """,
+)
+def split_leakage_safe(spark, sf):
+    """LEAKAGE-SAFE train/eval split (round 11 — the training-pipeline
+    op that makes dedup clusters actionable): a random per-document
+    split leaks, because a near-duplicate of a training document lands
+    in eval and inflates every metric. The split therefore assigns
+    whole NEAR-DUP CLUSTERS atomically: documents take their verified
+    cluster id (LSH → exact-Jaccard pairs → connected components,
+    singletons = own id), and the CLUSTER id — not the doc id — picks
+    the side (cluster_id % 10 = 0 → eval, ~10%; a production pipeline
+    swaps the modulo for a salted hash, the split rule is one
+    expression). The report is the audit a data lead signs off on:
+    per-side doc and cluster counts plus ``n_cross_pairs`` — verified
+    near-dup pairs with endpoints on OPPOSITE sides — which is 0 by
+    construction (every pair lies within one cluster and clusters are
+    atomic), and the oracle RECOMPUTES it from brute-force pairs
+    rather than asserting it. One extra broadcast join past the
+    clustering itself; at 100 TB the split is a projection over the
+    standing cluster assignment."""
+    from . import shared_jaccard_pairs
+
+    docs = table(spark, sf, "documents")
+    pairs = shared_jaccard_pairs(spark, sf)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        labels = D.connected_components(
+            pairs.select("id_a", "id_b")
+        ).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    sides = docs.join(
+        labels.withColumnRenamed("id_a", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+    ).withColumn(
+        "side",
+        F.when(F.col("cluster_id") % 10 == 0, "eval").otherwise("train"),
+    )
+    cross = (
+        pairs.select("id_a", "id_b")
+        .join(
+            sides.select(
+                F.col("doc_id").alias("id_a"), F.col("side").alias("_sa")
+            ),
+            "id_a",
+        )
+        .join(
+            sides.select(
+                F.col("doc_id").alias("id_b"), F.col("side").alias("_sb")
+            ),
+            "id_b",
+        )
+        .filter(F.col("_sa") != F.col("_sb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cross_pairs"))
+    )
+    return (
+        sides.groupBy("side")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(cross))
+    )
+
+
+@query(
+    "eval_contamination_report",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, g
+      FROM (SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len({_SQL_TOKS}) - 9, 1) + 1),
+                       i -> array_to_string(({_SQL_TOKS})[i:i+9], ' '))))
+                   AS g
+            FROM documents)),
+    ev AS (SELECT doc_id AS eval_id, ({_SQL_TOKS})[1:25] AS toks
+           FROM documents WHERE doc_id % 101 = 0),
+    eg AS (SELECT eval_id, g
+           FROM (SELECT eval_id,
+                        unnest(list_distinct(list_transform(
+                            range(1, greatest(len(toks) - 9, 1) + 1),
+                            i -> array_to_string(toks[i:i+9], ' '))))
+                        AS g
+                 FROM ev)),
+    hits AS (SELECT eg.eval_id,
+                    CAST(COUNT(DISTINCT eg.g) AS BIGINT) AS n_shared_grams,
+                    CAST(COUNT(DISTINCT c.doc_id) AS BIGINT)
+                      AS n_matching_docs
+             FROM eg JOIN corpus c ON c.g = eg.g
+             WHERE c.doc_id <> eg.eval_id
+             GROUP BY 1)
+    SELECT e.eval_id,
+           COALESCE(h.n_shared_grams, 0) AS n_shared_grams,
+           COALESCE(h.n_matching_docs, 0) AS n_matching_docs,
+           COALESCE(h.n_matching_docs, 0) > 0 AS contaminated
+    FROM ev e LEFT JOIN hits h ON h.eval_id = e.eval_id
+    """,
+)
+def eval_contamination_report(spark, sf):
+    """Benchmark-CONTAMINATION audit (round 11 — the check every
+    training-data pipeline runs before trusting an eval number): does
+    any eval item share a long n-gram with the training corpus? Eval
+    items here are deterministic extracts — each doc_id % 101 = 0
+    document's first 25 tokens (a 'leaked passage' fixture, replayable
+    in any engine) — and the detector is the published recipe
+    (GPT-3/PaLM appendix style): 10-token-gram overlap, SELF-matches
+    excluded so a hit means the passage also lives in ANOTHER corpus
+    document (its near-duplicates, exactly what contamination looks
+    like in practice). Per eval item: distinct shared 10-grams,
+    distinct matching corpus docs, and the contaminated flag —
+    EXACT-oracled end to end (the oracle replays tokens, windows, and
+    the string-gram join; no hash in the oracled path). Plan: the
+    bounded eval gram set broadcast-equi-joins the corpus gram pass —
+    one linear tokenize over the corpus, the standard probe shape; at
+    100 TB the corpus side is the persistable gram index the
+    substring family already maintains."""
+    docs = table(spark, sf, "documents")
+    toks = D.tokens_col("text")
+
+    def gram_col(arr, n=10):
+        idx = F.sequence(F.lit(0), F.greatest(F.size(arr) - n, F.lit(0)))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(arr, i + 1, n)))
+        )
+
+    corpus = docs.select(
+        "doc_id", F.explode(gram_col(toks)).alias("g")
+    )
+    ev = docs.filter(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("eval_id"), F.slice(toks, 1, 25).alias("_t")
+    )
+    eg = ev.select(
+        "eval_id", F.explode(gram_col(F.col("_t"))).alias("g")
+    )
+    hits = (
+        corpus.join(F.broadcast(eg), "g")
+        .filter(F.col("doc_id") != F.col("eval_id"))
+        .groupBy("eval_id")
+        .agg(
+            F.countDistinct("g").cast("long").alias("n_shared_grams"),
+            F.countDistinct("doc_id").cast("long").alias("n_matching_docs"),
+        )
+    )
+    return (
+        ev.select("eval_id")
+        .join(hits, "eval_id", "left")
+        .select(
+            "eval_id",
+            F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+            F.coalesce("n_matching_docs", F.lit(0))
+            .alias("n_matching_docs"),
+            (F.coalesce("n_matching_docs", F.lit(0)) > 0)
+            .alias("contaminated"),
+        )
+    )
