@@ -827,3 +827,70 @@ def ml_class_rebalance(spark, sf):
             ).alias("keep_rate"),
         )
     )
+
+
+@query(
+    "sample_mixture_plan",
+    oracle="""
+    WITH n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY 1),
+    tgt AS (SELECT MIN(n_docs) AS n_target FROM n),
+    s AS (SELECT d.source, d.doc_id,
+                 ((d.doc_id % 1048576) * 2654435761 + 12345) % 1048576
+                   AS u
+          FROM documents d),
+    sampled AS (SELECT s.source,
+                       CAST(COUNT(*) AS BIGINT) AS n_sampled
+                FROM s JOIN n USING (source), tgt
+                WHERE s.u * n.n_docs < tgt.n_target * 1048576
+                GROUP BY 1)
+    SELECT n.source, n.n_docs,
+           (SELECT n_target FROM tgt) AS n_target,
+           COALESCE(sampled.n_sampled, 0) AS n_sampled
+    FROM n LEFT JOIN sampled USING (source)
+    """,
+)
+def sample_mixture_plan(spark, sf):
+    """Training-MIX sampling plan (round 11 — the data-mixing op every
+    pretraining pipeline runs before a token leaves the lake): rebalance
+    sources to a target mixture — here 'equalize to the smallest
+    source', the simplest production target; any per-source ppm table
+    drops into the same inequality — with a DETERMINISTIC hash gate, so
+    the sampled set is reproducible run-to-run and engine-to-engine
+    (the property 'random()' sampling can never give an audit). The
+    gate is pure bounded integer arithmetic: u = ((doc_id mod 2²⁰) ·
+    2654435761 + 12345) mod 2²⁰ (a Knuth multiplicative mix on a
+    pre-reduced id — pre-reducing keeps every intermediate below 2⁵²,
+    so no engine's int64 overflows at ANY corpus size), and a doc is
+    kept iff u · n_source < n_target · 2²⁰ — the cross-multiplied
+    integer form of u/2²⁰ < target_rate, no float ratio anywhere. The
+    report is the audit: per source, corpus count, the shared target,
+    and the exact deterministic sampled count (~target ± grid
+    granularity). Plan: one hash aggregate for the counts, the 1-row
+    min as a broadcast scalar, one linear gate pass — the sample
+    itself never shuffles."""
+    docs = table(spark, sf, "documents")
+    n = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tgt = n.agg(F.min("n_docs").alias("n_target"))
+    u = (
+        (F.col("doc_id") % 1048576) * F.lit(2654435761) + 12345
+    ) % 1048576
+    sampled = (
+        docs.select("source", u.alias("_u"))
+        .join(F.broadcast(n), "source")
+        .crossJoin(F.broadcast(tgt))
+        .filter(F.col("_u") * F.col("n_docs")
+                < F.col("n_target") * 1048576)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))
+    )
+    return (
+        n.join(sampled, "source", "left")
+        .crossJoin(F.broadcast(tgt))
+        .select(
+            "source", "n_docs", "n_target",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+        )
+    )

@@ -2160,6 +2160,103 @@ def stream_artifact_vacuum(spark, sf):
 
 
 @query(
+    "stream_eval_contamination",
+    oracle="SELECT CAST(0 AS BIGINT) AS mismatches, TRUE AS nonempty",
+)
+def stream_eval_contamination(spark, sf):
+    """INGEST-TIME contamination gate (round 11 — the streaming twin of
+    ``eval_contamination_report``): once an eval set is frozen, every
+    newly ingested document must be checked against it BEFORE it can
+    poison the training mix. The standing eval gram set (each
+    doc_id % 101 = 0 item's first-25-token 10-grams — bounded, built
+    once, broadcast) is probed by each micro-batch's own 10-grams;
+    per-batch flags (doc_id, n_eval_hits with self-source matches
+    excluded) land batch-id-idempotently. Per-doc results depend only
+    on the doc and the static eval grams, so batch boundaries cannot
+    change them: the drained sink diffs against the same gate run in
+    one batch — 0 mismatches, non-vacuously. Per-batch cost is the
+    batch's own tokenize + one broadcast equi-join; the corpus never
+    rescans."""
+    from ..operators.dedup import tokens_col
+    from . import table
+
+    docs = table(spark, sf, "documents")
+    toks = tokens_col("text")
+
+    def gram_col(arr, n=10):
+        idx = F.sequence(F.lit(0), F.greatest(F.size(arr) - n, F.lit(0)))
+        return F.array_distinct(
+            F.transform(
+                idx, lambda i: F.concat_ws(" ", F.slice(arr, i + 1, n))
+            )
+        )
+
+    eval_grams = (
+        docs.filter(F.col("doc_id") % 101 == 0)
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            F.explode(gram_col(F.slice(toks, 1, 25))).alias("g"),
+        )
+        .localCheckpoint()
+    )
+
+    def gate(batch_df):
+        # One verdict row PER DOCUMENT (hits coalesced to 0): a gate
+        # that only emits positives produces a legitimately-empty sink
+        # on a clean corpus, which would make the drained ≡ batch
+        # check vacuous.
+        bg = batch_df.select(
+            "doc_id", F.explode(gram_col(tokens_col("text"))).alias("g")
+        )
+        hits = (
+            bg.join(F.broadcast(eval_grams), "g")
+            .filter(F.col("doc_id") != F.col("eval_id"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("_h"))
+        )
+        return (
+            batch_df.select("doc_id")
+            .join(hits, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("_h", F.lit(0)).cast("long")
+                .alias("n_eval_hits"),
+            )
+        )
+
+    base_dir = scratch_dir("sevalc")
+    target, ckpt = f"{base_dir}/flags", f"{base_dir}/ckpt"
+    doc_schema = (
+        "doc_id bigint, text string, lang string, "
+        "source string, n_chars bigint"
+    )
+    stream = file_stream(spark, f"{sf}/documents.parquet", doc_schema)
+
+    def land(batch_df, batch_id):
+        gate(batch_df).write.mode("overwrite").parquet(
+            f"{target}/b{batch_id}"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(land)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = read_parquet_or_empty(
+        spark, "doc_id bigint, n_eval_hits bigint", target, recursive=True
+    )
+    batch = gate(docs)
+    diff = drained.exceptAll(batch).unionAll(batch.exceptAll(drained))
+    return diff.agg(F.count(F.lit(1)).alias("mismatches")).crossJoin(
+        F.broadcast(
+            drained.agg((F.count(F.lit(1)) > 0).alias("nonempty"))
+        )
+    )
+
+
+@query(
     "stream_artifact_forget",
     oracle="""
     WITH n AS (SELECT COUNT(*) AS c FROM documents),
