@@ -6,7 +6,7 @@ matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 The actual surface lives in ``datacooker_dist_spark.suite`` — one entry per
-operator of SURVEY.md §2.B (428 queries, 385 with exact DuckDB oracles);
+operator of SURVEY.md §2.B (429 queries, 386 with exact DuckDB oracles);
 queries without an oracle are approximate/hash-specific ops (LSH/IVF
 candidates, sampling, engine-specific hashes) recorded as rows-only.
 Exactness conventions that make the oracles hash-stable: decimal-

@@ -2237,6 +2237,55 @@ def search_maxsim_topk(spark, sf):
 
 
 @query(
+    "search_maxsim_append",
+    oracle=f"""
+    WITH {SQL_MAXSIM_LEG}
+    SELECT qid, doc_id, maxsim, rnk FROM mr WHERE rnk <= 5
+    """,
+)
+def search_maxsim_append(spark, sf):
+    """MaxSim index APPEND ≡ REBUILD (round 11 — the multi-vector
+    leg's incremental maintenance, completing the standing-index
+    symmetry the BM25/graph/ANN families follow): the late-interaction
+    'index' is the distinct (doc_id, token) table — the token encoder
+    (:func:`~..operators.retrieval.token_sign_embeddings`) is a
+    per-token pure function with NO trained state, so appending a
+    batch is a plain union of its own token rows. The base token table
+    (doc_id % 5 ≠ 0) persists through the engine's hadoopParquet
+    OUTPUT adapter and reads back COLD; the batch (doc_id % 5 = 0)
+    tokenizes only itself; the merged table serves the standard MaxSim
+    queries, and the oracle replays the FULL-corpus search — equality
+    through the persistence round-trip is the append ≡ rebuild proof
+    (token rows are per-doc, the vocab embedding is per-token, nothing
+    global exists to drift). At 100 TB an ingest batch pays one
+    tokenize pass over its own documents; the standing corpus is never
+    re-tokenized."""
+    from ..model import DataStream, StreamType
+    from ..operators.retrieval import maxsim_topk
+    from ..registry import resolve_input, resolve_output
+    from . import scratch_dir
+
+    tok2, qtokens = _maxsim_queries(spark, sf)
+    base_dir = scratch_dir("maxsimidx")
+    out = resolve_output("hadoopParquet")().configure({}).initialize(
+        spark, base_dir
+    )
+    out.save(
+        "idx/tokens",
+        DataStream(
+            "idx/tokens",
+            tok2.filter(F.col("doc_id") % 5 != 0),
+            StreamType.COLUMNAR,
+        ),
+    )
+    cold = resolve_input("hadoopColumnar")().configure(
+        {"parquet": True}
+    ).initialize(spark, f"{base_dir}/tokens").load("tokens")["tokens"].df
+    merged = cold.unionByName(tok2.filter(F.col("doc_id") % 5 == 0))
+    return maxsim_topk(merged, qtokens, k=5, dim=16, exclude_self=True)
+
+
+@query(
     "search_hybrid_maxsim",
     oracle=f"""
     WITH {SQL_MAXSIM_LEG},
