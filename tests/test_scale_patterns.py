@@ -585,3 +585,47 @@ def test_knn_graph_forget_delete_repair_invariants(spark):
         | F.col("neighbor_id").isin(list(fids))
     ).count()
     assert refs == 0
+
+
+def test_merge_postings_fold_order_invariant(spark):
+    """BM25 postings merge by addition (round 11): any partition of the
+    corpus into batches, folded in any order, yields the identical
+    index triple to the full rebuild — tf/dl integer sums and
+    element-wise stats are associative and commutative, which is what
+    licenses the streaming twin's land-partials-merge-at-read shape."""
+    from pyspark.sql import functions as F
+
+    from datacooker_dist_spark.operators.retrieval import (
+        build_postings,
+        merge_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} common word{i % 5} tok{i % 7}")
+         for i in range(60)],
+        "doc_id long, text string",
+    ).repartition(5)
+    full = build_postings(docs)
+
+    for parts in ([2, 3], [3, 5], [4, 7]):
+        a, b = parts
+        triples = [
+            build_postings(docs.filter(F.col("doc_id") % a == r))
+            for r in range(a)
+        ]
+        # fold forward then a reversed fold — both must equal rebuild
+        for order in (triples, list(reversed(triples))):
+            merged = order[0]
+            for t in order[1:]:
+                merged = merge_postings(merged, t)
+            for got, exp, keys in (
+                (merged[0], full[0], ["doc_id", "t"]),
+                (merged[1], full[1], ["doc_id"]),
+            ):
+                diff = got.exceptAll(exp.select(*got.columns)).unionAll(
+                    exp.select(*got.columns).exceptAll(got)
+                )
+                assert diff.count() == 0, (parts, keys)
+            gs = merged[2].collect()[0]
+            es = full[2].collect()[0]
+            assert (gs.nd, gs.tt) == (es.nd, es.tt), parts
