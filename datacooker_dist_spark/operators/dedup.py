@@ -25,14 +25,22 @@ def tokens_col(text_col: str = "text"):
     return F.split(F.lower(F.trim(F.col(text_col))), TOKEN_PATTERN)
 
 
-def shingles_col(text_col: str = "text", n: int = 3):
-    """Distinct word n-gram shingles as strings."""
-    toks = tokens_col(text_col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+def ngram_windows(arr, n: int):
+    """Distinct word n-gram windows over a TOKEN-ARRAY column — the
+    array-input core of :func:`shingles_col`, shared by the
+    contamination audit and its streaming twin so the window
+    definition (including the short-input clamp to one partial gram)
+    has one source of truth."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(arr) - n, F.lit(0)))
     grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+        idx, lambda i: F.concat_ws(" ", F.slice(arr, i + 1, n))
     )
     return F.array_distinct(grams)
+
+
+def shingles_col(text_col: str = "text", n: int = 3):
+    """Distinct word n-gram shingles as strings."""
+    return ngram_windows(tokens_col(text_col), n)
 
 
 def shingle_rows(

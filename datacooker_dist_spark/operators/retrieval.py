@@ -129,6 +129,10 @@ def token_sign_embeddings(
     engine, no transcendental ever enters a score. A trained encoder
     (ColBERT-style) drops in by replacing this one projection; the
     retrieval algebra downstream is encoder-agnostic."""
+    if not 1 <= dim <= 32:
+        # md5 yields 32 hex digits; past them substring returns '' and
+        # every token would share a constant sign — silently degenerate.
+        raise ValueError(f"dim must be in 1..32, got {dim}")
     h = F.md5(F.col(token_col))
     v = F.transform(
         F.sequence(F.lit(1), F.lit(dim)),

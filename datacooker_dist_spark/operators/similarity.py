@@ -3027,8 +3027,12 @@ def knn_graph_forget(
     remaining = kept_nodes.join(
         F.broadcast(fids), kept_nodes["dst"] == F.col("_fid"), "left_anti"
     ).localCheckpoint()
+    # cosine_topk_graph reads its graph argument by the family's FIXED
+    # (vec_id, neighbor_id) schema (knn_graph_build emits it regardless
+    # of id_col), so the hops-graph must use those names even when the
+    # caller's id_col differs.
     purged_graph = remaining.select(
-        F.col("src").alias(id_col), F.col("dst").alias("neighbor_id")
+        F.col("src").alias("vec_id"), F.col("dst").alias("neighbor_id")
     )
     touched_q = corpus.join(
         F.broadcast(touched_ids.withColumnRenamed("src", id_col)),

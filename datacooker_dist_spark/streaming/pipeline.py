@@ -222,13 +222,20 @@ def vacuum_batch_artifacts(
     if forget is not None:
         new_keys = forget.distinct()
         if existing is not None:
-            new_keys = (
-                spark.read.parquet(existing)
-                .unionByName(new_keys.select(
-                    *spark.read.parquet(existing).columns
-                ))
-                .distinct()
-            )
+            prior = spark.read.parquet(existing)
+            if set(prior.columns) != set(new_keys.columns):
+                # A narrower key would broaden earlier purges (and vice
+                # versa) — silently reconciling the schemas over- or
+                # under-deletes. The tombstone key is part of the
+                # store's contract; fail loudly instead.
+                raise ValueError(
+                    "forget key columns "
+                    f"{sorted(new_keys.columns)} do not match the "
+                    f"standing tombstone store's {sorted(prior.columns)}"
+                )
+            new_keys = prior.unionByName(
+                new_keys.select(*prior.columns)
+            ).distinct()
         new_keys.coalesce(1).write.mode("overwrite").parquet(
             forg_dir + "__tmp"
         )
@@ -260,11 +267,7 @@ def vacuum_batch_artifacts(
     # Read-before-overwrite: the compacted stores feed their own
     # rewrite, so land in a temp dir and swap via rename.
     merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    if os.path.isdir(comp):
-        os.rename(comp, comp + "__old")
-    os.rename(tmp, comp)
-    if os.path.isdir(comp + "__old"):
-        shutil.rmtree(comp + "__old")
+    _swap_dir(tmp, comp)
     for d in comp_dirs:
         if d != comp and os.path.isdir(d):
             shutil.rmtree(d)

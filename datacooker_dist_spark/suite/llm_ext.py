@@ -2206,6 +2206,28 @@ def _maxsim_queries(spark, sf):
     return tok2, qtokens
 
 
+def _maxsim_legs(spark, sf):
+    """The two retrieval legs the MaxSim fusion/agreement entries share:
+    MaxSim top-20 (more-like-this, self excluded) as (qid, doc_id,
+    mrnk) and exact dense cosine top-20 as (qid, doc_id, drnk) — one
+    definition so the fusion and the overlap audit provably describe
+    the same legs."""
+    from ..operators import similarity as S
+    from ..operators.retrieval import maxsim_topk
+
+    tok2, qtokens = _maxsim_queries(spark, sf)
+    mleg = maxsim_topk(
+        tok2, qtokens, k=20, dim=16, exclude_self=True
+    ).select("qid", "doc_id", F.col("rnk").alias("mrnk"))
+    emb = table(spark, sf, "embeddings")
+    dleg = S.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=20).select(
+        F.col("query_id").alias("qid"),
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rnk").alias("drnk"),
+    )
+    return mleg, dleg
+
+
 @query(
     "search_maxsim_topk",
     oracle=f"""
@@ -2318,19 +2340,7 @@ def search_hybrid_maxsim(spark, sf):
     score calibration and stay engine-exact. Same plan posture as both
     parents: each leg is an independent bounded probe, the fusion is a
     tiny outer join on ranks."""
-    from ..operators import similarity as S
-    from ..operators.retrieval import maxsim_topk
-
-    tok2, qtokens = _maxsim_queries(spark, sf)
-    mleg = maxsim_topk(
-        tok2, qtokens, k=20, dim=16, exclude_self=True
-    ).select("qid", "doc_id", F.col("rnk").alias("mrnk"))
-    emb = table(spark, sf, "embeddings")
-    dleg = S.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=20).select(
-        F.col("query_id").alias("qid"),
-        F.col("neighbor_id").alias("doc_id"),
-        F.col("rnk").alias("drnk"),
-    )
+    mleg, dleg = _maxsim_legs(spark, sf)
     fused = mleg.join(dleg, ["qid", "doc_id"], "full_outer").select(
         F.col("qid").alias("query_id"),
         "doc_id",
@@ -2372,19 +2382,7 @@ def search_maxsim_vs_dense_recall(spark, sf):
     token leg adds little; low overlap → the legs see different
     structure and fusion has room). One inner join of two bounded
     top-20 sets per query; every upstream is the two legs' own plans."""
-    from ..operators import similarity as S
-    from ..operators.retrieval import maxsim_topk
-
-    tok2, qtokens = _maxsim_queries(spark, sf)
-    mleg = maxsim_topk(
-        tok2, qtokens, k=20, dim=16, exclude_self=True
-    ).select("qid", "doc_id", F.col("rnk").alias("mrnk"))
-    emb = table(spark, sf, "embeddings")
-    dleg = S.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=20).select(
-        F.col("query_id").alias("qid"),
-        F.col("neighbor_id").alias("doc_id"),
-        F.col("rnk").alias("drnk"),
-    )
+    mleg, dleg = _maxsim_legs(spark, sf)
     return (
         mleg.join(dleg, ["qid", "doc_id"])
         .groupBy("qid")
@@ -2915,13 +2913,17 @@ def split_leakage_safe(spark, sf):
     near-dup pairs with endpoints on OPPOSITE sides — which is 0 by
     construction (every pair lies within one cluster and clusters are
     atomic), and the oracle RECOMPUTES it from brute-force pairs
-    rather than asserting it. One extra broadcast join past the
-    clustering itself; at 100 TB the split is a projection over the
-    standing cluster assignment."""
-    from . import shared_jaccard_pairs
+    rather than asserting it. The pair set is the LOSSLESS exact
+    truth (:func:`~.llm.shared_jaccard_truth`, AllPairs prefix
+    filter), NOT the LSH candidate path — the oracle brute-forces the
+    same space, so equality holds by construction at every SF instead
+    of riding on band recall (the suite's oracled-literal rule). One
+    extra broadcast join past the clustering itself; at 100 TB the
+    split is a projection over the standing cluster assignment."""
+    from .llm import shared_jaccard_truth
 
     docs = table(spark, sf, "documents")
-    pairs = shared_jaccard_pairs(spark, sf)
+    pairs = shared_jaccard_truth(spark, sf)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
@@ -3020,21 +3022,15 @@ def eval_contamination_report(spark, sf):
     substring family already maintains."""
     docs = table(spark, sf, "documents")
     toks = D.tokens_col("text")
-
-    def gram_col(arr, n=10):
-        idx = F.sequence(F.lit(0), F.greatest(F.size(arr) - n, F.lit(0)))
-        return F.array_distinct(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(arr, i + 1, n)))
-        )
-
     corpus = docs.select(
-        "doc_id", F.explode(gram_col(toks)).alias("g")
+        "doc_id", F.explode(D.ngram_windows(toks, 10)).alias("g")
     )
     ev = docs.filter(F.col("doc_id") % 101 == 0).select(
         F.col("doc_id").alias("eval_id"), F.slice(toks, 1, 25).alias("_t")
     )
     eg = ev.select(
-        "eval_id", F.explode(gram_col(F.col("_t"))).alias("g")
+        "eval_id",
+        F.explode(D.ngram_windows(F.col("_t"), 10)).alias("g"),
     )
     hits = (
         corpus.join(F.broadcast(eg), "g")

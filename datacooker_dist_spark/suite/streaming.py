@@ -2177,25 +2177,19 @@ def stream_eval_contamination(spark, sf):
     one batch — 0 mismatches, non-vacuously. Per-batch cost is the
     batch's own tokenize + one broadcast equi-join; the corpus never
     rescans."""
-    from ..operators.dedup import tokens_col
+    from ..operators.dedup import ngram_windows, tokens_col
     from . import table
 
     docs = table(spark, sf, "documents")
     toks = tokens_col("text")
 
-    def gram_col(arr, n=10):
-        idx = F.sequence(F.lit(0), F.greatest(F.size(arr) - n, F.lit(0)))
-        return F.array_distinct(
-            F.transform(
-                idx, lambda i: F.concat_ws(" ", F.slice(arr, i + 1, n))
-            )
-        )
-
     eval_grams = (
         docs.filter(F.col("doc_id") % 101 == 0)
         .select(
             F.col("doc_id").alias("eval_id"),
-            F.explode(gram_col(F.slice(toks, 1, 25))).alias("g"),
+            F.explode(
+                ngram_windows(F.slice(toks, 1, 25), 10)
+            ).alias("g"),
         )
         .localCheckpoint()
     )
@@ -2206,7 +2200,8 @@ def stream_eval_contamination(spark, sf):
         # on a clean corpus, which would make the drained ≡ batch
         # check vacuous.
         bg = batch_df.select(
-            "doc_id", F.explode(gram_col(tokens_col("text"))).alias("g")
+            "doc_id",
+            F.explode(ngram_windows(tokens_col("text"), 10)).alias("g"),
         )
         hits = (
             bg.join(F.broadcast(eval_grams), "g")
