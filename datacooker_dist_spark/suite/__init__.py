@@ -73,12 +73,17 @@ def shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (session_key(spark), sf_dir)
     if key not in _SHINGLE_CACHE:
         from ..operators import dedup as D
+        from ..session import fan_out
 
-        # No explicit repartition: the shingle window's own hash exchange
-        # on doc_id already distributes the pass (an up-front repartition
-        # just adds a second shuffle — A/B-measured ~3× slower cold).
+        # Fan the scan out first (optimization round 11, guide §2.5):
+        # the tokenize + posexplode feeding the shingle window runs
+        # BEFORE the window's exchange, i.e. single-task on the bench's
+        # one-row-group documents file. (The r03 note that an up-front
+        # repartition measured slower predates the split of tokenize
+        # cost from window cost; the A/B now shows the fan-out winning
+        # — the raw-text shuffle it adds is a few hundred KB.)
         _SHINGLE_CACHE[key] = D.shingle_rows(
-            table(spark, sf_dir, "documents"),
+            fan_out(table(spark, sf_dir, "documents")),
             cache=True,
         )
     return _SHINGLE_CACHE[key]

@@ -622,9 +622,15 @@ def er_gamma(joined):
 def _er_pairs(spark, sf):
     """(id_a, id_b, g1, g2, g3) — the nation-blocked candidate pairs with
     their discrete comparison vectors; a lazy plan (one equi-join + narrow
-    projections), re-planned by each consumer."""
+    projections), re-planned by each consumer. The A side is fanned out
+    (guide §2.5): the blocked join broadcasts the B side, so the whole
+    block-quadratic pair fanout (~9M rows at sf0.1) streams through the
+    A-side scan's tasks — a single task on the bench's one-row-group
+    customer file without the repartition."""
+    from ..session import fan_out
+
     c = table(spark, sf, "customer")
-    return er_gamma(er_source_a(c).join(er_source_b(c), "nk"))
+    return er_gamma(fan_out(er_source_a(c)).join(er_source_b(c), "nk"))
 
 
 def _er_pattern_frame(spark, sf):
@@ -648,22 +654,40 @@ def _er_lit(v):
 
 
 def _er_w_col(par):
-    """Spark twin of ``_er_sql_w``: posterior from literal params ``par``
-    (dict with Decimal m1..m3, u1..u3, lam) — the identical cast ladder."""
+    """Spark twin of ``_er_sql_w``: posterior from params ``par`` (dict
+    with m1..m3, u1..u3, lam as Decimals — compiled to DECIMAL(7,6)
+    literals — or as DECIMAL(7,6) Columns from a params frame; the EM
+    loop uses the column form so its expression tree builds once) — the
+    identical cast ladder either way: a 1-p column is cast back to
+    DECIMAL(7,6) (exact, the grid is closed under 1-p) so every
+    downstream product types identically to the literal path."""
     from decimal import Decimal
 
+    from pyspark.sql import Column
+
     one = Decimal(1)
+
+    def _p(name):
+        v = par[name]
+        return v if isinstance(v, Column) else _er_lit(v)
+
+    def _q(name):  # 1 - p, type-pinned to the same DECIMAL(7,6)
+        v = par[name]
+        if isinstance(v, Column):
+            return (F.lit(1).cast(_ER_P6) - v).cast(_ER_P6)
+        return _er_lit(one - v)
+
     term = lambda p, g: (  # noqa: E731
-        F.when(F.col(g) == 1, _er_lit(par[p])).otherwise(_er_lit(one - par[p])))
+        F.when(F.col(g) == 1, _p(p)).otherwise(_q(p)))
 
     def prod(p0, ts):
         x = (p0 * ts[0]).cast("decimal(13,12)")
         x = (x * ts[1]).cast("decimal(19,18)")
         return (x * ts[2]).cast("decimal(25,24)")
 
-    pm = prod(_er_lit(par["lam"]),
+    pm = prod(_p("lam"),
               [term(f"m{k}", f"g{k}") for k in (1, 2, 3)])
-    pu = prod(_er_lit(one - par["lam"]),
+    pu = prod(_q("lam"),
               [term(f"u{k}", f"g{k}") for k in (1, 2, 3)])
     return F.round(pm.cast("double") / (pm + pu).cast("double"), 6).cast(_ER_W)
 
@@ -682,42 +706,64 @@ def shared_er_params(spark, sf):
 
 def _er_em_fit(pat):
     """The EM loop itself over ANY (g1, g2, g3, n, ...) pattern frame —
-    shared by the full fit and the incremental merged-counts refit."""
+    shared by the full fit and the incremental merged-counts refit.
+
+    Optimization round 11 (the ``shared_quality_classifier`` treatment):
+    params re-enter each iteration through a broadcast 1-row params
+    frame instead of fresh decimal literals, so the posterior/aggregate/
+    update Column trees (the py4j-round-trip cost that dominated each
+    iteration) build ONCE outside the loop and the generated code is
+    iteration-invariant. Arithmetic unchanged — the params columns are
+    the same DECIMAL(7,6) values the literals were (oracle-checked)."""
     from decimal import Decimal
 
+    spark = pat.sparkSession
     i = _ER_INIT
     par = {**{f"m{k}": Decimal(i["m"]) for k in (1, 2, 3)},
            **{f"u{k}": Decimal(i["u"]) for k in (1, 2, 3)},
            "lam": Decimal(i["lam"])}
+    pnames = list(par)
+    pschema = ", ".join(f"_p_{n} decimal(7,6)" for n in pnames)
+    pexprs = {n: F.col(f"_p_{n}") for n in pnames}
     clamp = lambda x: F.least(  # noqa: E731
         F.lit(0.999999).cast(_ER_P6),
         F.greatest(F.lit(0.000001).cast(_ER_P6),
                    F.round(x, 6).cast(_ER_P6)))
+    proj_cols = [
+        F.col("g1"), F.col("g2"), F.col("g3"), F.col("n"),
+        (F.col("n").cast("decimal(20,0)") * _er_w_col(pexprs))
+        .alias("nw"),
+        (F.col("n").cast("decimal(20,0)")
+         * (F.lit(1).cast(_ER_W) - _er_w_col(pexprs))).alias("nw1"),
+    ]
+    agg_cols = [
+        F.sum("n").alias("_n"),
+        F.sum("nw").alias("_s"), F.sum("nw1").alias("_s1"),
+        *[F.sum(F.when(F.col(f"g{k}") == 1, F.col("nw")))
+          .alias(f"_sg{k}") for k in (1, 2, 3)],
+        *[F.sum(F.when(F.col(f"g{k}") == 1, F.col("nw1")))
+          .alias(f"_sug{k}") for k in (1, 2, 3)],
+    ]
+    upd_cols = [
+        *[clamp(F.col(f"_sg{k}").cast("double")
+                / F.col("_s").cast("double")).alias(f"m{k}")
+          for k in (1, 2, 3)],
+        *[clamp(F.col(f"_sug{k}").cast("double")
+                / F.col("_s1").cast("double")).alias(f"u{k}")
+          for k in (1, 2, 3)],
+        clamp(F.col("_s").cast("double")
+              / F.col("_n").cast("double")).alias("lam"),
+    ]
     for _ in range(_ER_ITERS):
-        proj = pat.select(
-            "g1", "g2", "g3", "n",
-            (F.col("n").cast("decimal(20,0)") * _er_w_col(par))
-            .alias("nw"),
-            (F.col("n").cast("decimal(20,0)")
-             * (F.lit(1).cast(_ER_W) - _er_w_col(par))).alias("nw1"),
+        pframe = spark.createDataFrame(
+            [tuple(par[n] for n in pnames)], pschema
         )
-        row = proj.agg(
-            F.sum("n").alias("_n"),
-            F.sum("nw").alias("_s"), F.sum("nw1").alias("_s1"),
-            *[F.sum(F.when(F.col(f"g{k}") == 1, F.col("nw")))
-              .alias(f"_sg{k}") for k in (1, 2, 3)],
-            *[F.sum(F.when(F.col(f"g{k}") == 1, F.col("nw1")))
-              .alias(f"_sug{k}") for k in (1, 2, 3)],
-        ).select(
-            *[clamp(F.col(f"_sg{k}").cast("double")
-                    / F.col("_s").cast("double")).alias(f"m{k}")
-              for k in (1, 2, 3)],
-            *[clamp(F.col(f"_sug{k}").cast("double")
-                    / F.col("_s1").cast("double")).alias(f"u{k}")
-              for k in (1, 2, 3)],
-            clamp(F.col("_s").cast("double")
-                  / F.col("_n").cast("double")).alias("lam"),
-        ).collect()[0]
+        row = (
+            pat.crossJoin(F.broadcast(pframe)).select(*proj_cols)
+            .agg(*agg_cols)
+            .select(*upd_cols)
+            .collect()[0]
+        )
         par = {k: row[k] for k in par}
     return par
 

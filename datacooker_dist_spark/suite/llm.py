@@ -23,7 +23,7 @@ from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..operators import text as T
-from ..session import default_parallelism
+from ..session import default_parallelism, fan_out
 from . import query, session_key, table
 
 # DuckDB twins of the engine's tokenization / shingling conventions
@@ -58,7 +58,7 @@ def shared_pq_index(spark, sf, dim=64, m=32, n_codes=32):
     index."""
     key = (session_key(spark), sf, dim, m, n_codes)
     if key not in _PQ_INDEX_CACHE:
-        emb = table(spark, sf, "embeddings")
+        emb = fan_out(table(spark, sf, "embeddings"))
         cb = S.pq_codebooks(
             emb, dim, m, n_codes, refine_iters=ANN_REFINE_ITERS
         ).localCheckpoint()
@@ -130,7 +130,7 @@ def shared_dhash_hashes(spark, sf):
     key = (session_key(spark), sf)
     if key not in _DHASH_CACHE:
         media = (
-            table(spark, sf, "documents")
+            fan_out(table(spark, sf, "documents"))
             .filter(F.col("doc_id") < 600)
             .select(
                 F.col("doc_id").alias("media_id"),
@@ -175,7 +175,7 @@ def shared_sq8_index(spark, sf):
     corpus-rows × (dim bytes + 1 norm), checkpoint-cheap."""
     key = (session_key(spark), sf)
     if key not in _SQ8_INDEX_CACHE:
-        emb = table(spark, sf, "embeddings")
+        emb = fan_out(table(spark, sf, "embeddings"))
         p = S.sq8_params(emb).localCheckpoint()
         enc = S.sq8_encode(emb, p).localCheckpoint()
         _SQ8_INDEX_CACHE[key] = (p, enc)
@@ -202,7 +202,7 @@ def shared_ivf_index(spark, sf, n_cells=16):
     r04: the id-prefix sample fit the oldest corpus slice)."""
     key = (session_key(spark), sf, n_cells)
     if key not in _IVF_INDEX_CACHE:
-        emb = table(spark, sf, "embeddings")
+        emb = fan_out(table(spark, sf, "embeddings"))
         centroids, assigned = S.ivf_cells(
             emb, n_cells=n_cells, refine_iters=ANN_REFINE_ITERS,
             assign_spill=IVF_SPILL,
@@ -232,7 +232,7 @@ def shared_knn_graph(spark, sf):
     recall report row, and the scorecard dominance row."""
     key = (session_key(spark), sf)
     if key not in _KNN_GRAPH_CACHE:
-        emb = table(spark, sf, "embeddings")
+        emb = fan_out(table(spark, sf, "embeddings"))
         _KNN_GRAPH_CACHE[key] = S.knn_graph_build(
             emb, k=KNN_GRAPH_K, rounds=KNN_GRAPH_ROUNDS,
             cells=shared_ivf_index(spark, sf),
@@ -273,7 +273,7 @@ def shared_base_knn_graph(spark, sf, k=10):
     built its own: two ~15 s sf0.1 builds for one artifact)."""
     key = (session_key(spark), sf, k)
     if key not in _BASE_KNN_CACHE:
-        emb = table(spark, sf, "embeddings")
+        emb = fan_out(table(spark, sf, "embeddings"))
         base = emb.filter(F.col("vec_id") % 5 != 0)
         cells = S.ivf_cells(base, n_cells=16)
         cells = (cells[0].localCheckpoint(), cells[1].localCheckpoint())
@@ -299,7 +299,7 @@ def shared_residual_index(spark, sf, dim=64, m=32, n_codes=32):
     named build query."""
     key = (session_key(spark), sf, dim, m, n_codes)
     if key not in _RESID_INDEX_CACHE:
-        emb = table(spark, sf, "embeddings")
+        emb = fan_out(table(spark, sf, "embeddings"))
         centroids, cb, index = S.ivfpq_residual_index(
             emb, dim, m, n_codes,
             refine_iters=ANN_REFINE_ITERS,
@@ -328,7 +328,7 @@ def shared_opq_index(spark, sf, dim=64, m=32, n_codes=32):
     train + encode bill to the named build."""
     key = (session_key(spark), sf, dim, m, n_codes)
     if key not in _OPQ_INDEX_CACHE:
-        emb = table(spark, sf, "embeddings")
+        emb = fan_out(table(spark, sf, "embeddings"))
         R = S.opq_rotation(emb, dim, m)
         rot = S.opq_rotate(emb, R).localCheckpoint()
         centroids, _ = shared_ivf_index(spark, sf)
@@ -394,7 +394,7 @@ def shared_kgram_rows(spark, sf, k=10):
         from pyspark import StorageLevel
 
         _KGRAM_CACHE[key] = D.kgram_occurrence_rows(
-            table(spark, sf, "documents"), k=k
+            fan_out(table(spark, sf, "documents")), k=k
         ).persist(StorageLevel.MEMORY_AND_DISK)
     return _KGRAM_CACHE[key]
 

@@ -642,8 +642,14 @@ def _qcls_tok_hash(tok):
 
 def _qcls_features(spark, sf):
     """(doc_id, y, x_0..x_{D-1}, x_len) over the corpus table — see
-    :func:`_qcls_features_from` for the construction."""
-    return _qcls_features_from(table(spark, sf, "documents"))
+    :func:`_qcls_features_from` for the construction. The scan is
+    fanned out first: the tokenize + per-token hash pass is the
+    corpus-sized work and otherwise runs single-task on the
+    single-row-group bench files (guide §2.5; measured 15.3 → 3.2 s
+    at sf0.1/local[32])."""
+    from ..session import fan_out
+
+    return _qcls_features_from(fan_out(table(spark, sf, "documents")))
 
 
 def _qcls_features_from(docs):
@@ -728,49 +734,66 @@ def shared_quality_classifier(spark, sf):
     Each of the ``_QCLS_ITERS`` full-batch iterations runs ONE
     engine-side job (gradient aggregate + weight update in the same
     plan) and collects D + 3 bounded values; the updated weights
-    re-enter the next iteration as decimal LITERALS, so the plan never
-    deepens and nothing corpus-sized reaches the driver."""
+    re-enter the next iteration through a broadcast 1-ROW PARAMS FRAME
+    (crossJoin — the oracle's ``p{t} = feats CROSS JOIN w{t-1}`` CTE
+    shape), so the plan never deepens and nothing corpus-sized reaches
+    the driver.
+
+    Optimization round 11 (guide §1.2 per-task work, measured): the
+    previous form re-injected weights as decimal LITERALS, which forced
+    a FRESH py4j expression-tree build every iteration — ~500 driver
+    round-trips constructing the deep decimal p-expression, measured at
+    2-9 s per iteration (vs ~5 ms of Catalyst analysis and ~0.6 s of
+    execution), ×20 iterations. The params-frame form builds every
+    Column tree ONCE outside the loop and re-resolves it per iteration;
+    per-iteration work is one tiny createDataFrame + crossJoin +
+    collect. The generated code is also iteration-invariant (weights
+    are columns, not embedded constants), so codegen compiles once
+    instead of once per iteration. Arithmetic is UNCHANGED: a
+    DECIMAL(15,6) column from the params frame multiplies/casts exactly
+    like the DECIMAL(15,6) literal it replaces — weights are
+    bit-identical (oracle-checked)."""
     from decimal import Decimal
 
     key = (session_key(spark), sf)
     if key not in _QCLS_CACHE:
         feats = shared_qcls_features(spark, sf)
-        w = [Decimal(0)] * (_QCLS_D + 2)
         gcols = [f"g_{j}" for j in range(len(_QCLS_XCOLS))] + ["g_b"]
+        wnames = [f"_w_{j}" for j in range(_QCLS_D + 2)]
+        wschema = ", ".join(f"{n} decimal(15,6)" for n in wnames)
+        wexprs = [F.col(n) for n in wnames]
+        d_col = (
+            _qcls_p_expr(wexprs) - F.col("y").cast(_QCLS_DEC)
+        ).alias("_d")
+        agg_cols = [
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.sum(
+                    (F.col("_d") * F.col(xc)).cast("decimal(25,12)")
+                ).alias(gc)
+                for xc, gc in zip(_QCLS_XCOLS, gcols)
+            ],
+            F.sum("_d").alias("g_b"),
+        ]
+        upd_cols = [
+            F.round(
+                F.col(wn).cast("double")
+                - (F.col(gc).cast("double") * F.lit(_QCLS_LR))
+                / F.col("_n"),
+                6,
+            ).cast(_QCLS_DEC).alias(gc.replace("g", "w"))
+            for wn, gc in zip(wnames, gcols)
+        ]
+        w = [Decimal(0)] * (_QCLS_D + 2)
         for _ in range(_QCLS_ITERS):
-            wexprs = [F.lit(v).cast(_QCLS_DEC) for v in w]
-            # Project the residual ONCE (the oracle's p{t} CTE shape):
-            # inlining the deep decimal p-expression into all 18
-            # aggregates cost ~1.5 s of Catalyst analysis per
-            # iteration — projected, the train drops 31.7 → 21.1 s
-            # with bit-identical weights (measured sf0.01).
-            proj = feats.select(
-                *_QCLS_XCOLS,
-                (_qcls_p_expr(wexprs) - F.col("y").cast(_QCLS_DEC))
-                .alias("_d"),
+            params = spark.createDataFrame([tuple(w)], wschema)
+            proj = feats.crossJoin(F.broadcast(params)).select(
+                *_QCLS_XCOLS, d_col
             )
             upd = (
-                proj.agg(
-                    F.count(F.lit(1)).alias("_n"),
-                    *[
-                        F.sum(
-                            (F.col("_d") * F.col(xc)).cast("decimal(25,12)")
-                        ).alias(gc)
-                        for xc, gc in zip(_QCLS_XCOLS, gcols)
-                    ],
-                    F.sum("_d").alias("g_b"),
-                )
-                .select(
-                    *[
-                        F.round(
-                            F.lit(v).cast(_QCLS_DEC).cast("double")
-                            - (F.col(gc).cast("double") * F.lit(_QCLS_LR))
-                            / F.col("_n"),
-                            6,
-                        ).cast(_QCLS_DEC).alias(gc.replace("g", "w"))
-                        for v, gc in zip(w, gcols)
-                    ]
-                )
+                proj.agg(*agg_cols)
+                .crossJoin(F.broadcast(params))
+                .select(*upd_cols)
                 .collect()[0]
             )
             w = [upd[i] for i in range(len(w))]

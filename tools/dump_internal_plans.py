@@ -1,0 +1,69 @@
+"""Dump explain("formatted") for INTERNAL suite frames whose plans the
+returned query dataframes hide behind localCheckpoint/persist — the
+before/after evidence for optimization-round changes that live inside
+memoized builders (fan-out exchanges, featurization shapes).
+
+Usage: python tools/dump_internal_plans.py --plans-dir plans/r11 \
+           --suffix before [--sf /root/testdata/sf0.1]
+
+Runs against the tree the script lives in (sys.path pinned to its own
+repo root), so the same command in a HEAD worktree captures the before
+state.
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import io
+import os
+import sys
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+
+from datacooker_dist_spark.session import build_session  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--plans-dir", required=True)
+    ap.add_argument("--suffix", required=True)
+    args = ap.parse_args()
+
+    spark = build_session(app_name="dds-internal-plans")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from datacooker_dist_spark.suite import llm, llm_quality, embml
+    from datacooker_dist_spark.suite import shared_shingles
+
+    frames = {
+        "internal_qcls_features": lambda: llm_quality._qcls_features(
+            spark, args.sf),
+        "internal_er_pairs": lambda: embml._er_pairs(spark, args.sf),
+        "internal_shingle_rows": lambda: shared_shingles(spark, args.sf),
+        "internal_kgram_rows": lambda: llm.shared_kgram_rows(
+            spark, args.sf),
+    }
+    os.makedirs(args.plans_dir, exist_ok=True)
+    for name, fn in frames.items():
+        try:
+            df = fn()
+        except Exception as e:  # tree may predate a helper
+            print(f"skip {name}: {e}")
+            continue
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        path = os.path.join(
+            args.plans_dir, f"{name}_{args.suffix}.txt")
+        with open(path, "w") as fh:
+            fh.write(buf.getvalue())
+        print(f"wrote {path}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
