@@ -75,6 +75,41 @@ def as_double_array(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _round_half_up_nonneg(y):
+    """Exact numpy replay of Spark's ``round(y)`` (BigDecimal HALF_UP,
+    scale 0) for NON-NEGATIVE doubles — the integer-grid step of the
+    encode/assign scoring (round 11's vectorized-Arrow rewrite must be
+    bit-equivalent to the JVM expression it replaced).
+
+    ``floor(y + 0.5) == HALF_UP(y)`` exactly for ``0 ≤ y < 2^51``:
+    there ``ulp(y) ≤ 0.25`` divides 0.5, so ``y + 0.5`` is computed
+    EXACTLY (both addends are multiples of ulp and the sum stays
+    representable), and the floor of the exact sum is ≥ ⌊y⌋+1 iff the
+    true fractional part is ≥ 0.5 — precisely decimal HALF_UP. The
+    guard raises loudly rather than ever mis-rounding (suite scores
+    are ≤ 1e9 on this grid; 2^51 ≈ 2.25e15)."""
+    import numpy as np
+
+    arr = np.asarray(y, dtype=np.float64)
+    if arr.size and float(np.max(arr)) >= 2.0**51:
+        raise ValueError("grid value >= 2^51: exact HALF_UP proof range exceeded")
+    return np.floor(arr + 0.5).astype(np.int64)
+
+
+def _round_half_up_signed(y):
+    """Signed companion of :func:`_round_half_up_nonneg` — BigDecimal
+    HALF_UP rounds away from zero, so negatives mirror via
+    ``ceil(y − 0.5)`` (the same exactness argument, reflected)."""
+    import numpy as np
+
+    arr = np.asarray(y, dtype=np.float64)
+    if arr.size and float(np.max(np.abs(arr))) >= 2.0**51:
+        raise ValueError("grid value >= 2^51: exact HALF_UP proof range exceeded")
+    return np.where(
+        arr >= 0, np.floor(arr + 0.5), np.ceil(arr - 0.5)
+    ).astype(np.int64)
+
+
 # Multiplicative-mix constants for the oracle-portable sample order: the
 # Knuth multiplier over ids folded into 2^31, mod a large prime — every
 # step exact int64 arithmetic (no overflow even under ANSI mode) and
@@ -414,68 +449,165 @@ def kmeans_refine(
     not).
     """
     assert metric in ("l2", "cosine")
+    import math
+
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
     if iters > 1:
         # The training set feeds every iteration's assign pass; it is
         # bounded by the callers' id-prefix sample (≤ k·1000 vectors), so
         # materialize it once instead of re-scanning/re-exploding the
         # corpus per iteration.
         points = points.localCheckpoint()
-    for _ in range(iters):
-        scored = points.join(
-            F.broadcast(centroids), group_cols if group_cols else None
+
+    # Optimization round 11 (guide §2.3/§2.4): the centroid table is
+    # bounded by construction (k·dim doubles per group), so each
+    # iteration's ASSIGN no longer joins a broadcast centroid frame (a
+    # k-way row fanout per training point undone by a groupBy exchange)
+    # — the centroids are held as plain Python state and inlined as
+    # LITERALS, so each point row computes its argmin code in one
+    # narrow Project (``array_min`` over k (score, code) structs built
+    # from the SAME score arithmetic: the same unrolled L2 / HOF cosine
+    # fold on the same 1e-6 integer grid with the same code tiebreak).
+    # The UPDATE keeps its decimal-exact Spark aggregate verbatim (the
+    # sums stay order-independent and oracle-replayable); its ≤ k·group
+    # result rows collect to the driver — the same bounded artifact the
+    # old per-iteration localCheckpoint materialized — and the
+    # empty-cell fallback (keep the previous centroid) becomes a plain
+    # dict merge. One exchange + one bounded collect per iteration,
+    # down from a fanout join + two exchanges + a checkpoint job.
+    spark = points.sparkSession
+    schema = StructType(
+        [centroids.schema[c] for c in group_cols + [code_col]]
+        + [StructField("_cv", ArrayType(DoubleType()), True)]
+    )
+    # (group…, code) -> list[float]; the iteration-0 collect is the one
+    # action the old form also paid to materialize the seed lineage.
+    state: dict[tuple, list[float]] = {
+        tuple(r[c] for c in group_cols + [code_col]): [float(x) for x in r["_cv"]]
+        for r in centroids.select(*group_cols, code_col, "_cv").collect()
+    }
+
+    def dmean(col):
+        return F.round(
+            F.sum(col.cast("decimal(30,15)")).cast("double")
+            / F.count(F.lit(1)),
+            round_digits,
         )
-        if metric == "l2":
-            # vec_len known → static unrolled expression (codegen); else
-            # the interpreted HOF fold (identical fp order either way).
-            d2 = (
-                _l2sq_unrolled(F.col("_pv"), F.col("_cv"), vec_len)
-                if vec_len
-                else F.aggregate(
-                    F.zip_with("_pv", "_cv", lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
+
+    import pyarrow as pa
+
+    code_dt = centroids.schema[code_col].dataType
+    pts_src = points.select(*group_cols, "_pv")
+    out_schema = ", ".join(
+        [
+            f"{pts_src.schema[c].name} "
+            f"{pts_src.schema[c].dataType.simpleString()}"
+            for c in group_cols
+        ]
+        + [f"{code_col} {code_dt.simpleString()}", "_pv array<double>"]
+    )
+
+    def _assign_fn(snapshot: dict):
+        # snapshot: (group…) -> (codes asc, k×L centroid matrix) — the
+        # numpy replay of the assign scoring, same ops, same left-fold
+        # order, same integer grid, same (score, code-asc) argmin.
+        def assign(batches):
+            import numpy as np
+
+            mats = {
+                g: (np.asarray(cs, dtype=np.int64),
+                    np.asarray(mat, dtype=np.float64))
+                for g, (cs, mat) in snapshot.items()
+            }
+            for batch in batches:
+                n = batch.num_rows
+                if n == 0:
+                    continue
+                cols = {
+                    batch.schema.names[j]: batch.column(j)
+                    for j in range(batch.num_columns)
+                }
+                varr = cols["_pv"]
+                flat = np.asarray(varr.flatten(), dtype=np.float64)
+                L = flat.size // n  # uniform-length vectors (reshape
+                # below raises loudly on ragged input)
+                arr = flat.reshape(n, L)
+                gvals = [
+                    np.asarray(cols[c]) for c in group_cols
+                ]
+                out_codes = np.empty(n, dtype=np.int64)
+                if metric == "cosine":
+                    pacc = np.zeros(n)
+                    for i in range(L):
+                        pacc = pacc + arr[:, i] * arr[:, i]
+                    pnorm = np.sqrt(pacc)
+                for g, (cs, mat) in mats.items():
+                    if group_cols:
+                        mask = np.ones(n, dtype=bool)
+                        for gi, gv in enumerate(g):
+                            mask &= gvals[gi] == gv
+                        if not mask.any():
+                            continue
+                        sub = arr[mask]
+                    else:
+                        mask = slice(None)
+                        sub = arr
+                    kk = mat.shape[0]
+                    if metric == "l2":
+                        d = None
+                        for i in range(mat.shape[1]):
+                            t = sub[:, i:i + 1] - mat[None, :, i]
+                            t = t * t
+                            d = t if d is None else d + t
+                        grid = _round_half_up_nonneg(d * 1e6)
+                    else:
+                        dot = np.zeros((sub.shape[0], kk))
+                        for i in range(mat.shape[1]):
+                            dot = dot + sub[:, i:i + 1] * mat[None, :, i]
+                        cn = np.empty(kk)
+                        for ci in range(kk):
+                            acc = 0.0
+                            for x in mat[ci]:
+                                acc = acc + float(x) * float(x)
+                            cn[ci] = math.sqrt(acc)
+                        pn = pnorm[mask] if group_cols else pnorm
+                        cos = dot / (pn[:, None] * cn[None, :])
+                        grid = -_round_half_up_signed(cos * 1e6)
+                    out_codes[mask] = cs[np.argmin(grid, axis=1)]
+                out = {c: cols[c] for c in group_cols}
+                out[code_col] = pa.array(
+                    out_codes,
+                    type=pa.int64()
+                    if code_dt.simpleString() == "bigint"
+                    else pa.int32(),
                 )
-            )
-            score = F.round(d2 * 1e6).cast("long")
-        else:
-            # NB: unrolling the cosine here is a measured LOSS at real
-            # embedding dims (dim=64: 13.8 s vs 8.5 s for the sf0.1 IVF
-            # build) — three ~64-term unrolled dots per row cost more in
-            # janino compile than the interpreted HOF costs to run.
-            # vec_len-based unrolling pays off only for short vectors
-            # (PQ subspaces, the l2 branch above).
-            score = -F.round(cosine_expr(F.col("_pv"), F.col("_cv")) * 1e6).cast(
-                "long"
-            )
-        keys = group_cols + ["_kid"]
-        best = (
-            scored.select(
-                *group_cols,
-                F.col("_pid").alias("_kid"),
-                F.col("_pv"),
-                F.struct(score.alias("_d"), F.col(code_col)).alias("_sc"),
-            )
-            .groupBy(*keys)
-            .agg(
-                F.first("_pv").alias("_pv"),
-                F.min("_sc").getField(code_col).alias(code_col),
-            )
-        )
+                out["_pv"] = varr
+                yield pa.RecordBatch.from_pydict(out)
+
+        return assign
+
+    for _ in range(iters):
+        snapshot: dict[tuple, tuple] = {}
+        for key, cv in sorted(state.items()):
+            g = key[:-1]
+            snapshot.setdefault(g, ([], []))
+            snapshot[g][0].append(key[-1])
+            snapshot[g][1].append(cv)
+        best = pts_src.mapInArrow(_assign_fn(snapshot), out_schema)
         # Decimal-exact means (the suite's dsum pattern, scale 15 for
         # unit-magnitude components): the sums are order-independent, so
         # refined centroids are bit-identical under any partitioning AND
         # replayable by a DECIMAL(30,15) SQL oracle — a double avg would
-        # drift in the last ulp with partition count. With vec_len known
-        # the vec_len component means fuse into ONE hash aggregate
-        # (array of per-element sums — no posexplode, no collect_list,
-        # one shuffle per iteration instead of two).
-        def dmean(col):
-            return F.round(
-                F.sum(col.cast("decimal(30,15)")).cast("double")
-                / F.count(F.lit(1)),
-                round_digits,
-            )
-
+        # drift in the last ulp with partition count. The component
+        # means fuse into ONE hash aggregate (array of per-element
+        # sums — no posexplode, no collect_list); the centroid length
+        # is always known from the collected state, and the fused and
+        # exploded forms compute the IDENTICAL decimal sums, so this
+        # holds for the cosine/IVF path too (round 11 — one exchange
+        # per iteration instead of two).
+        lens = {len(v) for v in state.values()}
+        vec_len = vec_len or (lens.pop() if len(lens) == 1 else None)
         if vec_len:
             means = best.groupBy(*(group_cols + [code_col])).agg(
                 F.array(
@@ -497,16 +629,12 @@ def kmeans_refine(
                     ).alias("_nv")
                 )
             )
-        centroids = (
-            centroids.join(means, group_cols + [code_col], "left")
-            .select(
-                *group_cols,
-                code_col,
-                F.coalesce("_nv", "_cv").alias("_cv"),
-            )
-            .localCheckpoint()
-        )
-    return centroids
+        for r in means.collect():
+            key = tuple(r[c] for c in group_cols + [code_col])
+            state[key] = [float(x) for x in r["_nv"]]
+    return spark.createDataFrame(
+        [tuple(list(k) + [v]) for k, v in sorted(state.items())], schema
+    )
 
 
 def ivf_cells(
@@ -599,6 +727,26 @@ def ivf_assign(
     (and SQL-oracle-checkable) — the suite's standard treatment of
     transcendental scores.
 
+    Optimization round 11 (guide §2.3/§2.4 — remove the shuffle
+    outright): the previous form joined every vector against a
+    broadcast centroid frame (a K-way row fanout carrying the full
+    vector payload) and ranked with a ``Window.partitionBy(id)`` —
+    one Exchange hash-partitioning n·K rows, EACH ROW CARRYING THE
+    dim-double VECTOR, plus a sort. At 100 TB that shuffles K × corpus
+    bytes to decide placement the row itself already has all the
+    inputs for. The centroid table is bounded by construction (K·dim
+    doubles — the same broadcast-sized artifact), so it is collected
+    once at plan-build and inlined as LITERALS: each vector row
+    computes its rounded cosine to all K centroids, takes the
+    top-``assign_spill`` via one ``array_sort`` over K structs, and
+    explodes — a narrow Project+Generate with ZERO exchanges, no
+    window, no K-way fanout. Arithmetic is unchanged: the same
+    dot / (norm_v · norm_c) fold on the same rounded 6-digit grid with
+    the same (cosine desc, cell asc) tiebreak — the struct sort on
+    (−cosine, cell) is that exact ordering (−cosine is normalized with
+    ``+ 0.0`` so a −0.0 from negating a zero score compares equal to
+    +0.0, exactly as the window sort normalized floats).
+
     ``assign_spill`` > 1 is ScaNN/SOAR-style SPILLED assignment: each
     vector lands in its top-``assign_spill`` cells, so a query whose
     probe list misses a boundary vector's best cell can still find it
@@ -609,19 +757,67 @@ def ivf_assign(
     (``spilled=True`` on the topk operators).
     Output: (id, cell, vector) — ``assign_spill`` rows per vector.
     """
-    from pyspark.sql import Window
+    import math
 
+    cell_type = centroids.schema["cell"].dataType
+    cell_sql = cell_type.simpleString()
+    cent_rows = centroids.select("cell", "_cv").collect()
     v = as_double_array(vec_col)
-    scored = vectors.select(F.col(id_col), v.alias("_v")).join(
-        F.broadcast(centroids)
+    if not cent_rows:
+        return vectors.select(
+            F.col(id_col),
+            F.lit(None).cast(cell_type).alias("cell"),
+            v.alias("vector"),
+        ).filter(F.lit(False))
+
+    # The whole top-spill selector is ONE parsed SQL expression (a
+    # Column-API build of K·dim literals costs thousands of py4j round
+    # trips per call; the parser ingests the same tree in one call),
+    # and the centroid table itself is a fully FOLDABLE array literal —
+    # the optimizer's constant folding collapses it to a single Literal
+    # node, so every consumer plan carries K·dim doubles as ONE leaf
+    # instead of a K·dim-node expression tree (keeps Catalyst's rule
+    # passes O(plan), not O(plan · centroids)). Double literals
+    # round-trip exactly via repr() + a string cast (Java's parseDouble
+    # is correctly rounded).
+    def dlit(x: float) -> str:
+        return f"CAST('{x!r}' AS DOUBLE)"
+
+    structs = []
+    for r in cent_rows:
+        cv = [float(x) for x in r["_cv"]]
+        # Python loop mirrors _norm's left-to-right IEEE fold exactly
+        # (same double ops in the same order → identical value).
+        acc = 0.0
+        for x in cv:
+            acc = acc + x * x
+        cnorm = math.sqrt(acc)
+        structs.append(
+            "named_struct('cell', CAST('" + str(r["cell"]) + "' AS "
+            + cell_sql + "), 'nrm', " + dlit(cnorm) + ", 'cv', array("
+            + ",".join(dlit(x) for x in cv) + "))"
+        )
+    # Verbatim cosine_expr per centroid: the same zip_with/aggregate
+    # left fold, the same dot / (norm_v · norm_c) order, the same
+    # round(…, 6); −cos is normalized with + 0.0D so a −0.0 from
+    # negating a zero score compares equal to +0.0 (as the window sort
+    # normalized floats).
+    top = F.expr(
+        "slice(array_sort(transform(array(" + ",".join(structs) + "), "
+        "c -> named_struct('_nc', -round(aggregate(zip_with(_v, c.cv, "
+        "(x, y) -> x * y), 0.0D, (acc, x) -> acc + x) / (_nv * c.nrm), 6)"
+        " + 0.0D, 'cell', c.cell))), 1, "
+        + str(int(assign_spill)) + ")"
     )
-    cos = F.round(cosine_expr(F.col("_v"), F.col("_cv")), 6)
-    w2 = Window.partitionBy(id_col).orderBy(F.desc("_c"), F.col("cell"))
     return (
-        scored.select(id_col, "_v", "cell", cos.alias("_c"))
-        .withColumn("_rn", F.row_number().over(w2))
-        .filter(F.col("_rn") <= assign_spill)
-        .select(id_col, "cell", F.col("_v").alias("vector"))
+        vectors.select(F.col(id_col), v.alias("_v"))
+        .withColumn("_nv", _norm(F.col("_v")))
+        .select(F.col(id_col), F.col("_v"), F.explode(top).alias("_t"))
+        .select(
+            id_col,
+            F.col("_t.cell").alias("cell"),
+            F.col("_v").alias("vector"),
+        )
     )
 
 
@@ -1222,63 +1418,107 @@ def pq_encode(
     m: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """PQ-encode a corpus: each vector compresses to ``m`` codebook codes
     — at (m=8, k=16) that is 8 nibbles ≈ 4 bytes per vector versus
     dim·4 bytes of float32, the ~64× memory cut that lets a 100 TB
     vector corpus's index live hot.
 
-    Plan: explode each vector into its m subvectors (narrow), join the
-    broadcast codebooks on sub (k-way fanout, still narrow), score by
-    negative L2 distance, and keep the argmin code per (id, sub) via a
-    max_by aggregate — partial aggregation reduces map-side to m rows
-    per vector before the single exchange. Distances compare as
-    ROUNDED integers (1e-6 grid) with a code tiebreak, so the encoding
-    is deterministic across engines and partitionings.
-    Output: (id, codes: array<int>, _norm: double).
+    Optimization round 11 (guide §2.3/§2.4): the previous plan exploded
+    each vector into its m subvectors, joined the broadcast codebooks
+    (an m·k row fanout per vector), and re-assembled with TWO hash
+    aggregates — two Exchanges moving n·m rows to undo a fanout the
+    encode itself created. The codebook table is bounded by
+    construction (m·k rows, dim·k doubles total), so it is collected
+    once at plan-build and inlined as LITERALS: each row computes, per
+    subspace, the argmin code via ``array_min`` over k (distance, code)
+    structs built from the SAME statically-unrolled L2 terms in the
+    SAME left-fold order on the same 1e-6 integer grid with the same
+    code tiebreak — a single narrow Project, ZERO exchanges, no
+    explode, no join, no aggregate. Codes are bit-identical
+    (oracle-checked); at 100 TB the encode is one codegen map over the
+    scan instead of a 2·n·m-row shuffle.
+
+    The batch pass is a ``mapInArrow`` over numpy (guide §4.2 — hand
+    whole Arrow batches to vectorized native code): the distances run
+    the SAME per-element ops in the SAME left-fold order as the old
+    unrolled JVM expression (IEEE doubles are deterministic either
+    side), the 1e-6 grid is the exact HALF_UP of the same fp product
+    (see :func:`_round_half_up_nonneg`), and ``argmin`` over
+    code-ascending columns is the same (distance, code) tiebreak.
+
+    ``carry`` names extra input columns to pass through unchanged
+    (the residual index build keeps (id, cell, norm) alongside the
+    codes without a re-join).
+    Output: (id[, carry…], codes: array<int>, _norm: double).
     """
+    import pyarrow as pa
+
     sub_dim = dim // m
-    v = as_double_array(vec_col)
-    subs = F.explode(
-        F.array(*[
-            F.struct(
-                F.lit(s).alias("sub"),
-                F.slice(v, s * sub_dim + 1, sub_dim).alias("_sv"),
-            )
-            for s in range(m)
-        ])
-    )
-    exploded = corpus.select(
-        F.col(id_col), _norm(v).alias("_norm"), subs.alias("_s")
-    ).select(
-        id_col, "_norm", F.col("_s.sub").alias("sub"), F.col("_s._sv").alias("_sv")
-    )
-    # Unrolled static L2 (sub_dim terms): this expression runs once per
-    # (vector, sub, code) — the k-way fanout — so it must stay inside
-    # whole-stage codegen, not an interpreted HOF lambda.
-    d2 = _l2sq_unrolled(F.col("_sv"), F.col("_cb"), sub_dim)
-    scored = exploded.join(F.broadcast(codebooks), "sub").select(
-        id_col, "_norm", "sub", "code",
-        F.round(d2 * 1e6).cast("long").alias("_d"),
-    )
-    best = scored.groupBy(id_col, "sub").agg(
-        F.first("_norm").alias("_norm"),
-        F.min(F.struct("_d", "code")).getField("code").alias("code"),
-    )
-    return (
-        best.groupBy(id_col)
-        .agg(
-            F.first("_norm").alias("_norm"),
-            F.array_sort(
-                F.collect_list(F.struct("sub", "code"))
-            ).alias("_sc"),
+    rows = codebooks.select("sub", "code", "_cb").collect()
+    by_sub: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in rows:
+        by_sub.setdefault(int(r["sub"]), []).append(
+            (int(r["code"]), [float(x) for x in r["_cb"]])
         )
-        .select(
-            id_col,
-            F.transform("_sc", lambda s: s["code"]).alias("codes"),
-            "_norm",
-        )
+    # codes ascending per sub → np.argmin's first-min IS the code
+    # tiebreak; ragged codebooks (never produced, but cheap to honor)
+    # keep their own code lists.
+    subs = []
+    for s in range(m):
+        entries = sorted(by_sub.get(s, []))
+        codes = [c for c, _ in entries]
+        mat = [cb for _, cb in entries]
+        subs.append((codes, mat))
+    carry = carry or []
+    src = corpus.select(
+        F.col(id_col), *[F.col(c) for c in carry], as_double_array(vec_col).alias("_v")
     )
+    fields = [src.schema[id_col]] + [src.schema[c] for c in carry]
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in fields]
+        + ["codes array<int>", "_norm double"]
+    )
+
+    def encode(batches):
+        import numpy as np
+
+        cb_codes = [np.asarray(c, dtype=np.int32) for c, _ in subs]
+        cb_mats = [
+            np.asarray(mm, dtype=np.float64).reshape(len(cc), sub_dim)
+            for (cc, mm) in subs
+        ]
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            varr = batch.column(batch.num_columns - 1)
+            flat = np.asarray(varr.flatten(), dtype=np.float64)
+            arr = flat.reshape(n, dim)
+            # _norm's left-to-right IEEE fold, vectorized across rows.
+            acc = np.zeros(n)
+            for i in range(dim):
+                acc = acc + arr[:, i] * arr[:, i]
+            norms = np.sqrt(acc)
+            codes_out = np.empty((n, m), dtype=np.int32)
+            for s in range(m):
+                sl = arr[:, s * sub_dim:(s + 1) * sub_dim]
+                cbm = cb_mats[s]
+                d = None
+                for i in range(sub_dim):
+                    t = sl[:, i:i + 1] - cbm[None, :, i]
+                    t = t * t
+                    d = t if d is None else d + t
+                grid = _round_half_up_nonneg(d * 1e6)
+                codes_out[:, s] = cb_codes[s][np.argmin(grid, axis=1)]
+            out = {name: batch.column(j) for j, name in enumerate(
+                [id_col] + carry)}
+            out["codes"] = pa.array(list(codes_out), type=pa.list_(pa.int32()))
+            out["_norm"] = pa.array(norms, type=pa.float64())
+            yield pa.RecordBatch.from_pydict(out)
+
+    return src.mapInArrow(encode, out_schema)
 
 
 def cosine_topk_pq(
@@ -1809,12 +2049,16 @@ def ivfpq_residual_index(
             refine_iters=refine_iters,
         )
     )
-    enc = pq_encode(res_k, cb, dim, m, "_ridx", "_rv")
     # The searchable index: (id, cell, codes, true norm) — the encode's
-    # own _norm is the residual norm, dropped in favor of |v|.
-    index = res_k.select(id_col, "cell", "_tnorm", "_ridx").join(
-        enc.select("_ridx", "codes"), "_ridx"
-    ).drop("_ridx")
+    # own _norm is the residual norm, dropped in favor of |v|; the
+    # narrow literal-codebook encode (round 11) carries (id, cell,
+    # _tnorm) through directly, so the former _ridx self-join (one more
+    # Exchange over the full index) is gone.
+    enc = pq_encode(
+        res_k, cb, dim, m, "_ridx", "_rv",
+        carry=[id_col, "cell", "_tnorm"],
+    )
+    index = enc.select(id_col, "cell", "_tnorm", "codes")
     return centroids, cb, index
 
 

@@ -2,7 +2,9 @@
 skill entry point). Usage: python tools/verify_driver_sim.py [sf_dir].
 Env: DDS_SIM_CPUS / DDS_SIM_SHUFFLE override the session shape — e.g.
 DDS_SIM_CPUS=4 DDS_SIM_SHUFFLE=5 runs the odd-partitioning mirror that
-shakes out partition-count-dependent results."""
+shakes out partition-count-dependent results. DDS_SIM_QUERIES (comma
+list) restricts to a subset — the optimization round's per-change fast
+loop; the round record is always a FULL run."""
 import sys, os, traceback
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tests")
@@ -20,6 +22,12 @@ print(f"entry(): {n} rows", flush=True)
 assert n > 0
 from test_oracle_parity import duck_connection, normalize, values_equal
 qs, os_ = E.queries(), E.oracle_sql()
+_subset = os.environ.get("DDS_SIM_QUERIES")
+if _subset:
+    want = set(_subset.split(","))
+    missing = want - set(qs)
+    assert not missing, f"unknown queries: {sorted(missing)}"
+    qs = {k: v for k, v in qs.items() if k in want}
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 con = duck_connection(sf)
 # Oracled queries must return ROWS: both engines agreeing on an empty
