@@ -2112,7 +2112,24 @@ def privacy_forget_index(spark, sf):
 
     Every purge is an anti-join against a broadcastable forget set;
     every repair is bounded by the touched set — nothing rescans or
-    reshuffles the standing corpus."""
+    reshuffles the standing corpus.
+
+    Optimization round 11 (guide §2.6): the eight artifact purges are
+    mutually independent chains of eager work (a parquet write + cold
+    read each, plus the golden section's checkpointed CC) that used to
+    run strictly sequentially on the driver; they now build in a small
+    thread pool after the session memos they read are pre-warmed
+    sequentially. The golden section's session-global
+    ``spark.sql.shuffle.partitions`` override is gone — the partition
+    count rides into :func:`connected_components` via its ``parts``
+    argument instead, so concurrent builders never see a mutated
+    session conf (labels are partition-layout-invariant by the CC
+    contract; everything else under that conf was perf-only). Ledger
+    values unchanged; union order stays the fixed builder order."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
     from ..operators import dedup as D
     from ..operators import similarity as S
     from ..operators.retrieval import build_postings
@@ -2128,6 +2145,16 @@ def privacy_forget_index(spark, sf):
         shared_sq8_index,
     )
     from .llm_ext import golden_rollup
+
+    # Pre-warm the unlocked session memos before any concurrency.
+    shared_shingles(spark, sf)
+    shared_kgram_rows(spark, sf, k=10)
+    shared_pq_index(spark, sf)
+    shared_sq8_index(spark, sf)
+    shared_ivf_index(spark, sf)
+    shared_knn_graph(spark, sf)
+    shared_forgotten_knn_graph(spark, sf)
+    shared_jaccard_pairs(spark, sf)
 
     docs = table(spark, sf, "documents")
     emb = table(spark, sf, "embeddings")
@@ -2175,167 +2202,186 @@ def privacy_forget_index(spark, sf):
             .alias("n_mismatch_rebuild"),
         )
 
-    rows = []
-
     # --- BM25 postings: anti-join + stats re-derived from purged dl.
-    tf, dl, _stats = build_postings(docs)
-    ptf = cold(
-        tf.join(F.broadcast(forget_docs), "doc_id", "left_anti"), "bm_tf"
-    )
-    pdl = cold(
-        dl.join(F.broadcast(forget_docs), "doc_id", "left_anti"), "bm_dl"
-    )
-    pstats = cold(
-        pdl.agg(
-            F.count(F.lit(1)).cast("double").alias("nd"),
-            F.sum("dl").cast("double").alias("tt"),
-        ),
-        "bm_stats",
-    )
-    rtf, rdl, rstats = build_postings(purged_docs)
-    bm_mism = (
-        n_diff(ptf, rtf, "a").crossJoin(n_diff(pdl, rdl, "b"))
-        .crossJoin(n_diff(pstats, rstats, "c"))
-        .select(
-            (F.col("a") + F.col("b") + F.col("c"))
-            .alias("n_mismatch_rebuild")
+    def _p_bm25():
+        tf, dl, _stats = build_postings(docs)
+        ptf = cold(
+            tf.join(F.broadcast(forget_docs), "doc_id", "left_anti"),
+            "bm_tf",
         )
-    )
-    bm_refs = (
-        n_semi(ptf, forget_docs, "doc_id", "a").crossJoin(
-            n_semi(pdl, forget_docs, "doc_id", "b")
-        ).select((F.col("a") + F.col("b")).alias("n_refs_left"))
-    )
-    rows.append(row("bm25_postings", nfd, bm_refs, bm_mism))
+        pdl = cold(
+            dl.join(F.broadcast(forget_docs), "doc_id", "left_anti"),
+            "bm_dl",
+        )
+        pstats = cold(
+            pdl.agg(
+                F.count(F.lit(1)).cast("double").alias("nd"),
+                F.sum("dl").cast("double").alias("tt"),
+            ),
+            "bm_stats",
+        )
+        rtf, rdl, rstats = build_postings(purged_docs)
+        bm_mism = (
+            n_diff(ptf, rtf, "a").crossJoin(n_diff(pdl, rdl, "b"))
+            .crossJoin(n_diff(pstats, rstats, "c"))
+            .select(
+                (F.col("a") + F.col("b") + F.col("c"))
+                .alias("n_mismatch_rebuild")
+            )
+        )
+        bm_refs = (
+            n_semi(ptf, forget_docs, "doc_id", "a").crossJoin(
+                n_semi(pdl, forget_docs, "doc_id", "b")
+            ).select((F.col("a") + F.col("b")).alias("n_refs_left"))
+        )
+        return row("bm25_postings", nfd, bm_refs, bm_mism)
 
     # --- LSH band index: per-doc signatures, anti-join == rebuild.
-    sh = shared_shingles(spark, sf)
-    sh_purged = sh.join(F.broadcast(forget_docs), "doc_id", "left_anti")
-    lsh_cold = cold(
-        D.lsh_band_index(docs, shingles=sh).join(
+    def _p_lsh():
+        sh = shared_shingles(spark, sf)
+        sh_purged = sh.join(
             F.broadcast(forget_docs), "doc_id", "left_anti"
-        ),
-        "lsh",
-    )
-    lsh_rebuild = D.lsh_band_index(purged_docs, shingles=sh_purged)
-    rows.append(row(
-        "lsh_band_index", nfd,
-        n_semi(lsh_cold, forget_docs, "doc_id"),
-        n_diff(lsh_cold, lsh_rebuild),
-    ))
+        )
+        lsh_cold = cold(
+            D.lsh_band_index(docs, shingles=sh).join(
+                F.broadcast(forget_docs), "doc_id", "left_anti"
+            ),
+            "lsh",
+        )
+        lsh_rebuild = D.lsh_band_index(purged_docs, shingles=sh_purged)
+        return row(
+            "lsh_band_index", nfd,
+            n_semi(lsh_cold, forget_docs, "doc_id"),
+            n_diff(lsh_cold, lsh_rebuild),
+        )
 
     # --- Substring gram index: retained stop-gram list; set algebra
     # makes (capped − forgotten) ≡ ((uncapped over purged) − stop).
-    grams = shared_kgram_rows(spark, sf, k=10)
-    gram_idx = D.substring_gram_index(None, grams=grams, max_df=64)
-    gram_cold = cold(
-        gram_idx.join(
-            F.broadcast(
-                forget_docs.withColumnRenamed("doc_id", "id_base")
+    def _p_gram():
+        grams = shared_kgram_rows(spark, sf, k=10)
+        gram_idx = D.substring_gram_index(None, grams=grams, max_df=64)
+        gram_cold = cold(
+            gram_idx.join(
+                F.broadcast(
+                    forget_docs.withColumnRenamed("doc_id", "id_base")
+                ),
+                "id_base", "left_anti",
             ),
-            "id_base", "left_anti",
-        ),
-        "grams",
-    )
-    uncapped = D.substring_gram_index(None, grams=grams, max_df=None)
-    stop = (
-        uncapped.groupBy("_gh").agg(F.count(F.lit(1)).alias("_ddf"))
-        .filter(F.col("_ddf") > 64).select("_gh")
-    )
-    gram_rebuild = D.substring_gram_index(
-        None,
-        grams=grams.join(F.broadcast(forget_docs), "doc_id", "left_anti"),
-        max_df=None,
-    ).join(stop, "_gh", "left_anti")
-    rows.append(row(
-        "substring_gram_index", nfd,
-        n_semi(gram_cold, forget_docs, "id_base"),
-        n_diff(gram_cold, gram_rebuild),
-    ))
+            "grams",
+        )
+        uncapped = D.substring_gram_index(None, grams=grams, max_df=None)
+        stop = (
+            uncapped.groupBy("_gh").agg(F.count(F.lit(1)).alias("_ddf"))
+            .filter(F.col("_ddf") > 64).select("_gh")
+        )
+        gram_rebuild = D.substring_gram_index(
+            None,
+            grams=grams.join(
+                F.broadcast(forget_docs), "doc_id", "left_anti"
+            ),
+            max_df=None,
+        ).join(stop, "_gh", "left_anti")
+        return row(
+            "substring_gram_index", nfd,
+            n_semi(gram_cold, forget_docs, "id_base"),
+            n_diff(gram_cold, gram_rebuild),
+        )
 
     # --- PQ / SQ8 code tables: retained codebooks/params, re-encode.
-    cb, pq_enc = shared_pq_index(spark, sf)
-    pq_cold = cold(
-        pq_enc.join(F.broadcast(forget_vecs), "vec_id", "left_anti"), "pq"
-    )
-    pq_rebuild = S.pq_encode(purged_emb, cb, dim=64, m=32)
-    rows.append(row(
-        "pq_codes", nfv,
-        n_semi(pq_cold, forget_vecs, "vec_id"),
-        n_diff(pq_cold, pq_rebuild),
-    ))
+    def _p_pq():
+        cb, pq_enc = shared_pq_index(spark, sf)
+        pq_cold = cold(
+            pq_enc.join(F.broadcast(forget_vecs), "vec_id", "left_anti"),
+            "pq",
+        )
+        pq_rebuild = S.pq_encode(purged_emb, cb, dim=64, m=32)
+        return row(
+            "pq_codes", nfv,
+            n_semi(pq_cold, forget_vecs, "vec_id"),
+            n_diff(pq_cold, pq_rebuild),
+        )
 
-    sq_params, sq_enc = shared_sq8_index(spark, sf)
-    sq_cold = cold(
-        sq_enc.join(F.broadcast(forget_vecs), "vec_id", "left_anti"), "sq8"
-    )
-    sq_rebuild = S.sq8_encode(purged_emb, sq_params)
-    rows.append(row(
-        "sq8_codes", nfv,
-        n_semi(sq_cold, forget_vecs, "vec_id"),
-        n_diff(sq_cold, sq_rebuild),
-    ))
+    def _p_sq8():
+        sq_params, sq_enc = shared_sq8_index(spark, sf)
+        sq_cold = cold(
+            sq_enc.join(F.broadcast(forget_vecs), "vec_id", "left_anti"),
+            "sq8",
+        )
+        sq_rebuild = S.sq8_encode(purged_emb, sq_params)
+        return row(
+            "sq8_codes", nfv,
+            n_semi(sq_cold, forget_vecs, "vec_id"),
+            n_diff(sq_cold, sq_rebuild),
+        )
 
     # --- IVF assignment: the searchable artifact CARRIES the vectors,
     # so it is a first-class purge target; retained centroids re-assign
     # the purged corpus identically (per-row argmax under standing
     # centroids — the ivf_cells build step itself).
-    cells = shared_ivf_index(spark, sf)
-    centroids, assigned = cells
-    ivf_cold = cold(
-        assigned.join(F.broadcast(forget_vecs), "vec_id", "left_anti"),
-        "ivfassign",
-    )
-    ivf_rebuild = S.ivf_assign(
-        purged_emb, centroids, assign_spill=IVF_SPILL
-    )
-    rows.append(row(
-        "ivf_assignment", nfv,
-        n_semi(ivf_cold, forget_vecs, "vec_id"),
-        n_diff(ivf_cold, ivf_rebuild),
-    ))
+    def _p_ivf():
+        centroids, assigned = shared_ivf_index(spark, sf)
+        ivf_cold = cold(
+            assigned.join(
+                F.broadcast(forget_vecs), "vec_id", "left_anti"
+            ),
+            "ivfassign",
+        )
+        ivf_rebuild = S.ivf_assign(
+            purged_emb, centroids, assign_spill=IVF_SPILL
+        )
+        return row(
+            "ivf_assignment", nfv,
+            n_semi(ivf_cold, forget_vecs, "vec_id"),
+            n_diff(ivf_cold, ivf_rebuild),
+        )
 
     # --- kNN graph: delete + repair, structural mismatch triple (the
     # purged graph itself is session-shared with the probe entry).
-    g = shared_knn_graph(spark, sf)
-    g_cold = cold(shared_forgotten_knn_graph(spark, sf), "knng")
-    g_refs = (
-        n_semi(g_cold, forget_vecs, "vec_id", "a").crossJoin(
-            n_semi(g_cold, forget_vecs, "neighbor_id", "b")
-        ).select((F.col("a") + F.col("b")).alias("n_refs_left"))
-    )
-    touched = (
-        g.join(
-            F.broadcast(
-                forget_vecs.withColumnRenamed("vec_id", "neighbor_id")
-            ),
-            "neighbor_id", "left_semi",
+    def _p_graph():
+        g = shared_knn_graph(spark, sf)
+        g_cold = cold(shared_forgotten_knn_graph(spark, sf), "knng")
+        g_refs = (
+            n_semi(g_cold, forget_vecs, "vec_id", "a").crossJoin(
+                n_semi(g_cold, forget_vecs, "neighbor_id", "b")
+            ).select((F.col("a") + F.col("b")).alias("n_refs_left"))
         )
-        .select("vec_id").distinct()
-    )
-    untouched_old = g.join(
-        F.broadcast(forget_vecs), "vec_id", "left_anti"
-    ).join(F.broadcast(touched), "vec_id", "left_anti")
-    untouched_new = g_cold.join(F.broadcast(touched), "vec_id", "left_anti")
-    deg_viol = (
-        g_cold.groupBy("vec_id").agg(F.count(F.lit(1)).alias("_d"))
-        .agg(
-            F.count_if(F.col("_d") > KNN_GRAPH_K).alias("v")
+        touched = (
+            g.join(
+                F.broadcast(
+                    forget_vecs.withColumnRenamed("vec_id", "neighbor_id")
+                ),
+                "neighbor_id", "left_semi",
+            )
+            .select("vec_id").distinct()
         )
-    )
-    g_mism = (
-        n_diff(untouched_new, untouched_old, "u").crossJoin(
-            F.broadcast(deg_viol)
-        ).select((F.col("u") + F.col("v")).alias("n_mismatch_rebuild"))
-    )
-    rows.append(row("knn_graph", nfv, g_refs, g_mism))
+        untouched_old = g.join(
+            F.broadcast(forget_vecs), "vec_id", "left_anti"
+        ).join(F.broadcast(touched), "vec_id", "left_anti")
+        untouched_new = g_cold.join(
+            F.broadcast(touched), "vec_id", "left_anti"
+        )
+        deg_viol = (
+            g_cold.groupBy("vec_id").agg(F.count(F.lit(1)).alias("_d"))
+            .agg(
+                F.count_if(F.col("_d") > KNN_GRAPH_K).alias("v")
+            )
+        )
+        g_mism = (
+            n_diff(untouched_new, untouched_old, "u").crossJoin(
+                F.broadcast(deg_viol)
+            ).select((F.col("u") + F.col("v")).alias("n_mismatch_rebuild"))
+        )
+        return row("knn_graph", nfv, g_refs, g_mism)
 
     # --- Golden record: affected-clusters-only survivorship re-derive.
-    pairs = shared_jaccard_pairs(spark, sf)
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        labels = D.connected_components(pairs.select("id_a", "id_b"))
+    # CC partition count rides in via parts= (labels are layout-
+    # invariant); everything else under the old conf override was
+    # perf-only at this bounded sub-graph scale.
+    def _p_golden():
+        pairs = shared_jaccard_pairs(spark, sf)
+        labels = D.connected_components(
+            pairs.select("id_a", "id_b"), parts=4
+        )
         members = (
             docs.join(
                 labels.withColumnRenamed("id_a", "doc_id"),
@@ -2367,7 +2413,7 @@ def privacy_forget_index(spark, sf):
                 "id_b", "left_semi",
             )
         )
-        relabels = D.connected_components(sub_pairs)
+        relabels = D.connected_components(sub_pairs, parts=4)
         patched_aff = golden_rollup(
             surv_aff.drop("cluster_id")
             .join(
@@ -2398,7 +2444,8 @@ def privacy_forget_index(spark, sf):
                     forget_docs.withColumnRenamed("doc_id", "id_b")
                 ),
                 "id_b", "left_anti",
-            )
+            ),
+            parts=4,
         )
         golden_rebuild = golden_rollup(
             purged_docs.join(
@@ -2409,17 +2456,25 @@ def privacy_forget_index(spark, sf):
                 F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
             )
         )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    golden_refs = (
-        n_semi(golden_cold, forget_docs, "cluster_id", "a").crossJoin(
-            n_semi(golden_cold, forget_docs, "golden_doc_id", "b")
-        ).select((F.col("a") + F.col("b")).alias("n_refs_left"))
-    )
-    rows.append(row(
-        "golden_record", nfd, golden_refs,
-        n_diff(golden_cold, golden_rebuild),
-    ))
+        golden_refs = (
+            n_semi(golden_cold, forget_docs, "cluster_id", "a").crossJoin(
+                n_semi(golden_cold, forget_docs, "golden_doc_id", "b")
+            ).select((F.col("a") + F.col("b")).alias("n_refs_left"))
+        )
+        return row(
+            "golden_record", nfd, golden_refs,
+            n_diff(golden_cold, golden_rebuild),
+        )
+
+    builders = [
+        _p_bm25, _p_lsh, _p_gram, _p_pq, _p_sq8, _p_ivf, _p_graph,
+        _p_golden,
+    ]
+    # Wrap on the MAIN thread: inheritable_thread_target snapshots the
+    # wrapping thread's JVM-local properties (job group/description).
+    wrapped = [inheritable_thread_target(f) for f in builders]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        rows = list(pool.map(lambda w: w(), wrapped))
 
     out = rows[0]
     for r in rows[1:]:
