@@ -457,8 +457,14 @@ def kmeans_refine(
         # The training set feeds every iteration's assign pass; it is
         # bounded by the callers' id-prefix sample (≤ k·1000 vectors), so
         # materialize it once instead of re-scanning/re-exploding the
-        # corpus per iteration.
-        points = points.localCheckpoint()
+        # corpus per iteration. Coalesce first (optimization round 11,
+        # guide §1.2 per-task overhead): the set is bounded by
+        # construction, so 32 two-row Python tasks per iteration is pure
+        # scheduling + Arrow-batch overhead — 8 partitions keep every
+        # iteration's mapInArrow at 8 tasks at ANY corpus scale (the
+        # sample never grows with the corpus). Narrow dependency; the
+        # decimal sums are order-independent, so results are unchanged.
+        points = points.coalesce(8).localCheckpoint()
 
     # Optimization round 11 (guide §2.3/§2.4): the centroid table is
     # bounded by construction (k·dim doubles per group), so each
@@ -587,6 +593,29 @@ def kmeans_refine(
 
         return assign
 
+    # Decimal-exact means (the suite's dsum pattern, scale 15 for
+    # unit-magnitude components): the sums are order-independent, so
+    # refined centroids are bit-identical under any partitioning AND
+    # replayable by a DECIMAL(30,15) SQL oracle — a double avg would
+    # drift in the last ulp with partition count. The component
+    # means fuse into ONE hash aggregate (array of per-element
+    # sums — no posexplode, no collect_list); the centroid length
+    # is always known from the collected state, and the fused and
+    # exploded forms compute the IDENTICAL decimal sums, so this
+    # holds for the cosine/IVF path too (round 11 — one exchange
+    # per iteration instead of two). The Column trees are
+    # ITERATION-INVARIANT (only the mapInArrow snapshot changes), so
+    # they are built ONCE here instead of re-paying the py4j
+    # expression-tree construction every iteration (the wave-1
+    # loop-invariant-trainer pattern).
+    lens = {len(v) for v in state.values()}
+    vec_len = vec_len or (lens.pop() if len(lens) == 1 else None)
+    if vec_len:
+        mean_cols = [
+            F.array(
+                *[dmean(F.element_at("_pv", i + 1)) for i in range(vec_len)]
+            ).alias("_nv")
+        ]
     for _ in range(iters):
         snapshot: dict[tuple, tuple] = {}
         for key, cv in sorted(state.items()):
@@ -595,25 +624,8 @@ def kmeans_refine(
             snapshot[g][0].append(key[-1])
             snapshot[g][1].append(cv)
         best = pts_src.mapInArrow(_assign_fn(snapshot), out_schema)
-        # Decimal-exact means (the suite's dsum pattern, scale 15 for
-        # unit-magnitude components): the sums are order-independent, so
-        # refined centroids are bit-identical under any partitioning AND
-        # replayable by a DECIMAL(30,15) SQL oracle — a double avg would
-        # drift in the last ulp with partition count. The component
-        # means fuse into ONE hash aggregate (array of per-element
-        # sums — no posexplode, no collect_list); the centroid length
-        # is always known from the collected state, and the fused and
-        # exploded forms compute the IDENTICAL decimal sums, so this
-        # holds for the cosine/IVF path too (round 11 — one exchange
-        # per iteration instead of two).
-        lens = {len(v) for v in state.values()}
-        vec_len = vec_len or (lens.pop() if len(lens) == 1 else None)
         if vec_len:
-            means = best.groupBy(*(group_cols + [code_col])).agg(
-                F.array(
-                    *[dmean(F.element_at("_pv", i + 1)) for i in range(vec_len)]
-                ).alias("_nv")
-            )
+            means = best.groupBy(*(group_cols + [code_col])).agg(*mean_cols)
         else:
             means = (
                 best.select(
@@ -2916,10 +2928,27 @@ def nndescent_round(
     adjacency holds ≤ 2k rows per node and the pivot self-join fans out
     ≤ (2k)² candidate pairs per node — n·4k² scored pairs worst case,
     all hash equi-joins (no cartesian, no broadcast of a corpus-sized
-    side). Already-present edges are anti-joined out before scoring so
-    converged regions cost nothing. The k-NN list of every node can
-    only improve (union ∪ re-truncate is monotone in rounded cosine) —
-    the monotonicity the build test asserts."""
+    side). The k-NN list of every node can only improve (union ∪
+    re-truncate is monotone in rounded cosine) — the monotonicity the
+    build test asserts.
+
+    Shuffle layout (optimization round 11, guide §2.2 "shuffle fewer
+    bytes"): vectors attach to the k-BOUNDED adjacency BEFORE the pivot
+    fanout (≤2k rows per node carry one dim-double array each), so the
+    n·4k² candidate set is scored INSIDE the pivot join's projection
+    and never shuffles again carrying vectors. The old form shuffled
+    the full candidate set four more times (pre-score distinct,
+    anti-join against the standing edges, then TWO vector equi-joins
+    each moving candidate-count × dim doubles). Pre-score dedup and the
+    anti-join are subsumed by ONE narrow (src, dst, cosine) dedup after
+    scoring: a pair reached through several shared pivots — or already
+    present as a standing edge — scores to the IDENTICAL rounded
+    cosine (same fold, same grid, same vectors), so dropDuplicates
+    keeps value-identical rows and the re-truncated graph is unchanged
+    (A/B row-identical; the build's partition-invariance test pins it).
+    The explicit repartition by src lets both the dedup aggregate and
+    the truncate window reuse one exchange (hash(src) clusters every
+    (src, dst) group and every window partition)."""
     from pyspark.sql import Window
 
     w_rev = Window.partitionBy("src").orderBy(
@@ -2934,17 +2963,31 @@ def nndescent_round(
         .select("src", "dst")
     )
     adj = graph.select("src", "dst").unionAll(rev).distinct()
-    c1 = adj.select(F.col("src").alias("_p"), F.col("dst").alias("src"))
-    c2 = adj.select(F.col("src").alias("_p"), F.col("dst").alias("dst"))
-    cand = (
+    adjv = adj.join(
+        vectors.select(F.col("_id").alias("dst"), "_v"), "dst"
+    )
+    c1 = adjv.select(
+        F.col("src").alias("_p"), F.col("dst").alias("src"),
+        F.col("_v").alias("_va"),
+    )
+    c2 = adjv.select(
+        F.col("src").alias("_p"), F.col("dst").alias("dst"),
+        F.col("_v").alias("_vb"),
+    )
+    cos = cosine_expr(F.col("_va"), F.col("_vb"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    scored = (
         c1.join(c2, "_p")
         .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-        .join(graph.select("src", "dst"), ["src", "dst"], "left_anti")
+        .select("src", "dst", cos.alias("cosine"))
     )
-    fresh = _knn_score_pairs(cand, vectors, round_digits)
-    return _knn_truncate(graph.unionAll(fresh), k)
+    merged = (
+        graph.unionAll(scored)
+        .repartition(F.col("src"))
+        .dropDuplicates(["src", "dst"])
+    )
+    return _knn_truncate(merged, k)
 
 
 def _cocell_pairs(

@@ -709,12 +709,19 @@ def _er_em_fit(pat):
     shared by the full fit and the incremental merged-counts refit.
 
     Optimization round 11 (the ``shared_quality_classifier`` treatment):
-    params re-enter each iteration through a broadcast 1-row params
-    frame instead of fresh decimal literals, so the posterior/aggregate/
-    update Column trees (the py4j-round-trip cost that dominated each
-    iteration) build ONCE outside the loop and the generated code is
-    iteration-invariant. Arithmetic unchanged — the params columns are
-    the same DECIMAL(7,6) values the literals were (oracle-checked)."""
+    wave 1 moved the params into a broadcast 1-row frame (the
+    posterior/aggregate/update Column trees build once, iteration-
+    invariant codegen); wave 4 CHAINS all ``_ER_ITERS`` iterations into
+    ONE lazy plan collected ONCE — exactly the oracle's
+    ``erpar{t} = f(agg(erpat × erpar{t-1}))`` CTE shape. The update
+    step is a pure function of the iteration's aggregates (unlike the
+    LR trainer it never references the previous params directly), so
+    each chained level is Aggregate(Project(Join(pat, prev))) with
+    ``prev`` referenced exactly once — the plan stays LINEAR. This
+    removes ``_ER_ITERS`` driver synchronization points (collect +
+    createDataFrame round trips → 1 + 0). Arithmetic unchanged — the
+    params columns are the same DECIMAL(7,6) values the literals were
+    (oracle-checked)."""
     from decimal import Decimal
 
     spark = pat.sparkSession
@@ -744,28 +751,29 @@ def _er_em_fit(pat):
         *[F.sum(F.when(F.col(f"g{k}") == 1, F.col("nw1")))
           .alias(f"_sug{k}") for k in (1, 2, 3)],
     ]
+    # Updates alias straight to the params-frame column names so the
+    # iteration's output frame IS the next iteration's params frame.
     upd_cols = [
         *[clamp(F.col(f"_sg{k}").cast("double")
-                / F.col("_s").cast("double")).alias(f"m{k}")
+                / F.col("_s").cast("double")).alias(f"_p_m{k}")
           for k in (1, 2, 3)],
         *[clamp(F.col(f"_sug{k}").cast("double")
-                / F.col("_s1").cast("double")).alias(f"u{k}")
+                / F.col("_s1").cast("double")).alias(f"_p_u{k}")
           for k in (1, 2, 3)],
         clamp(F.col("_s").cast("double")
-              / F.col("_n").cast("double")).alias("lam"),
+              / F.col("_n").cast("double")).alias("_p_lam"),
     ]
+    pframe = spark.createDataFrame(
+        [tuple(par[n] for n in pnames)], pschema
+    )
     for _ in range(_ER_ITERS):
-        pframe = spark.createDataFrame(
-            [tuple(par[n] for n in pnames)], pschema
-        )
-        row = (
+        pframe = (
             pat.crossJoin(F.broadcast(pframe)).select(*proj_cols)
             .agg(*agg_cols)
             .select(*upd_cols)
-            .collect()[0]
         )
-        par = {k: row[k] for k in par}
-    return par
+    row = pframe.collect()[0]
+    return {n: row[f"_p_{n}"] for n in pnames}
 
 
 _ER_PARAM_NAMES = ["m_name", "m_bal", "m_seg", "u_name", "u_bal", "u_seg",

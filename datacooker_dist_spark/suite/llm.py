@@ -3389,12 +3389,6 @@ def dedup_blocking_report(spark, sf):
     # Text ground truth: exact all-pairs Jaccard >= 0.8, session-shared
     # with engine_scorecard (O(dups) rows, checkpointed in the memo).
     truth_j = shared_jaccard_truth(spark, sf)
-    # Each SNM pass feeds two rows (own + the multipass union) — the
-    # candidate sets are O(window·n) ids, checkpoint-cheap.
-    c1 = D.snm_candidates(docs, window=4, key_len=64).localCheckpoint()
-    c2 = D.snm_candidates(
-        docs, window=4, key_len=64, reverse=True
-    ).localCheckpoint()
     g = shared_kgram_rows(spark, sf)
     # Semantic ground truth: one exact blocked pass keeps the cosine, so
     # both thresholds (0.40 hyperplane twin, 0.45 IVF twin) filter it;
@@ -3403,7 +3397,33 @@ def dedup_blocking_report(spark, sf):
     hp_cells = S.hyperplane_cells(emb, dim=64, planes=2)
     _, assigned = shared_ivf_index(spark, sf)
     hashes = shared_dhash_hashes(spark, sf)
-    dh_cand = M.phash_candidate_pairs(hashes).localCheckpoint()
+    planted = _snm_planted_corpus(spark)
+    # The four eager candidate/truth checkpoints are mutually
+    # independent (optimization round 11, guide §2.6 — the
+    # engine_scorecard pooling pattern): build them concurrently after
+    # the session memos above are warm. Checkpointed values identical;
+    # only job submission overlaps.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    ckpt_builders = [
+        lambda: D.snm_candidates(
+            docs, window=4, key_len=64
+        ).localCheckpoint(),
+        lambda: D.snm_candidates(
+            docs, window=4, key_len=64, reverse=True
+        ).localCheckpoint(),
+        lambda: M.phash_candidate_pairs(hashes).localCheckpoint(),
+        lambda: D.jaccard_pairs_allpairs(planted)
+        .select("id_a", "id_b")
+        .localCheckpoint(),
+    ]
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        c1, c2, dh_cand, truth_p = pool.map(
+            lambda w: w(),
+            [inheritable_thread_target(f) for f in ckpt_builders],
+        )
     afp = shared_afp_hashes(spark, sf)
     afp_a = afp.select(F.col("media_id").alias("_ida"),
                        F.col("g").alias("_g1"),
@@ -3411,12 +3431,6 @@ def dedup_blocking_report(spark, sf):
     afp_b = afp.select(F.col("media_id").alias("_idb"),
                        F.col("g").alias("_g2"),
                        F.col("fp_hash").alias("_h2"))
-    planted = _snm_planted_corpus(spark)
-    truth_p = (
-        D.jaccard_pairs_allpairs(planted)
-        .select("id_a", "id_b")
-        .localCheckpoint()
-    )
     p1 = D.snm_candidates(planted, window=2, key_len=64)
     p2 = D.snm_candidates(planted, window=2, key_len=64, reverse=True)
     parts = [

@@ -2491,7 +2491,29 @@ def stream_knn_graph_append(spark, sf):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    # The ledger's BATCH leg reads only the standing graph/cells and
+    # the static new-vector table — independent of the drain — so its
+    # one-shot search materializes CONCURRENTLY with the stream
+    # (optimization round 11, guide §2.6: overlap independent eager
+    # work; values unchanged, the full_outer diff still compares the
+    # same two edge sets).
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    def _batch_leg():
+        return S.cosine_topk_graph(
+            base, new_all, graph=graph, cells=cells,
+            k=k, nprobe=4, hops=2, entry_cap=2 * k,
+        ).select(
+            F.col("query_id").alias("src"),
+            F.col("neighbor_id").alias("dst"), "cosine",
+        ).localCheckpoint()
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        batch_fut = pool.submit(inheritable_thread_target(_batch_leg))
+        q.awaitTermination()
+        batch_out = batch_fut.result()
     drained = read_parquet_or_empty(
         spark, "query_id bigint, neighbor_id bigint, cosine double",
         target, recursive=True,
@@ -2500,13 +2522,6 @@ def stream_knn_graph_append(spark, sf):
         F.col("neighbor_id").alias("dst"), "cosine",
     ).localCheckpoint()
     final_stream = S.knn_graph_patch(graph, drained, new_all, k=k)
-    batch_out = S.cosine_topk_graph(
-        base, new_all, graph=graph, cells=cells,
-        k=k, nprobe=4, hops=2, entry_cap=2 * k,
-    ).select(
-        F.col("query_id").alias("src"),
-        F.col("neighbor_id").alias("dst"), "cosine",
-    ).localCheckpoint()
     final_batch = S.knn_graph_patch(graph, batch_out, new_all, k=k)
 
     cmp_cols = ["vec_id", "neighbor_id", "rnk", "cosine"]

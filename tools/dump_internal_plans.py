@@ -39,6 +39,27 @@ def main() -> None:
     from datacooker_dist_spark.suite import llm, llm_quality, embml
     from datacooker_dist_spark.suite import shared_shingles
 
+    def _nndescent_round_frame():
+        # One NN-descent local-join round over the seed graph — the
+        # per-round plan the build's localCheckpoints hide (wave-4
+        # shuffle-layout evidence).
+        import pyspark.sql.functions as F
+
+        from datacooker_dist_spark.operators import similarity as S
+        from datacooker_dist_spark.operators.similarity import (
+            _knn_vectors, nndescent_round)
+        from datacooker_dist_spark.session import fan_out
+
+        emb = fan_out(spark.read.parquet(f"{args.sf}/embeddings.parquet"))
+        g0 = S.knn_graph_build(emb, k=10, rounds=0, n_cells=16).select(
+            F.col("vec_id").alias("src"),
+            F.col("neighbor_id").alias("dst"), "cosine",
+        ).localCheckpoint()
+        return nndescent_round(
+            g0, _knn_vectors(emb, "vec_id", "embedding").localCheckpoint(),
+            10,
+        )
+
     frames = {
         "internal_qcls_features": lambda: llm_quality._qcls_features(
             spark, args.sf),
@@ -46,6 +67,7 @@ def main() -> None:
         "internal_shingle_rows": lambda: shared_shingles(spark, args.sf),
         "internal_kgram_rows": lambda: llm.shared_kgram_rows(
             spark, args.sf),
+        "internal_nndescent_round": _nndescent_round_frame,
     }
     os.makedirs(args.plans_dir, exist_ok=True)
     for name, fn in frames.items():
