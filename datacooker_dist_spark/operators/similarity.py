@@ -3135,16 +3135,24 @@ def cosine_topk_graph(
     vectors = _knn_vectors(corpus, id_col, vec_col)
     scored = entry
     frontier = entry.select("query_id", F.col("neighbor_id").alias("cand"))
-    seen = frontier
     edges = graph.select(
         F.col("vec_id").alias("cand"), F.col("neighbor_id").alias("_n")
     )
+    # Per-hop shuffle layout (optimization round 11, guide §2.2 — the
+    # nndescent_round treatment): the old form anti-joined each hop's
+    # candidates against a growing `seen` set before scoring. A
+    # candidate reached through several hops/paths scores to the
+    # IDENTICAL rounded cosine (same fold, same vectors), so the final
+    # dedup subsumes that exchange — the anti never REMOVED a candidate
+    # from the result, it only avoided re-scoring one. The final dedup
+    # + top-k window now share ONE exchange: hash(query_id) clusters
+    # both the (query_id, neighbor_id) groups and the window
+    # partitions. Candidate-set identical → results identical.
     for _ in range(hops):
         nxt = (
             frontier.join(edges, "cand")
             .select("query_id", F.col("_n").alias("cand"))
             .distinct()
-            .join(seen, ["query_id", "cand"], "left_anti")
             .filter(F.col("query_id") != F.col("cand"))
         )
         cos = cosine_expr(F.col("_qv"), F.col("_v"))
@@ -3159,13 +3167,13 @@ def cosine_topk_graph(
             )
         )
         scored = scored.unionAll(hop_scored)
-        seen = seen.unionAll(nxt.select("query_id", "cand"))
-        frontier = nxt.select("query_id", "cand")
+        frontier = nxt
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.dropDuplicates(["query_id", "neighbor_id"])
+        scored.repartition(F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )

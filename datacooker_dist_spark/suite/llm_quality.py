@@ -724,7 +724,19 @@ def shared_qcls_features(spark, sf):
     featurization at sf0.1 with the weights already memoized)."""
     key = (session_key(spark), sf)
     if key not in _QCLS_FEATS_CACHE:
-        _QCLS_FEATS_CACHE[key] = _qcls_features(spark, sf).localCheckpoint()
+        # Fan the CHECKPOINTED matrix out too (optimization round 11,
+        # guide §2.5): the featurization ends in an AQE-coalesced
+        # single partition at bench scale, so every downstream gradient
+        # stage — 20 of them in the chained fit — evaluated the deep
+        # decimal p-expression SINGLE-THREADED over the whole matrix.
+        # The checkpoint freezes pre-repartition layout, so the fan-out
+        # must land before it. Gradient sums are decimal-exact
+        # (order-independent) — values unchanged under any layout.
+        from ..session import fan_out
+
+        _QCLS_FEATS_CACHE[key] = fan_out(
+            _qcls_features(spark, sf)
+        ).localCheckpoint()
     return _QCLS_FEATS_CACHE[key]
 
 
