@@ -2393,15 +2393,29 @@ def stream_knn_graph_probe(spark, sf):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    # The ledger's batch leg reads only the standing graph/cells and the
+    # static new-vector table — independent of the drain — so it
+    # materializes CONCURRENTLY with the stream (optimization round 11,
+    # guide §2.6, the stream_knn_graph_append shape; values unchanged,
+    # the full_outer diff still compares the same two result sets).
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    def _batch_leg():
+        return S.cosine_topk_graph(
+            base, emb.filter(F.col("vec_id") % 5 == 0), graph=graph,
+            cells=cells, k=5, nprobe=4, hops=2, entry_cap=10,
+        ).localCheckpoint()
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        batch_fut = pool.submit(inheritable_thread_target(_batch_leg))
+        q.awaitTermination()
+        batch_mode = batch_fut.result()
     drained = read_parquet_or_empty(
         spark,
         "query_id bigint, neighbor_id bigint, cosine double, rnk int",
         target, recursive=True,
-    )
-    batch_mode = S.cosine_topk_graph(
-        base, emb.filter(F.col("vec_id") % 5 == 0), graph=graph,
-        cells=cells, k=5, nprobe=4, hops=2, entry_cap=10,
     )
     cmp_cols = ["query_id", "neighbor_id", "rnk", "cosine"]
     mism = (
