@@ -2472,8 +2472,12 @@ def privacy_forget_index(spark, sf):
     ]
     # Wrap on the MAIN thread: inheritable_thread_target snapshots the
     # wrapping thread's JVM-local properties (job group/description).
+    # Width 3 per guide §2.6 (optimization round 12): "2-3 jobs in
+    # flight is plenty" — the round-11 8-wide pools were the only
+    # driver-measured regressions at 32 cores (concurrent jobs fighting
+    # for task slots); 3 keeps the overlap without the fight.
     wrapped = [inheritable_thread_target(f) for f in builders]
-    with ThreadPoolExecutor(max_workers=8) as pool:
+    with ThreadPoolExecutor(max_workers=3) as pool:
         rows = list(pool.map(lambda w: w(), wrapped))
 
     out = rows[0]

@@ -3419,7 +3419,11 @@ def dedup_blocking_report(spark, sf):
         .select("id_a", "id_b")
         .localCheckpoint(),
     ]
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    # Width 2 per guide §2.6 (optimization round 12): the 4-wide pool
+    # was driver-measured slower at 32 cores than 8 (0.74×) — four
+    # concurrent checkpoint jobs fight for task slots; two keep the
+    # tail back-filled without the contention.
+    with ThreadPoolExecutor(max_workers=2) as pool:
         c1, c2, dh_cand, truth_p = pool.map(
             lambda w: w(),
             [inheritable_thread_target(f) for f in ckpt_builders],
@@ -4190,8 +4194,14 @@ def engine_scorecard(spark, sf):
     ]
     # Wrap on the MAIN thread: inheritable_thread_target snapshots the
     # wrapping thread's JVM-local properties (job group/description).
+    # Pool width 3, not 8 (optimization round 12, guide §2.6: "2-3 jobs
+    # in flight is plenty: enough to fill the tail, not so many that
+    # they fight for executors"). The round-11 8-wide pool was the only
+    # driver-measured regression at 32 cores (0.44×, faster at 8 cores
+    # than 32 — concurrent jobs contending for task slots + the py4j
+    # gateway); 3 keeps the back-fill overlap and removes the fight.
     wrapped = [inheritable_thread_target(f) for f in builders]
-    with ThreadPoolExecutor(max_workers=8) as pool:
+    with ThreadPoolExecutor(max_workers=3) as pool:
         parts = list(pool.map(lambda w: w(), wrapped))
     return reduce(lambda a, b: a.unionByName(b), parts)
 
