@@ -56,14 +56,30 @@ def fan_out(df, parallelism: int | None = None):
     row-group parquet files, so WITHOUT this every tokenize/hash/encode
     pass that precedes the first exchange runs as ONE task regardless
     of cluster size (measured: the classifier featurization pass went
-    15.3 s → 3.2 s on local[32] with this alone). At 100 TB the scan
-    arrives in thousands of splits and the same round-robin exchange is
-    a cheap rebalance of the already-parallel input. Parallelism
-    derives from the cluster (``defaultParallelism``), never a
-    constant. Results are partition-invariant — the suite's
-    odd-partitioning oracle mirror (DDS_SIM_CPUS=4 DDS_SIM_SHUFFLE=5)
-    is the standing proof obligation."""
+    15.3 s → 3.2 s on local[32] with this alone). Parallelism derives
+    from the cluster (``defaultParallelism``), never a constant.
+
+    SCALE-CONDITIONAL (optimization round 12, VERDICT r11): at 100 TB
+    the scan already arrives in thousands of splits, and an
+    unconditional round-robin ``repartition(n)`` there is a full
+    corpus shuffle plus the hidden local sort every keyless
+    repartition pays (``spark.sql.execution.sortBeforeRepartition``,
+    guide §2.5) — pure cost on already-parallel input. The exchange is
+    therefore added ONLY when the plan's observed parallelism is below
+    the cluster's; a multi-split input passes through untouched
+    (``tests/test_plans.py`` pins both shapes). Results are
+    partition-invariant either way — the suite's odd-partitioning
+    oracle mirror (DDS_SIM_CPUS=4 DDS_SIM_SHUFFLE=5) is the standing
+    proof obligation."""
     n = parallelism or default_parallelism(df.sparkSession)
+    try:
+        # Physical-plan partition count of the frame as it stands
+        # (no job runs — this only materializes the RDD lineage).
+        current = df.rdd.getNumPartitions()
+    except Exception:
+        current = 0  # planning failure → keep the historical behavior
+    if current >= n:
+        return df
     return df.repartition(n)
 
 

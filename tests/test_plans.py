@@ -806,3 +806,36 @@ def test_filtered_topk_no_cartesian(spark):
     plan = executed_plan(spark, "similarity_topk_filtered")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_fan_out_is_scale_conditional(spark):
+    """fan_out (optimization r12, VERDICT r11 task 2): a single-split
+    scan still gains the round-robin exchange (the bench tables are
+    single-row-group parquet — §2.5 "repartition immediately after the
+    read"), but an input already at or above cluster parallelism must
+    pass through UNTOUCHED — at 100 TB an unconditional repartition(n)
+    is a full corpus shuffle plus the sortBeforeRepartition local sort,
+    on data that is already parallel."""
+    from datacooker_dist_spark.session import default_parallelism, fan_out
+
+    n = default_parallelism(spark)
+
+    # Single-partition input: the exchange is added.
+    narrow = spark.range(0, 1000, 1, 1)
+    fanned = fan_out(narrow)
+    assert fanned.rdd.getNumPartitions() == n
+    plan = fanned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange RoundRobinPartitioning" in plan
+
+    # Already-parallel input (>= cluster parallelism): NO added
+    # exchange — the frame comes back identical.
+    wide = spark.range(0, 1000, 1, n)
+    passed = fan_out(wide)
+    assert passed is wide
+    plan = passed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    # Over-parallel input passes through too (never coalesce here —
+    # shrinking is the scan's AQE coalescing job, not fan_out's).
+    over = spark.range(0, 1000, 1, n + 7)
+    assert fan_out(over) is over
