@@ -896,11 +896,9 @@ def stream_search_bm25_append(spark, sf):
     )
     from . import table
 
+    from ..session import fan_out
+
     docs = table(spark, sf, "documents")
-    base = tuple(
-        df.localCheckpoint()
-        for df in build_postings(docs.filter(F.col("doc_id") % 5 != 0))
-    )
 
     base_dir = scratch_dir("sbm25app")
     target, ckpt = f"{base_dir}/idx", f"{base_dir}/ckpt"
@@ -911,7 +909,10 @@ def stream_search_bm25_append(spark, sf):
     stream = file_stream(spark, f"{sf}/documents.parquet", doc_schema)
 
     def land_partials(batch_df, batch_id):
-        new = batch_df.filter(F.col("doc_id") % 5 == 0)
+        # fan_out (optimization round 12, guide §2.5): the micro-batch
+        # is one file-split, so the tokenize pass otherwise runs
+        # single-task; scale-conditional, per-doc results unchanged.
+        new = fan_out(batch_df.filter(F.col("doc_id") % 5 == 0))
         for kind, df in zip(("tf", "dl", "stats"), build_postings(new)):
             df.write.mode("overwrite").parquet(
                 f"{target}/{kind}/b{batch_id}"
@@ -923,7 +924,37 @@ def stream_search_bm25_append(spark, sf):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    # Neither the standing BASE postings nor the ledger's batch-leg
+    # partials are read by the drain — both tokenize only static corpus
+    # slices — so they materialize CONCURRENTLY with the stream
+    # (optimization round 12, guide §2.6; values unchanged, the
+    # exceptAll diff compares the same two result sets).
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    def _base_leg():
+        return tuple(
+            df.localCheckpoint()
+            for df in build_postings(
+                fan_out(docs.filter(F.col("doc_id") % 5 != 0))
+            )
+        )
+
+    def _new_leg():
+        return tuple(
+            df.localCheckpoint()
+            for df in build_postings(
+                fan_out(docs.filter(F.col("doc_id") % 5 == 0))
+            )
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        base_fut = pool.submit(inheritable_thread_target(_base_leg))
+        new_fut = pool.submit(inheritable_thread_target(_new_leg))
+        q.awaitTermination()
+        base = base_fut.result()
+        new_partials = new_fut.result()
 
     def drained(kind, schema):
         return (
@@ -949,11 +980,7 @@ def stream_search_bm25_append(spark, sf):
     )
     stream_res = bm25_topk(*merge_postings(base, partials), qterms, k=5)
     batch_res = bm25_topk(
-        *merge_postings(
-            base,
-            build_postings(docs.filter(F.col("doc_id") % 5 == 0)),
-        ),
-        qterms, k=5,
+        *merge_postings(base, new_partials), qterms, k=5,
     )
     diff = stream_res.exceptAll(batch_res).unionAll(
         batch_res.exceptAll(stream_res)
@@ -1511,9 +1538,18 @@ def stream_quality_classifier(spark, sf):
     )
     stream = file_stream(spark, f"{sf}/documents.parquet", doc_schema)
 
+    from ..session import fan_out
+
     def score(batch_df, batch_id):
+        # A micro-batch arrives as one file-split (often ONE partition —
+        # maxFilesPerTrigger=1), so without a fan-out the whole
+        # featurize+score job runs single-task regardless of cluster
+        # size (guide §2.5; optimization round 12). fan_out is
+        # scale-conditional: a large batch already at cluster
+        # parallelism passes through untouched. Per-doc results are
+        # row-independent — values unchanged.
         cells = (
-            _qcls_features_from(batch_df)
+            _qcls_features_from(fan_out(batch_df))
             .select(
                 (p >= F.lit(_Dec("0.5")).cast(_QCLS_DEC))
                 .cast("int").alias("pred_keep"),
@@ -1610,9 +1646,14 @@ def stream_clusters_incremental(spark, sf):
         F.col("doc_id") % 5 == 0
     )
 
+    from ..session import fan_out
+
     def probe(batch_df, batch_id):
+        # fan_out (optimization round 12, guide §2.5): the micro-batch
+        # is one file-split, so its shingle pass otherwise runs
+        # single-task; scale-conditional, per-doc results unchanged.
         D.incremental_near_dup_pairs(
-            base, batch_df, base_index=idx, threshold=0.8,
+            base, fan_out(batch_df), base_index=idx, threshold=0.8,
             base_shingles=sh_base,
         ).write.mode("overwrite").parquet(f"{target}/b{batch_id}")
 
@@ -1622,34 +1663,48 @@ def stream_clusters_incremental(spark, sf):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
-    drained = read_parquet_or_empty(
-        spark, "id_new bigint, id_base bigint, jaccard double",
-        target, recursive=True,
-    )
+    # The STANDING assignment reads only the memoized base pair set —
+    # independent of the drain — so its checkpointed CC materializes
+    # CONCURRENTLY with the stream (optimization round 12, guide §2.6).
+    # The former session-global shuffle-partition override rides into
+    # connected_components via parts= (labels are partition-layout-
+    # invariant by the CC contract), so the drain never observes a
+    # mutated session conf.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
     pairs = shared_jaccard_pairs(spark, sf)
     base_pairs = pairs.filter(
         (F.col("id_a") % 5 != 0) & (F.col("id_b") % 5 != 0)
     )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        standing = (
-            D.connected_components(base_pairs.select("id_a", "id_b"))
+
+    def _standing_leg():
+        return (
+            D.connected_components(
+                base_pairs.select("id_a", "id_b"), parts=4
+            )
             .select(
                 F.col("id_a").alias("node"),
                 F.col("cluster_id").alias("root"),
             )
             .localCheckpoint()
         )
-        return D.incremental_components(
-            standing,
-            drained.select(
-                F.col("id_new").alias("id_a"), F.col("id_base").alias("id_b")
-            ),
-        ).select(F.col("node").alias("doc_id"), "cluster_id")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        standing_fut = pool.submit(inheritable_thread_target(_standing_leg))
+        q.awaitTermination()
+        standing = standing_fut.result()
+    drained = read_parquet_or_empty(
+        spark, "id_new bigint, id_base bigint, jaccard double",
+        target, recursive=True,
+    )
+    return D.incremental_components(
+        standing,
+        drained.select(
+            F.col("id_new").alias("id_a"), F.col("id_base").alias("id_b")
+        ),
+    ).select(F.col("node").alias("doc_id"), "cluster_id")
 
 
 def _stream_afp_oracle():
@@ -2194,11 +2249,17 @@ def stream_eval_contamination(spark, sf):
         .localCheckpoint()
     )
 
+    from ..session import fan_out
+
     def gate(batch_df):
         # One verdict row PER DOCUMENT (hits coalesced to 0): a gate
         # that only emits positives produces a legitimately-empty sink
         # on a clean corpus, which would make the drained ≡ batch
         # check vacuous.
+        # fan_out (optimization round 12, guide §2.5): a micro-batch
+        # arrives as one file-split, so the tokenize+explode otherwise
+        # runs single-task; scale-conditional, row-independent per doc.
+        batch_df = fan_out(batch_df)
         bg = batch_df.select(
             "doc_id",
             F.explode(ngram_windows(tokens_col("text"), 10)).alias("g"),
@@ -2238,11 +2299,30 @@ def stream_eval_contamination(spark, sf):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    # The ledger's batch leg reads only the static corpus and the
+    # standing eval grams — independent of the drain — so it
+    # materializes CONCURRENTLY with the stream (optimization round 12,
+    # guide §2.6, the stream_knn_graph_* shape; values unchanged, the
+    # exceptAll diff compares the same two result sets).
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    def _batch_leg():
+        return gate(docs).localCheckpoint()
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        batch_fut = pool.submit(inheritable_thread_target(_batch_leg))
+        try:
+            q.awaitTermination()
+        finally:
+            # Surface the first error promptly: if the stream dies, the
+            # batch future is drained here (ADVICE r11) so its own
+            # failure cannot queue silently behind the stream's.
+            batch = batch_fut.result()
     drained = read_parquet_or_empty(
         spark, "doc_id bigint, n_eval_hits bigint", target, recursive=True
     )
-    batch = gate(docs)
     diff = drained.exceptAll(batch).unionAll(batch.exceptAll(drained))
     return diff.agg(F.count(F.lit(1)).alias("mismatches")).crossJoin(
         F.broadcast(
@@ -2381,9 +2461,15 @@ def stream_knn_graph_probe(spark, sf):
         "vec_id bigint, embedding array<float>, label int",
     ).filter(F.col("vec_id") % 5 == 0)
 
+    from ..session import fan_out
+
     def probe(batch_df, batch_id):
+        # fan_out (optimization round 12, guide §2.5): the micro-batch
+        # is one file-split, so the query-side scoring legs otherwise
+        # run single-task; scale-conditional, per-query results
+        # unchanged.
         S.cosine_topk_graph(
-            base, batch_df, graph=graph, cells=cells,
+            base, fan_out(batch_df), graph=graph, cells=cells,
             k=5, nprobe=4, hops=2, entry_cap=10,
         ).write.mode("overwrite").parquet(f"{target}/b{batch_id}")
 
@@ -2491,9 +2577,15 @@ def stream_knn_graph_append(spark, sf):
         "vec_id bigint, embedding array<float>, label int",
     ).filter(F.col("vec_id") % 5 == 0)
 
+    from ..session import fan_out
+
     def land_edges(batch_df, batch_id):
+        # fan_out (optimization round 12, guide §2.5): the micro-batch
+        # is one file-split, so the query-side scoring legs otherwise
+        # run single-task; scale-conditional, per-query results
+        # unchanged.
         S.cosine_topk_graph(
-            base, batch_df, graph=graph, cells=cells,
+            base, fan_out(batch_df), graph=graph, cells=cells,
             k=k, nprobe=4, hops=2, entry_cap=2 * k,
         ).select("query_id", "neighbor_id", "cosine").write.mode(
             "overwrite"
