@@ -769,8 +769,6 @@ def ivf_assign(
     (``spilled=True`` on the topk operators).
     Output: (id, cell, vector) — ``assign_spill`` rows per vector.
     """
-    import math
-
     cell_type = centroids.schema["cell"].dataType
     cell_sql = cell_type.simpleString()
     cent_rows = centroids.select("cell", "_cv").collect()
@@ -782,16 +780,51 @@ def ivf_assign(
             v.alias("vector"),
         ).filter(F.lit(False))
 
-    # The whole top-spill selector is ONE parsed SQL expression (a
-    # Column-API build of K·dim literals costs thousands of py4j round
-    # trips per call; the parser ingests the same tree in one call),
-    # and the centroid table itself is a fully FOLDABLE array literal —
-    # the optimizer's constant folding collapses it to a single Literal
-    # node, so every consumer plan carries K·dim doubles as ONE leaf
-    # instead of a K·dim-node expression tree (keeps Catalyst's rule
-    # passes O(plan), not O(plan · centroids)). Double literals
-    # round-trip exactly via repr() + a string cast (Java's parseDouble
-    # is correctly rounded).
+    top = _centroid_topn_expr(
+        cent_rows, cell_sql, "_v", "_nv", int(assign_spill), rounded=True
+    )
+    return (
+        vectors.select(F.col(id_col), v.alias("_v"))
+        .withColumn("_nv", _norm(F.col("_v")))
+        .select(F.col(id_col), F.col("_v"), F.explode(top).alias("_t"))
+        .select(
+            id_col,
+            F.col("_t.cell").alias("cell"),
+            F.col("_v").alias("vector"),
+        )
+    )
+
+
+def _centroid_topn_expr(
+    cent_rows, cell_sql: str, vec_name: str, norm_name: str, n: int,
+    rounded: bool,
+):
+    """Top-``n`` nearest cells under STANDING centroids as ONE parsed
+    SQL expression over a vector column ``vec_name`` (with its
+    precomputed norm in ``norm_name``) — the shared selector behind
+    :func:`ivf_assign` (rounded ranking, its oracle-stable contract)
+    and the probe-cell selection of :func:`cosine_topk_ivf`
+    (``rounded=False`` — the probe window historically ranked on the
+    RAW cosine, and the selector must preserve that exact ordering).
+
+    A Column-API build of K·dim literals costs thousands of py4j round
+    trips per call; the parser ingests the same tree in one call, and
+    the centroid table itself is a fully FOLDABLE array literal — the
+    optimizer's constant folding collapses it to a single Literal node,
+    so every consumer plan carries K·dim doubles as ONE leaf instead of
+    a K·dim-node expression tree (keeps Catalyst's rule passes O(plan),
+    not O(plan · centroids)). Double literals round-trip exactly via
+    repr() + a string cast (Java's parseDouble is correctly rounded).
+
+    The per-centroid score is verbatim ``cosine_expr``: the same
+    zip_with/aggregate left fold, the same dot / (norm_v · norm_c)
+    order (and, when ``rounded``, the same round(…, 6)); −cos is
+    normalized with + 0.0D so a −0.0 from negating a zero score
+    compares equal to +0.0, exactly as a window sort normalizes floats.
+    The struct sort on (−cosine, cell) is the (cosine desc, cell asc)
+    window ordering."""
+    import math
+
     def dlit(x: float) -> str:
         return f"CAST('{x!r}' AS DOUBLE)"
 
@@ -809,27 +842,16 @@ def ivf_assign(
             + cell_sql + "), 'nrm', " + dlit(cnorm) + ", 'cv', array("
             + ",".join(dlit(x) for x in cv) + "))"
         )
-    # Verbatim cosine_expr per centroid: the same zip_with/aggregate
-    # left fold, the same dot / (norm_v · norm_c) order, the same
-    # round(…, 6); −cos is normalized with + 0.0D so a −0.0 from
-    # negating a zero score compares equal to +0.0 (as the window sort
-    # normalized floats).
-    top = F.expr(
-        "slice(array_sort(transform(array(" + ",".join(structs) + "), "
-        "c -> named_struct('_nc', -round(aggregate(zip_with(_v, c.cv, "
-        "(x, y) -> x * y), 0.0D, (acc, x) -> acc + x) / (_nv * c.nrm), 6)"
-        " + 0.0D, 'cell', c.cell))), 1, "
-        + str(int(assign_spill)) + ")"
+    score = (
+        "aggregate(zip_with(" + vec_name + ", c.cv, (x, y) -> x * y), "
+        "0.0D, (acc, x) -> acc + x) / (" + norm_name + " * c.nrm)"
     )
-    return (
-        vectors.select(F.col(id_col), v.alias("_v"))
-        .withColumn("_nv", _norm(F.col("_v")))
-        .select(F.col(id_col), F.col("_v"), F.explode(top).alias("_t"))
-        .select(
-            id_col,
-            F.col("_t.cell").alias("cell"),
-            F.col("_v").alias("vector"),
-        )
+    if rounded:
+        score = "round(" + score + ", 6)"
+    return F.expr(
+        "slice(array_sort(transform(array(" + ",".join(structs) + "), "
+        "c -> named_struct('_nc', -" + score
+        + " + 0.0D, 'cell', c.cell))), 1, " + str(int(n)) + ")"
     )
 
 
@@ -863,7 +885,21 @@ def cosine_topk_ivf(
     each query still ranks a full k from its eligible candidates, at
     zero index growth (the alternative — a per-attribute index — pays
     storage per distinct value; the over-fetch post-filter alternative
-    is graded by ``similarity_filtered_recall``)."""
+    is graded by ``similarity_filtered_recall``).
+
+    Optimization round 12 (guide §2.4/§3.1): probe-cell selection used
+    to fan every query out against a broadcast centroid frame (K rows
+    per query, EACH CARRYING the dim-double query vector) and rank with
+    a ``Window.partitionBy(query_id)`` — one Exchange + sort whose only
+    job is to undo the fanout. The centroid table is bounded by
+    construction, so the selection now runs through the same
+    constant-folded literal selector as :func:`ivf_assign`
+    (``rounded=False`` — the probe window ranked on the RAW cosine, and
+    the selector preserves that exact (cosine desc, cell asc) order):
+    a narrow Project+Generate, zero exchanges. The candidate join then
+    BROADCASTS the bounded probe list against the corpus-sized
+    assignment (queries are a bounded broadcast by the operator
+    contract) — the assignment table is never shuffled by the probe."""
     from pyspark.sql import Window
 
     centroids, assigned = (
@@ -881,17 +917,30 @@ def cosine_topk_ivf(
             id_col,
         )
     qv = queries.select(*qsel)
-    qc = qv.join(F.broadcast(centroids))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc(cosine_expr(F.col("_qv"), F.col("_cv"))), F.col("cell")
-    )
-    probes = qc.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") <= nprobe
-    )
-    probes = probes.select(
-        "query_id", "_qv", "cell", *(["_qm"] if match_col else [])
-    )
-    cand = probes.join(assigned, "cell").filter(
+    cell_sql = centroids.schema["cell"].dataType.simpleString()
+    cent_rows = centroids.select("cell", "_cv").collect()
+    if not cent_rows:
+        probes = qv.select(
+            "query_id", "_qv",
+            F.lit(None).cast(cell_sql).alias("cell"),
+            *(["_qm"] if match_col else []),
+        ).filter(F.lit(False))
+    else:
+        top = _centroid_topn_expr(
+            cent_rows, cell_sql, "_qv", "_qn", int(nprobe), rounded=False
+        )
+        probes = (
+            qv.withColumn("_qn", _norm(F.col("_qv")))
+            .select(
+                "query_id", "_qv", F.explode(top).alias("_t"),
+                *(["_qm"] if match_col else []),
+            )
+            .select(
+                "query_id", "_qv", F.col("_t.cell").alias("cell"),
+                *(["_qm"] if match_col else []),
+            )
+        )
+    cand = assigned.join(F.broadcast(probes), "cell").filter(
         F.col("query_id") != F.col(id_col)
     )
     if match_col:
@@ -3133,48 +3182,58 @@ def cosine_topk_graph(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("_qv")
     )
     vectors = _knn_vectors(corpus, id_col, vec_col)
-    scored = entry
+    # Hop + scoring layout (optimization round 12, guide §2.4/§3.1 —
+    # completing the round-11 treatment): candidate EXPANSION does not
+    # depend on hop scores (expand-all — any node first reached at hop
+    # j is in the frontier at j regardless of its cosine), so the
+    # per-hop scoring joins are hoisted out of the loop: the hops only
+    # accumulate (query_id, cand) id pairs, and ONE scoring pass at the
+    # end attaches vectors + query vectors. A pair reached through any
+    # leg (entry or hop) scores to the IDENTICAL rounded cosine (same
+    # fold, same vectors), so scoring once per distinct pair returns
+    # value-identical rows — the round-11 dedup argument. The frontier
+    # and the accumulated pair set are BOUNDED (queries are a bounded
+    # broadcast by the operator contract; each hop adds ≤ k ids per
+    # frontier row), so both sides broadcast: the corpus-sized graph
+    # and vector tables are NEVER shuffled by the search — before this,
+    # every hop shuffled the graph (join on cand) and the corpus
+    # vectors (join on cand) for a bounded probe.
     frontier = entry.select("query_id", F.col("neighbor_id").alias("cand"))
+    cands = frontier
     edges = graph.select(
         F.col("vec_id").alias("cand"), F.col("neighbor_id").alias("_n")
     )
-    # Per-hop shuffle layout (optimization round 11, guide §2.2 — the
-    # nndescent_round treatment): the old form anti-joined each hop's
-    # candidates against a growing `seen` set before scoring. A
-    # candidate reached through several hops/paths scores to the
-    # IDENTICAL rounded cosine (same fold, same vectors), so the final
-    # dedup subsumes that exchange — the anti never REMOVED a candidate
-    # from the result, it only avoided re-scoring one. The final dedup
-    # + top-k window now share ONE exchange: hash(query_id) clusters
-    # both the (query_id, neighbor_id) groups and the window
-    # partitions. Candidate-set identical → results identical.
     for _ in range(hops):
         nxt = (
-            frontier.join(edges, "cand")
+            edges.join(F.broadcast(frontier), "cand")
             .select("query_id", F.col("_n").alias("cand"))
             .distinct()
             .filter(F.col("query_id") != F.col("cand"))
         )
-        cos = cosine_expr(F.col("_qv"), F.col("_v"))
-        if round_digits is not None:
-            cos = F.round(cos, round_digits)
-        hop_scored = (
-            nxt.join(vectors.withColumnRenamed("_id", "cand"), "cand")
-            .join(F.broadcast(qv), "query_id")
-            .select(
-                "query_id", F.col("cand").alias("neighbor_id"),
-                cos.alias("cosine"),
-            )
-        )
-        scored = scored.unionAll(hop_scored)
+        cands = cands.unionAll(nxt)
         frontier = nxt
+    cos = cosine_expr(F.col("_qv"), F.col("_v"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    scored = (
+        vectors.withColumnRenamed("_id", "cand")
+        .join(
+            F.broadcast(cands.dropDuplicates(["query_id", "cand"])),
+            "cand",
+        )
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id", F.col("cand").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+    )
+    # Pairs are already distinct, so the rank window is the only
+    # remaining exchange (hash(query_id)).
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.repartition(F.col("query_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
 
