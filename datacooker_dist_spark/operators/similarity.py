@@ -2997,7 +2997,16 @@ def nndescent_round(
     (A/B row-identical; the build's partition-invariance test pins it).
     The explicit repartition by src lets both the dedup aggregate and
     the truncate window reuse one exchange (hash(src) clusters every
-    (src, dst) group and every window partition)."""
+    (src, dst) group and every window partition).
+
+    CONTRACT (ADVICE r11): the dedup is on (src, dst) ONLY, so
+    correctness requires every leg to carry the identical rounded
+    cosine — i.e. the input ``graph``'s cosines must be on the SAME
+    ``round_digits`` grid as this round's scoring (true for every
+    caller: the seed graph and all rounds share the default 6). A
+    graph built at a different grid would make the kept row
+    partition-order-dependent; callers changing ``round_digits``
+    mid-build must re-score the standing edges first."""
     from pyspark.sql import Window
 
     w_rev = Window.partitionBy("src").orderBy(
@@ -3167,7 +3176,18 @@ def cosine_topk_graph(
     the final deterministic top-k. Recovers cross-cell neighbors that
     IVF's probe list misses at the same nprobe — measured in
     ``similarity_recall_report``. Queries are a bounded broadcast; the
-    graph and corpus never broadcast.
+    graph and corpus never broadcast — and (round 12) never SHUFFLE
+    either: the hop and scoring joins broadcast the bounded
+    frontier/pair side.
+
+    Hop-count note (ADVICE r11): expansion is expand-all — no visited
+    set — because any node first reached at hop j is in the frontier at
+    j either way and a revisited pair scores to the identical rounded
+    cosine. The per-hop ``distinct`` bounds each frontier, but
+    cross-hop revisits DO re-enter later frontiers, so cost grows with
+    ``hops``; every caller uses hops ≤ 2, where expand-all is cheaper
+    than maintaining the visited anti-join. Re-add a seen-set prune
+    before raising ``hops`` materially.
 
     Output: (query_id, neighbor_id, rnk, cosine)."""
     from pyspark.sql import Window

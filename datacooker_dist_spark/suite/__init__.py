@@ -7,9 +7,22 @@ same column names and values. ``__spark_entry__.py`` re-exports these.
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+#: Serializes session-memo BUILDS across driver threads (ADVICE r11:
+#: the pooled composite builders relied on a hand-maintained sequential
+#: pre-warm because the ``*_CACHE`` dicts were unlocked — a future
+#: builder first-touching a memo inside a thread would double-build its
+#: localCheckpoint). Double-checked per getter: the fast path stays a
+#: plain dict hit; only a MISS takes the lock, re-checks, and builds.
+#: Reentrant because memo builds call other memo getters (opq → pq).
+#: Builds of DIFFERENT memos serialize too — acceptable: the pre-warm
+#: convention keeps pooled sections on warm memos, so the lock is a
+#: correctness backstop, not a hot path.
+MEMO_BUILD_LOCK = threading.RLock()
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -55,10 +68,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     table instead of once per query."""
     key = (session_key(spark), sf_dir, name)
     if key not in _TABLE_CACHE:
-        if name == "events":
-            _TABLE_CACHE[key] = read_events(spark, sf_dir)
-        else:
-            _TABLE_CACHE[key] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        with MEMO_BUILD_LOCK:
+            if key not in _TABLE_CACHE:
+                if name == "events":
+                    _TABLE_CACHE[key] = read_events(spark, sf_dir)
+                else:
+                    _TABLE_CACHE[key] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     return _TABLE_CACHE[key]
 
 
@@ -72,20 +87,22 @@ def shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     once per session instead of once per query."""
     key = (session_key(spark), sf_dir)
     if key not in _SHINGLE_CACHE:
-        from ..operators import dedup as D
-        from ..session import fan_out
+        with MEMO_BUILD_LOCK:
+            if key not in _SHINGLE_CACHE:
+                from ..operators import dedup as D
+                from ..session import fan_out
 
-        # Fan the scan out first (optimization round 11, guide §2.5):
-        # the tokenize + posexplode feeding the shingle window runs
-        # BEFORE the window's exchange, i.e. single-task on the bench's
-        # one-row-group documents file. (The r03 note that an up-front
-        # repartition measured slower predates the split of tokenize
-        # cost from window cost; the A/B now shows the fan-out winning
-        # — the raw-text shuffle it adds is a few hundred KB.)
-        _SHINGLE_CACHE[key] = D.shingle_rows(
-            fan_out(table(spark, sf_dir, "documents")),
-            cache=True,
-        )
+                # Fan the scan out first (optimization round 11, guide §2.5):
+                # the tokenize + posexplode feeding the shingle window runs
+                # BEFORE the window's exchange, i.e. single-task on the bench's
+                # one-row-group documents file. (The r03 note that an up-front
+                # repartition measured slower predates the split of tokenize
+                # cost from window cost; the A/B now shows the fan-out winning
+                # — the raw-text shuffle it adds is a few hundred KB.)
+                _SHINGLE_CACHE[key] = D.shingle_rows(
+                    fan_out(table(spark, sf_dir, "documents")),
+                    cache=True,
+                )
     return _SHINGLE_CACHE[key]
 
 
@@ -115,15 +132,17 @@ def shared_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-running the signature + bucket join per consumer."""
     key = (session_key(spark), sf_dir)
     if key not in _LSH_CAND_CACHE:
-        from ..operators import dedup as D
+        with MEMO_BUILD_LOCK:
+            if key not in _LSH_CAND_CACHE:
+                from ..operators import dedup as D
 
-        _LSH_CAND_CACHE[key] = D.minhash_lsh_candidates(
-            table(spark, sf_dir, "documents"),
-            num_hashes=64,
-            bands=16,
-            shingles=shared_shingles(spark, sf_dir),
-            max_bucket=LSH_MAX_BUCKET,
-        ).localCheckpoint()
+                _LSH_CAND_CACHE[key] = D.minhash_lsh_candidates(
+                    table(spark, sf_dir, "documents"),
+                    num_hashes=64,
+                    bands=16,
+                    shingles=shared_shingles(spark, sf_dir),
+                    max_bucket=LSH_MAX_BUCKET,
+                ).localCheckpoint()
     return _LSH_CAND_CACHE[key]
 
 
@@ -140,15 +159,17 @@ def shared_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate join + verification per query."""
     key = (session_key(spark), sf_dir)
     if key not in _JACCARD_PAIR_CACHE:
-        from ..operators import dedup as D
+        with MEMO_BUILD_LOCK:
+            if key not in _JACCARD_PAIR_CACHE:
+                from ..operators import dedup as D
 
-        docs = table(spark, sf_dir, "documents")
-        _JACCARD_PAIR_CACHE[key] = D.ngram_jaccard_pairs(
-            docs,
-            shared_lsh_candidates(spark, sf_dir),
-            threshold=0.8,
-            shingles=shared_shingles(spark, sf_dir),
-        ).localCheckpoint()
+                docs = table(spark, sf_dir, "documents")
+                _JACCARD_PAIR_CACHE[key] = D.ngram_jaccard_pairs(
+                    docs,
+                    shared_lsh_candidates(spark, sf_dir),
+                    threshold=0.8,
+                    shingles=shared_shingles(spark, sf_dir),
+                ).localCheckpoint()
     return _JACCARD_PAIR_CACHE[key]
 
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from . import query, table
+from . import MEMO_BUILD_LOCK, query, table
 from ..operators import similarity as S
 
 # ---------------------------------------------------------------------------
@@ -639,13 +639,15 @@ def _er_pattern_frame(spark, sf):
     localCheckpointed because the EM re-reads it _ER_ITERS times."""
     key = (spark.sparkContext.applicationId, sf)
     if key not in _ER_PAT_CACHE:
-        pat = (
-            _er_pairs(spark, sf)
-            .groupBy("g1", "g2", "g3")
-            .agg(F.count(F.lit(1)).alias("n"),
-                 F.count_if(F.col("id_a") == F.col("id_b")).alias("n_true"))
-        )
-        _ER_PAT_CACHE[key] = pat.localCheckpoint()
+        with MEMO_BUILD_LOCK:
+            if key not in _ER_PAT_CACHE:
+                pat = (
+                    _er_pairs(spark, sf)
+                    .groupBy("g1", "g2", "g3")
+                    .agg(F.count(F.lit(1)).alias("n"),
+                         F.count_if(F.col("id_a") == F.col("id_b")).alias("n_true"))
+                )
+                _ER_PAT_CACHE[key] = pat.localCheckpoint()
     return _ER_PAT_CACHE[key]
 
 
@@ -700,7 +702,9 @@ def shared_er_params(spark, sf):
     bounded values that re-enter the next iteration as literals."""
     key = (spark.sparkContext.applicationId, sf)
     if key not in _ER_PARAM_CACHE:
-        _ER_PARAM_CACHE[key] = _er_em_fit(_er_pattern_frame(spark, sf))
+        with MEMO_BUILD_LOCK:
+            if key not in _ER_PARAM_CACHE:
+                _ER_PARAM_CACHE[key] = _er_em_fit(_er_pattern_frame(spark, sf))
     return _ER_PARAM_CACHE[key]
 
 
@@ -772,7 +776,17 @@ def _er_em_fit(pat):
             .agg(*agg_cols)
             .select(*upd_cols)
         )
-    row = pframe.collect()[0]
+    # AQE off for THIS collect only (optimization round 12 — the
+    # shared_quality_classifier treatment, same rationale and A/B
+    # method): the chained EM is _ER_ITERS sequential one-row
+    # aggregates; AQE has nothing to re-plan and charges a driver
+    # sync per stage. Plan-shape property, not bench-scale tuning.
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        row = pframe.collect()[0]
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     return {n: row[f"_p_{n}"] for n in pnames}
 
 

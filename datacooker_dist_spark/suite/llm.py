@@ -24,7 +24,7 @@ from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..operators import text as T
 from ..session import default_parallelism, fan_out
-from . import query, session_key, table
+from . import MEMO_BUILD_LOCK, query, session_key, table
 
 # DuckDB twins of the engine's tokenization / shingling conventions
 # (operators.dedup.tokens_col / shingles_col).
@@ -58,12 +58,14 @@ def shared_pq_index(spark, sf, dim=64, m=32, n_codes=32):
     index."""
     key = (session_key(spark), sf, dim, m, n_codes)
     if key not in _PQ_INDEX_CACHE:
-        emb = fan_out(table(spark, sf, "embeddings"))
-        cb = S.pq_codebooks(
-            emb, dim, m, n_codes, refine_iters=ANN_REFINE_ITERS
-        ).localCheckpoint()
-        enc = S.pq_encode(emb, cb, dim, m).localCheckpoint()
-        _PQ_INDEX_CACHE[key] = (cb, enc)
+        with MEMO_BUILD_LOCK:
+            if key not in _PQ_INDEX_CACHE:
+                emb = fan_out(table(spark, sf, "embeddings"))
+                cb = S.pq_codebooks(
+                    emb, dim, m, n_codes, refine_iters=ANN_REFINE_ITERS
+                ).localCheckpoint()
+                enc = S.pq_encode(emb, cb, dim, m).localCheckpoint()
+                _PQ_INDEX_CACHE[key] = (cb, enc)
     return _PQ_INDEX_CACHE[key]
 
 
@@ -129,15 +131,17 @@ def shared_dhash_hashes(spark, sf):
     per session."""
     key = (session_key(spark), sf)
     if key not in _DHASH_CACHE:
-        media = (
-            fan_out(table(spark, sf, "documents"))
-            .filter(F.col("doc_id") < 600)
-            .select(
-                F.col("doc_id").alias("media_id"),
-                _bmp_fixture_payload_fn()("doc_id").alias("payload"),
-            )
-        )
-        _DHASH_CACHE[key] = M.dhash_images(media).localCheckpoint()
+        with MEMO_BUILD_LOCK:
+            if key not in _DHASH_CACHE:
+                media = (
+                    fan_out(table(spark, sf, "documents"))
+                    .filter(F.col("doc_id") < 600)
+                    .select(
+                        F.col("doc_id").alias("media_id"),
+                        _bmp_fixture_payload_fn()("doc_id").alias("payload"),
+                    )
+                )
+                _DHASH_CACHE[key] = M.dhash_images(media).localCheckpoint()
     return _DHASH_CACHE[key]
 
 
@@ -154,12 +158,14 @@ def shared_exact_topk(spark, sf, k=5):
     corpus pass)."""
     key = (session_key(spark), sf, k)
     if key not in _EXACT_TOPK_CACHE:
-        emb = table(spark, sf, "embeddings")
-        _EXACT_TOPK_CACHE[key] = (
-            S.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=k)
-            .select("query_id", F.col("neighbor_id").alias("exact_nb"))
-            .localCheckpoint()
-        )
+        with MEMO_BUILD_LOCK:
+            if key not in _EXACT_TOPK_CACHE:
+                emb = table(spark, sf, "embeddings")
+                _EXACT_TOPK_CACHE[key] = (
+                    S.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=k)
+                    .select("query_id", F.col("neighbor_id").alias("exact_nb"))
+                    .localCheckpoint()
+                )
     return _EXACT_TOPK_CACHE[key]
 
 
@@ -175,10 +181,12 @@ def shared_sq8_index(spark, sf):
     corpus-rows × (dim bytes + 1 norm), checkpoint-cheap."""
     key = (session_key(spark), sf)
     if key not in _SQ8_INDEX_CACHE:
-        emb = fan_out(table(spark, sf, "embeddings"))
-        p = S.sq8_params(emb).localCheckpoint()
-        enc = S.sq8_encode(emb, p).localCheckpoint()
-        _SQ8_INDEX_CACHE[key] = (p, enc)
+        with MEMO_BUILD_LOCK:
+            if key not in _SQ8_INDEX_CACHE:
+                emb = fan_out(table(spark, sf, "embeddings"))
+                p = S.sq8_params(emb).localCheckpoint()
+                enc = S.sq8_encode(emb, p).localCheckpoint()
+                _SQ8_INDEX_CACHE[key] = (p, enc)
     return _SQ8_INDEX_CACHE[key]
 
 
@@ -202,14 +210,16 @@ def shared_ivf_index(spark, sf, n_cells=16):
     r04: the id-prefix sample fit the oldest corpus slice)."""
     key = (session_key(spark), sf, n_cells)
     if key not in _IVF_INDEX_CACHE:
-        emb = fan_out(table(spark, sf, "embeddings"))
-        centroids, assigned = S.ivf_cells(
-            emb, n_cells=n_cells, refine_iters=ANN_REFINE_ITERS,
-            assign_spill=IVF_SPILL,
-        )
-        _IVF_INDEX_CACHE[key] = (
-            centroids.localCheckpoint(), assigned.localCheckpoint()
-        )
+        with MEMO_BUILD_LOCK:
+            if key not in _IVF_INDEX_CACHE:
+                emb = fan_out(table(spark, sf, "embeddings"))
+                centroids, assigned = S.ivf_cells(
+                    emb, n_cells=n_cells, refine_iters=ANN_REFINE_ITERS,
+                    assign_spill=IVF_SPILL,
+                )
+                _IVF_INDEX_CACHE[key] = (
+                    centroids.localCheckpoint(), assigned.localCheckpoint()
+                )
     return _IVF_INDEX_CACHE[key]
 
 
@@ -232,11 +242,13 @@ def shared_knn_graph(spark, sf):
     recall report row, and the scorecard dominance row."""
     key = (session_key(spark), sf)
     if key not in _KNN_GRAPH_CACHE:
-        emb = fan_out(table(spark, sf, "embeddings"))
-        _KNN_GRAPH_CACHE[key] = S.knn_graph_build(
-            emb, k=KNN_GRAPH_K, rounds=KNN_GRAPH_ROUNDS,
-            cells=shared_ivf_index(spark, sf),
-        ).localCheckpoint()
+        with MEMO_BUILD_LOCK:
+            if key not in _KNN_GRAPH_CACHE:
+                emb = fan_out(table(spark, sf, "embeddings"))
+                _KNN_GRAPH_CACHE[key] = S.knn_graph_build(
+                    emb, k=KNN_GRAPH_K, rounds=KNN_GRAPH_ROUNDS,
+                    cells=shared_ivf_index(spark, sf),
+                ).localCheckpoint()
     return _KNN_GRAPH_CACHE[key]
 
 
@@ -253,13 +265,15 @@ def shared_forgotten_knn_graph(spark, sf):
     repair pass runs once per session."""
     key = (session_key(spark), sf)
     if key not in _FORGOT_GRAPH_CACHE:
-        emb = table(spark, sf, "embeddings")
-        forget = emb.filter(F.col("vec_id") % 53 == 0).select("vec_id")
-        purged = emb.join(F.broadcast(forget), "vec_id", "left_anti")
-        _FORGOT_GRAPH_CACHE[key] = S.knn_graph_forget(
-            shared_knn_graph(spark, sf), forget, purged,
-            shared_ivf_index(spark, sf), k=KNN_GRAPH_K, spilled=True,
-        ).localCheckpoint()
+        with MEMO_BUILD_LOCK:
+            if key not in _FORGOT_GRAPH_CACHE:
+                emb = table(spark, sf, "embeddings")
+                forget = emb.filter(F.col("vec_id") % 53 == 0).select("vec_id")
+                purged = emb.join(F.broadcast(forget), "vec_id", "left_anti")
+                _FORGOT_GRAPH_CACHE[key] = S.knn_graph_forget(
+                    shared_knn_graph(spark, sf), forget, purged,
+                    shared_ivf_index(spark, sf), k=KNN_GRAPH_K, spilled=True,
+                ).localCheckpoint()
     return _FORGOT_GRAPH_CACHE[key]
 
 
@@ -273,14 +287,16 @@ def shared_base_knn_graph(spark, sf, k=10):
     built its own: two ~15 s sf0.1 builds for one artifact)."""
     key = (session_key(spark), sf, k)
     if key not in _BASE_KNN_CACHE:
-        emb = fan_out(table(spark, sf, "embeddings"))
-        base = emb.filter(F.col("vec_id") % 5 != 0)
-        cells = S.ivf_cells(base, n_cells=16)
-        cells = (cells[0].localCheckpoint(), cells[1].localCheckpoint())
-        graph = S.knn_graph_build(
-            base, k=k, rounds=2, cells=cells
-        ).localCheckpoint()
-        _BASE_KNN_CACHE[key] = (cells, graph)
+        with MEMO_BUILD_LOCK:
+            if key not in _BASE_KNN_CACHE:
+                emb = fan_out(table(spark, sf, "embeddings"))
+                base = emb.filter(F.col("vec_id") % 5 != 0)
+                cells = S.ivf_cells(base, n_cells=16)
+                cells = (cells[0].localCheckpoint(), cells[1].localCheckpoint())
+                graph = S.knn_graph_build(
+                    base, k=k, rounds=2, cells=cells
+                ).localCheckpoint()
+                _BASE_KNN_CACHE[key] = (cells, graph)
     return _BASE_KNN_CACHE[key]
 
 
@@ -299,15 +315,17 @@ def shared_residual_index(spark, sf, dim=64, m=32, n_codes=32):
     named build query."""
     key = (session_key(spark), sf, dim, m, n_codes)
     if key not in _RESID_INDEX_CACHE:
-        emb = fan_out(table(spark, sf, "embeddings"))
-        centroids, cb, index = S.ivfpq_residual_index(
-            emb, dim, m, n_codes,
-            refine_iters=ANN_REFINE_ITERS,
-            cells=shared_ivf_index(spark, sf),
-        )
-        _RESID_INDEX_CACHE[key] = (
-            centroids, cb.localCheckpoint(), index.localCheckpoint()
-        )
+        with MEMO_BUILD_LOCK:
+            if key not in _RESID_INDEX_CACHE:
+                emb = fan_out(table(spark, sf, "embeddings"))
+                centroids, cb, index = S.ivfpq_residual_index(
+                    emb, dim, m, n_codes,
+                    refine_iters=ANN_REFINE_ITERS,
+                    cells=shared_ivf_index(spark, sf),
+                )
+                _RESID_INDEX_CACHE[key] = (
+                    centroids, cb.localCheckpoint(), index.localCheckpoint()
+                )
     return _RESID_INDEX_CACHE[key]
 
 
@@ -328,18 +346,20 @@ def shared_opq_index(spark, sf, dim=64, m=32, n_codes=32):
     train + encode bill to the named build."""
     key = (session_key(spark), sf, dim, m, n_codes)
     if key not in _OPQ_INDEX_CACHE:
-        emb = fan_out(table(spark, sf, "embeddings"))
-        R = S.opq_rotation(emb, dim, m)
-        rot = S.opq_rotate(emb, R).localCheckpoint()
-        centroids, _ = shared_ivf_index(spark, sf)
-        rot_cents = S.opq_rotate(
-            centroids, R, id_col="cell", vec_col="_cv"
-        ).localCheckpoint()
-        cb = S.pq_codebooks(
-            rot, dim, m, n_codes, refine_iters=ANN_REFINE_ITERS
-        ).localCheckpoint()
-        enc = S.pq_encode(rot, cb, dim, m).localCheckpoint()
-        _OPQ_INDEX_CACHE[key] = (rot, rot_cents, cb, enc)
+        with MEMO_BUILD_LOCK:
+            if key not in _OPQ_INDEX_CACHE:
+                emb = fan_out(table(spark, sf, "embeddings"))
+                R = S.opq_rotation(emb, dim, m)
+                rot = S.opq_rotate(emb, R).localCheckpoint()
+                centroids, _ = shared_ivf_index(spark, sf)
+                rot_cents = S.opq_rotate(
+                    centroids, R, id_col="cell", vec_col="_cv"
+                ).localCheckpoint()
+                cb = S.pq_codebooks(
+                    rot, dim, m, n_codes, refine_iters=ANN_REFINE_ITERS
+                ).localCheckpoint()
+                enc = S.pq_encode(rot, cb, dim, m).localCheckpoint()
+                _OPQ_INDEX_CACHE[key] = (rot, rot_cents, cb, enc)
     return _OPQ_INDEX_CACHE[key]
 
 
@@ -363,21 +383,23 @@ def shared_opq_residual_index(spark, sf, dim=64, m=16, n_codes=16):
     materialized by ``similarity_index_build_opq``."""
     key = (session_key(spark), sf, dim, m, n_codes)
     if key not in _OPQ_RESID_CACHE:
-        rot, rot_cents, _, _ = shared_opq_index(spark, sf, dim, m, n_codes)
-        _, assigned = shared_ivf_index(spark, sf)
-        rot_assigned = (
-            assigned.select("vec_id", "cell")
-            .join(rot, "vec_id")
-            .select("vec_id", "cell", F.col("embedding").alias("vector"))
-        )
-        centroids, cb, index = S.ivfpq_residual_index(
-            rot, dim, m, n_codes,
-            refine_iters=ANN_REFINE_ITERS,
-            cells=(rot_cents, rot_assigned),
-        )
-        _OPQ_RESID_CACHE[key] = (
-            centroids, cb.localCheckpoint(), index.localCheckpoint()
-        )
+        with MEMO_BUILD_LOCK:
+            if key not in _OPQ_RESID_CACHE:
+                rot, rot_cents, _, _ = shared_opq_index(spark, sf, dim, m, n_codes)
+                _, assigned = shared_ivf_index(spark, sf)
+                rot_assigned = (
+                    assigned.select("vec_id", "cell")
+                    .join(rot, "vec_id")
+                    .select("vec_id", "cell", F.col("embedding").alias("vector"))
+                )
+                centroids, cb, index = S.ivfpq_residual_index(
+                    rot, dim, m, n_codes,
+                    refine_iters=ANN_REFINE_ITERS,
+                    cells=(rot_cents, rot_assigned),
+                )
+                _OPQ_RESID_CACHE[key] = (
+                    centroids, cb.localCheckpoint(), index.localCheckpoint()
+                )
     return _OPQ_RESID_CACHE[key]
 
 
@@ -391,11 +413,13 @@ def shared_kgram_rows(spark, sf, k=10):
     index, so the tokenize/window/hash pass runs once per session."""
     key = (session_key(spark), sf, k)
     if key not in _KGRAM_CACHE:
-        from pyspark import StorageLevel
+        with MEMO_BUILD_LOCK:
+            if key not in _KGRAM_CACHE:
+                from pyspark import StorageLevel
 
-        _KGRAM_CACHE[key] = D.kgram_occurrence_rows(
-            fan_out(table(spark, sf, "documents")), k=k
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+                _KGRAM_CACHE[key] = D.kgram_occurrence_rows(
+                    fan_out(table(spark, sf, "documents")), k=k
+                ).persist(StorageLevel.MEMORY_AND_DISK)
     return _KGRAM_CACHE[key]
 
 
@@ -408,14 +432,16 @@ def shared_embedding_pairs(spark, sf):
     `shared_shingles`)."""
     key = (session_key(spark), sf)
     if key not in _EMB_PAIR_CACHE:
-        emb = table(spark, sf, "embeddings").filter(F.col("vec_id") < 500)
-        pairs = S.cosine_candidate_pairs(
-            emb, threshold=0.45, dim=64, planes=2, tables=32
-        )
-        # The verified output is a handful of rows; localCheckpoint
-        # materializes it eagerly and truncates the 6-stage LSH lineage so
-        # the clusters query starts from the tiny edge list.
-        _EMB_PAIR_CACHE[key] = pairs.localCheckpoint()
+        with MEMO_BUILD_LOCK:
+            if key not in _EMB_PAIR_CACHE:
+                emb = table(spark, sf, "embeddings").filter(F.col("vec_id") < 500)
+                pairs = S.cosine_candidate_pairs(
+                    emb, threshold=0.45, dim=64, planes=2, tables=32
+                )
+                # The verified output is a handful of rows; localCheckpoint
+                # materializes it eagerly and truncates the 6-stage LSH lineage so
+                # the clusters query starts from the tiny edge list.
+                _EMB_PAIR_CACHE[key] = pairs.localCheckpoint()
     return _EMB_PAIR_CACHE[key]
 
 
@@ -3198,14 +3224,16 @@ def shared_jaccard_truth(spark, sf):
 
     key = (session_key(spark), sf)
     if key not in _JTRUTH_CACHE:
-        _JTRUTH_CACHE[key] = (
-            D.jaccard_pairs_allpairs(
-                table(spark, sf, "documents"),
-                shingles=shared_shingles(spark, sf),
-            )
-            .select("id_a", "id_b")
-            .localCheckpoint()
-        )
+        with MEMO_BUILD_LOCK:
+            if key not in _JTRUTH_CACHE:
+                _JTRUTH_CACHE[key] = (
+                    D.jaccard_pairs_allpairs(
+                        table(spark, sf, "documents"),
+                        shingles=shared_shingles(spark, sf),
+                    )
+                    .select("id_a", "id_b")
+                    .localCheckpoint()
+                )
     return _JTRUTH_CACHE[key]
 
 
@@ -3219,9 +3247,11 @@ def shared_cosine_truth(spark, sf):
     rationale as :func:`shared_jaccard_truth`."""
     key = (session_key(spark), sf)
     if key not in _COSTRUTH_CACHE:
-        _COSTRUTH_CACHE[key] = S.cosine_pairs_blocked(
-            table(spark, sf, "embeddings"), 0.40
-        ).localCheckpoint()
+        with MEMO_BUILD_LOCK:
+            if key not in _COSTRUTH_CACHE:
+                _COSTRUTH_CACHE[key] = S.cosine_pairs_blocked(
+                    table(spark, sf, "embeddings"), 0.40
+                ).localCheckpoint()
     return _COSTRUTH_CACHE[key]
 
 
@@ -3605,8 +3635,9 @@ def engine_scorecard(spark, sf):
     Each part now builds inside a small thread pool
     (``inheritable_thread_target`` so job-group attribution survives);
     the session memos every part reads are pre-warmed SEQUENTIALLY
-    first, because the ``_CACHE`` dicts are unlocked (in bench order
-    they are already built, so the pre-warm is free). Values are
+    first (in bench order they are already built, so the pre-warm is
+    free; since round 12 the getters also hold MEMO_BUILD_LOCK, so a
+    concurrent first-touch is safe by construction, not convention). Values are
     unchanged: parts share no mutable state, each scratch dir is
     unique, and the union order stays the fixed builder order."""
     from concurrent.futures import ThreadPoolExecutor
@@ -5367,16 +5398,18 @@ def shared_afp_hashes(spark, sf):
     ``shared_dhash_hashes`` convention)."""
     key = (session_key(spark), sf)
     if key not in _AFP_CACHE:
-        media = (
-            table(spark, sf, "documents")
-            .filter(F.col("doc_id") < _AFP_DOCS)
-            .select(
-                F.col("doc_id").alias("media_id"),
-                (F.col("doc_id") % _AFP_GROUPS).alias("g"),
-                _wav_fixture_payload_fn()("doc_id").alias("payload"),
-            )
-        )
-        _AFP_CACHE[key] = afp_fingerprints(media).localCheckpoint()
+        with MEMO_BUILD_LOCK:
+            if key not in _AFP_CACHE:
+                media = (
+                    table(spark, sf, "documents")
+                    .filter(F.col("doc_id") < _AFP_DOCS)
+                    .select(
+                        F.col("doc_id").alias("media_id"),
+                        (F.col("doc_id") % _AFP_GROUPS).alias("g"),
+                        _wav_fixture_payload_fn()("doc_id").alias("payload"),
+                    )
+                )
+                _AFP_CACHE[key] = afp_fingerprints(media).localCheckpoint()
     return _AFP_CACHE[key]
 
 

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import tokens_col
 from ..operators.text import STOPWORDS as _STOP
-from . import query, session_key, table
+from . import MEMO_BUILD_LOCK, query, session_key, table
 from .llm import SQL_SHINGLES, SQL_TOKENS, _LANG_SCORE_SQL
 
 _STOP_SQL = "('" + "', '".join(_STOP) + "')"
@@ -410,10 +410,12 @@ def shared_bpe_merges(spark, sf):
     not a semantics change."""
     key = (session_key(spark), sf)
     if key not in _BPE_MERGES_CACHE:
-        from ..operators.text import bpe_merges
+        with MEMO_BUILD_LOCK:
+            if key not in _BPE_MERGES_CACHE:
+                from ..operators.text import bpe_merges
 
-        docs = table(spark, sf, "documents").filter(F.col("doc_id") < 200)
-        _BPE_MERGES_CACHE[key] = bpe_merges(docs, rounds=5, batch=4)
+                docs = table(spark, sf, "documents").filter(F.col("doc_id") < 200)
+                _BPE_MERGES_CACHE[key] = bpe_merges(docs, rounds=5, batch=4)
     return _BPE_MERGES_CACHE[key]
 
 
@@ -724,19 +726,21 @@ def shared_qcls_features(spark, sf):
     featurization at sf0.1 with the weights already memoized)."""
     key = (session_key(spark), sf)
     if key not in _QCLS_FEATS_CACHE:
-        # Fan the CHECKPOINTED matrix out too (optimization round 11,
-        # guide §2.5): the featurization ends in an AQE-coalesced
-        # single partition at bench scale, so every downstream gradient
-        # stage — 20 of them in the chained fit — evaluated the deep
-        # decimal p-expression SINGLE-THREADED over the whole matrix.
-        # The checkpoint freezes pre-repartition layout, so the fan-out
-        # must land before it. Gradient sums are decimal-exact
-        # (order-independent) — values unchanged under any layout.
-        from ..session import fan_out
+        with MEMO_BUILD_LOCK:
+            if key not in _QCLS_FEATS_CACHE:
+                # Fan the CHECKPOINTED matrix out too (optimization round 11,
+                # guide §2.5): the featurization ends in an AQE-coalesced
+                # single partition at bench scale, so every downstream gradient
+                # stage — 20 of them in the chained fit — evaluated the deep
+                # decimal p-expression SINGLE-THREADED over the whole matrix.
+                # The checkpoint freezes pre-repartition layout, so the fan-out
+                # must land before it. Gradient sums are decimal-exact
+                # (order-independent) — values unchanged under any layout.
+                from ..session import fan_out
 
-        _QCLS_FEATS_CACHE[key] = fan_out(
-            _qcls_features(spark, sf)
-        ).localCheckpoint()
+                _QCLS_FEATS_CACHE[key] = fan_out(
+                    _qcls_features(spark, sf)
+                ).localCheckpoint()
     return _QCLS_FEATS_CACHE[key]
 
 
@@ -774,46 +778,69 @@ def shared_quality_classifier(spark, sf):
 
     key = (session_key(spark), sf)
     if key not in _QCLS_CACHE:
-        feats = shared_qcls_features(spark, sf)
-        gcols = [f"g_{j}" for j in range(len(_QCLS_XCOLS))] + ["g_b"]
-        wnames = [f"_w_{j}" for j in range(_QCLS_D + 2)]
-        wschema = ", ".join(f"{n} decimal(15,6)" for n in wnames)
-        wexprs = [F.col(n) for n in wnames]
-        d_col = (
-            _qcls_p_expr(wexprs) - F.col("y").cast(_QCLS_DEC)
-        ).alias("_d")
-        agg_cols = [
-            F.count(F.lit(1)).alias("_n"),
-            *[
-                F.sum(
-                    (F.col("_d") * F.col(xc)).cast("decimal(25,12)")
-                ).alias(gc)
-                for xc, gc in zip(_QCLS_XCOLS, gcols)
-            ],
-            F.sum("_d").alias("g_b"),
-            # w_{t-1} rides through the agg: constant per cross-joined
-            # row, so min() IS the value — keeps the plan linear.
-            *[F.min(F.col(wn)).alias(wn) for wn in wnames],
-        ]
-        upd_cols = [
-            F.round(
-                F.col(wn).cast("double")
-                - (F.col(gc).cast("double") * F.lit(_QCLS_LR))
-                / F.col("_n"),
-                6,
-            ).cast(_QCLS_DEC).alias(wn)
-            for wn, gc in zip(wnames, gcols)
-        ]
-        w_df = spark.createDataFrame(
-            [tuple([Decimal(0)] * (_QCLS_D + 2))], wschema
-        )
-        for _ in range(_QCLS_ITERS):
-            proj = feats.crossJoin(F.broadcast(w_df)).select(
-                *_QCLS_XCOLS, d_col, *wnames
-            )
-            w_df = proj.agg(*agg_cols).select(*upd_cols)
-        row = w_df.collect()[0]
-        _QCLS_CACHE[key] = [row[i] for i in range(_QCLS_D + 2)]
+        with MEMO_BUILD_LOCK:
+            if key not in _QCLS_CACHE:
+                feats = shared_qcls_features(spark, sf)
+                gcols = [f"g_{j}" for j in range(len(_QCLS_XCOLS))] + ["g_b"]
+                wnames = [f"_w_{j}" for j in range(_QCLS_D + 2)]
+                wschema = ", ".join(f"{n} decimal(15,6)" for n in wnames)
+                wexprs = [F.col(n) for n in wnames]
+                d_col = (
+                    _qcls_p_expr(wexprs) - F.col("y").cast(_QCLS_DEC)
+                ).alias("_d")
+                agg_cols = [
+                    F.count(F.lit(1)).alias("_n"),
+                    *[
+                        F.sum(
+                            (F.col("_d") * F.col(xc)).cast("decimal(25,12)")
+                        ).alias(gc)
+                        for xc, gc in zip(_QCLS_XCOLS, gcols)
+                    ],
+                    F.sum("_d").alias("g_b"),
+                    # w_{t-1} rides through the agg: constant per cross-joined
+                    # row, so min() IS the value — keeps the plan linear.
+                    *[F.min(F.col(wn)).alias(wn) for wn in wnames],
+                ]
+                upd_cols = [
+                    F.round(
+                        F.col(wn).cast("double")
+                        - (F.col(gc).cast("double") * F.lit(_QCLS_LR))
+                        / F.col("_n"),
+                        6,
+                    ).cast(_QCLS_DEC).alias(wn)
+                    for wn, gc in zip(wnames, gcols)
+                ]
+                w_df = spark.createDataFrame(
+                    [tuple([Decimal(0)] * (_QCLS_D + 2))], wschema
+                )
+                for _ in range(_QCLS_ITERS):
+                    proj = feats.crossJoin(F.broadcast(w_df)).select(
+                        *_QCLS_XCOLS, d_col, *wnames
+                    )
+                    w_df = proj.agg(*agg_cols).select(*upd_cols)
+                # AQE off for THIS collect only (optimization round
+                # 12, guide §1.2 step 3 — measured A/B: fit execution
+                # 13.2/6.8 s → 4.8/3.3 s at sf0.1/local[32], weights
+                # bit-identical): the chained fit is _QCLS_ITERS
+                # sequential full-batch aggregates collapsing to ONE
+                # row — AQE has nothing to re-plan (no coalescible
+                # output; the only join is an explicit broadcast) and
+                # charges a driver-synchronized stage re-optimization
+                # per aggregate. A property of the PLAN SHAPE, not of
+                # bench scale: at any corpus size each iteration's
+                # aggregate output is one row. Scoped with try/finally
+                # around the single collect; the memo contract
+                # (sequential pre-warm + MEMO_BUILD_LOCK) keeps
+                # concurrent observers out of builders.
+                prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+                spark.conf.set("spark.sql.adaptive.enabled", "false")
+                try:
+                    row = w_df.collect()[0]
+                finally:
+                    spark.conf.set(
+                        "spark.sql.adaptive.enabled", prev_aqe
+                    )
+                _QCLS_CACHE[key] = [row[i] for i in range(_QCLS_D + 2)]
     return _QCLS_CACHE[key]
 
 
@@ -1224,11 +1251,13 @@ def shared_unigram_vocab(spark, sf):
     edge that keeps both in one session chunk)."""
     key = (session_key(spark), sf)
     if key not in _UNI_VOCAB_CACHE:
-        from ..operators.text import unigram_em_vocab
+        with MEMO_BUILD_LOCK:
+            if key not in _UNI_VOCAB_CACHE:
+                from ..operators.text import unigram_em_vocab
 
-        _UNI_VOCAB_CACHE[key] = unigram_em_vocab(
-            table(spark, sf, "documents"), "text"
-        )
+                _UNI_VOCAB_CACHE[key] = unigram_em_vocab(
+                    table(spark, sf, "documents"), "text"
+                )
     return _UNI_VOCAB_CACHE[key]
 
 

@@ -1283,13 +1283,17 @@ def stream_append_retrain(spark, sf):
     queries = emb.filter(F.col("vec_id") < 10)
 
     # Standing stale index: trained before the stream starts, exactly
-    # the batch loop's stale build (same seeds → same centroids).
+    # the batch loop's stale build (same seeds → same centroids). Only
+    # the CENTROIDS gate the stream (the per-batch assign probes them);
+    # the corpus-wide stale ASSIGNMENT is read first by the post-drain
+    # loop, so its checkpoint materializes CONCURRENTLY with the drain
+    # (optimization round 12, guide §2.6; values unchanged — same
+    # frame, same centroids).
     stale_centroids, stale_assigned = S.ivf_cells(
         base, n_cells=16, refine_iters=ANN_REFINE_ITERS,
         assign_spill=IVF_SPILL,
     )
     stale_centroids = stale_centroids.localCheckpoint()
-    stale_assigned = stale_assigned.localCheckpoint()
 
     stream = file_stream(
         spark, f"{sf}/embeddings.parquet",
@@ -1307,7 +1311,20 @@ def stream_append_retrain(spark, sf):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        assigned_fut = pool.submit(
+            inheritable_thread_target(
+                lambda: stale_assigned.localCheckpoint()
+            )
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            stale_assigned = assigned_fut.result()
     _assign_schema = "vec_id bigint, cell bigint, vector array<double>"
     # Empty-source guard (the stream_quality_quarantine convention): an
     # all-empty drain writes no batch dirs, and the read of the absent
@@ -2496,8 +2513,13 @@ def stream_knn_graph_probe(spark, sf):
 
     with ThreadPoolExecutor(max_workers=1) as pool:
         batch_fut = pool.submit(inheritable_thread_target(_batch_leg))
-        q.awaitTermination()
-        batch_mode = batch_fut.result()
+        try:
+            q.awaitTermination()
+        finally:
+            # Drain the future even when the stream raises (ADVICE
+            # r11): the first error surfaces promptly instead of
+            # queueing behind the pool's __exit__ wait.
+            batch_mode = batch_fut.result()
     drained = read_parquet_or_empty(
         spark,
         "query_id bigint, neighbor_id bigint, cosine double, rnk int",
@@ -2618,8 +2640,13 @@ def stream_knn_graph_append(spark, sf):
 
     with ThreadPoolExecutor(max_workers=1) as pool:
         batch_fut = pool.submit(inheritable_thread_target(_batch_leg))
-        q.awaitTermination()
-        batch_out = batch_fut.result()
+        try:
+            q.awaitTermination()
+        finally:
+            # Drain the future even when the stream raises (ADVICE
+            # r11): the first error surfaces promptly instead of
+            # queueing behind the pool's __exit__ wait.
+            batch_out = batch_fut.result()
     drained = read_parquet_or_empty(
         spark, "query_id bigint, neighbor_id bigint, cosine double",
         target, recursive=True,

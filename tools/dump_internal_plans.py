@@ -60,6 +60,43 @@ def main() -> None:
             10,
         )
 
+    def _pq_encode_frame():
+        # The encode leg the index builds hide behind their
+        # localCheckpoints (VERDICT r11 "what's wrong" #3 — the
+        # committed query-level ANN plans were post-checkpoint dumps,
+        # so the MapInArrow/zero-exchange claims were not checkable).
+        from datacooker_dist_spark.operators import similarity as S
+        from datacooker_dist_spark.session import fan_out
+
+        emb = fan_out(spark.read.parquet(f"{args.sf}/embeddings.parquet"))
+        cb = S.pq_codebooks(emb, dim=64, m=32, n_codes=32).localCheckpoint()
+        return S.pq_encode(emb, cb, dim=64, m=32)
+
+    def _ivf_assign_frame():
+        from datacooker_dist_spark.operators import similarity as S
+        from datacooker_dist_spark.session import fan_out
+
+        emb = fan_out(spark.read.parquet(f"{args.sf}/embeddings.parquet"))
+        cents, _ = S.ivf_cells(emb, n_cells=16)
+        return S.ivf_assign(
+            emb, cents.localCheckpoint(), assign_spill=2)
+
+    def _ivf_probe_frame():
+        # cosine_topk_ivf probe path (round 12: literal probe-cell
+        # selector + broadcast of the bounded probe list — the
+        # assignment must never be shuffled by a probe).
+        import pyspark.sql.functions as F
+
+        from datacooker_dist_spark.operators import similarity as S
+        from datacooker_dist_spark.session import fan_out
+
+        emb = fan_out(spark.read.parquet(f"{args.sf}/embeddings.parquet"))
+        cents, assigned = S.ivf_cells(emb, n_cells=16, assign_spill=2)
+        cells = (cents.localCheckpoint(), assigned.localCheckpoint())
+        return S.cosine_topk_ivf(
+            emb, emb.filter(F.col("vec_id") < 10), k=5, nprobe=4,
+            cells=cells, spilled=True)
+
     frames = {
         "internal_qcls_features": lambda: llm_quality._qcls_features(
             spark, args.sf),
@@ -68,6 +105,9 @@ def main() -> None:
         "internal_kgram_rows": lambda: llm.shared_kgram_rows(
             spark, args.sf),
         "internal_nndescent_round": _nndescent_round_frame,
+        "internal_pq_encode": _pq_encode_frame,
+        "internal_ivf_assign": _ivf_assign_frame,
+        "internal_ivf_probe": _ivf_probe_frame,
     }
     os.makedirs(args.plans_dir, exist_ok=True)
     for name, fn in frames.items():
