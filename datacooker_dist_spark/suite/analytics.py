@@ -2476,7 +2476,15 @@ def privacy_forget_index(spark, sf):
     # flight is plenty" — the round-11 8-wide pools were the only
     # driver-measured regressions at 32 cores (concurrent jobs fighting
     # for task slots); 3 keeps the overlap without the fight.
-    wrapped = [inheritable_thread_target(f) for f in builders]
+    # Each purge section's ledger rows checkpoint INSIDE the pooled
+    # task (optimization round 12 — the engine_scorecard shape): the
+    # grading aggregates used to execute in the returned union's noop
+    # pass; pooled they overlap with the other sections' eager work.
+    # Union order stays the fixed builder order; values unchanged.
+    wrapped = [
+        inheritable_thread_target(lambda f=f: f().localCheckpoint())
+        for f in builders
+    ]
     with ThreadPoolExecutor(max_workers=3) as pool:
         rows = list(pool.map(lambda w: w(), wrapped))
 

@@ -3536,6 +3536,20 @@ def dedup_blocking_report(spark, sf):
             ),
             truth_cos.filter(F.col("cosine") >= 0.45)),
     ]
+    # Each family's one-row grading frame checkpoints in a small pool
+    # (optimization round 12 — the engine_scorecard shape: the grading
+    # joins used to execute in the returned union's noop pass, where
+    # the driver-measured cost was ~6 s; pooled at the guide's §2.6
+    # width they overlap instead). Union order stays the fixed list
+    # order; values unchanged.
+    from pyspark import inheritable_thread_target
+
+    wrapped = [
+        inheritable_thread_target(lambda d=d: d.localCheckpoint())
+        for d in parts
+    ]
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        parts = list(pool.map(lambda w: w(), wrapped))
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
@@ -4231,7 +4245,17 @@ def engine_scorecard(spark, sf):
     # driver-measured regression at 32 cores (0.44×, faster at 8 cores
     # than 32 — concurrent jobs contending for task slots + the py4j
     # gateway); 3 keeps the back-fill overlap and removes the fight.
-    wrapped = [inheritable_thread_target(f) for f in builders]
+    # Each section's one-row verdict frame checkpoints INSIDE its pooled
+    # task (optimization round 12): the grading joins/aggregates that
+    # used to execute in the returned union's noop pass ride the
+    # already-running pool's tail instead. (This differs from the
+    # rejected recall-report experiment, where a pool was ADDED just to
+    # checkpoint lazy union legs — here the eager pool exists anyway.)
+    # Union order stays the fixed builder order; values unchanged.
+    wrapped = [
+        inheritable_thread_target(lambda f=f: f().localCheckpoint())
+        for f in builders
+    ]
     with ThreadPoolExecutor(max_workers=3) as pool:
         parts = list(pool.map(lambda w: w(), wrapped))
     return reduce(lambda a, b: a.unionByName(b), parts)
