@@ -69,7 +69,7 @@ def main() -> None:
         from datacooker_dist_spark.session import fan_out
 
         emb = fan_out(spark.read.parquet(f"{args.sf}/embeddings.parquet"))
-        cb = S.pq_codebooks(emb, dim=64, m=32, n_codes=32).localCheckpoint()
+        cb = S.pq_codebooks(emb, dim=64, m=32, k=32).localCheckpoint()
         return S.pq_encode(emb, cb, dim=64, m=32)
 
     def _ivf_assign_frame():
